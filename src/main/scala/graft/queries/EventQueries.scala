@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Batch-relational embodiment of the reference pipeline's operators
+  * (SURVEY.md §2.1/§2.3), over the driver's `events` table — the
+  * firehose surrogate. Event types in the testdata are
+  * {click, error, purchase, signup, view}; the routing table below
+  * mirrors the reference's topic config semantics
+  * (kafka.go:305-340 route switch, kafka.go:183-188 templating,
+  * config.go:70-80 topic table):
+  *
+  *   click    -> fixed topic "click-topic"
+  *   view     -> fixed topic "view-topic"
+  *   signup   -> fixed topic "signup-topic"
+  *   purchase -> templated "purchase-%s" on user_id  (LogMessageFmt analogue)
+  *   error    -> no topic configured => DROP ("Ignored", kafka.go:311-315)
+  *
+  * Every query is deterministic: total ORDER BY on a unique key, and
+  * double aggregates computed exactly via DECIMAL then cast back to
+  * DOUBLE so the DuckDB oracle hash-matches bit-for-bit.
+  */
+object EventQueries {
+
+  /** Exact double aggregation: cast to DECIMAL(18,2) (exact, order-
+    * independent sum), then back to DOUBLE for a stable output type. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2)))
+
+  private val routedTypes = Seq("click", "view", "signup", "purchase")
+
+  /** O5/O6: the 5-way route switch as a single `when` chain. */
+  def topicExpr(eventType: Column, userId: Column): Column =
+    when(eventType === "click", lit("click-topic"))
+      .when(eventType === "view", lit("view-topic"))
+      .when(eventType === "signup", lit("signup-topic"))
+      .when(eventType === "purchase",
+        format_string("purchase-%d", userId)) // fmtTopic, kafka.go:183-188
+      .otherwise(lit(null).cast(StringType))
+
+  // ---------------------------------------------------------------------
+  // queries: name -> (spark, sfDir) => DataFrame
+  // ---------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O1/O2 — source scan + projection (column pruning reaches parquet).
+    "q01_scan" -> ((s, d) => {
+      Tables.events(s, d)
+        .select("event_id", "event_type", "user_id")
+        .orderBy("event_id").limit(100)
+    }),
+
+    // O5 — type-based router (disjoint multi-way filter + projection).
+    "q02_route" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      e.select(col("event_id"),
+          topicExpr(col("event_type"), col("user_id")).as("topic"))
+        .filter(col("topic").isNotNull)
+        .orderBy("event_id").limit(1000)
+    }),
+
+    // O5 — drop rule accounting: Ignored (configured-empty topic) vs
+    // Unknown (unrecognized type), kafka.go:311-336.
+    "q03_drop" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      e.agg(
+        count(when(col("event_type") === "error", 1)).as("ignored"),
+        count(when(!col("event_type").isin(("error" +: routedTypes): _*), 1))
+          .as("unknown"))
+    }),
+
+    // O4 — slow-consumer detector: 3-way conjunctive predicate
+    // (detector.go:116-124 analogue).
+    "q04_detect" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("event_type") === "error"
+          && col("value") < 10.0
+          && col("props").like("""%"k": 6%"""))
+        .agg(count(lit(1)).as("alerts"))
+    }),
+
+    // O6 — topic-name templating as a scalar string function.
+    "q05_template" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          format_string("purchase-%d", col("user_id")).as("topic"))
+        .orderBy("event_id").limit(100)
+    }),
+
+    // O12 — per-event-type consume counters (stats.go:125-138).
+    "q06_type_counts" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // O12 — global counters: consume / forwarded / ignored (stats.go:40-74).
+    "q07_counters" -> ((s, d) => {
+      Tables.events(s, d).agg(
+        count(lit(1)).as("consume"),
+        count(when(col("event_type").isin(routedTypes: _*), 1)).as("forwarded"),
+        count(when(col("event_type") === "error", 1)).as("ignored"))
+    }),
+
+    // O13 — 1s tumbling-window counts (stats.go:98-111 rate base).
+    // Output epoch-seconds as BIGINT to sidestep ns/us timestamp
+    // precision mismatches between engines.
+    "q08_persec" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy((col("ts_ns") / lit(1000000000L)).cast(LongType).as("w_s"))
+        .agg(count(lit(1)).as("per_sec"))
+        .orderBy("w_s").limit(500)
+    }),
+
+    // O14 — derived lag metric: Delay = Forwarded - (Publish + PublishFail)
+    // (stats.go:93-96).
+    "q09_delay" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("event_type") === "click")
+        .agg(
+          count(lit(1)).as("f"),
+          count(when(col("value") >= 20.0, 1)).as("p"),
+          count(when(col("value") < 20.0, 1)).as("pf"))
+        .select((col("f") - (col("p") + col("pf"))).as("delay"))
+    }),
+
+    // O8 — omit-if-absent projection semantics (easyjson field omission).
+    "q10_omission" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          when(col("props").isNull || col("props") === "", lit(null).cast(StringType))
+            .otherwise(col("props")).as("props"))
+        .orderBy("event_id").limit(100)
+    }),
+
+    // O13 variant — rate as lag() over the per-second series (Q12 of
+    // SURVEY §2.3). The global window runs over the *aggregated* series
+    // (cardinality = distinct seconds), not the raw events — bounded
+    // state even at 100 TB input.
+    "q12_rate" -> ((s, d) => {
+      val per = Tables.events(s, d)
+        .groupBy((col("ts_ns") / lit(1000000000L)).cast(LongType).as("w_s"))
+        .agg(count(lit(1)).as("n"))
+      per.select(col("w_s"), col("n"),
+          (col("n") - lag("n", 1).over(Window.orderBy("w_s"))).as("rate"))
+        .orderBy("w_s").limit(500)
+    }),
+
+    // O12+O14 — grouped double aggregates, exact via DECIMAL.
+    "q13_agg" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          dsum(col("value")).cast(DoubleType).as("sv"),
+          count(lit(1)).as("n"))
+        // No round() on doubles: Spark rounds the shortest-decimal repr
+        // (BigDecimal HALF_UP) while DuckDB rounds the binary value —
+        // they disagree near midpoints. sv is exact (decimal sum), and
+        // sv/n is a single IEEE op, bit-identical in both engines.
+        .select(col("event_type"), col("sv"),
+          (col("sv") / col("n")).as("av"), col("n"))
+        .orderBy("event_type")
+    })
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle SQL (same values + column names; dialect may differ).
+  // ---------------------------------------------------------------------
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_scan" ->
+      "SELECT event_id, event_type, user_id FROM events ORDER BY event_id LIMIT 100",
+    "q02_route" ->
+      """SELECT event_id,
+           CASE event_type
+             WHEN 'click' THEN 'click-topic'
+             WHEN 'view' THEN 'view-topic'
+             WHEN 'signup' THEN 'signup-topic'
+             WHEN 'purchase' THEN 'purchase-' || CAST(user_id AS VARCHAR)
+           END AS topic
+         FROM events
+         WHERE event_type IN ('click','view','signup','purchase')
+         ORDER BY event_id LIMIT 1000""",
+    "q03_drop" ->
+      """SELECT count(CASE WHEN event_type = 'error' THEN 1 END) AS ignored,
+                count(CASE WHEN event_type NOT IN ('click','view','signup','purchase','error') THEN 1 END) AS unknown
+         FROM events""",
+    "q04_detect" ->
+      """SELECT count(*) AS alerts FROM events
+         WHERE event_type = 'error' AND value < 10.0 AND props LIKE '%"k": 6%'""",
+    "q05_template" ->
+      """SELECT event_id, 'purchase-' || CAST(user_id AS VARCHAR) AS topic
+         FROM events WHERE event_type = 'purchase' ORDER BY event_id LIMIT 100""",
+    "q06_type_counts" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
+    "q07_counters" ->
+      """SELECT count(*) AS consume,
+                count(CASE WHEN event_type IN ('click','view','signup','purchase') THEN 1 END) AS forwarded,
+                count(CASE WHEN event_type = 'error' THEN 1 END) AS ignored
+         FROM events""",
+    "q08_persec" ->
+      """SELECT CAST(epoch_us(ts) // 1000000 AS BIGINT) AS w_s, count(*) AS per_sec
+         FROM events GROUP BY 1 ORDER BY w_s LIMIT 500""",
+    "q09_delay" ->
+      """SELECT f - (p + pf) AS delay FROM (
+           SELECT count(*) AS f,
+                  count(CASE WHEN value >= 20.0 THEN 1 END) AS p,
+                  count(CASE WHEN value < 20.0 THEN 1 END) AS pf
+           FROM events WHERE event_type = 'click')""",
+    "q10_omission" ->
+      """SELECT event_id,
+                CASE WHEN props IS NULL OR props = '' THEN NULL ELSE props END AS props
+         FROM events ORDER BY event_id LIMIT 100""",
+    "q12_rate" ->
+      """SELECT w_s, n, n - lag(n) OVER (ORDER BY w_s) AS rate FROM (
+           SELECT CAST(epoch_us(ts) // 1000000 AS BIGINT) AS w_s, count(*) AS n
+           FROM events GROUP BY 1)
+         ORDER BY w_s LIMIT 500""",
+    "q13_agg" ->
+      """SELECT event_type,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS av,
+                count(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type"""
+  )
+}
