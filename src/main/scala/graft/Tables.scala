@@ -18,13 +18,17 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** events with `ts` as TimestampType (micros, truncated from ns) and
-    * `ts_ns` as the original nanosecond long. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * `ts_ns` as the original nanosecond long.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the
+    * session (the parquet `ts` column is TIMESTAMP(NANOS), which Spark
+    * otherwise refuses). All engine entry points (GraftSession, Verify,
+    * Bench) set it at session build time; accessors here are
+    * side-effect-free. */
+  def events(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, "events")
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "orders")

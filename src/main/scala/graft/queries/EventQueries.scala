@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -27,9 +26,17 @@ import graft.Tables
   */
 object EventQueries {
 
-  /** Exact double aggregation: cast to DECIMAL(18,2) (exact, order-
-    * independent sum), then back to DOUBLE for a stable output type. */
-  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2)))
+  /** Exact double aggregation: cast to DECIMAL(28,10) (exact, order-
+    * independent sum, scale comfortably beyond the data's 2-decimal
+    * precision so near-midpoint rounding can never diverge from the
+    * oracle), then back to DOUBLE for a stable output type. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 10)))
+
+  /** Epoch-second bucket from the raw nanosecond long. Integer `div`
+    * keeps the math exact — long/long `/` promotes to DOUBLE, whose
+    * 53-bit mantissa rounds ~1.7e18 ns values to ~256 ns granularity
+    * and can misplace events within ~128 ns of a second boundary. */
+  private def secondBucket: Column = expr("ts_ns div 1000000000")
 
   private val routedTypes = Seq("click", "view", "signup", "purchase")
 
@@ -39,7 +46,12 @@ object EventQueries {
       .when(eventType === "view", lit("view-topic"))
       .when(eventType === "signup", lit("signup-topic"))
       .when(eventType === "purchase",
-        format_string("purchase-%d", userId)) // fmtTopic, kafka.go:183-188
+        // fmtTopic, kafka.go:183-188. NULL-guarded: format_string on a
+        // NULL arg prints the literal "null" (row would survive the
+        // topic IS NOT NULL drop filter); the reference has no topic
+        // for an absent app id, so yield NULL => drop.
+        when(userId.isNull, lit(null).cast(StringType))
+          .otherwise(format_string("purchase-%d", userId)))
       .otherwise(lit(null).cast(StringType))
 
   // ---------------------------------------------------------------------
@@ -79,7 +91,10 @@ object EventQueries {
       Tables.events(s, d)
         .filter(col("event_type") === "error"
           && col("value") < 10.0
-          && col("props").like("""%"k": 6%"""))
+          // Anchored so "k": 60..69 / "k": 6.5 don't match — the
+          // detector analogue means k == 6 exactly.
+          && (col("props").like("""%"k": 6,%""")
+            || col("props").like("""%"k": 6}%""")))
         .agg(count(lit(1)).as("alerts"))
     }),
 
@@ -88,7 +103,9 @@ object EventQueries {
       Tables.events(s, d)
         .filter(col("event_type") === "purchase")
         .select(col("event_id"),
-          format_string("purchase-%d", col("user_id")).as("topic"))
+          when(col("user_id").isNull, lit(null).cast(StringType))
+            .otherwise(format_string("purchase-%d", col("user_id")))
+            .as("topic"))
         .orderBy("event_id").limit(100)
     }),
 
@@ -112,7 +129,7 @@ object EventQueries {
     // precision mismatches between engines.
     "q08_persec" -> ((s, d) => {
       Tables.events(s, d)
-        .groupBy((col("ts_ns") / lit(1000000000L)).cast(LongType).as("w_s"))
+        .groupBy(secondBucket.as("w_s"))
         .agg(count(lit(1)).as("per_sec"))
         .orderBy("w_s").limit(500)
     }),
@@ -138,16 +155,21 @@ object EventQueries {
         .orderBy("event_id").limit(100)
     }),
 
-    // O13 variant — rate as lag() over the per-second series (Q12 of
-    // SURVEY §2.3). The global window runs over the *aggregated* series
-    // (cardinality = distinct seconds), not the raw events — bounded
-    // state even at 100 TB input.
+    // O13 variant — per-second rate as the delta vs the previous second
+    // (Q12 of SURVEY §2.3; stats.go:98-111 computes exactly this 1s
+    // delta). Implemented as an equi-self-join on w_s-1 over the
+    // *aggregated* series instead of an unpartitioned window: a global
+    // Window.orderBy funnels the whole series through ONE task (a year
+    // of seconds = ~31M rows single-threaded at scale), while the join
+    // shuffles on w_s and stays fully parallel; no second in the prior
+    // bucket => rate NULL.
     "q12_rate" -> ((s, d) => {
       val per = Tables.events(s, d)
-        .groupBy((col("ts_ns") / lit(1000000000L)).cast(LongType).as("w_s"))
+        .groupBy(secondBucket.as("w_s"))
         .agg(count(lit(1)).as("n"))
-      per.select(col("w_s"), col("n"),
-          (col("n") - lag("n", 1).over(Window.orderBy("w_s"))).as("rate"))
+      val prev = per.select((col("w_s") + 1).as("w_s"), col("n").as("n_prev"))
+      per.join(prev, Seq("w_s"), "left")
+        .select(col("w_s"), col("n"), (col("n") - col("n_prev")).as("rate"))
         .orderBy("w_s").limit(500)
     }),
 
@@ -176,15 +198,16 @@ object EventQueries {
     "q01_scan" ->
       "SELECT event_id, event_type, user_id FROM events ORDER BY event_id LIMIT 100",
     "q02_route" ->
-      """SELECT event_id,
-           CASE event_type
-             WHEN 'click' THEN 'click-topic'
-             WHEN 'view' THEN 'view-topic'
-             WHEN 'signup' THEN 'signup-topic'
-             WHEN 'purchase' THEN 'purchase-' || CAST(user_id AS VARCHAR)
-           END AS topic
-         FROM events
-         WHERE event_type IN ('click','view','signup','purchase')
+      """SELECT event_id, topic FROM (
+           SELECT event_id,
+             CASE event_type
+               WHEN 'click' THEN 'click-topic'
+               WHEN 'view' THEN 'view-topic'
+               WHEN 'signup' THEN 'signup-topic'
+               WHEN 'purchase' THEN 'purchase-' || CAST(user_id AS VARCHAR)
+             END AS topic
+           FROM events) t
+         WHERE topic IS NOT NULL
          ORDER BY event_id LIMIT 1000""",
     "q03_drop" ->
       """SELECT count(CASE WHEN event_type = 'error' THEN 1 END) AS ignored,
@@ -192,7 +215,8 @@ object EventQueries {
          FROM events""",
     "q04_detect" ->
       """SELECT count(*) AS alerts FROM events
-         WHERE event_type = 'error' AND value < 10.0 AND props LIKE '%"k": 6%'""",
+         WHERE event_type = 'error' AND value < 10.0
+           AND (props LIKE '%"k": 6,%' OR props LIKE '%"k": 6}%')""",
     "q05_template" ->
       """SELECT event_id, 'purchase-' || CAST(user_id AS VARCHAR) AS topic
          FROM events WHERE event_type = 'purchase' ORDER BY event_id LIMIT 100""",
@@ -217,14 +241,16 @@ object EventQueries {
                 CASE WHEN props IS NULL OR props = '' THEN NULL ELSE props END AS props
          FROM events ORDER BY event_id LIMIT 100""",
     "q12_rate" ->
-      """SELECT w_s, n, n - lag(n) OVER (ORDER BY w_s) AS rate FROM (
+      """WITH per AS (
            SELECT CAST(epoch_us(ts) // 1000000 AS BIGINT) AS w_s, count(*) AS n
            FROM events GROUP BY 1)
-         ORDER BY w_s LIMIT 500""",
+         SELECT a.w_s, a.n, a.n - b.n AS rate
+         FROM per a LEFT JOIN per b ON a.w_s = b.w_s + 1
+         ORDER BY a.w_s LIMIT 500""",
     "q13_agg" ->
       """SELECT event_type,
-                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
-                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS av,
+                CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sv,
+                CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS av,
                 count(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type"""
   )
