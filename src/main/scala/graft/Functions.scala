@@ -1,9 +1,24 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graftshim.Shims
 
-/** SQL function registration hook (filled in as custom Catalyst
-  * expressions land: uuid_str, envelope_json, cosine_sim, ...). */
+import graft.functions.UuidStr
+
+/** Custom scalar functions (native Catalyst expressions, codegen-able)
+  * + their SQL registration. Column-API entry points below; SQL names
+  * registered per-session via [[register]] (idempotent).
+  */
 object Functions {
-  def register(spark: SparkSession): Unit = ()
+
+  /** uuid_str(low, high): little-endian 128-bit UUID formatting —
+    * reference kafka.go:214-219. */
+  def uuid_str(low: Column, high: Column): Column =
+    Shims.column(UuidStr(Shims.expression(low), Shims.expression(high)))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "uuid_str", exprs => UuidStr(exprs(0), exprs(1)), "built-in")
+  }
 }

@@ -155,6 +155,18 @@ object EventQueries {
         .orderBy("event_id").limit(100)
     }),
 
+    // O7 — uuid2str as a native codegen expression (kafka.go:214-219):
+    // synthesize 128-bit ids from (user_id=low, event_id=high) per
+    // SURVEY §2.3 Q11; oracle composes the identical little-endian
+    // hex/lpad string in SQL.
+    "q11_uuid" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .select(col("event_id"),
+          graft.Functions.uuid_str(col("user_id"), col("event_id")).as("uuid"))
+        .orderBy("event_id").limit(100)
+    }),
+
     // O13 variant — per-second rate as the delta vs the previous second
     // (Q12 of SURVEY §2.3; stats.go:98-111 computes exactly this 1s
     // delta). Implemented as an equi-self-join on w_s-1 over the
@@ -240,6 +252,20 @@ object EventQueries {
       """SELECT event_id,
                 CASE WHEN props IS NULL OR props = '' THEN NULL ELSE props END AS props
          FROM events ORDER BY event_id LIMIT 100""",
+    "q11_uuid" ->
+      """WITH h AS (
+           SELECT event_id,
+                  lower(lpad(hex(user_id), 16, '0')) AS hl,
+                  lower(lpad(hex(event_id), 16, '0')) AS hh
+           FROM events WHERE user_id IS NOT NULL),
+         r AS (
+           SELECT event_id,
+                  substr(hl,15,2)||substr(hl,13,2)||substr(hl,11,2)||substr(hl,9,2)||substr(hl,7,2)||substr(hl,5,2)||substr(hl,3,2)||substr(hl,1,2) AS rl,
+                  substr(hh,15,2)||substr(hh,13,2)||substr(hh,11,2)||substr(hh,9,2)||substr(hh,7,2)||substr(hh,5,2)||substr(hh,3,2)||substr(hh,1,2) AS rh
+           FROM h)
+         SELECT event_id,
+                substr(rl,1,8)||'-'||substr(rl,9,4)||'-'||substr(rl,13,4)||'-'||substr(rh,1,4)||'-'||substr(rh,5,12) AS uuid
+         FROM r ORDER BY event_id LIMIT 100""",
     "q12_rate" ->
       """WITH per AS (
            SELECT CAST(epoch_us(ts) // 1000000 AS BIGINT) AS w_s, count(*) AS n
