@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.graftshim.Shims
 
-import graft.functions.UuidStr
+import graft.functions.{EnvelopeJson, UuidStr}
 
 /** Custom scalar functions (native Catalyst expressions, codegen-able)
   * + their SQL registration. Column-API entry points below; SQL names
@@ -16,9 +16,16 @@ object Functions {
   def uuid_str(low: Column, high: Column): Column =
     Shims.column(UuidStr(Shims.expression(low), Shims.expression(high)))
 
+  /** envelope_json(struct): canonical byte-exact Envelope JSON —
+    * reference encoder.go:15-18 semantics. */
+  def envelope_json(env: Column): Column =
+    Shims.column(EnvelopeJson(Shims.expression(env)))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "uuid_str", exprs => UuidStr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "envelope_json", exprs => EnvelopeJson(exprs.head), "built-in")
   }
 }

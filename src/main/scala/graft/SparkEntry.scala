@@ -13,16 +13,16 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   /** Flagship: the full nozzle pipeline in batch form — scan envelopes,
-    * route to topics (O5/O6), drop unroutable (O5), serialize payload
-    * (O8 surrogate) — on sf0.001. Driver smoke-checks rows>0. */
+    * route to topics (O5/O6), drop unroutable (O5), serialize with the
+    * canonical byte-exact Envelope encoder (O8) — on sf0.001. Driver
+    * smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     GraftSession(spark)
     val e = Tables.events(spark, "/root/testdata/sf0.001")
     e.select(
         col("event_id"),
         graft.queries.EventQueries.topicExpr(col("event_type"), col("user_id")).as("topic"),
-        to_json(struct(col("event_id"), col("event_type"), col("user_id"),
-          col("value"), col("props"))).as("payload"))
+        graft.queries.EventQueries.logMessageJson().as("payload"))
       .filter(col("topic").isNotNull)
   }
 

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.Tables
+import graft.{Functions, Tables}
+import graft.model.EnvelopeSchema
 
 /** Batch-relational embodiment of the reference pipeline's operators
   * (SURVEY.md §2.1/§2.3), over the driver's `events` table — the
@@ -37,6 +38,46 @@ object EventQueries {
     * 53-bit mantissa rounds ~1.7e18 ns values to ~256 ns granularity
     * and can misplace events within ~128 ns of a second boundary. */
   private def secondBucket: Column = expr("ts_ns div 1000000000")
+
+  private def nullOf(t: org.apache.spark.sql.types.DataType): Column =
+    lit(null).cast(t)
+
+  /** Assemble a canonical Envelope struct (EnvelopeSchema order) with
+    * the given payload slot filled; all other payloads NULL (the
+    * tagged-union invariant, envelope.pb.go:110-115). */
+  private def envelopeStruct(origin: Column, eventType: Int, tsNs: Column,
+      lm: Column = nullOf(EnvelopeSchema.logMessage),
+      vm: Column = nullOf(EnvelopeSchema.valueMetric),
+      ce: Column = nullOf(EnvelopeSchema.counterEvent)): Column =
+    struct(
+      origin.as("origin"),
+      lit(eventType).as("eventType"),
+      tsNs.as("timestamp"),
+      nullOf(StringType).as("deployment"),
+      nullOf(StringType).as("job"),
+      nullOf(StringType).as("index"),
+      nullOf(StringType).as("ip"),
+      nullOf(MapType(StringType, StringType)).as("tags"),
+      nullOf(EnvelopeSchema.httpStartStop).as("httpStartStop"),
+      lm.as("logMessage"),
+      vm.as("valueMetric"),
+      ce.as("counterEvent"),
+      nullOf(EnvelopeSchema.error).as("error"),
+      nullOf(EnvelopeSchema.containerMetric).as("containerMetric"))
+
+  /** The canonical LogMessage-envelope JSON for an events row — the
+    * flagship serialize step (O8) used by entry() and q14. */
+  def logMessageJson(tsNs: Column = col("ts_ns")): Column = {
+    val lm = struct(
+      col("props").cast(BinaryType).as("message"),
+      lit(1).as("message_type"),
+      tsNs.as("timestamp"),
+      concat(lit("app-"), col("user_id")).as("app_id"),
+      lit("DEA").as("source_type"),
+      nullOf(StringType).as("source_instance"))
+    Functions.envelope_json(envelopeStruct(
+      concat(lit("ev-"), col("event_type")), 5, tsNs, lm = lm))
+  }
 
   private val routedTypes = Seq("click", "view", "signup", "purchase")
 
@@ -167,6 +208,34 @@ object EventQueries {
         .orderBy("event_id").limit(100)
     }),
 
+    // O8 — the canonical byte-exact JSON encoder over three payload
+    // shapes per row: LogMessage (base64 message, snake_case,
+    // omit-if-absent), ValueMetric (Go float formatting), CounterEvent
+    // (unsigned 64-bit). Oracle reconstructs identical strings in SQL.
+    "q14_encode" -> ((s, d) => {
+      val vm = struct(
+        col("event_type").as("name"),
+        col("value").as("value"),
+        lit("ms").as("unit"))
+      val ce = struct(
+        col("event_type").as("name"),
+        col("user_id").as("delta"),
+        col("event_id").as("total"))
+      val origin = concat(lit("ev-"), col("event_type"))
+      // µs-truncated ns: DuckDB reads parquet TIMESTAMP(NANOS) at µs
+      // resolution, so the oracle can only reconstruct µs*1000.
+      val tsq = expr("(ts_ns div 1000) * 1000")
+      Tables.events(s, d)
+        .filter(col("event_type").isNotNull)
+        .select(col("event_id"),
+          logMessageJson(tsq).as("lm_json"),
+          Functions.envelope_json(
+            envelopeStruct(origin, 6, tsq, vm = vm)).as("vm_json"),
+          Functions.envelope_json(
+            envelopeStruct(origin, 7, tsq, ce = ce)).as("ce_json"))
+        .orderBy("event_id").limit(100)
+    }),
+
     // O13 variant — per-second rate as the delta vs the previous second
     // (Q12 of SURVEY §2.3; stats.go:98-111 computes exactly this 1s
     // delta). Implemented as an equi-self-join on w_s-1 over the
@@ -266,6 +335,21 @@ object EventQueries {
          SELECT event_id,
                 substr(rl,1,8)||'-'||substr(rl,9,4)||'-'||substr(rl,13,4)||'-'||substr(rh,1,4)||'-'||substr(rh,5,12) AS uuid
          FROM r ORDER BY event_id LIMIT 100""",
+    "q14_encode" ->
+      """SELECT event_id,
+           '{"origin":"ev-'||event_type||'","eventType":5,"timestamp":'||epoch_ns(ts)||',"logMessage":{'
+             || CASE WHEN props IS NULL OR props='' THEN '' ELSE '"message":"'||to_base64(encode(props))||'",' END
+             || '"message_type":1,"timestamp":'||epoch_ns(ts)
+             || CASE WHEN user_id IS NULL THEN '' ELSE ',"app_id":"app-'||user_id||'"' END
+             || ',"source_type":"DEA"}}' AS lm_json,
+           '{"origin":"ev-'||event_type||'","eventType":6,"timestamp":'||epoch_ns(ts)||',"valueMetric":{"name":"'||event_type||'"'
+             || CASE WHEN value IS NULL THEN '' ELSE ',"value":'||regexp_replace(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR),'\.?0+$','') END
+             || ',"unit":"ms"}}' AS vm_json,
+           '{"origin":"ev-'||event_type||'","eventType":7,"timestamp":'||epoch_ns(ts)||',"counterEvent":{"name":"'||event_type||'"'
+             || CASE WHEN user_id IS NULL THEN '' ELSE ',"delta":'||user_id END
+             || ',"total":'||event_id||'}}' AS ce_json
+         FROM events WHERE event_type IS NOT NULL
+         ORDER BY event_id LIMIT 100""",
     "q12_rate" ->
       """WITH per AS (
            SELECT CAST(epoch_us(ts) // 1000000 AS BIGINT) AS w_s, count(*) AS n
