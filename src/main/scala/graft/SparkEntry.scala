@@ -26,12 +26,15 @@ object SparkEntry {
       .filter(col("topic").isNotNull)
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 + the
+    * LLM-data-pipeline extensions. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.EventQueries.queries
+    graft.queries.EventQueries.queries ++
+      graft.queries.DedupQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.EventQueries.oracleSql
+    graft.queries.EventQueries.oracleSql ++
+      graft.queries.DedupQueries.oracleSql
 }

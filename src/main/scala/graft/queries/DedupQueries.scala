@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Deduplication operators over the `documents` table — the LLM-data-
+  * pipeline extensions (builder brief; VERDICT round-1 item 3).
+  *
+  * All variants are bucketed/blocked — NEVER all-pairs:
+  *  - exact: hash-groupBy on md5(text) (32-byte key shuffles, not the
+  *    document body);
+  *  - MinHash-LSH: 12 minhashes → 6 bands of 2 → equi-join on
+  *    (band, signature) buckets, then exact Jaccard on candidates only;
+  *  - SimHash: 60-bit signature → 4 bands of 15 bits → equi-join on
+  *    band value, hamming ≤ 3 on candidates;
+  *  - char-4-gram Jaccard: blocked by (lang, source) — a bounded-group
+  *    blocking key — with the LSH variant as the unbounded-scale path.
+  *
+  * At 100 TB the only shuffled payloads are fixed-width signatures and
+  * candidate doc-id pairs; shingle sets are re-joined per candidate
+  * (candidate count << n²). Hot LSH buckets are the known skew risk:
+  * AQE skew-join splitting is on (GraftSession) and band signatures are
+  * 32-hex-char strings, so salting can be added per band if a corpus
+  * has degenerate repeated content.
+  *
+  * Shingling: normalize to [a-z0-9]+ single-spaced, split on ' ',
+  * 3-word shingles; hashes are hex-prefix slices of md5 so the DuckDB
+  * oracle can reproduce them exactly (lexicographic min on fixed-width
+  * lowercase hex == numeric min).
+  */
+object DedupQueries {
+
+  /** Normalized word array. */
+  private def wordsCol: Column =
+    split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
+
+  /** doc_id + distinct 3-word shingle set (docs with ≥3 words). */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), wordsCol.as("words"))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"),
+        expr("transform(sequence(1, size(words)-2), i -> array_join(slice(words, i, 3), ' '))")
+          .as("shingles"))
+      .select(col("doc_id"), array_distinct(col("shingles")).as("sset"),
+        col("shingles"))
+
+  /** 60-bit md5-derived hash per shingle (15 hex chars → fits BIGINT,
+    * reproducible as CAST('0x'||substr(md5(s),1,15) AS BIGINT) in the
+    * oracle). */
+  private val shingleHash60 =
+    "transform(sset, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: one representative (min doc_id) per content hash.
+    // Grouping key is md5(text), not text — at 100 TB the shuffle
+    // carries 32-byte keys instead of document bodies.
+    "q15_dedup" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(md5(col("text").cast(BinaryType)).as("content_hash"))
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).cast(LongType).as("n_copies"))
+        .select("doc_id", "content_hash", "n_copies")
+        .orderBy("doc_id")
+    }),
+
+    // MinHash-LSH near-dup: band-bucket candidate join + exact Jaccard
+    // (inter/uni as integers — no float compare), threshold 0.6.
+    "q18_minhash" -> ((s, d) => {
+      val ss = shingleSets(s, d)
+      val m = ss.select(col("doc_id"), col("sset"),
+        expr("""transform(sequence(0, 11), k ->
+                  array_min(transform(shingles, s ->
+                    substring(md5(concat(cast(k as string), ':', s)), 1, 16))))""")
+          .as("mh"))
+      val bands = m.select(col("doc_id"),
+        expr("""explode(transform(sequence(0, 5), j ->
+                  struct(j as j, concat(element_at(mh, 2*j+1), element_at(mh, 2*j+2)) as sig)))""")
+          .as("b"))
+        .select(col("doc_id"), col("b.j").as("j"), col("b.sig").as("sig"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.j") === col("b.j") && col("a.sig") === col("b.sig")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      val sets = ss.select(col("doc_id"), col("sset"))
+      cand
+        .join(sets.withColumnRenamed("doc_id", "da").withColumnRenamed("sset", "sa"), "da")
+        .join(sets.withColumnRenamed("doc_id", "db").withColumnRenamed("sset", "sb"), "db")
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          size(array_intersect(col("sa"), col("sb"))).cast(LongType).as("inter"),
+          size(array_union(col("sa"), col("sb"))).cast(LongType).as("uni"))
+        .filter(col("inter") * 5 >= col("uni") * 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash: 60-bit signature per doc (sign of per-bit +-1 sums over
+    // shingle hashes). Full per-doc oracle parity.
+    "q19_simhash" -> ((s, d) => {
+      shingleSets(s, d)
+        .select(col("doc_id"), expr(shingleHash60).as("hv"))
+        .select(col("doc_id"),
+          expr("""aggregate(sequence(0, 59), 0L, (acc, j) ->
+                    acc + if(aggregate(hv, 0L, (a, h) ->
+                               a + if((shiftright(h, j) & 1) = 1, 1L, -1L)) > 0,
+                             shiftleft(1L, j), 0L))""")
+            .as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // SimHash near-dup pairs: 4 bands of 15 bits → bucket join →
+    // hamming ≤ 3 (bit_count of xor) on candidates only.
+    "q20_simdup" -> ((s, d) => {
+      val sim = shingleSets(s, d)
+        .select(col("doc_id"), expr(shingleHash60).as("hv"))
+        .select(col("doc_id"),
+          expr("""aggregate(sequence(0, 59), 0L, (acc, j) ->
+                    acc + if(aggregate(hv, 0L, (a, h) ->
+                               a + if((shiftright(h, j) & 1) = 1, 1L, -1L)) > 0,
+                             shiftleft(1L, j), 0L))""")
+            .as("simhash"))
+      val bands = sim.select(col("doc_id"), col("simhash"),
+        expr("explode(transform(sequence(0, 3), b -> struct(b as b, shiftright(simhash, 15*b) & 32767 as sig)))").as("x"))
+        .select(col("doc_id"), col("simhash"), col("x.b").as("b"), col("x.sig").as("sig"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.b") === col("b.b") && col("a.sig") === col("b.sig")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast(LongType).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Character-4-gram Jaccard near-dup, blocked by (lang, source):
+    // a bounded blocking key — pairs only form inside blocks. Threshold
+    // 0.5 (2*inter >= uni).
+    "q21_ngram" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("t"))
+        .filter(length(col("t")) >= 4)
+        .select(col("doc_id"), col("lang"), col("source"),
+          array_distinct(
+            expr("transform(sequence(1, length(t)-3), i -> substring(t, i, 4))"))
+            .as("gs"))
+      g.as("a")
+        .join(g.as("b"),
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          size(array_intersect(col("a.gs"), col("b.gs"))).cast(LongType).as("inter"),
+          size(array_union(col("a.gs"), col("b.gs"))).cast(LongType).as("uni"))
+        .filter(col("inter") * 2 >= col("uni"))
+        .orderBy("doc_a", "doc_b")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q15_dedup" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,
+                count(*) AS n_copies
+         FROM documents GROUP BY md5(text) ORDER BY doc_id""",
+    "q18_minhash" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2],' ')) shingles
+           FROM w WHERE len(words) >= 3),
+         ss AS (SELECT doc_id, list_distinct(shingles) sset, shingles FROM sh),
+         m AS (
+           SELECT doc_id, sset,
+             [list_aggregate(list_transform(shingles, s -> substr(md5(CAST(k AS VARCHAR)||':'||s),1,16)),'min') for k in range(0,12)] mh
+           FROM ss),
+         bands AS (
+           SELECT doc_id, j, mh[2*j+1]||mh[2*j+2] sig FROM m, unnest(range(0,6)) t(j)),
+         cand AS (
+           SELECT DISTINCT a.doc_id da, b.doc_id db
+           FROM bands a JOIN bands b ON a.j=b.j AND a.sig=b.sig AND a.doc_id < b.doc_id)
+         SELECT da AS doc_a, db AS doc_b,
+                len(list_intersect(x.sset, y.sset)) AS inter,
+                len(list_distinct(list_concat(x.sset, y.sset))) AS uni
+         FROM cand JOIN ss x ON da=x.doc_id JOIN ss y ON db=y.doc_id
+         WHERE 5*len(list_intersect(x.sset, y.sset)) >= 3*len(list_distinct(list_concat(x.sset, y.sset)))
+         ORDER BY doc_a, doc_b""",
+    "q19_simhash" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2],' '))) sset
+           FROM w WHERE len(words) >= 3),
+         hs AS (
+           SELECT doc_id, list_transform(sset, s -> CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)) hv FROM sh)
+         SELECT doc_id,
+                CAST(list_sum([CASE WHEN list_sum(list_transform(hv, h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                               THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(0,60)]) AS BIGINT) AS simhash
+         FROM hs ORDER BY doc_id""",
+    "q20_simdup" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2],' '))) sset
+           FROM w WHERE len(words) >= 3),
+         hs AS (
+           SELECT doc_id, list_transform(sset, s -> CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)) hv FROM sh),
+         sim AS (
+           SELECT doc_id,
+                  CAST(list_sum([CASE WHEN list_sum(list_transform(hv, h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                                 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(0,60)]) AS BIGINT) simhash
+           FROM hs),
+         bands AS (
+           SELECT doc_id, simhash, b, (simhash >> (15*b)) & 32767 sig FROM sim, unnest(range(0,4)) t(b))
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                bit_count(xor(a.simhash, b.simhash)) AS hamming
+         FROM bands a JOIN bands b ON a.b=b.b AND a.sig=b.sig AND a.doc_id<b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         ORDER BY doc_a, doc_b""",
+    "q21_ngram" ->
+      """WITH n AS (
+           SELECT doc_id, lang, source, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) t FROM documents),
+         g AS (
+           SELECT doc_id, lang, source, list_distinct(list_transform(range(1, len(t)-2), i -> t[i:i+3])) gs
+           FROM n WHERE len(t) >= 4)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                len(list_intersect(a.gs, b.gs)) AS inter,
+                len(list_distinct(list_concat(a.gs, b.gs))) AS uni
+         FROM g a JOIN g b ON a.lang=b.lang AND a.source=b.source AND a.doc_id<b.doc_id
+         WHERE 2*len(list_intersect(a.gs, b.gs)) >= len(list_distinct(list_concat(a.gs, b.gs)))
+         ORDER BY doc_a, doc_b"""
+  )
+}
