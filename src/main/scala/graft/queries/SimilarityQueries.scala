@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-d float vectors).
+  *
+  * Numeric parity with the DuckDB oracle is engineered, not hoped for:
+  * every float is cast to DOUBLE before multiplication and every sum is
+  * a sequential left-to-right fold (Spark `aggregate` HOF ≡ DuckDB
+  * `list_sum` over `list_transform`), so the IEEE operation sequence is
+  * bit-identical in both engines and the output doubles hash-match.
+  *
+  *  - q16_topk: exact brute-force top-k cosine vs a fixed query vector
+  *    (vec_id 0), the correctness baseline. The query vector is a
+  *    1-row broadcast; ranking compiles to TakeOrderedAndProject
+  *    (distributed partial top-k, no global sort) — this shape scales
+  *    to any corpus size, cost O(n·d) scan.
+  *  - q22_ann: the scale path — LSH random-hyperplane sketch (4
+  *    deterministic md5-derived hyperplanes → 16 buckets), search only
+  *    the query's bucket: an IVF-style candidate cut. At 100 TB the
+  *    bucket id becomes a partition column and the scan partition-
+  *    prunes to 1/16th (more planes + multiprobe in a real deploy).
+  *  - q23_embdup: embedding-cosine near-dup pairs — bucket-equality
+  *    self-join (never all-pairs) + cosine threshold on candidates.
+  */
+object SimilarityQueries {
+
+  /** Sequential-fold dot product of two double-cast float arrays. */
+  private def dot(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
+        cast(0 as double), (acc, v) -> acc + v)"""
+
+  /** cosine(a,b) = dot/(sqrt(na)*sqrt(nb)) with the exact same op
+    * sequence as the oracle SQL. */
+  private def cosine(a: String, b: String): Column =
+    expr(s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))")
+
+  /** 4-bit random-hyperplane sketch. Hyperplane j component i is
+    * md5-derived uniform in [-0.5, 0.5): deterministic and exactly
+    * reproducible in the oracle. */
+  private val bucketExpr =
+    """aggregate(sequence(0, 3), 0L, (acc, j) ->
+         acc + if(aggregate(sequence(1, 64), cast(0 as double), (a2, i) ->
+                    a2 + (cast(conv(substring(md5(concat(cast(j as string), ',', cast(i as string))), 1, 6), 16, 10) as bigint) / cast(16777216 as double) - cast(0.5 as double))
+                         * cast(element_at(embedding, i) as double)) > 0,
+                  shiftleft(1L, j), 0L))"""
+
+  /** DuckDB rendering of the same sketch (kept adjacent so the two
+    * stay in lockstep). */
+  private val bucketSqlDuck =
+    """CAST(list_sum([CASE WHEN list_sum(list_transform(range(1, 65), i ->
+         (CAST(concat('0x', substr(md5(CAST(j AS VARCHAR)||','||CAST(i AS VARCHAR)), 1, 6)) AS BIGINT) / CAST(16777216 AS DOUBLE) - CAST(0.5 AS DOUBLE))
+         * CAST(embedding[i] AS DOUBLE))) > 0
+       THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(0, 4)]) AS BIGINT)"""
+
+  private val dotDuck =
+    "list_sum(list_transform(range(1, len(%A)+1), i -> CAST(%A[i] AS DOUBLE) * CAST(%B[i] AS DOUBLE)))"
+
+  private def dDot(a: String, b: String): String =
+    dotDuck.replace("%A", a).replace("%B", b)
+
+  private def dCos(a: String, b: String): String =
+    s"${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact top-20 cosine vs vec_id 0 (ties broken by vec_id).
+    "q16_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), cosine("embedding", "qv").as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(20)
+    }),
+
+    // Bucketed ANN: only the query's hyperplane bucket is searched.
+    "q22_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), expr(bucketExpr).as("bucket"))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
+      emb.filter(col("vec_id") =!= 0)
+        .join(broadcast(q), col("bucket") === col("qbucket"))
+        .select(col("vec_id"), cosine("embedding", "qv").as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // Embedding-cosine near-dup pairs via bucket-equality self-join.
+    "q23_embdup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), expr(bucketExpr).as("bucket"))
+      emb.as("a")
+        .join(emb.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          cosine("a.embedding", "b.embedding").as("sim"))
+        .filter(col("sim") >= 0.4)
+        .orderBy("vec_a", "vec_b")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q16_topk" ->
+      s"""WITH q AS (SELECT embedding qv FROM embeddings WHERE vec_id = 0)
+          SELECT e.vec_id, ${dCos("e.embedding", "q.qv")} AS sim
+          FROM embeddings e, q WHERE e.vec_id <> 0
+          ORDER BY sim DESC, e.vec_id LIMIT 20""",
+    "q22_ann" ->
+      s"""WITH b AS (
+            SELECT vec_id, embedding, $bucketSqlDuck bucket FROM embeddings),
+          q AS (SELECT embedding qv, bucket qbucket FROM b WHERE vec_id = 0)
+          SELECT e.vec_id, ${dCos("e.embedding", "q.qv")} AS sim
+          FROM b e, q WHERE e.vec_id <> 0 AND e.bucket = q.qbucket
+          ORDER BY sim DESC, e.vec_id LIMIT 10""",
+    "q23_embdup" ->
+      s"""WITH b AS (
+            SELECT vec_id, embedding, $bucketSqlDuck bucket FROM embeddings)
+          SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+                 ${dCos("x.embedding", "y.embedding")} AS sim
+          FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+          WHERE ${dCos("x.embedding", "y.embedding")} >= 0.4
+          ORDER BY vec_a, vec_b"""
+  )
+}
