@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Text-analysis operators over `documents` — the LLM-pipeline text
+  * slice: token statistics, a marker-word language-ID heuristic,
+  * quality scoring, and rolling-hash document fingerprinting.
+  *
+  * Every output column is integer/boolean (ratios carried as scaled
+  * integer pairs), so oracle parity is exact — no float rounding
+  * surface. All queries are map-side per-document projections followed
+  * by nothing heavier than a sort for determinism: embarrassingly
+  * parallel at any scale, no shuffle except the final presentation
+  * ORDER BY.
+  */
+object TextQueries {
+
+  /** Normalized text + word array, shared by all queries. */
+  private def withWords(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("t"))
+      .withColumn("words", split(col("t"), " "))
+
+  /** Marker-word sets for the language-ID heuristic. A real deployment
+    * would learn character-n-gram profiles; the operator shape (score
+    * per language → deterministic argmax) is identical. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "value"),
+    "fr" -> Seq("query", "window", "line"),
+    "de" -> Seq("agg", "hash", "sort"),
+    "es" -> Seq("data", "row", "stream"),
+    "zh" -> Seq("join", "batch", "merge"))
+
+  private def scoreExpr(words: Seq[String]): String =
+    s"size(filter(words, w -> w in (${words.map("'" + _ + "'").mkString(",")})))"
+
+  private def scoreDuck(words: Seq[String]): String =
+    s"len(list_filter(words, w -> w in (${words.map("'" + _ + "'").mkString(",")})))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting + length stats: whitespace tokens, distinct types,
+    // word-char total, longest token. All integers.
+    "q17_text" -> ((s, d) => {
+      withWords(s, d).select(
+        col("doc_id"),
+        size(col("words")).cast(LongType).as("n_tokens"),
+        size(array_distinct(col("words"))).cast(LongType).as("n_types"),
+        length(regexp_replace(col("t"), " ", "")).cast(LongType).as("n_wordchars"),
+        expr("array_max(transform(words, w -> length(w)))").cast(LongType).as("max_tok"))
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID: marker-word score per language, deterministic
+    // first-wins argmax (en > fr > de > es > zh on ties).
+    "q24_lang" -> ((s, d) => {
+      val scored = markers.foldLeft(withWords(s, d)) { case (df, (l, ws)) =>
+        df.withColumn(s"s_$l", expr(scoreExpr(ws)).cast(LongType))
+      }
+      val Seq(en, fr, de, es, zh) = markers.map(m => col(s"s_${m._1}"))
+      scored.select(
+        col("doc_id"),
+        en.as("s_en"), fr.as("s_fr"), de.as("s_de"), es.as("s_es"), zh.as("s_zh"),
+        when(en >= fr && en >= de && en >= es && en >= zh, "en")
+          .when(fr >= de && fr >= es && fr >= zh, "fr")
+          .when(de >= es && de >= zh, "de")
+          .when(es >= zh, "es")
+          .otherwise("zh").as("predicted"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: length gate, stopword-ratio gate, scaled mean
+    // token length, composite score — integers only.
+    "q25_quality" -> ((s, d) => {
+      withWords(s, d)
+        .select(col("doc_id"),
+          size(col("words")).cast(LongType).as("n_tokens"),
+          length(regexp_replace(col("t"), " ", "")).cast(LongType).as("n_wordchars"),
+          expr("size(filter(words, w -> w in ('the', 'a')))").cast(LongType).as("n_stop"))
+        .select(
+          col("doc_id"), col("n_tokens"), col("n_stop"),
+          (col("n_tokens") >= 30).as("len_ok"),
+          (col("n_stop") * 10 <= col("n_tokens")).as("stop_ok"),
+          expr("(n_wordchars * 100) div n_tokens").as("mean_tok_len_x100"),
+          (when(col("n_tokens") >= 30, 1L).otherwise(0L)
+            + when(col("n_stop") * 10 <= col("n_tokens"), 1L).otherwise(0L)
+            + when(expr("(n_wordchars * 100) div n_tokens").between(300, 800), 1L)
+              .otherwise(0L)).as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprint: 31-polynomial rolling hash of the
+    // normalized text mod 2^31-1 (full doc + 64-char prefix).
+    "q26_fingerprint" -> ((s, d) => {
+      withWords(s, d).select(
+        col("doc_id"),
+        expr("""aggregate(transform(sequence(1, length(t)), i -> ascii(substring(t, i, 1))),
+                  0L, (acc, c) -> pmod(acc * 31L + c, 2147483647L))""").as("fp"),
+        expr("""aggregate(transform(sequence(1, least(length(t), 64)), i -> ascii(substring(t, i, 1))),
+                  0L, (acc, c) -> pmod(acc * 31L + c, 2147483647L))""").as("fp_prefix"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private val normDuck =
+    "trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g'))"
+
+  val oracleSql: Map[String, String] = Map(
+    "q17_text" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+          w AS (SELECT doc_id, t, string_split(t, ' ') words FROM n)
+          SELECT doc_id,
+                 len(words) AS n_tokens,
+                 len(list_distinct(words)) AS n_types,
+                 length(replace(t, ' ', '')) AS n_wordchars,
+                 list_max(list_transform(words, w -> length(w))) AS max_tok
+          FROM w ORDER BY doc_id""",
+    "q24_lang" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+          w AS (SELECT doc_id, string_split(t, ' ') words FROM n),
+          sc AS (SELECT doc_id,
+                 ${markers.map { case (l, ws) => s"${scoreDuck(ws)} AS s_$l" }.mkString(", ")}
+                 FROM w)
+          SELECT doc_id, s_en, s_fr, s_de, s_es, s_zh,
+                 CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+                      WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+                      WHEN s_de >= s_es AND s_de >= s_zh THEN 'de'
+                      WHEN s_es >= s_zh THEN 'es'
+                      ELSE 'zh' END AS predicted
+          FROM sc ORDER BY doc_id""",
+    "q25_quality" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+          w AS (SELECT doc_id, t, string_split(t, ' ') words FROM n),
+          m AS (SELECT doc_id,
+                  len(words) AS n_tokens,
+                  length(replace(t, ' ', '')) AS n_wordchars,
+                  len(list_filter(words, x -> x in ('the', 'a'))) AS n_stop
+                FROM w)
+          SELECT doc_id, n_tokens, n_stop,
+                 n_tokens >= 30 AS len_ok,
+                 n_stop * 10 <= n_tokens AS stop_ok,
+                 (n_wordchars * 100) // n_tokens AS mean_tok_len_x100,
+                 (CASE WHEN n_tokens >= 30 THEN 1 ELSE 0 END
+                  + CASE WHEN n_stop * 10 <= n_tokens THEN 1 ELSE 0 END
+                  + CASE WHEN (n_wordchars * 100) // n_tokens BETWEEN 300 AND 800 THEN 1 ELSE 0 END) AS quality_score
+          FROM m ORDER BY doc_id""",
+    "q26_fingerprint" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents)
+          SELECT doc_id,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, length(t)+1), i -> CAST(ascii(t[i:i]) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 2147483647) AS fp,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, least(length(t), 64)+1), i -> CAST(ascii(t[i:i]) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 2147483647) AS fp_prefix
+          FROM n ORDER BY doc_id"""
+  )
+}
