@@ -1,0 +1,278 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.Functions
+import graft.model.EnvelopeSchema
+
+/** The always-on nozzle pipeline (SURVEY §3.1) as one Structured
+  * Streaming query:
+  *
+  * {{{
+  * source(file replay of the firehose surrogate)            O1/O2
+  *   → envelope assembly (tagged union, exactly one payload)
+  *   → observe() consume + per-type counters                O12
+  *   → route(eventType → topic, templating, drop rules)     O5/O6/O7
+  *   → envelope_json canonical encoding                     O8
+  *   → sink: memory/console (O16) or foreachBatch with
+  *     bounded retry + DLQ accounting (O9/O10)
+  * }}}
+  *
+  * The whole pre-sink pipeline is narrow (map-only): no shuffle at any
+  * scale; parallelism is the source's file-split parallelism. Counters
+  * flow through `observe()` (zero extra pass — metrics are collected
+  * by the running query itself) into [[Stats]] via
+  * [[NozzlePipeline.Listener]], mirroring the reference's atomic
+  * counter plane (stats.go:113-146).
+  *
+  * Delivery semantics: with checkpointing the pipeline is at-least-once
+  * and never silently drops on backpressure — strictly stronger than
+  * the reference, which drops when its retry buffer overflows
+  * (kafka.go:269-272). The reference's `PublishFail` counter therefore
+  * maps to our DLQ count (SURVEY §7.4 divergence note).
+  */
+object NozzlePipeline {
+
+  /** Per-type topic routing table — the reference's `[kafka.topic]`
+    * TOML block (config.go:70-80). Empty string = not configured =
+    * drop with `Ignored` accounting (kafka.go:311-315). */
+  case class TopicConfig(
+      logMessage: String = "",
+      logMessageFmt: String = "",
+      valueMetric: String = "",
+      counterEvent: String = "",
+      containerMetric: String = "",
+      containerMetricFmt: String = "",
+      httpStartStop: String = "",
+      httpStartStopFmt: String = "",
+      error: String = "")
+
+  /** Streaming-read schema of the events surrogate (ts is
+    * TIMESTAMP(NANOS) in parquet; with nanosAsLong it reads as the
+    * raw nanosecond long). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-replay streaming source over events parquet (O1/O2). One
+    * file per micro-batch keeps replays deterministic in tests. */
+  def source(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumnRenamed("ts", "ts_ns")
+
+  private def nullOf(t: DataType): Column = lit(null).cast(t)
+
+  /** Surrogate-to-Envelope assembly: the five surrogate event types
+    * map onto five envelope payload types; anything else becomes the
+    * unknown fixture (eventType -1, no payload, helper_test.go:101).
+    * Exactly one payload is non-null — the tagged-union invariant. */
+  def envelopeColumn: Column = {
+    val et = col("event_type")
+    val lm = struct(
+      col("props").cast(BinaryType).as("message"),
+      lit(1).as("message_type"),
+      col("ts_ns").as("timestamp"),
+      concat(lit("app-"), col("user_id")).as("app_id"),
+      lit("DEA").as("source_type"),
+      nullOf(StringType).as("source_instance"))
+    val vm = struct(
+      et.as("name"), col("value").as("value"), lit("ms").as("unit"))
+    val ce = struct(
+      et.as("name"), col("user_id").as("delta"), col("event_id").as("total"))
+    val hss = struct(
+      col("ts_ns").as("startTimestamp"),
+      nullOf(LongType).as("stopTimestamp"),
+      nullOf(EnvelopeSchema.uuid).as("requestId"),
+      nullOf(IntegerType).as("peerType"),
+      nullOf(IntegerType).as("method"),
+      nullOf(StringType).as("uri"),
+      nullOf(StringType).as("remoteAddress"),
+      nullOf(StringType).as("userAgent"),
+      nullOf(IntegerType).as("statusCode"),
+      nullOf(LongType).as("contentLength"),
+      struct(col("user_id").as("low"), col("event_id").as("high")).as("applicationId"),
+      nullOf(IntegerType).as("instanceIndex"),
+      nullOf(StringType).as("instanceId"),
+      nullOf(ArrayType(StringType)).as("forwarded"))
+    val err = struct(
+      et.as("source"), lit(1).cast(IntegerType).as("code"),
+      col("props").as("message"))
+    struct(
+      concat(lit("ev-"), et).as("origin"),
+      when(et === "click", 5).when(et === "view", 6).when(et === "signup", 7)
+        .when(et === "purchase", 4).when(et === "error", 8)
+        .otherwise(-1).as("eventType"),
+      col("ts_ns").as("timestamp"),
+      nullOf(StringType).as("deployment"),
+      nullOf(StringType).as("job"),
+      nullOf(StringType).as("index"),
+      nullOf(StringType).as("ip"),
+      nullOf(MapType(StringType, StringType)).as("tags"),
+      when(et === "purchase", hss).otherwise(nullOf(EnvelopeSchema.httpStartStop)).as("httpStartStop"),
+      when(et === "click", lm).otherwise(nullOf(EnvelopeSchema.logMessage)).as("logMessage"),
+      when(et === "view", vm).otherwise(nullOf(EnvelopeSchema.valueMetric)).as("valueMetric"),
+      when(et === "signup", ce).otherwise(nullOf(EnvelopeSchema.counterEvent)).as("counterEvent"),
+      when(et === "error", err).otherwise(nullOf(EnvelopeSchema.error)).as("error"),
+      nullOf(EnvelopeSchema.containerMetric).as("containerMetric"))
+  }
+
+  /** fmtTopic (kafka.go:183-188): template wins over fixed name;
+    * neither configured (or a null template arg) → NULL → drop. */
+  private def fmtTopic(fixed: String, fmt: String, appId: Column): Column =
+    if (fmt.nonEmpty)
+      when(appId.isNull, nullOf(StringType)).otherwise(format_string(fmt, appId))
+    else if (fixed.nonEmpty) lit(fixed)
+    else nullOf(StringType)
+
+  /** The 6-way type router (kafka.go:305-340) over an envelope
+    * column. HttpStartStop's per-app template uses uuid_str of the
+    * applicationId words (kafka.go:312). */
+  def routeExpr(cfg: TopicConfig, env: Column): Column = {
+    val et = env.getField("eventType")
+    when(et === 5, fmtTopic(cfg.logMessage, cfg.logMessageFmt,
+        env.getField("logMessage").getField("app_id")))
+      .when(et === 6, fmtTopic(cfg.valueMetric, "", lit(null)))
+      .when(et === 7, fmtTopic(cfg.counterEvent, "", lit(null)))
+      .when(et === 9, fmtTopic(cfg.containerMetric, cfg.containerMetricFmt,
+        env.getField("containerMetric").getField("applicationId")))
+      .when(et === 4, fmtTopic(cfg.httpStartStop, cfg.httpStartStopFmt,
+        Functions.uuid_str(
+          env.getField("httpStartStop").getField("applicationId").getField("low"),
+          env.getField("httpStartStop").getField("applicationId").getField("high"))))
+      .when(et === 8, fmtTopic(cfg.error, "", lit(null)))
+      .otherwise(nullOf(StringType))
+  }
+
+  /** Full pipeline: envelope → observed counters → route → encode.
+    * Output: event_id, eventType, topic, payload (canonical JSON). */
+  def build(src: DataFrame, cfg: TopicConfig): DataFrame = {
+    val env = src.withColumn("envelope", envelopeColumn)
+    val routed = env
+      .withColumn("topic", routeExpr(cfg, col("envelope")))
+      .withColumn("eventType", col("envelope").getField("eventType"))
+    routed
+      .observe("nozzle",
+        count(lit(1)).as("consume"),
+        count(when(col("eventType") === 4, 1)).as("consume_http_start_stop"),
+        count(when(col("eventType") === 6, 1)).as("consume_value_metric"),
+        count(when(col("eventType") === 7, 1)).as("consume_counter_event"),
+        count(when(col("eventType") === 5, 1)).as("consume_log_message"),
+        count(when(col("eventType") === 8, 1)).as("consume_error"),
+        count(when(col("eventType") === 9, 1)).as("consume_container_metric"),
+        count(when(col("eventType") === -1, 1)).as("consume_unknown"),
+        count(when(col("topic").isNull && col("eventType") =!= -1, 1)).as("ignored"),
+        count(when(col("topic").isNotNull, 1)).as("forwarded"))
+      .filter(col("topic").isNotNull)
+      .select(col("event_id"), col("eventType"), col("topic"),
+        Functions.envelope_json(col("envelope")).as("payload"))
+  }
+
+  /** Debug/console sink (O16; reference producer.go:51-63). */
+  def startConsole(routed: DataFrame, checkpoint: String): StreamingQuery =
+    routed.writeStream
+      .format("console")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Memory sink for tests/stats queries (O15 surrogate). */
+  def startMemory(routed: DataFrame, name: String, checkpoint: String): StreamingQuery =
+    routed.writeStream
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Pluggable sink target (the `NozzleProducer` seam, producer.go:14-26).
+    * Implementations must be serializable — publish runs on executors. */
+  trait Publisher extends Serializable {
+    /** Deliver one (topic, payload); throw to signal failure. */
+    def publish(topic: String, payload: String): Unit
+  }
+
+  /** Kafka-sink fault handling (O9/O10): per record, bounded retry up
+    * to `repartitionMax` (kafka.go:230-275, default 5); exhausted
+    * records land in the DLQ path with `publish_fail` accounting
+    * instead of being silently dropped. */
+  def startDlq(
+      routed: DataFrame,
+      checkpoint: String,
+      publisher: Publisher,
+      repartitionMax: Int,
+      stats: Stats,
+      dlqPath: String): StreamingQuery = {
+    routed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val attempts = batch.select("event_id", "topic", "payload")
+          .as[(Long, String, String)]
+          .mapPartitions { it =>
+            it.map { case (id, topic, payload) =>
+              var attempt = 0
+              var ok = false
+              while (!ok && attempt <= repartitionMax) {
+                try { publisher.publish(topic, payload); ok = true }
+                catch { case _: Exception => attempt += 1 }
+              }
+              (id, topic, payload, ok)
+            }
+          }
+          .toDF("event_id", "topic", "payload", "ok")
+          .cache()
+        try {
+          val okN = attempts.filter(col("ok")).count()
+          val failed = attempts.filter(!col("ok"))
+          val failN = failed.count()
+          if (failN > 0)
+            failed.drop("ok").write.mode("append").parquet(dlqPath)
+          stats.publish.addAndGet(okN)
+          stats.publishFail.addAndGet(failN)
+          ()
+        } finally attempts.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming counter listener (O12/O13/O17): folds each progress
+    * event's observed metrics into [[Stats]] and ticks the per-second
+    * rates — the reference's display/ticker goroutines
+    * (cli.go:241-262, stats.go:98-111). */
+  final class Listener(stats: Stats) extends StreamingQueryListener {
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryIdle(e: StreamingQueryListener.QueryIdleEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val m = e.progress.observedMetrics
+      if (m.containsKey("nozzle")) {
+        val row = m.get("nozzle")
+        def g(name: String): Long = row.getAs[Long](name)
+        stats.consume.addAndGet(g("consume"))
+        stats.consumeHttpStartStop.addAndGet(g("consume_http_start_stop"))
+        stats.consumeValueMetric.addAndGet(g("consume_value_metric"))
+        stats.consumeCounterEvent.addAndGet(g("consume_counter_event"))
+        stats.consumeLogMessage.addAndGet(g("consume_log_message"))
+        stats.consumeError.addAndGet(g("consume_error"))
+        stats.consumeContainerMetric.addAndGet(g("consume_container_metric"))
+        stats.consumeUnknown.addAndGet(g("consume_unknown"))
+        stats.ignored.addAndGet(g("ignored"))
+        stats.forwarded.addAndGet(g("forwarded"))
+        stats.tick()
+      }
+    }
+  }
+}
