@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.EnvelopeSchema
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("media table carries binary payloads with typed metadata") {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf))
+    assert(EnvelopeSchema.compatible(media.schema, Multimodal.mediaSchema),
+      s"schema drift: ${media.schema}")
+    val r = media.head()
+    assert(r.getAs[Array[Byte]]("bytes").nonEmpty)
+  }
+
+  test("feature histogram sums to payload length") {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf))
+    val feat = Multimodal.extractFeatures(spark, media)
+    val joined = feat.join(media, "media_id")
+      .select(col("media_id"),
+        expr("aggregate(features, 0L, (a, x) -> a + x)").as("hist_total"),
+        length(col("bytes")).cast("long").as("n_bytes"))
+    assert(joined.filter(col("hist_total") =!= col("n_bytes")).count() === 0)
+  }
+
+  test("frame sampling covers every byte exactly once") {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf))
+    val frames = Multimodal.sampleFrames(spark, media, 256)
+    val covered = frames.groupBy("media_id")
+      .agg(sum("len").as("covered"), count(lit(1)).as("n_frames"))
+    val expect = media.filter("kind = 'video'")
+      .select(col("media_id"), length(col("bytes")).cast("long").as("n_bytes"))
+    assert(covered.join(expect, "media_id")
+      .filter(col("covered") =!= col("n_bytes")).count() === 0)
+    // every frame except possibly the last is full-size
+    assert(frames.filter("len > 256 OR len <= 0").count() === 0)
+  }
+
+  test("resize truncates payload and clamps dimensions") {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf))
+    val resized = Multimodal.resize(media, 128)
+    assert(resized.filter(length(col("bytes")) > 128).count() === 0)
+    assert(resized.filter(col("meta.width") > 64 || col("meta.height") > 64).count() === 0)
+    assert(EnvelopeSchema.compatible(resized.schema, Multimodal.mediaSchema))
+  }
+
+  test("extraction plan is a narrow mapPartitions (no shuffle)") {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf))
+    val plan = Multimodal.extractFeatures(spark, media)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}
