@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.graftshim.Shims
 
-import graft.functions.{EnvelopeJson, UuidStr}
+import graft.functions.{EnvelopeJson, SortedIntersectCount, UuidStr}
 
 /** Custom scalar functions (native Catalyst expressions, codegen-able)
   * + their SQL registration. Column-API entry points below; SQL names
@@ -21,11 +21,18 @@ object Functions {
   def envelope_json(env: Column): Column =
     Shims.column(EnvelopeJson(Shims.expression(env)))
 
+  /** sorted_intersect_count(a, b): merge-walk |A∩B| over sorted,
+    * deduped string arrays — the near-dup Jaccard hot path. */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    Shims.column(SortedIntersectCount(Shims.expression(a), Shims.expression(b)))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "uuid_str", exprs => UuidStr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "envelope_json", exprs => EnvelopeJson(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sorted_intersect_count", exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -54,6 +54,27 @@ object DedupQueries {
   private val shingleHash60 =
     "transform(sset, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"
 
+  private val P = 2147483647L // Mersenne prime 2^31-1 for hash mixing
+
+  /** SimHash, computed the codegen-friendly way: explode shingle
+    * hashes, then ONE hash aggregation per doc with 60 conditional-sum
+    * columns (bit j set iff ones > zeros ⟺ 2·ones > n). The naive
+    * nested-HOF formulation (aggregate over 60 × aggregate over
+    * shingles) is interpreted per element and measured 50× slower at
+    * sf0.1; this shape is a single map-side-combinable aggregation. */
+  private def simhashDF(s: SparkSession, d: String): DataFrame = {
+    val hs = shingleSets(s, d).select(col("doc_id"),
+      explode(expr(shingleHash60)).as("h"))
+    val ones = (0 until 60).map(j =>
+      sum(expr(s"shiftright(h, $j) & 1")).as(s"o$j"))
+    hs.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), ones: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(j =>
+          when(col(s"o$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: one representative (min doc_id) per content hash.
     // Grouping key is md5(text), not text — at 100 TB the shuffle
@@ -68,16 +89,28 @@ object DedupQueries {
 
     // MinHash-LSH near-dup: band-bucket candidate join + exact Jaccard
     // (inter/uni as integers — no float compare), threshold 0.6.
+    // One md5 per distinct shingle; the 12 minhash functions are cheap
+    // universal-hash mixes (a_k·h + b_k mod 2^31-1) of that one hash —
+    // 12× less digest work than hashing per (seed, shingle), and the
+    // union size is na+nb−inter instead of materializing array_union.
     "q18_minhash" -> ((s, d) => {
-      val ss = shingleSets(s, d)
-      val m = ss.select(col("doc_id"), col("sset"),
-        expr("""transform(sequence(0, 11), k ->
-                  array_min(transform(shingles, s ->
-                    substring(md5(concat(cast(k as string), ':', s)), 1, 16))))""")
+      val ss = shingleSets(s, d).select(col("doc_id"), col("sset"),
+        expr(s"transform(sset, x -> pmod(cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint), $P))")
+          .as("hs"),
+        size(col("sset")).cast(LongType).as("nset"))
+      // localCheckpoint: the signature table feeds FOUR consumers
+      // (both sides of the band self-join, both set lookups) — without
+      // the barrier the whole shingle+md5+minhash pipeline re-executes
+      // for each, 4× the work.
+      val m = ss.select(col("doc_id"), col("sset"), col("nset"),
+        expr(s"""transform(sequence(0, 11), k ->
+                   array_min(transform(hs, hm ->
+                     pmod(pmod(1103515245L * (k+1) + 12345L, $P) * hm + 977L * (k+1), $P))))""")
           .as("mh"))
+        .localCheckpoint()
       val bands = m.select(col("doc_id"),
-        expr("""explode(transform(sequence(0, 5), j ->
-                  struct(j as j, concat(element_at(mh, 2*j+1), element_at(mh, 2*j+2)) as sig)))""")
+        expr(s"""explode(transform(sequence(0, 5), j ->
+                   struct(j as j, element_at(mh, 2*j+1) * ${P}L + element_at(mh, 2*j+2) as sig)))""")
           .as("b"))
         .select(col("doc_id"), col("b.j").as("j"), col("b.sig").as("sig"))
       val cand = bands.as("a")
@@ -86,13 +119,22 @@ object DedupQueries {
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
-      val sets = ss.select(col("doc_id"), col("sset"))
-      cand
-        .join(sets.withColumnRenamed("doc_id", "da").withColumnRenamed("sset", "sa"), "da")
-        .join(sets.withColumnRenamed("doc_id", "db").withColumnRenamed("sset", "sb"), "db")
+      // merge hint: same computed-array size underestimate as q21 —
+      // don't let the fat shingle-set relation get broadcast.
+      val sets = m.select(col("doc_id"), array_sort(col("sset")).as("sset"), col("nset"))
+        .hint("merge")
+      // Same optimizer barrier as q21: keep the intersect out of the
+      // join condition, evaluate it once per candidate.
+      val scored = cand
+        .join(sets.select(col("doc_id").as("da"), col("sset").as("sa"), col("nset").as("na")), "da")
+        .join(sets.select(col("doc_id").as("db"), col("sset").as("sb"), col("nset").as("nb")), "db")
         .select(col("da").as("doc_a"), col("db").as("doc_b"),
-          size(array_intersect(col("sa"), col("sb"))).cast(LongType).as("inter"),
-          size(array_union(col("sa"), col("sb"))).cast(LongType).as("uni"))
+          graft.Functions.sorted_intersect_count(col("sa"), col("sb")).as("inter"),
+          col("na"), col("nb"))
+        .localCheckpoint()
+      scored
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          (col("na") + col("nb") - col("inter")).as("uni"))
         .filter(col("inter") * 5 >= col("uni") * 3)
         .orderBy("doc_a", "doc_b")
     }),
@@ -100,28 +142,13 @@ object DedupQueries {
     // SimHash: 60-bit signature per doc (sign of per-bit +-1 sums over
     // shingle hashes). Full per-doc oracle parity.
     "q19_simhash" -> ((s, d) => {
-      shingleSets(s, d)
-        .select(col("doc_id"), expr(shingleHash60).as("hv"))
-        .select(col("doc_id"),
-          expr("""aggregate(sequence(0, 59), 0L, (acc, j) ->
-                    acc + if(aggregate(hv, 0L, (a, h) ->
-                               a + if((shiftright(h, j) & 1) = 1, 1L, -1L)) > 0,
-                             shiftleft(1L, j), 0L))""")
-            .as("simhash"))
-        .orderBy("doc_id")
+      simhashDF(s, d).orderBy("doc_id")
     }),
 
     // SimHash near-dup pairs: 4 bands of 15 bits → bucket join →
     // hamming ≤ 3 (bit_count of xor) on candidates only.
     "q20_simdup" -> ((s, d) => {
-      val sim = shingleSets(s, d)
-        .select(col("doc_id"), expr(shingleHash60).as("hv"))
-        .select(col("doc_id"),
-          expr("""aggregate(sequence(0, 59), 0L, (acc, j) ->
-                    acc + if(aggregate(hv, 0L, (a, h) ->
-                               a + if((shiftright(h, j) & 1) = 1, 1L, -1L)) > 0,
-                             shiftleft(1L, j), 0L))""")
-            .as("simhash"))
+      val sim = simhashDF(s, d)
       val bands = sim.select(col("doc_id"), col("simhash"),
         expr("explode(transform(sequence(0, 3), b -> struct(b as b, shiftright(simhash, 15*b) & 32767 as sig)))").as("x"))
         .select(col("doc_id"), col("simhash"), col("x.b").as("b"), col("x.sig").as("sig"))
@@ -148,13 +175,35 @@ object DedupQueries {
           array_distinct(
             expr("transform(sequence(1, length(t)-3), i -> substring(t, i, 4))"))
             .as("gs"))
-      g.as("a")
-        .join(g.as("b"),
+      // Per-pair intersection via the custom codegen'd merge walk:
+      // arrays are sorted ONCE per doc, then each candidate pair costs
+      // O(na+nb) byte compares with zero allocation — measured ~20×
+      // faster than array_intersect's per-pair hash sets at sf0.1.
+      // hint("merge"): Catalyst's size estimate for computed array
+      // columns derives from the tiny parquet scan and triggers a
+      // broadcast of what is actually a multi-100MB gram relation —
+      // force the sort-merge join (measured 0.7 s vs 90 s broadcast).
+      val g2 = g
+        .withColumn("gs", array_sort(col("gs")))
+        .withColumn("ng", size(col("gs")).cast(LongType))
+        .hint("merge")
+      // localCheckpoint = optimizer barrier: without it the threshold
+      // filter collapses INTO the join condition and the intersect
+      // runs (twice) per pair inside the sort-merge join's buffered
+      // row loop — measured 30× slower. The materialized intermediate
+      // is pairs × 5 longs (arrays already projected away), trivial at
+      // any scale.
+      val pairs = g2.as("a")
+        .join(g2.as("b"),
           col("a.lang") === col("b.lang") && col("a.source") === col("b.source")
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          size(array_intersect(col("a.gs"), col("b.gs"))).cast(LongType).as("inter"),
-          size(array_union(col("a.gs"), col("b.gs"))).cast(LongType).as("uni"))
+          graft.Functions.sorted_intersect_count(col("a.gs"), col("b.gs")).as("inter"),
+          col("a.ng").as("na"), col("b.ng").as("nb"))
+        .localCheckpoint()
+      pairs
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          (col("na") + col("nb") - col("inter")).as("uni"))
         .filter(col("inter") * 2 >= col("uni"))
         .orderBy("doc_a", "doc_b")
     })
@@ -172,21 +221,29 @@ object DedupQueries {
          sh AS (
            SELECT doc_id, list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2],' ')) shingles
            FROM w WHERE len(words) >= 3),
-         ss AS (SELECT doc_id, list_distinct(shingles) sset, shingles FROM sh),
-         m AS (
-           SELECT doc_id, sset,
-             [list_aggregate(list_transform(shingles, s -> substr(md5(CAST(k AS VARCHAR)||':'||s),1,16)),'min') for k in range(0,12)] mh
+         ss AS (
+           SELECT doc_id, list_distinct(shingles) sset FROM sh),
+         hsv AS (
+           SELECT doc_id, sset, len(sset) nset,
+                  list_transform(sset, x -> CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) % 2147483647) hs
            FROM ss),
+         m AS (
+           SELECT doc_id, sset, nset,
+             [list_aggregate(list_transform(hs, hm ->
+                ((CAST(1103515245 AS BIGINT) * (k+1) + 12345) % 2147483647 * hm + 977 * (k+1)) % 2147483647), 'min')
+              for k in range(0,12)] mh
+           FROM hsv),
          bands AS (
-           SELECT doc_id, j, mh[2*j+1]||mh[2*j+2] sig FROM m, unnest(range(0,6)) t(j)),
+           SELECT doc_id, j, mh[2*j+1] * 2147483647 + mh[2*j+2] sig
+           FROM m, unnest(range(0,6)) t(j)),
          cand AS (
            SELECT DISTINCT a.doc_id da, b.doc_id db
            FROM bands a JOIN bands b ON a.j=b.j AND a.sig=b.sig AND a.doc_id < b.doc_id)
          SELECT da AS doc_a, db AS doc_b,
                 len(list_intersect(x.sset, y.sset)) AS inter,
-                len(list_distinct(list_concat(x.sset, y.sset))) AS uni
-         FROM cand JOIN ss x ON da=x.doc_id JOIN ss y ON db=y.doc_id
-         WHERE 5*len(list_intersect(x.sset, y.sset)) >= 3*len(list_distinct(list_concat(x.sset, y.sset)))
+                x.nset + y.nset - len(list_intersect(x.sset, y.sset)) AS uni
+         FROM cand JOIN hsv x ON da=x.doc_id JOIN hsv y ON db=y.doc_id
+         WHERE 5*len(list_intersect(x.sset, y.sset)) >= 3*(x.nset + y.nset - len(list_intersect(x.sset, y.sset)))
          ORDER BY doc_a, doc_b""",
     "q19_simhash" ->
       """WITH w AS (
@@ -230,9 +287,9 @@ object DedupQueries {
            FROM n WHERE len(t) >= 4)
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 len(list_intersect(a.gs, b.gs)) AS inter,
-                len(list_distinct(list_concat(a.gs, b.gs))) AS uni
+                len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)) AS uni
          FROM g a JOIN g b ON a.lang=b.lang AND a.source=b.source AND a.doc_id<b.doc_id
-         WHERE 2*len(list_intersect(a.gs, b.gs)) >= len(list_distinct(list_concat(a.gs, b.gs)))
+         WHERE 2*len(list_intersect(a.gs, b.gs)) >= len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))
          ORDER BY doc_a, doc_b"""
   )
 }

@@ -91,16 +91,24 @@ object SimilarityQueries {
     }),
 
     // Embedding-cosine near-dup pairs via bucket-equality self-join.
+    // Norms are computed once per VECTOR before the join (n rows), not
+    // once per PAIR (≈ n²/buckets rows); the per-pair work is a single
+    // dot product. Same doubles — sqrt(na) is pair-order independent.
     "q23_embdup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), expr(bucketExpr).as("bucket"))
-      emb.as("a")
+        .select(col("vec_id"), col("embedding"), expr(bucketExpr).as("bucket"),
+          expr(dot("embedding", "embedding")).as("nrm"))
+      // localCheckpoint barrier: keeps the threshold filter from
+      // collapsing into the join condition (which would re-evaluate
+      // the dot product per pair inside the join loop).
+      val scored = emb.as("a")
         .join(emb.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          cosine("a.embedding", "b.embedding").as("sim"))
-        .filter(col("sim") >= 0.4)
-        .orderBy("vec_a", "vec_b")
+          (expr(dot("a.embedding", "b.embedding"))
+            / (sqrt(col("a.nrm")) * sqrt(col("b.nrm")))).as("sim"))
+        .localCheckpoint()
+      scored.filter(col("sim") >= 0.4).orderBy("vec_a", "vec_b")
     })
   )
 

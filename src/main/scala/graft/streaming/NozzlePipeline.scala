@@ -126,6 +126,42 @@ object NozzlePipeline {
       nullOf(EnvelopeSchema.containerMetric).as("containerMetric"))
   }
 
+  /** Slow-consumer detector predicate (O4) — go-nozzle
+    * detector.go:116-124 `isTruncated`: a CounterEvent named
+    * TruncatingBuffer.DroppedMessages from origin "doppler" means the
+    * firehose dropped messages because we read too slowly. */
+  def isTruncatedExpr(env: Column): Column =
+    env.getField("eventType") === 7 &&
+      env.getField("counterEvent").getField("name") === "TruncatingBuffer.DroppedMessages" &&
+      env.getField("origin") === "doppler"
+
+  /** Alert side-output (detector.go:36-102): a second lightweight query
+    * over the same source that filters the truncation signal and folds
+    * the count into `slow_consumer_alert`. The main pipeline is
+    * untouched — same pass-through shape as the reference detector. */
+  def startAlerts(envDf: DataFrame, checkpoint: String, stats: Stats): StreamingQuery =
+    envDf.filter(isTruncatedExpr(col("envelope")))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        stats.slowConsumerAlert.addAndGet(batch.count())
+        ()
+      }
+      .start()
+
+  /** Source-side event-class filter (O3) — the noaa `filter-type`
+    * query param (filter.go:3-20): "logs" keeps LogMessage only,
+    * "metrics" keeps ValueMetric/CounterEvent/ContainerMetric, any
+    * other value keeps everything. Applied directly above the source
+    * so Catalyst can push the predicate into the scan. */
+  def filterType(envDf: DataFrame, kind: String): DataFrame = kind match {
+    case "logs" => envDf.filter(col("envelope").getField("eventType") === 5)
+    case "metrics" =>
+      envDf.filter(col("envelope").getField("eventType").isin(6, 7, 9))
+    case _ => envDf
+  }
+
   /** fmtTopic (kafka.go:183-188): template wins over fixed name;
     * neither configured (or a null template arg) → NULL → drop. */
   private def fmtTopic(fixed: String, fmt: String, appId: Column): Column =
@@ -153,10 +189,14 @@ object NozzlePipeline {
       .otherwise(nullOf(StringType))
   }
 
+  /** Attach the envelope column (shared by build/alerts/filterType). */
+  def withEnvelope(src: DataFrame): DataFrame =
+    src.withColumn("envelope", envelopeColumn)
+
   /** Full pipeline: envelope → observed counters → route → encode.
     * Output: event_id, eventType, topic, payload (canonical JSON). */
   def build(src: DataFrame, cfg: TopicConfig): DataFrame = {
-    val env = src.withColumn("envelope", envelopeColumn)
+    val env = withEnvelope(src)
     val routed = env
       .withColumn("topic", routeExpr(cfg, col("envelope")))
       .withColumn("eventType", col("envelope").getField("eventType"))

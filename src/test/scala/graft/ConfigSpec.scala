@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config._
+
+/** Parse parity with the reference's config surface
+  * (config_test.go:10-77, cli.go:157-179 precedence). */
+class ConfigSpec extends AnyFunSuite {
+
+  test("basic.toml parses to the expected deep-equal config") {
+    val got = GraftConfig.load("fixtures/basic.toml")
+    val want = GraftConfig(
+      subscriptionID = "kafka-firehose-nozzle",
+      insecureSSLSkipVerify = true,
+      cf = CfConfig(
+        dopplerAddr = "wss://doppler.cloudfoundry.net",
+        uaaAddr = "https://uaa.cloudfoundry.net",
+        username = "tcnksm",
+        password = "xyz",
+        idleTimeout = 10),
+      kafka = KafkaConfig(
+        brokers = Seq("192.168.1.1:9092", "192.168.1.2:9092", "192.168.1.3:9092"),
+        retryMax = 10,
+        retryBackoffMs = 500,
+        topic = TopicConfigT(
+          logMessage = "log",
+          logMessageFmt = "log-%s",
+          valueMetric = "metric")))
+    assert(got === Right(want))
+  }
+
+  test("missing file surfaces a no-such-file error (config_test.go:45-50)") {
+    val got = GraftConfig.load("fixtures/not-exist.toml")
+    assert(got.isLeft)
+    assert(got.left.exists(_.contains("no such file")))
+  }
+
+  test("flag > config > default precedence (cli.go:157-179)") {
+    val parsed = GraftConfig.load("fixtures/basic.toml").toOption.get
+    // flag wins
+    val flagged = GraftConfig.resolve(parsed, subscriptionID = "cli-sub", username = "cli-user")
+    assert(flagged.subscriptionID === "cli-sub")
+    assert(flagged.cf.username === "cli-user")
+    // config wins when no flag
+    val fromConfig = GraftConfig.resolve(parsed)
+    assert(fromConfig.subscriptionID === "kafka-firehose-nozzle")
+    assert(fromConfig.cf.username === "tcnksm")
+    // defaults fill gaps
+    val fromDefaults = GraftConfig.resolve(GraftConfig())
+    assert(fromDefaults.subscriptionID === GraftConfig.DefaultSubscriptionID)
+    assert(fromDefaults.cf.username === GraftConfig.DefaultUsername)
+    assert(fromDefaults.cf.idleTimeout === GraftConfig.DefaultIdleTimeoutSec)
+    assert(fromDefaults.cf.retryCount === GraftConfig.DefaultRetryCount)
+    // idle_timeout from config is kept
+    assert(fromConfig.cf.idleTimeout === 10)
+  }
+
+  test("topic table bridges to the streaming router config") {
+    val parsed = GraftConfig.load("fixtures/basic.toml").toOption.get
+    val routing = GraftConfig.toRouting(parsed.kafka.topic)
+    assert(routing.logMessage === "log")
+    assert(routing.logMessageFmt === "log-%s")
+    assert(routing.valueMetric === "metric")
+    assert(routing.error === "")
+  }
+}
