@@ -1,0 +1,85 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.KafkaConfig
+import graft.streaming.Connector
+import graft.streaming.Connector.{Backoff, TokenFetcher, TokenSource}
+
+/** O18 (token lifecycle, go-nozzle token.go), O19 (reconnect backoff,
+  * noaa async.go:20-24/298-351), O9 (Kafka sink config mapping,
+  * kafka.go:70-101). */
+class ConnectorSpec extends AnyFunSuite {
+
+  test("token fetcher validates required fields (token.go:68-82)") {
+    val src: TokenSource = () => "tok"
+    assert(new TokenFetcher("", "u", "p", src).fetch() === Left("UaaAddr must not be empty"))
+    assert(new TokenFetcher("https://uaa", "", "p", src).fetch() === Left("Username must not be empty"))
+    assert(new TokenFetcher("https://uaa", "u", "", src).fetch() === Left("Password must not be empty"))
+  }
+
+  test("token fetch succeeds, caches, and refresh re-fetches (token.go:87-89)") {
+    val calls = new AtomicInteger
+    val src: TokenSource = () => s"tok-${calls.incrementAndGet()}"
+    val tf = new TokenFetcher("https://uaa", "u", "p", src)
+    assert(tf.fetch() === Right("tok-1"))
+    assert(tf.current === Some("tok-1"))
+    assert(tf.refresh() === Right("tok-2"))
+    assert(tf.current === Some("tok-2"))
+  }
+
+  test("token fetch times out (token.go:58-61) and surfaces errors") {
+    val slow: TokenSource = () => { Thread.sleep(5000); "late" }
+    val tf = new TokenFetcher("https://uaa", "u", "p", slow, timeoutMs = 200)
+    assert(tf.fetch().left.exists(_.contains("request timeout")))
+    val failing: TokenSource = () => throw new RuntimeException("401 unauthorized")
+    val tf2 = new TokenFetcher("https://uaa", "u", "p", failing, timeoutMs = 1000)
+    assert(tf2.fetch() === Left("401 unauthorized"))
+  }
+
+  test("backoff doubles 500ms -> 60s, resets on connect, caps retries") {
+    val b = new Backoff(minDelayMs = 500, maxDelayMs = 60000, maxRetries = 10)
+    val delays = Iterator.continually(b.nextDelayMs()).take(9).flatten.toSeq
+    assert(delays === Seq(500, 1000, 2000, 4000, 8000, 16000, 32000, 60000, 60000))
+    b.onConnected() // reset (async.go:311-317)
+    assert(b.nextDelayMs() === Some(500))
+    assert(b.retriesUsed === 1)
+    val tiny = new Backoff(maxRetries = 2)
+    assert(tiny.nextDelayMs().isDefined && tiny.nextDelayMs().isDefined)
+    assert(tiny.nextDelayMs() === None) // ErrMaxRetriesReached
+  }
+
+  test("kafka sink options mirror the reference producer config") {
+    val cfg = KafkaConfig(
+      brokers = Seq("b1:9092", "b2:9092"), retryMax = 10,
+      retryBackoffMs = 500, compression = "gzip", enableTLS = true)
+    val opts = Connector.kafkaSinkOptions(cfg).toOption.get
+    assert(opts("kafka.bootstrap.servers") === "b1:9092,b2:9092")
+    assert(opts("kafka.acks") === "all")
+    assert(opts("kafka.retries") === "10")
+    assert(opts("kafka.retry.backoff.ms") === "500")
+    assert(opts("kafka.compression.type") === "gzip")
+    assert(opts("kafka.security.protocol") === "SSL")
+    // defaults: retry max 1, backoff 100ms, no compression key
+    val defaults = Connector.kafkaSinkOptions(KafkaConfig(brokers = Seq("b:9092"))).toOption.get
+    assert(defaults("kafka.retries") === "1")
+    assert(defaults("kafka.retry.backoff.ms") === "100")
+    assert(!defaults.contains("kafka.compression.type"))
+    // unknown codec is an error (kafka.go:99-100)
+    assert(Connector.kafkaSinkOptions(KafkaConfig(compression = "lz77"))
+      === Left("unknown compression codec: lz77"))
+  }
+
+  test("kafka writer wires topic/value columns without starting") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val routed = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)](spark, 1)
+      .toDF().selectExpr("_1 AS topic", "_2 AS payload")
+    val w = Connector.kafkaWriter(routed, KafkaConfig(brokers = Seq("b:9092")),
+      "/tmp/ck-unused")
+    assert(w.isRight)
+  }
+}
