@@ -217,6 +217,29 @@ object NozzlePipeline {
         Functions.envelope_json(col("envelope")).as("payload"))
   }
 
+  /** O13, event-time streaming form: 1-second tumbling windows over
+    * the envelope timestamp with a watermark bounding window state.
+    * The reference's per-second rates are processing-time deltas
+    * (stats.go:98-111, mirrored by [[Stats.tick]]); this is the
+    * event-time variant the batch q08/q12 queries validate. State is
+    * watermark-bounded — safe on an unbounded stream. */
+  def perSecondWindows(src: DataFrame, watermark: String = "10 seconds"): DataFrame =
+    src.withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 second"))
+      .agg(count(lit(1)).as("per_sec"))
+      .select(col("window.start").as("w"), col("per_sec"))
+
+  /** Streaming exact dedup with watermark-bounded state (the LLM-
+    * pipeline dedup operator in its streaming form): duplicate
+    * event_ids arriving within the watermark are dropped; state for
+    * ids older than the watermark is evicted — bounded memory on an
+    * unbounded stream (RocksDB state store at cluster scale). */
+  def dedupStream(src: DataFrame, watermark: String = "10 seconds"): DataFrame =
+    src.withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Debug/console sink (O16; reference producer.go:51-63). */
   def startConsole(routed: DataFrame, checkpoint: String): StreamingQuery =
     routed.writeStream

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.NozzlePipeline
+
+/** Event-time streaming forms: watermarked 1 s windows (O13) and
+  * watermark-bounded streaming dedup. */
+class StreamingAggSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  private def stage(dir: String, name: String): Unit =
+    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$dir/$name"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+  test("watermarked 1s windows emit closed windows with exact counts") {
+    val srcDir = tmp("wagg-src")
+    stage(srcDir, "part-0.parquet")
+    stage(srcDir, "part-1.parquet") // second batch advances the watermark
+    val windows = NozzlePipeline.perSecondWindows(
+      NozzlePipeline.source(spark, srcDir))
+    val q = windows.writeStream
+      .format("memory").queryName("wagg")
+      .option("checkpointLocation", tmp("wagg-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val emitted = spark.table("wagg")
+    assert(emitted.count() > 0, "no windows closed — watermark never advanced")
+    // every closed window's count matches the batch count over the
+    // doubled dataset (both staged files aggregate into the windows;
+    // AvailableNow's final no-data batch advances the watermark and
+    // closes them)
+    val one = Tables.events(spark, sf)
+    val batch = one.union(one)
+      .groupBy(window(col("ts"), "1 second"))
+      .agg(count(lit(1)).as("expect"))
+      .select(col("window.start").as("w"), col("expect"))
+    val joined = emitted.join(batch, "w")
+    assert(joined.count() === emitted.count(), "emitted window missing from batch")
+    assert(joined.filter(col("per_sec") =!= col("expect")).count() === 0)
+  }
+
+  test("streaming dedup drops duplicate event_ids across batches") {
+    val srcDir = tmp("dedup-src")
+    stage(srcDir, "part-0.parquet")
+    stage(srcDir, "part-1.parquet") // exact duplicate of every event
+    val q = NozzlePipeline.dedupStream(NozzlePipeline.source(spark, srcDir))
+      .writeStream
+      .format("memory").queryName("sdedup")
+      .option("checkpointLocation", tmp("dedup-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val distinctIds = Tables.events(spark, sf).select("event_id").distinct().count()
+    assert(spark.table("sdedup").count() === distinctIds)
+  }
+}
