@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** General relational capability over the TPC-H-ish star schema —
+  * beyond the reference surface (it has no joins, SURVEY §2.2), these
+  * prove the engine's join/aggregate machinery picks the right
+  * distributed shapes:
+  *
+  *  - q29: fact-fact join (orders ⨝ lineitem) — shuffle hash/merge on
+  *    the join key, partial aggregation before the group-by shuffle;
+  *  - q30: star probe (customer ⨝ nation ⨝ region) — the dimension
+  *    tables are explicitly broadcast: zero shuffle of the fact side;
+  *  - q31: rollup aggregation with DECIMAL-exact sums (the q13
+  *    determinism pattern) and explicit GROUPING flags so subtotal
+  *    rows are unambiguous.
+  */
+object RelationalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Fact-fact equi-join + grouped exact aggregation.
+    "q29_join" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      // Revenue in exact decimal end-to-end: rounding a DOUBLE product
+      // to decimal diverges between engines near midpoints (Spark
+      // rounds the shortest-decimal repr, DuckDB the binary value), so
+      // the 2-decimal source columns are cast to decimal BEFORE any
+      // arithmetic — every operation is exact and engine-identical.
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(expr("cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(3,2)) - cast(l_discount as decimal(18,2)))"))
+            .cast(DoubleType).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Star-schema probe with broadcast dimensions.
+    "q30_bcast" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = broadcast(Tables.nation(s, d))
+      val r = broadcast(Tables.region(s, d))
+      c.join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("customers"),
+          sum(col("c_acctbal").cast(DecimalType(28, 10))).cast(DoubleType).as("balance"))
+        .orderBy("r_name")
+    }),
+
+    // Rollup with explicit grouping flags for deterministic subtotals.
+    "q31_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          grouping(col("l_returnflag")).cast(LongType).as("g_rf"),
+          grouping(col("l_linestatus")).cast(LongType).as("g_ls"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(28, 10))).cast(DoubleType).as("qty"))
+        .select(
+          col("l_returnflag"), col("l_linestatus"),
+          col("g_rf"), col("g_ls"), col("n"), col("qty"))
+        .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q29_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q30_bcast" ->
+      """SELECT r_name, count(*) AS customers,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE) AS balance
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "q31_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(CASE WHEN GROUPING(l_returnflag) = 1 THEN 1 ELSE 0 END AS BIGINT) AS g_rf,
+                CAST(CASE WHEN GROUPING(l_linestatus) = 1 THEN 1 ELSE 0 END AS BIGINT) AS g_ls,
+                count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS qty
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY g_rf, g_ls, l_returnflag, l_linestatus"""
+  )
+}

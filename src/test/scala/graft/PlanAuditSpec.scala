@@ -47,6 +47,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q30 broadcasts the dimension tables (no fact-side shuffle join)") {
+    val p = plan("q30_bcast")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact side got shuffle-joined:\n$p")
+  }
+
+  test("q29 fact-fact join keeps partial aggregation before the shuffle") {
+    assert(plan("q29_join").contains("partial_"))
+  }
+
   test("top-k queries avoid global sorts (TakeOrderedAndProject)") {
     Seq("q01_scan", "q02_route", "q05_template", "q16_topk").foreach { q =>
       assert(plan(q).contains("TakeOrderedAndProject"), s"$q does a full sort")
