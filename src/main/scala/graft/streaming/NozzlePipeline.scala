@@ -240,6 +240,33 @@ object NozzlePipeline {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Per-user running state — the custom-state streaming primitive
+    * (`KeyValueGroupedDataset.mapGroupsWithState`): for each user, a
+    * running event count and value sum maintained across micro-batches
+    * in the state store (RocksDB at cluster scale), emitted per batch
+    * in Update mode. The reference's only state is global counters;
+    * this is the keyed generalization a training-data pipeline needs
+    * (e.g. per-source quotas, per-user rate accounting). */
+  case class UserState(events: Long, valueSum: Double)
+
+  def userRunningTotals(src: DataFrame): Dataset[(Long, Long, Double)] = {
+    import src.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    src.select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserState, (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.events
+          var s = prev.valueSum
+          rows.foreach { case (_, v) => n += 1; s += v }
+          state.update(UserState(n, s))
+          (userId, n, s)
+      }
+  }
+
   /** Debug/console sink (O16; reference producer.go:51-63). */
   def startConsole(routed: DataFrame, checkpoint: String): StreamingQuery =
     routed.writeStream

@@ -49,6 +49,36 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(joined.filter(col("per_sec") =!= col("expect")).count() === 0)
   }
 
+  test("mapGroupsWithState keeps per-user running totals across batches") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger => T}
+    val srcDir = tmp("mgws-src")
+    stage(srcDir, "part-0.parquet")
+    stage(srcDir, "part-1.parquet") // second batch doubles every user's stream
+    // maxFilesPerTrigger=1 in source => one file per micro-batch
+    val totals = NozzlePipeline.userRunningTotals(
+      NozzlePipeline.source(spark, srcDir))
+      .toDF("user_id", "n_events", "value_sum")
+    val q = totals.writeStream
+      .format("memory").queryName("mgws")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", tmp("mgws-ckpt"))
+      .trigger(T.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // in Update mode each batch emits the then-current running total;
+    // the max per user equals the full doubled-stream aggregate
+    val last = spark.table("mgws")
+      .groupBy("user_id").agg(max("n_events").as("n_events"))
+    val expect = Tables.events(spark, sf)
+      .groupBy("user_id").agg((count(lit(1)) * 2).as("expect"))
+    assert(last.join(expect, "user_id")
+      .filter(col("n_events") =!= col("expect")).count() === 0)
+    // state persisted ACROSS batches: some emission shows an
+    // accumulated (2-batch) total, which a stateless count could not
+    assert(spark.table("mgws").groupBy("user_id").count()
+      .filter(col("count") >= 2).count() > 0)
+  }
+
   test("streaming dedup drops duplicate event_ids across batches") {
     val srcDir = tmp("dedup-src")
     stage(srcDir, "part-0.parquet")
