@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.graftshim.Shims
 
-import graft.functions.{EnvelopeJson, SortedIntersectCount, UuidStr}
+import graft.functions.{EnvelopeJson, MinHashAgg, SortedIntersectCount, UuidStr}
 
 /** Custom scalar functions (native Catalyst expressions, codegen-able)
   * + their SQL registration. Column-API entry points below; SQL names
@@ -26,6 +26,11 @@ object Functions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     Shims.column(SortedIntersectCount(Shims.expression(a), Shims.expression(b)))
 
+  /** minhash_agg(h): streaming k-minima MinHash signature aggregate
+    * over exploded shingle hashes — fixed 12-long state per group. */
+  def minhash_agg(h: Column): Column =
+    Shims.column(MinHashAgg(Shims.expression(h)).toAggregateExpression())
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
@@ -34,5 +39,7 @@ object Functions {
       "envelope_json", exprs => EnvelopeJson(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "sorted_intersect_count", exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_agg", exprs => MinHashAgg(exprs.head).toAggregateExpression(), "built-in")
   }
 }

@@ -139,6 +139,21 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // MinHash signatures via the custom TypedImperativeAggregate —
+    // the 100 TB-shape formulation: shingles stream through explode,
+    // group state is a fixed 12-long vector (no per-doc arrays),
+    // map-side partial aggregation applies. Same hash family as q18,
+    // same oracle formulation.
+    "q32_minhash_sig" -> ((s, d) => {
+      shingleSets(s, d)
+        .select(col("doc_id"),
+          explode(expr(s"transform(sset, x -> pmod(cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint), $P))"))
+            .as("hm"))
+        .groupBy("doc_id")
+        .agg(graft.Functions.minhash_agg(col("hm")).as("mh"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash: 60-bit signature per doc (sign of per-bit +-1 sums over
     // shingle hashes). Full per-doc oracle parity.
     "q19_simhash" -> ((s, d) => {
@@ -245,6 +260,23 @@ object DedupQueries {
          FROM cand JOIN hsv x ON da=x.doc_id JOIN hsv y ON db=y.doc_id
          WHERE 5*len(list_intersect(x.sset, y.sset)) >= 3*(x.nset + y.nset - len(list_intersect(x.sset, y.sset)))
          ORDER BY doc_a, doc_b""",
+    "q32_minhash_sig" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2],' ')) shingles
+           FROM w WHERE len(words) >= 3),
+         ss AS (SELECT doc_id, list_distinct(shingles) sset FROM sh),
+         hsv AS (
+           SELECT doc_id,
+                  list_transform(sset, x -> CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) % 2147483647) hs
+           FROM ss)
+         SELECT doc_id,
+                [list_aggregate(list_transform(hs, hm ->
+                   ((CAST(1103515245 AS BIGINT) * (k+1) + 12345) % 2147483647 * hm + 977 * (k+1)) % 2147483647), 'min')
+                 for k in range(0,12)] AS mh
+         FROM hsv ORDER BY doc_id""",
     "q19_simhash" ->
       """WITH w AS (
            SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words

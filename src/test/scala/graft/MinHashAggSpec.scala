@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MinHashAggSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("aggregate signatures equal the array-based q18 formulation") {
+    // q32 (streaming aggregate) and the q18 internal signature table
+    // (transform + array_min over per-doc arrays) must agree exactly
+    val agg = SparkEntry.queries("q32_minhash_sig")(spark, sf)
+    val arrayBased = {
+      val docs = Tables.documents(spark, sf)
+      val words = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
+      docs.select(col("doc_id"), words.as("words"))
+        .filter(size(col("words")) >= 3)
+        .select(col("doc_id"),
+          expr("transform(sequence(1, size(words)-2), i -> array_join(slice(words, i, 3), ' '))").as("sh"))
+        .select(col("doc_id"), array_distinct(col("sh")).as("sset"))
+        .select(col("doc_id"),
+          expr("transform(sset, x -> pmod(cast(conv(substring(md5(x),1,15),16,10) as bigint), 2147483647))").as("hs"))
+        .select(col("doc_id"),
+          expr("""transform(sequence(0, 11), k ->
+                    array_min(transform(hs, hm ->
+                      pmod(pmod(1103515245L * (k+1) + 12345L, 2147483647) * hm + 977L * (k+1), 2147483647))))""")
+            .as("mh_ref"))
+    }
+    val joined = agg.join(arrayBased, "doc_id")
+    assert(joined.count() === agg.count())
+    assert(joined.filter(col("mh") =!= col("mh_ref")).count() === 0)
+  }
+
+  test("aggregate does map-side partial aggregation") {
+    val plan = SparkEntry.queries("q32_minhash_sig")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_minhash_agg"), s"no partial agg:\n$plan")
+  }
+
+  test("SQL registration and empty-group null") {
+    Functions.register(spark)
+    val r = spark.sql(
+      "SELECT minhash_agg(h) AS mh FROM VALUES (5L), (3L), (11L) AS t(h)")
+      .head().getSeq[Long](0)
+    assert(r.length === 12)
+    // null input rows are ignored; all-null group yields null
+    val n = spark.sql(
+      "SELECT minhash_agg(h) AS mh FROM VALUES (CAST(NULL AS BIGINT)) AS t(h)")
+    assert(n.head().isNullAt(0))
+  }
+}
