@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.graftshim.Shims
 
-import graft.functions.{EnvelopeJson, MinHashAgg, SortedIntersectCount, UuidStr}
+import graft.functions.{EnvelopeJson, MinHashAgg, RollingHash, SortedIntersectCount, UuidStr}
 
 /** Custom scalar functions (native Catalyst expressions, codegen-able)
   * + their SQL registration. Column-API entry points below; SQL names
@@ -31,6 +31,11 @@ object Functions {
   def minhash_agg(h: Column): Column =
     Shims.column(MinHashAgg(Shims.expression(h)).toAggregateExpression())
 
+  /** rolling_hash(s): 31-polynomial byte hash mod 2^31-1 (document
+    * fingerprinting). */
+  def rolling_hash(s: Column): Column =
+    Shims.column(RollingHash(Shims.expression(s)))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
@@ -41,5 +46,7 @@ object Functions {
       "sorted_intersect_count", exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "minhash_agg", exprs => MinHashAgg(exprs.head).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
   }
 }
