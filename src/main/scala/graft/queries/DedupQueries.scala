@@ -94,19 +94,24 @@ object DedupQueries {
     // 12× less digest work than hashing per (seed, shingle), and the
     // union size is na+nb−inter instead of materializing array_union.
     "q18_minhash" -> ((s, d) => {
-      val ss = shingleSets(s, d).select(col("doc_id"), col("sset"),
-        expr(s"transform(sset, x -> pmod(cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint), $P))")
-          .as("hs"),
-        size(col("sset")).cast(LongType).as("nset"))
       // localCheckpoint: the signature table feeds FOUR consumers
       // (both sides of the band self-join, both set lookups) — without
       // the barrier the whole shingle+md5+minhash pipeline re-executes
-      // for each, 4× the work.
-      val m = ss.select(col("doc_id"), col("sset"), col("nset"),
-        expr(s"""transform(sequence(0, 11), k ->
-                   array_min(transform(hs, hm ->
-                     pmod(pmod(1103515245L * (k+1) + 12345L, $P) * hm + 977L * (k+1), $P))))""")
-          .as("mh"))
+      // for each, 4× the work. Signatures come from the codegen'd
+      // minhash_agg aggregate (explode + k-minima state), not the
+      // interpreted transform/array_min HOF chain — cross-validated in
+      // MinHashAggSpec.
+      val ss = shingleSets(s, d).select(col("doc_id"),
+        array_sort(col("sset")).as("sset"),
+        size(col("sset")).cast(LongType).as("nset"))
+        .localCheckpoint()
+      val sigs = ss.select(col("doc_id"),
+        explode(expr(s"transform(sset, x -> pmod(cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint), $P))"))
+          .as("hm"))
+        .groupBy("doc_id")
+        .agg(graft.Functions.minhash_agg(col("hm")).as("mh"))
+      val m = ss.join(sigs, "doc_id")
+        .select(col("doc_id"), col("sset"), col("nset"), col("mh"))
         .localCheckpoint()
       val bands = m.select(col("doc_id"),
         expr(s"""explode(transform(sequence(0, 5), j ->
@@ -121,7 +126,8 @@ object DedupQueries {
         .distinct()
       // merge hint: same computed-array size underestimate as q21 —
       // don't let the fat shingle-set relation get broadcast.
-      val sets = m.select(col("doc_id"), array_sort(col("sset")).as("sset"), col("nset"))
+      // (ssets were sorted once at the source for the merge-walk.)
+      val sets = m.select(col("doc_id"), col("sset"), col("nset"))
         .hint("merge")
       // Same optimizer barrier as q21: keep the intersect out of the
       // join condition, evaluate it once per candidate.

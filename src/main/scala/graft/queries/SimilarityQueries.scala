@@ -40,13 +40,31 @@ object SimilarityQueries {
 
   /** 4-bit random-hyperplane sketch. Hyperplane j component i is
     * md5-derived uniform in [-0.5, 0.5): deterministic and exactly
-    * reproducible in the oracle. */
-  private val bucketExpr =
-    """aggregate(sequence(0, 3), 0L, (acc, j) ->
-         acc + if(aggregate(sequence(1, 64), cast(0 as double), (a2, i) ->
-                    a2 + (cast(conv(substring(md5(concat(cast(j as string), ',', cast(i as string))), 1, 6), 16, 10) as bigint) / cast(16777216 as double) - cast(0.5 as double))
-                         * cast(element_at(embedding, i) as double)) > 0,
-                  shiftleft(1L, j), 0L))"""
+    * reproducible in the oracle.
+    *
+    * The plane values are row-INDEPENDENT, so they are computed once
+    * driver-side (same md5 formula, bit-identical doubles) and
+    * inlined as array literals — the HOF formulation re-derived 256
+    * md5 hashes per row. Per-element op order matches the oracle:
+    * (plane · emb) products summed left-to-right. */
+  private lazy val planes: Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h6(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 6), 16)
+    }
+    (0 until 4).map(j => (1 to 64).map(i => h6(s"$j,$i") / 16777216.0d - 0.5d))
+  }
+
+  private def bucketCol: Column =
+    (0 until 4).map { j =>
+      val dotJ = aggregate(
+        zip_with(typedLit(planes(j)), col("embedding"),
+          (p, x) => p * x.cast("double")),
+        lit(0.0d), (acc, v) => acc + v)
+      when(dotJ > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** DuckDB rendering of the same sketch (kept adjacent so the two
     * stay in lockstep). */
@@ -80,7 +98,7 @@ object SimilarityQueries {
     // Bucketed ANN: only the query's hyperplane bucket is searched.
     "q22_ann" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), expr(bucketExpr).as("bucket"))
+        .select(col("vec_id"), col("embedding"), bucketCol.as("bucket"))
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
       emb.filter(col("vec_id") =!= 0)
@@ -96,7 +114,7 @@ object SimilarityQueries {
     // dot product. Same doubles — sqrt(na) is pair-order independent.
     "q23_embdup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), expr(bucketExpr).as("bucket"),
+        .select(col("vec_id"), col("embedding"), bucketCol.as("bucket"),
           expr(dot("embedding", "embedding")).as("nrm"))
       // localCheckpoint barrier: keeps the threshold filter from
       // collapsing into the join condition (which would re-evaluate

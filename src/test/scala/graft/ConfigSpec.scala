@@ -11,16 +11,16 @@ class ConfigSpec extends AnyFunSuite {
   test("basic.toml parses to the expected deep-equal config") {
     val got = GraftConfig.load("fixtures/basic.toml")
     val want = GraftConfig(
-      subscriptionID = "kafka-firehose-nozzle",
+      subscriptionID = "graft-nozzle",
       insecureSSLSkipVerify = true,
       cf = CfConfig(
-        dopplerAddr = "wss://doppler.cloudfoundry.net",
-        uaaAddr = "https://uaa.cloudfoundry.net",
-        username = "tcnksm",
-        password = "xyz",
+        dopplerAddr = "wss://doppler.example.internal",
+        uaaAddr = "https://uaa.example.internal",
+        username = "graft-user",
+        password = "graft-pass",
         idleTimeout = 10),
       kafka = KafkaConfig(
-        brokers = Seq("192.168.1.1:9092", "192.168.1.2:9092", "192.168.1.3:9092"),
+        brokers = Seq("10.0.0.1:9092", "10.0.0.2:9092", "10.0.0.3:9092"),
         retryMax = 10,
         retryBackoffMs = 500,
         topic = TopicConfigT(
@@ -44,8 +44,8 @@ class ConfigSpec extends AnyFunSuite {
     assert(flagged.cf.username === "cli-user")
     // config wins when no flag
     val fromConfig = GraftConfig.resolve(parsed)
-    assert(fromConfig.subscriptionID === "kafka-firehose-nozzle")
-    assert(fromConfig.cf.username === "tcnksm")
+    assert(fromConfig.subscriptionID === "graft-nozzle")
+    assert(fromConfig.cf.username === "graft-user")
     // defaults fill gaps
     val fromDefaults = GraftConfig.resolve(GraftConfig())
     assert(fromDefaults.subscriptionID === GraftConfig.DefaultSubscriptionID)
