@@ -34,7 +34,8 @@ object SparkEntry {
       graft.queries.SimilarityQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
-      graft.queries.RelationalQueries.queries
+      graft.queries.RelationalQueries.queries ++
+      graft.queries.EngineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +45,6 @@ object SparkEntry {
       graft.queries.SimilarityQueries.oracleSql ++
       graft.queries.TextQueries.oracleSql ++
       graft.queries.MultimodalQueries.oracleSql ++
-      graft.queries.RelationalQueries.oracleSql
+      graft.queries.RelationalQueries.oracleSql ++
+      graft.queries.EngineQueries.oracleSql
 }
