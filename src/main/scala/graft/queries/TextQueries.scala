@@ -43,12 +43,15 @@ object TextQueries {
     s"len(list_filter(words, w -> w in (${words.map("'" + _ + "'").mkString(",")})))"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Token counting + length stats: whitespace tokens, distinct types,
-    // word-char total, longest token. All integers.
+    // Token counting + length stats: whitespace tokens, a BPE-ish
+    // regex tokenization (letter runs + single digits — the
+    // subword-style split), distinct types, word-char total, longest
+    // token. All integers.
     "q17_text" -> ((s, d) => {
       withWords(s, d).select(
         col("doc_id"),
         size(col("words")).cast(LongType).as("n_tokens"),
+        regexp_count(col("t"), lit("[a-z]+|[0-9]")).cast(LongType).as("n_bpe"),
         size(array_distinct(col("words"))).cast(LongType).as("n_types"),
         length(regexp_replace(col("t"), " ", "")).cast(LongType).as("n_wordchars"),
         expr("array_max(transform(words, w -> length(w)))").cast(LongType).as("max_tok"))
@@ -115,6 +118,7 @@ object TextQueries {
           w AS (SELECT doc_id, t, string_split(t, ' ') words FROM n)
           SELECT doc_id,
                  len(words) AS n_tokens,
+                 len(regexp_extract_all(t, '[a-z]+|[0-9]')) AS n_bpe,
                  len(list_distinct(words)) AS n_types,
                  length(replace(t, ' ', '')) AS n_wordchars,
                  list_max(list_transform(words, w -> length(w))) AS max_tok
