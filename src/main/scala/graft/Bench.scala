@@ -21,6 +21,10 @@ object Bench {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession(spark)
+    // JIT/codegen warm-up so the first measured query doesn't absorb
+    // session initialization (round-1 showed a 14 s first-query skew).
+    spark.range(1000000L).selectExpr("sum(id)").write
+      .format("noop").mode("overwrite").save()
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
