@@ -26,21 +26,31 @@ object TextQueries {
         trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("t"))
       .withColumn("words", split(col("t"), " "))
 
-  /** Marker-word sets for the language-ID heuristic. A real deployment
-    * would learn character-n-gram profiles; the operator shape (score
-    * per language → deterministic argmax) is identical. */
+  /** Character-bigram profiles for the language-ID heuristic: score =
+    * how many of the text's bigrams fall in the language's profile
+    * set, predicted = deterministic argmax. A real deployment learns
+    * the profiles from labeled corpora; the operator shape (n-gram
+    * extraction → per-language profile score → argmax) is exactly
+    * this. */
   private val markers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "value"),
-    "fr" -> Seq("query", "window", "line"),
-    "de" -> Seq("agg", "hash", "sort"),
-    "es" -> Seq("data", "row", "stream"),
-    "zh" -> Seq("join", "batch", "merge"))
+    "en" -> Seq("th", "he", "va", "ue"),
+    "fr" -> Seq("qu", "wi", "li", "ne"),
+    "de" -> Seq("ag", "ha", "so", "rt"),
+    "es" -> Seq("da", "ro", "st", "ea"),
+    "zh" -> Seq("jo", "ba", "me", "rg"))
 
-  private def scoreExpr(words: Seq[String]): String =
-    s"size(filter(words, w -> w in (${words.map("'" + _ + "'").mkString(",")})))"
+  private def inSet(grams: Seq[String]): String =
+    grams.map("'" + _ + "'").mkString(",")
 
-  private def scoreDuck(words: Seq[String]): String =
-    s"len(list_filter(words, w -> w in (${words.map("'" + _ + "'").mkString(",")})))"
+  /** Spark: count text bigrams present in the profile. */
+  private def scoreExpr(grams: Seq[String]): String =
+    s"""size(filter(transform(sequence(1, length(t)-1), i -> substring(t, i, 2)),
+          b -> b in (${inSet(grams)})))"""
+
+  /** DuckDB rendering of the same score. */
+  private def scoreDuck(grams: Seq[String]): String =
+    s"""len(list_filter(list_transform(range(1, length(t)), i -> t[i:i+1]),
+          b -> b in (${inSet(grams)})))"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting + length stats: whitespace tokens, a BPE-ish
@@ -125,10 +135,9 @@ object TextQueries {
           FROM w ORDER BY doc_id""",
     "q24_lang" ->
       s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
-          w AS (SELECT doc_id, string_split(t, ' ') words FROM n),
           sc AS (SELECT doc_id,
                  ${markers.map { case (l, ws) => s"${scoreDuck(ws)} AS s_$l" }.mkString(", ")}
-                 FROM w)
+                 FROM n)
           SELECT doc_id, s_en, s_fr, s_de, s_es, s_zh,
                  CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en >= s_zh THEN 'en'
                       WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
