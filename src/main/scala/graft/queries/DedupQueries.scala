@@ -43,10 +43,9 @@ object DedupQueries {
       .select(col("doc_id"), wordsCol.as("words"))
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"),
-        expr("transform(sequence(1, size(words)-2), i -> array_join(slice(words, i, 3), ' '))")
-          .as("shingles"))
-      .select(col("doc_id"), array_distinct(col("shingles")).as("sset"),
-        col("shingles"))
+        array_distinct(
+          expr("transform(sequence(1, size(words)-2), i -> array_join(slice(words, i, 3), ' '))"))
+          .as("sset"))
 
   /** 60-bit md5-derived hash per shingle (15 hex chars → fits BIGINT,
     * reproducible as CAST('0x'||substr(md5(s),1,15) AS BIGINT) in the
