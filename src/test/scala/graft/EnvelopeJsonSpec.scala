@@ -78,6 +78,32 @@ class EnvelopeJsonSpec extends AnyFunSuite {
     assert(encodeAll(Seq(logMessageEnv)).head.getBytes("UTF-8").length === 225)
   }
 
+  test("kitchen sink: every envelope field populated, full order locked") {
+    val e = Envelope(
+      origin = Some("o"), eventType = Some(4), timestamp = Some(1L),
+      deployment = Some("cf"), job = Some("router"), index = Some("0"),
+      ip = Some("10.0.0.9"),
+      tags = Some(Map("zone" -> "z1")),
+      httpStartStop = Some(HttpStartStop(
+        startTimestamp = Some(2L), stopTimestamp = Some(3L),
+        requestId = Some(Uuid(1L, 2L)), peerType = Some(1), method = Some(2),
+        uri = Some("/x"), remoteAddress = Some("1.2.3.4"),
+        userAgent = Some("ua"), statusCode = Some(200),
+        contentLength = Some(42L), applicationId = Some(Uuid(3L, 4L)),
+        instanceIndex = Some(7), instanceId = Some("i-1"),
+        forwarded = Some(Seq("a", "b")))),
+      logMessage = None, valueMetric = None, counterEvent = None,
+      error = None, containerMetric = None)
+    assert(encodeAll(Seq(e)).head ===
+      """{"origin":"o","eventType":4,"timestamp":1,"deployment":"cf",""" +
+      """"job":"router","index":"0","ip":"10.0.0.9","tags":{"zone":"z1"},""" +
+      """"httpStartStop":{"startTimestamp":2,"stopTimestamp":3,""" +
+      """"requestId":{"low":1,"high":2},"peerType":1,"method":2,"uri":"/x",""" +
+      """"remoteAddress":"1.2.3.4","userAgent":"ua","statusCode":200,""" +
+      """"contentLength":42,"applicationId":{"low":3,"high":4},""" +
+      """"instanceIndex":7,"instanceId":"i-1","forwarded":["a","b"]}}""")
+  }
+
   test("unknown event type (-1) with no payload still encodes") {
     // helper_test.go:101-107: the unknown fixture — routing drops it,
     // but the encoder itself must not fail.
