@@ -21,6 +21,11 @@ object Functions {
   def envelope_json(env: Column): Column =
     Shims.column(EnvelopeJson(Shims.expression(env)))
 
+  /** envelope_decode(json): parse canonical Envelope JSON back to the
+    * struct; malformed → NULL (DROPMALFORMED, async.go:274-280). */
+  def envelope_decode(json: Column): Column =
+    graft.functions.EnvelopeCodec.decode(json)
+
   /** sorted_intersect_count(a, b): merge-walk |A∩B| over sorted,
     * deduped string arrays — the near-dup Jaccard hot path. */
   def sorted_intersect_count(a: Column, b: Column): Column =

@@ -157,6 +157,37 @@ class EnvelopeJsonSpec extends AnyFunSuite {
     assert(new String(out.toByteArray, "UTF-8") === "\"a\\ufffd\\ufffdb\"")
   }
 
+  test("round-trip: decode(envelope_json(e)) == e; malformed -> NULL (O2)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val (low, high) = UuidStr.parse(testAppId)
+    val envs = Seq(
+      logMessageEnv,
+      empty.copy(origin = Some("fake-origin-6"), eventType = Some(4), timestamp = Some(ts),
+        httpStartStop = Some(HttpStartStop(Some(1L), None, None, None, None, None,
+          None, None, None, None, Some(Uuid(low, high)), None, None, Some(Seq("f1"))))),
+      empty.copy(eventType = Some(7),
+        counterEvent = Some(CounterEvent(Some("c"), Some(-1L), Some(5L)))),
+      empty.copy(origin = Some("o"), tags = Some(Map("a" -> "1"))))
+    val df = envs.toDS().toDF()
+    val enc = df.select(
+      Functions.envelope_json(struct(df.columns.map(col): _*)).as("j"))
+    val decoded = enc.select(Functions.envelope_decode(col("j")).as("e"))
+      .select("e.*").as[Envelope].collect().toSeq
+    // Array[Byte] equality is referential — normalize to Seq for compare
+    def norm(e: Envelope): Envelope = e.copy(logMessage = e.logMessage.map(lm =>
+      lm.copy(message = lm.message.map(_.clone()))))
+    assert(decoded.map(norm).zip(envs.map(norm)).forall { case (a, b) =>
+      a.copy(logMessage = None) == b.copy(logMessage = None) &&
+        a.logMessage.map(_.copy(message = None)) == b.logMessage.map(_.copy(message = None)) &&
+        a.logMessage.flatMap(_.message).map(_.toSeq) == b.logMessage.flatMap(_.message).map(_.toSeq)
+    })
+    // malformed records parse to NULL -> droppable (DROPMALFORMED)
+    val bad = Seq("not json at all", """{"eventType": [5]}""").toDF("j")
+      .select(Functions.envelope_decode(col("j")).as("e"))
+    assert(bad.filter(col("e").isNull).count() === 2)
+  }
+
   test("goFloat matches Go strconv 'g' -1 formatting") {
     val cases = Seq(
       0.99 -> "0.99", 5.0 -> "5", 0.0 -> "0", -0.0 -> "-0",
