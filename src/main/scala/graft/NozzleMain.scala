@@ -110,6 +110,11 @@ object NozzleMain {
     }
     val spark = GraftSession.local()
     GraftSession(spark)
+    // Production state store: RocksDB keeps streaming state (dedup
+    // sets, session windows, per-key state) off-heap and spillable —
+    // required posture for watermark-bounded state at 100 TB.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val source = spark.readStream.format("graft-firehose")
       .option("rowsPerBatch", 5000)
       .load()

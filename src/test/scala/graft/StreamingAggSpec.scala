@@ -79,6 +79,31 @@ class StreamingAggSpec extends AnyFunSuite {
       .filter(col("count") >= 2).count() > 0)
   }
 
+  test("stateful queries run on the RocksDB state store provider") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val srcDir = tmp("rocks-src")
+      stage(srcDir, "part-0.parquet")
+      stage(srcDir, "part-1.parquet")
+      val q = NozzlePipeline.dedupStream(NozzlePipeline.source(spark, srcDir))
+        .writeStream
+        .format("memory").queryName("rocks_dedup")
+        .option("checkpointLocation", tmp("rocks-ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val distinctIds = Tables.events(spark, sf).select("event_id").distinct().count()
+      assert(spark.table("rocks_dedup").count() === distinctIds)
+      assert(q.lastProgress.stateOperators.head
+        .customMetrics.containsKey("rocksdbGetCount"))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming dedup drops duplicate event_ids across batches") {
     val srcDir = tmp("dedup-src")
     stage(srcDir, "part-0.parquet")
