@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.graftshim.Shims
 
-import graft.functions.{EnvelopeJson, MinHashAgg, RollingHash, SortedIntersectCount, UuidStr}
+import graft.functions.{EnvelopeJson, KmvSketch, MinHashAgg, RollingHash, SortedIntersectCount, UuidStr}
 
 /** Custom scalar functions (native Catalyst expressions, codegen-able)
   * + their SQL registration. Column-API entry points below; SQL names
@@ -35,6 +35,11 @@ object Functions {
     * over exploded shingle hashes — fixed 12-long state per group. */
   def minhash_agg(h: Column): Column =
     Shims.column(MinHashAgg(Shims.expression(h)).toAggregateExpression())
+
+  /** kmv_kth(h, k): k-th minimum distinct hash — the KMV
+    * distinct-count sketch statistic (estimator (k-1)*M/h_k). */
+  def kmv_kth(h: Column, k: Int): Column =
+    Shims.column(KmvSketch(Shims.expression(h), k).toAggregateExpression())
 
   /** rolling_hash(s): 31-polynomial byte hash mod 2^31-1 (document
     * fingerprinting). */

@@ -58,6 +58,25 @@ object EngineQueries {
       Seq((clickOnly, both, either)).toDF("click_only", "both", "either")
     }),
 
+    // KMV distinct-count sketch: the k-th minimum distinct hash per
+    // group and its estimator — oracle-exact because the sketch runs
+    // on the shared deterministic md5-prefix hash domain. est is one
+    // IEEE multiply+divide on both engines.
+    "q38_kmv" -> ((s, d) => {
+      val h = expr(
+        "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)")
+      Tables.events(s, d)
+        .select(col("event_type"), h.as("h"))
+        .groupBy("event_type")
+        .agg(graft.Functions.kmv_kth(col("h"), 16).as("h_k"),
+          countDistinct(col("h")).as("exact"))
+        .select(col("event_type"), col("h_k"),
+          (lit(15.0d) * lit(1152921504606846976.0d)
+            / col("h_k").cast("double")).as("est"),
+          col("exact"))
+        .orderBy("event_type")
+    }),
+
     // Semi/anti joins: customers with orders (EXISTS) and without
     // (NOT EXISTS), via left_semi / left_anti.
     "q37_semijoin" -> ((s, d) => {
@@ -103,6 +122,21 @@ object EngineQueries {
          SELECT (SELECT count(*) FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p))    AS click_only,
                 (SELECT count(*) FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)) AS both,
                 (SELECT count(*) FROM (SELECT user_id FROM c UNION SELECT user_id FROM p))     AS either""",
+    "q38_kmv" ->
+      """WITH h AS (
+           SELECT DISTINCT event_type,
+                  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) h
+           FROM events),
+         r AS (
+           SELECT event_type, h,
+                  row_number() OVER (PARTITION BY event_type ORDER BY h) rn,
+                  count(*) OVER (PARTITION BY event_type) n
+           FROM h)
+         SELECT event_type, h AS h_k,
+                15.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(h AS DOUBLE) AS est,
+                n AS exact
+         FROM r WHERE rn = 16
+         ORDER BY event_type""",
     "q37_semijoin" ->
       """SELECT (SELECT count(*) FROM customer WHERE EXISTS
                    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS with_orders,
