@@ -284,7 +284,10 @@ object EnvelopeJsonWriter {
   // --- Go-compatible float formatting --------------------------------
 
   /** strconv.FormatFloat(f, 'g', -1, 64): shortest digit string that
-    * round-trips, e-notation iff decimal exponent < -4 or >= 21. */
+    * round-trips. For shortest-'g' Go pins eprec to 6
+    * (strconv/ftoa.go `if shortest { eprec = 6 }`): e-notation iff
+    * decimal exponent < -4 or >= 6, so 1e6 renders "1e+06" — NOT the
+    * ES6/encoding-json -4..21 window. */
   def goFloat(d: Double): String = {
     if (java.lang.Double.isNaN(d)) return "NaN"
     if (d == java.lang.Double.POSITIVE_INFINITY) return "+Inf"
@@ -316,7 +319,7 @@ object EnvelopeJsonWriter {
     val sb = new java.lang.StringBuilder(24)
     if (neg) sb.append('-')
     val exp = dp - 1
-    if (exp < -4 || exp >= 21) {
+    if (exp < -4 || exp >= 6) {
       sb.append(digits.charAt(0))
       if (digits.length > 1) sb.append('.').append(digits, 1, digits.length)
       sb.append('e')

@@ -147,8 +147,10 @@ object DedupQueries {
     // MinHash signatures via the custom TypedImperativeAggregate —
     // the 100 TB-shape formulation: shingles stream through explode,
     // group state is a fixed 12-long vector (no per-doc arrays),
-    // map-side partial aggregation applies. Same hash family as q18,
-    // same oracle formulation.
+    // map-side partial aggregation applies. Same hash family as q18.
+    // Output is posexploded to scalar (doc_id, k, mh_k) rows — the
+    // driver's comparator hashes scalar cells only (an ARRAY column is
+    // un-comparable there); q18 keeps consuming the array form.
     "q32_minhash_sig" -> ((s, d) => {
       shingleSets(s, d)
         .select(col("doc_id"),
@@ -156,7 +158,10 @@ object DedupQueries {
             .as("hm"))
         .groupBy("doc_id")
         .agg(graft.Functions.minhash_agg(col("hm")).as("mh"))
-        .orderBy("doc_id")
+        .select(col("doc_id"), posexplode(col("mh")))
+        .select(col("doc_id"), col("pos").cast(LongType).as("k"),
+          col("col").as("mh_k"))
+        .orderBy("doc_id", "k")
     }),
 
     // SimHash: 60-bit signature per doc (sign of per-bit +-1 sums over
@@ -276,12 +281,16 @@ object DedupQueries {
          hsv AS (
            SELECT doc_id,
                   list_transform(sset, x -> CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) % 2147483647) hs
-           FROM ss)
-         SELECT doc_id,
-                [list_aggregate(list_transform(hs, hm ->
-                   ((CAST(1103515245 AS BIGINT) * (k+1) + 12345) % 2147483647 * hm + 977 * (k+1)) % 2147483647), 'min')
-                 for k in range(0,12)] AS mh
-         FROM hsv ORDER BY doc_id""",
+           FROM ss),
+         m AS (
+           SELECT doc_id,
+                  [list_aggregate(list_transform(hs, hm ->
+                     ((CAST(1103515245 AS BIGINT) * (k+1) + 12345) % 2147483647 * hm + 977 * (k+1)) % 2147483647), 'min')
+                   for k in range(0,12)] AS mh
+           FROM hsv)
+         SELECT doc_id, k, mh[k+1] AS mh_k
+         FROM m, unnest(range(0,12)) t(k)
+         ORDER BY doc_id, k""",
     "q19_simhash" ->
       """WITH w AS (
            SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words

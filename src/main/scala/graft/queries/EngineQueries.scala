@@ -45,17 +45,23 @@ object EngineQueries {
     }),
 
     // Set operations: click-only users (EXCEPT), click∩purchase users
-    // (INTERSECT), and the union count.
+    // (INTERSECT), and the union count — fused into ONE job: a single
+    // per-user membership aggregation then conditional counts, instead
+    // of three driver actions each re-scanning events (the EXCEPT /
+    // INTERSECT / UNION-DISTINCT forms are each a full shuffle of the
+    // same distinct sets; this shape reads events once and shuffles
+    // user_id membership bits only).
     "q36_setops" -> ((s, d) => {
-      val e = Tables.events(s, d)
-      def users(t: String) =
-        e.filter(col("event_type") === t).select("user_id").distinct()
-      val clickOnly = users("click").except(users("purchase")).count()
-      val both = users("click").intersect(users("purchase")).count()
-      val either = users("click").union(users("purchase")).distinct().count()
-      val spark2 = s
-      import spark2.implicits._
-      Seq((clickOnly, both, either)).toDF("click_only", "both", "either")
+      Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+          max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"))
+        .agg(
+          count(when(col("c") === 1 && col("p") === 0, 1)).as("click_only"),
+          count(when(col("c") === 1 && col("p") === 1, 1)).as("both"),
+          count(lit(1)).as("either"))
     }),
 
     // KMV distinct-count sketch: the k-th minimum distinct hash per
@@ -70,6 +76,10 @@ object EngineQueries {
         .groupBy("event_type")
         .agg(graft.Functions.kmv_kth(col("h"), 16).as("h_k"),
           countDistinct(col("h")).as("exact"))
+        // Groups with < k distinct hashes have no k-th minimum: kmv_kth
+        // yields NULL and the row is dropped, matching the oracle's
+        // `WHERE rn = 16` which omits such groups entirely.
+        .filter(col("h_k").isNotNull)
         .select(col("event_type"), col("h_k"),
           (lit(15.0d) * lit(1152921504606846976.0d)
             / col("h_k").cast("double")).as("est"),
@@ -78,15 +88,17 @@ object EngineQueries {
     }),
 
     // Semi/anti joins: customers with orders (EXISTS) and without
-    // (NOT EXISTS), via left_semi / left_anti.
+    // (NOT EXISTS) — fused into ONE job: a single left join against
+    // the distinct order keys, counted by match/no-match, instead of a
+    // left_semi + left_anti pair that scans and shuffles both tables
+    // twice for two scalar counts.
     "q37_semijoin" -> ((s, d) => {
       val c = Tables.customer(s, d)
-      val o = Tables.orders(s, d)
-      val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi").count()
-      val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti").count()
-      val spark2 = s
-      import spark2.implicits._
-      Seq((withOrders, withoutOrders)).toDF("with_orders", "without_orders")
+      val o = Tables.orders(s, d).select(col("o_custkey")).distinct()
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .agg(
+          count(when(col("o_custkey").isNotNull, 1)).as("with_orders"),
+          count(when(col("o_custkey").isNull, 1)).as("without_orders"))
     })
   )
 

@@ -88,9 +88,13 @@ object EventQueries {
       .when(eventType === "signup", lit("signup-topic"))
       .when(eventType === "purchase",
         // fmtTopic, kafka.go:183-188. NULL-guarded: format_string on a
-        // NULL arg prints the literal "null" (row would survive the
-        // topic IS NOT NULL drop filter); the reference has no topic
-        // for an absent app id, so yield NULL => drop.
+        // NULL arg prints the literal "null". Deliberate divergence in
+        // this BATCH analogue only: the reference Sprintf's a Go
+        // zero-value "" (streaming fmtTopic mirrors that), but this
+        // analogue's template arg is a BIGINT with no zero-value
+        // string form, so the declared oracle contract pins
+        // NULL => drop on both engines (no NULL user_ids exist in the
+        // testdata; the branch is a guard, not a behavior).
         when(userId.isNull, lit(null).cast(StringType))
           .otherwise(format_string("purchase-%d", userId)))
       .otherwise(lit(null).cast(StringType))
@@ -116,12 +120,14 @@ object EventQueries {
         .orderBy("event_id").limit(1000)
     }),
 
-    // O5 — drop rule accounting: Ignored (configured-empty topic) vs
-    // Unknown (unrecognized type), kafka.go:311-336.
+    // O5 — drop rule accounting, kafka.go:305-340: Unknown counts
+    // unrecognized types at the switch default, and Ignored counts
+    // EVERY empty-topic drop afterwards — unknowns land in both
+    // (kafka_test.go:290 asserts Ignored==1 && ConsumeUnknown==1).
     "q03_drop" -> ((s, d) => {
       val e = Tables.events(s, d)
       e.agg(
-        count(when(col("event_type") === "error", 1)).as("ignored"),
+        count(when(!col("event_type").isin(routedTypes: _*), 1)).as("ignored"),
         count(when(!col("event_type").isin(("error" +: routedTypes): _*), 1))
           .as("unknown"))
     }),
@@ -157,12 +163,14 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
-    // O12 — global counters: consume / forwarded / ignored (stats.go:40-74).
+    // O12 — global counters: consume / forwarded / ignored
+    // (stats.go:40-74); ignored = every non-forwarded row, unknown
+    // types included (kafka.go:333-336).
     "q07_counters" -> ((s, d) => {
       Tables.events(s, d).agg(
         count(lit(1)).as("consume"),
         count(when(col("event_type").isin(routedTypes: _*), 1)).as("forwarded"),
-        count(when(col("event_type") === "error", 1)).as("ignored"))
+        count(when(!col("event_type").isin(routedTypes: _*), 1)).as("ignored"))
     }),
 
     // O13 — 1s tumbling-window counts (stats.go:98-111 rate base).
@@ -291,7 +299,7 @@ object EventQueries {
          WHERE topic IS NOT NULL
          ORDER BY event_id LIMIT 1000""",
     "q03_drop" ->
-      """SELECT count(CASE WHEN event_type = 'error' THEN 1 END) AS ignored,
+      """SELECT count(CASE WHEN event_type NOT IN ('click','view','signup','purchase') THEN 1 END) AS ignored,
                 count(CASE WHEN event_type NOT IN ('click','view','signup','purchase','error') THEN 1 END) AS unknown
          FROM events""",
     "q04_detect" ->
@@ -306,7 +314,7 @@ object EventQueries {
     "q07_counters" ->
       """SELECT count(*) AS consume,
                 count(CASE WHEN event_type IN ('click','view','signup','purchase') THEN 1 END) AS forwarded,
-                count(CASE WHEN event_type = 'error' THEN 1 END) AS ignored
+                count(CASE WHEN event_type NOT IN ('click','view','signup','purchase') THEN 1 END) AS ignored
          FROM events""",
     "q08_persec" ->
       """SELECT CAST(epoch_us(ts) // 1000000 AS BIGINT) AS w_s, count(*) AS per_sec

@@ -146,7 +146,12 @@ private class FirehoseMicroBatchStream(
       case _: ReadAllAvailable => totalRows
       case _ => rowsPerBatch
     }
-    FirehoseOffset(math.min(math.min(s + step, totalRows), availableNowCap))
+    // Saturating: with totalRows=Long.MaxValue a ReadAllAvailable step
+    // makes s+step wrap negative for any s>0, regressing the offset
+    // below start. Cap the step to the remaining span first, and never
+    // return an offset below s.
+    val capped = math.min(step, totalRows - s)
+    FirehoseOffset(math.max(s, math.min(s + capped, availableNowCap)))
   }
 
   override def reportLatestOffset(): Offset = FirehoseOffset(totalRows)
@@ -159,9 +164,14 @@ private class FirehoseMicroBatchStream(
     val e = end.asInstanceOf[FirehoseOffset].rows
     val n = math.max(1, partitions)
     val span = e - s
+    // Balanced split without span*p (which overflows for near-MaxValue
+    // spans): each partition gets span/n rows and the first span%n get
+    // one extra; p*(span/n) ≤ span, so no intermediate exceeds span.
+    val base = span / n
+    val extra = span % n
     (0 until n).flatMap { p =>
-      val from = s + span * p / n
-      val until = s + span * (p + 1) / n
+      val from = s + p * base + math.min(p.toLong, extra)
+      val until = s + (p + 1) * base + math.min((p + 1).toLong, extra)
       if (until > from) Some(FirehoseRange(from, until): InputPartition) else None
     }.toArray
   }

@@ -163,10 +163,13 @@ object NozzlePipeline {
   }
 
   /** fmtTopic (kafka.go:183-188): template wins over fixed name;
-    * neither configured (or a null template arg) → NULL → drop. */
+    * neither configured → NULL → drop. The reference always applies
+    * fmt.Sprintf — an absent proto app id formats as "" (Go nil-proto
+    * accessors return the zero value), yielding a topic like "log-"
+    * that IS forwarded; NULL is coalesced to "" to match (Spark's
+    * format_string would otherwise print a literal "null"). */
   private def fmtTopic(fixed: String, fmt: String, appId: Column): Column =
-    if (fmt.nonEmpty)
-      when(appId.isNull, nullOf(StringType)).otherwise(format_string(fmt, appId))
+    if (fmt.nonEmpty) format_string(fmt, coalesce(appId, lit("")))
     else if (fixed.nonEmpty) lit(fixed)
     else nullOf(StringType)
 
@@ -210,7 +213,10 @@ object NozzlePipeline {
         count(when(col("eventType") === 8, 1)).as("consume_error"),
         count(when(col("eventType") === 9, 1)).as("consume_container_metric"),
         count(when(col("eventType") === -1, 1)).as("consume_unknown"),
-        count(when(col("topic").isNull && col("eventType") =!= -1, 1)).as("ignored"),
+        // kafka.go:333-336: the topic=="" check runs AFTER the type
+        // switch's default, so unknown-type events count as BOTH
+        // ConsumeUnknown and Ignored (asserted by kafka_test.go:290).
+        count(when(col("topic").isNull, 1)).as("ignored"),
         count(when(col("topic").isNotNull, 1)).as("forwarded"))
       .filter(col("topic").isNotNull)
       .select(col("event_id"), col("eventType"), col("topic"),

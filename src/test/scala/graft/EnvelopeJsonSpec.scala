@@ -191,10 +191,15 @@ class EnvelopeJsonSpec extends AnyFunSuite {
   test("goFloat matches Go strconv 'g' -1 formatting") {
     val cases = Seq(
       0.99 -> "0.99", 5.0 -> "5", 0.0 -> "0", -0.0 -> "-0",
-      100000.0 -> "100000", 12.34 -> "12.34", -12.34 -> "-12.34",
+      100000.0 -> "100000", 999999.0 -> "999999", 12.34 -> "12.34",
+      -12.34 -> "-12.34",
+      // shortest-'g' pins eprec=6: e-notation from 1e6 up (Go renders
+      // 1e6 as "1e+06"), unlike encoding/json's ES6 -4..21 window.
+      1e6 -> "1e+06", 2000000.0 -> "2e+06", 1234567.0 -> "1.234567e+06",
+      123456.7 -> "123456.7",
       0.0001 -> "0.0001", 0.00001 -> "1e-05",
-      1e20 -> "100000000000000000000", 1e21 -> "1e+21", 1.5e21 -> "1.5e+21",
-      9.223372036854776e18 -> "9223372036854776000",
+      1e20 -> "1e+20", 1e21 -> "1e+21", 1.5e21 -> "1.5e+21",
+      9.223372036854776e18 -> "9.223372036854776e+18",
       1.7976931348623157e308 -> "1.7976931348623157e+308",
       4.9e-324 -> "5e-324", 0.1 -> "0.1",
       1.0 / 3.0 -> "0.3333333333333333",

@@ -99,5 +99,8 @@ class FirehoseSourceSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("token fetch failed")
       || Option(ex.getCause).exists(_.getMessage.contains("token fetch failed")))
+    // the failed query stays in the shared session's terminated list and
+    // would be rethrown by any later awaitAnyTermination in other suites
+    spark.streams.resetTerminated()
   }
 }

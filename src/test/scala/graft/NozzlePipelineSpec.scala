@@ -78,7 +78,8 @@ class NozzlePipelineSpec extends AnyFunSuite {
       spark.streams.awaitAnyTermination(1000)
       eventually(stats.consume.get() === total)
       assert(stats.forwarded.get() === total - errors - unknown)
-      assert(stats.ignored.get() === errors)
+      // unknown-type events are Ignored too (kafka_test.go:290)
+      assert(stats.ignored.get() === errors + unknown)
       assert(stats.consumeUnknown.get() === unknown)
       assert(stats.consumeLogMessage.get() ===
         batch.filter("event_type = 'click'").count())
