@@ -53,9 +53,25 @@ object Functions {
     reg.createOrReplaceTempFunction(
       "envelope_json", exprs => EnvelopeJson(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "envelope_decode",
+      exprs => graft.functions.EnvelopeDecode(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
       "sorted_intersect_count", exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "minhash_agg", exprs => MinHashAgg(exprs.head).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "kmv_kth",
+      exprs => {
+        // k must be a foldable integer literal, e.g. kmv_kth(h, 16)
+        val k = scala.util.Try(exprs(1).eval()).toOption match {
+          case Some(i: Int) => i
+          case Some(l: Long) => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"kmv_kth k must be an integer literal, got: ${exprs(1)}")
+        }
+        KmvSketch(exprs(0), k).toAggregateExpression()
+      },
+      "built-in")
     reg.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
   }

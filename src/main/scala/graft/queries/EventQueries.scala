@@ -276,6 +276,24 @@ object EventQueries {
         .select(col("event_type"), col("sv"),
           (col("sv") / col("n")).as("av"), col("n"))
         .orderBy("event_type")
+    }),
+
+    // O2+O8 round-trip — the codec contract as a hard oracle signal:
+    // encode→decode→re-encode must be byte-identical for every row,
+    // and a corrupted payload must decode to NULL (DROPMALFORMED,
+    // async.go:274-280). Runs through the SQL-registered function
+    // names, proving every custom function is SQL-reachable.
+    "q39_codec" -> ((s, d) => {
+      graft.Functions.register(s)
+      Tables.events(s, d)
+        .filter(col("event_type").isNotNull)
+        .select(logMessageJson(expr("(ts_ns div 1000) * 1000")).as("j"),
+          // unbalanced brace -> malformed JSON (props "{\"k\": n}")
+          concat(lit("{\"origin\": "), col("props")).as("bad"))
+        .selectExpr(
+          "CAST(envelope_json(envelope_decode(j)) = j AS INT) AS rt",
+          "CAST(envelope_decode(bad) IS NULL AS INT) AS mal")
+        .agg(sum("rt").as("n_roundtrip"), sum("mal").as("n_malformed_null"))
     })
   )
 
@@ -370,6 +388,9 @@ object EventQueries {
                 CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sv,
                 CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS av,
                 count(*) AS n
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q39_codec" ->
+      """SELECT count(*) AS n_roundtrip, count(*) AS n_malformed_null
+         FROM events WHERE event_type IS NOT NULL"""
   )
 }

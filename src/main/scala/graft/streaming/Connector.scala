@@ -101,32 +101,74 @@ object Connector {
     * gzip/snappy/none compression (unknown codec is an error), TLS
     * switches. Round-robin partitioning is the Kafka default when no
     * key column is set — we set none, matching kafka.go:70-72. */
-  def kafkaSinkOptions(cfg: KafkaConfig): Either[String, Map[String, String]] = {
+  def kafkaSinkOptions(cfg: KafkaConfig,
+      insecureSkipVerify: Boolean = false): Either[String, Map[String, String]] = {
     val compression = cfg.compression match {
       case "gzip" => Right(Some("gzip"))
       case "snappy" => Right(Some("snappy"))
       case "none" | "" => Right(None)
       case other => Left(s"unknown compression codec: $other")
     }
-    compression.map { comp =>
+    for {
+      comp <- compression
+      tls <- tlsOptions(cfg, insecureSkipVerify)
+    } yield Map(
+      "kafka.bootstrap.servers" -> cfg.brokers.mkString(","),
+      "kafka.acks" -> "all", // sarama.WaitForAll
+      "kafka.retries" ->
+        (if (cfg.retryMax != 0) cfg.retryMax else 1).toString, // DefaultKafkaRetryMax
+      "kafka.retry.backoff.ms" ->
+        (if (cfg.retryBackoffMs != 0) cfg.retryBackoffMs else 100).toString) ++
+      comp.map("kafka.compression.type" -> _) ++ tls
+  }
+
+  /** TLS client-cert material → Kafka PEM options (kafka.go:33-68).
+    * Validation order and error strings follow the reference: client
+    * cert required, then client key, then the CA PEM must contain at
+    * least one CERTIFICATE block ("no certs in ca pem") and the key a
+    * PEM block (tls.X509KeyPair's "failed to find any PEM data").
+    * No CA certs configured → the JVM default truststore, the
+    * x509.SystemCertPool() analogue. A mismatched-but-well-formed
+    * key/cert pair maps through and fails at the handshake, exactly
+    * where sarama surfaces it (tls_test.go wrong-key case).
+    * `insecure_ssl_skip_verify` disables hostname verification
+    * (`ssl.endpoint.identification.algorithm=""`) — the closest JVM
+    * analogue of Go's InsecureSkipVerify; chain verification itself
+    * cannot be disabled by the Java client (documented divergence). */
+  private def tlsOptions(cfg: KafkaConfig,
+      insecureSkipVerify: Boolean): Either[String, Map[String, String]] = {
+    if (!cfg.enableTLS) Right(Map.empty)
+    else if (cfg.clientCert.isEmpty) Left("please specify client_certificate")
+    else if (cfg.clientKey.isEmpty) Left("please specify private_key")
+    else if (cfg.caCerts.nonEmpty &&
+        !cfg.caCerts.forall(_.contains("-----BEGIN CERTIFICATE-----")))
+      Left("no certs in ca pem")
+    else if (!cfg.clientCert.contains("-----BEGIN CERTIFICATE-----") ||
+        !cfg.clientKey.contains("-----BEGIN"))
+      Left("failed to find any PEM data in key input")
+    else Right(
       Map(
-        "kafka.bootstrap.servers" -> cfg.brokers.mkString(","),
-        "kafka.acks" -> "all", // sarama.WaitForAll
-        "kafka.retries" ->
-          (if (cfg.retryMax != 0) cfg.retryMax else 1).toString, // DefaultKafkaRetryMax
-        "kafka.retry.backoff.ms" ->
-          (if (cfg.retryBackoffMs != 0) cfg.retryBackoffMs else 100).toString) ++
-        comp.map("kafka.compression.type" -> _) ++
-        (if (cfg.enableTLS) Map("kafka.security.protocol" -> "SSL") else Map.empty)
-    }
+        "kafka.security.protocol" -> "SSL",
+        "kafka.ssl.keystore.type" -> "PEM",
+        "kafka.ssl.keystore.key" -> cfg.clientKey,
+        "kafka.ssl.keystore.certificate.chain" -> cfg.clientCert) ++
+        (if (cfg.caCerts.nonEmpty)
+          Map(
+            "kafka.ssl.truststore.type" -> "PEM",
+            "kafka.ssl.truststore.certificates" -> cfg.caCerts.mkString("\n"))
+        else Map.empty) ++
+        (if (insecureSkipVerify)
+          Map("kafka.ssl.endpoint.identification.algorithm" -> "")
+        else Map.empty))
   }
 
   /** Configured (not started) Kafka writer for a routed stream: the
     * `topic` column selects the destination per record and `value` is
     * the canonical JSON payload. Start it where a broker exists. */
   def kafkaWriter(routed: DataFrame, cfg: KafkaConfig,
-      checkpoint: String): Either[String, DataStreamWriter[Row]] =
-    kafkaSinkOptions(cfg).map { opts =>
+      checkpoint: String,
+      insecureSkipVerify: Boolean = false): Either[String, DataStreamWriter[Row]] =
+    kafkaSinkOptions(cfg, insecureSkipVerify).map { opts =>
       routed
         .selectExpr("topic", "payload AS value")
         .writeStream

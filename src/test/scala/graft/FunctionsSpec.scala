@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL registration parity: every custom function is reachable by
+  * name from SQL (VERDICT r2 gap: kmv_kth and envelope_decode were
+  * Column-API-only).
+  */
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("all seven custom functions resolve from SQL") {
+    Functions.register(spark)
+    import spark.implicits._
+    Seq((1L, 2L, "abc")).toDF("a", "b", "s").createOrReplaceTempView("fn_t")
+
+    val row = spark.sql(
+      """SELECT uuid_str(a, b) AS u,
+                rolling_hash(s) AS rh,
+                sorted_intersect_count(array('a','b'), array('b','c')) AS sic,
+                envelope_json(named_struct(
+                  'origin', 'o', 'eventType', 8, 'timestamp', CAST(NULL AS BIGINT),
+                  'deployment', CAST(NULL AS STRING), 'job', CAST(NULL AS STRING),
+                  'index', CAST(NULL AS STRING), 'ip', CAST(NULL AS STRING),
+                  'tags', CAST(NULL AS MAP<STRING,STRING>),
+                  'httpStartStop', CAST(NULL AS STRUCT<startTimestamp: BIGINT, stopTimestamp: BIGINT,
+                    requestId: STRUCT<low: BIGINT, high: BIGINT>, peerType: INT, method: INT,
+                    uri: STRING, remoteAddress: STRING, userAgent: STRING, statusCode: INT,
+                    contentLength: BIGINT, applicationId: STRUCT<low: BIGINT, high: BIGINT>,
+                    instanceIndex: INT, instanceId: STRING, forwarded: ARRAY<STRING>>),
+                  'logMessage', CAST(NULL AS STRUCT<message: BINARY, message_type: INT,
+                    timestamp: BIGINT, app_id: STRING, source_type: STRING, source_instance: STRING>),
+                  'valueMetric', CAST(NULL AS STRUCT<name: STRING, value: DOUBLE, unit: STRING>),
+                  'counterEvent', CAST(NULL AS STRUCT<name: STRING, delta: BIGINT, total: BIGINT>),
+                  'error', named_struct('source', 's', 'code', 7, 'message', 'm'),
+                  'containerMetric', CAST(NULL AS STRUCT<applicationId: STRING, instanceIndex: INT,
+                    cpuPercentage: DOUBLE, memoryBytes: BIGINT, diskBytes: BIGINT,
+                    memoryBytesQuota: BIGINT, diskBytesQuota: BIGINT>))) AS ej
+         FROM fn_t""").head()
+    assert(row.getAs[String]("u").length === 36)
+    assert(row.getAs[Long]("rh") >= 0L)
+    assert(row.getAs[Long]("sic") === 1L)
+    assert(row.getAs[String]("ej")
+      === """{"origin":"o","eventType":8,"error":{"source":"s","code":7,"message":"m"}}""")
+
+    // decode inverts encode through SQL names
+    val rt = spark.sql(
+      "SELECT envelope_decode('" + row.getAs[String]("ej").replace("\"", "\\\"")
+        + "') AS e FROM fn_t").selectExpr("e.origin", "e.error.code").head()
+    assert(rt.getString(0) === "o")
+    assert(rt.getInt(1) === 7)
+
+    // aggregates: kmv_kth with a literal k, minhash_agg
+    val agg = spark.sql(
+      """SELECT kmv_kth(h, 3) AS k3, minhash_agg(h) AS mh
+         FROM (SELECT explode(sequence(1L, 100L)) AS h)""").head()
+    assert(agg.getAs[Long]("k3") === 3L) // 3rd smallest of 1..100
+    assert(agg.getAs[Seq[Long]]("mh").length === 12)
+  }
+
+  test("kmv_kth rejects a non-literal k") {
+    Functions.register(spark)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT kmv_kth(h, h) FROM (SELECT 1L AS h)").collect()
+    }
+    assert(ex.getMessage.contains("integer literal")
+      || Option(ex.getCause).exists(_.getMessage.contains("integer literal")))
+  }
+}
