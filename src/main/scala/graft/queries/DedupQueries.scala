@@ -93,25 +93,24 @@ object DedupQueries {
     // 12× less digest work than hashing per (seed, shingle), and the
     // union size is na+nb−inter instead of materializing array_union.
     "q18_minhash" -> ((s, d) => {
-      // localCheckpoint: the signature table feeds FOUR consumers
+      // Barrier (localCheckpoint / reliable checkpoint, see
+      // graft.ops.Barrier): the signature table feeds FOUR consumers
       // (both sides of the band self-join, both set lookups) — without
       // the barrier the whole shingle+md5+minhash pipeline re-executes
       // for each, 4× the work. Signatures come from the codegen'd
       // minhash_agg aggregate (explode + k-minima state), not the
       // interpreted transform/array_min HOF chain — cross-validated in
       // MinHashAggSpec.
-      val ss = shingleSets(s, d).select(col("doc_id"),
+      val ss = graft.ops.Barrier(shingleSets(s, d).select(col("doc_id"),
         array_sort(col("sset")).as("sset"),
-        size(col("sset")).cast(LongType).as("nset"))
-        .localCheckpoint()
+        size(col("sset")).cast(LongType).as("nset")))
       val sigs = ss.select(col("doc_id"),
         explode(expr(s"transform(sset, x -> pmod(cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint), $P))"))
           .as("hm"))
         .groupBy("doc_id")
         .agg(graft.Functions.minhash_agg(col("hm")).as("mh"))
-      val m = ss.join(sigs, "doc_id")
-        .select(col("doc_id"), col("sset"), col("nset"), col("mh"))
-        .localCheckpoint()
+      val m = graft.ops.Barrier(ss.join(sigs, "doc_id")
+        .select(col("doc_id"), col("sset"), col("nset"), col("mh")))
       val bands = m.select(col("doc_id"),
         expr(s"""explode(transform(sequence(0, 5), j ->
                    struct(j as j, element_at(mh, 2*j+1) * ${P}L + element_at(mh, 2*j+2) as sig)))""")
@@ -130,13 +129,12 @@ object DedupQueries {
         .hint("merge")
       // Same optimizer barrier as q21: keep the intersect out of the
       // join condition, evaluate it once per candidate.
-      val scored = cand
+      val scored = graft.ops.Barrier(cand
         .join(sets.select(col("doc_id").as("da"), col("sset").as("sa"), col("nset").as("na")), "da")
         .join(sets.select(col("doc_id").as("db"), col("sset").as("sb"), col("nset").as("nb")), "db")
         .select(col("da").as("doc_a"), col("db").as("doc_b"),
           graft.Functions.sorted_intersect_count(col("sa"), col("sb")).as("inter"),
-          col("na"), col("nb"))
-        .localCheckpoint()
+          col("na"), col("nb")))
       scored
         .select(col("doc_a"), col("doc_b"), col("inter"),
           (col("na") + col("nb") - col("inter")).as("uni"))
@@ -188,51 +186,108 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // Character-4-gram Jaccard near-dup, blocked by (lang, source):
-    // a bounded blocking key — pairs only form inside blocks. Threshold
-    // 0.5 (2*inter >= uni).
-    "q21_ngram" -> ((s, d) => {
-      val g = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("source"),
-          trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("t"))
-        .filter(length(col("t")) >= 4)
-        .select(col("doc_id"), col("lang"), col("source"),
-          array_distinct(
-            expr("transform(sequence(1, length(t)-3), i -> substring(t, i, 4))"))
-            .as("gs"))
-      // Per-pair intersection via the custom codegen'd merge walk:
-      // arrays are sorted ONCE per doc, then each candidate pair costs
-      // O(na+nb) byte compares with zero allocation — measured ~20×
-      // faster than array_intersect's per-pair hash sets at sf0.1.
-      // hint("merge"): Catalyst's size estimate for computed array
-      // columns derives from the tiny parquet scan and triggers a
-      // broadcast of what is actually a multi-100MB gram relation —
-      // force the sort-merge join (measured 0.7 s vs 90 s broadcast).
-      val g2 = g
-        .withColumn("gs", array_sort(col("gs")))
-        .withColumn("ng", size(col("gs")).cast(LongType))
-        .hint("merge")
-      // localCheckpoint = optimizer barrier: without it the threshold
-      // filter collapses INTO the join condition and the intersect
-      // runs (twice) per pair inside the sort-merge join's buffered
-      // row loop — measured 30× slower. The materialized intermediate
-      // is pairs × 5 longs (arrays already projected away), trivial at
-      // any scale.
-      val pairs = g2.as("a")
-        .join(g2.as("b"),
-          col("a.lang") === col("b.lang") && col("a.source") === col("b.source")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          graft.Functions.sorted_intersect_count(col("a.gs"), col("b.gs")).as("inter"),
-          col("a.ng").as("na"), col("b.ng").as("nb"))
-        .localCheckpoint()
-      pairs
-        .select(col("doc_a"), col("doc_b"), col("inter"),
-          (col("na") + col("nb") - col("inter")).as("uni"))
-        .filter(col("inter") * 2 >= col("uni"))
-        .orderBy("doc_a", "doc_b")
-    })
+    // Character-4-gram Jaccard near-dup, blocked by (lang, source)
+    // with a block-size guard: blocks above `maxBlock` docs fall back
+    // to MinHash-LSH candidate generation (q18's machinery) instead of
+    // all-pairs — see [[ngramNearDups]]. Threshold 0.5 (2*inter >=
+    // uni). At this SF every block is under the guard, so the oracle
+    // is the exact all-pairs formulation.
+    "q21_ngram" -> ((s, d) => ngramNearDups(Tables.documents(s, d)))
   )
+
+  /** doc_id, lang, source, sorted distinct char-4-gram set + size.
+    * Arrays are sorted ONCE per doc so each candidate pair costs an
+    * O(na+nb) merge walk (`sorted_intersect_count`) with zero
+    * allocation — measured ~20× faster than array_intersect's
+    * per-pair hash sets at sf0.1. */
+  private def gramSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("t"))
+      .filter(length(col("t")) >= 4)
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_sort(array_distinct(
+          expr("transform(sequence(1, length(t)-3), i -> substring(t, i, 4))")))
+          .as("gs"))
+      .withColumn("ng", size(col("gs")).cast(LongType))
+
+  /** Candidate pairs under the block-size guard. Blocks of ≤ maxBlock
+    * docs do all-pairs within the block; larger blocks — the
+    * scale-killer, since block-internal pair count is quadratic and a
+    * real corpus concentrates in an (en, web)-like block — generate
+    * candidates through MinHash-LSH band buckets over the gram sets
+    * instead, bounding the pair budget to near-duplicate collisions.
+    * Exposed for the degenerate-corpus budget test. */
+  def ngramCandidates(g2: DataFrame, maxBlock: Long): DataFrame = {
+    // block sizes: one row per (lang, source) — tiny at any corpus
+    // size, always broadcastable
+    val sizes = g2.groupBy("lang", "source").agg(count(lit(1)).as("bn"))
+    val gg = g2.join(broadcast(sizes), Seq("lang", "source"))
+    val small = gg.filter(col("bn") <= maxBlock)
+    val big = gg.filter(col("bn") > maxBlock)
+
+    val smallPairs = small.as("a")
+      .join(small.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+
+    // LSH fallback: q18's 12-minhash machinery over the 4-gram hash
+    // domain, banded 4×3 (not q18's 6×2): char-gram Jaccard runs much
+    // hotter than word-shingle Jaccard on templated text (the sf
+    // corpus medians ~0.3), and 2-row bands would admit ~40% of all
+    // pairs at J=0.3 vs ~3% for 3-row bands — the S-curve must sit
+    // above the background similarity. Recall at the 0.5 threshold:
+    // ~41% at J=0.5, 94% at J=0.8, 100% for identical docs. Pairs
+    // only form inside a (block, band, sig) bucket, so the budget is
+    // collision-bound, not block-bound.
+    val sigs = big
+      .select(col("lang"), col("source"), col("doc_id"),
+        explode(expr(s"transform(gs, x -> pmod(cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint), $P))"))
+          .as("hm"))
+      .groupBy("lang", "source", "doc_id")
+      .agg(graft.Functions.minhash_agg(col("hm")).as("mh"))
+    val bands = sigs.select(col("lang"), col("source"), col("doc_id"),
+        expr("""explode(transform(sequence(0, 3), j ->
+                  struct(j as j, xxhash64(element_at(mh, 3*j+1), element_at(mh, 3*j+2), element_at(mh, 3*j+3)) as sig)))""")
+          .as("b"))
+      .select(col("lang"), col("source"), col("doc_id"),
+        col("b.j").as("j"), col("b.sig").as("sig"))
+    val bigPairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source")
+          && col("a.j") === col("b.j") && col("a.sig") === col("b.sig")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+
+    smallPairs.union(bigPairs)
+  }
+
+  /** Char-4-gram Jaccard near-dups with the block-size guard (exact
+    * scoring on every candidate; LSH affects recall only, inside
+    * oversize blocks only). hint("merge"): Catalyst's size estimate
+    * for computed array columns derives from the tiny parquet scan
+    * and would broadcast a multi-100MB gram relation (measured 0.7 s
+    * vs 90 s). Barriers (graft.ops.Barrier): gram sets feed three
+    * consumers (sizes, candidates, scoring), and the threshold filter
+    * must not collapse into the scoring join's condition (measured
+    * 30× slower). */
+  def ngramNearDups(docs: DataFrame, maxBlock: Long = 10000L): DataFrame = {
+    val g2 = graft.ops.Barrier(gramSets(docs))
+    val cand = ngramCandidates(g2, maxBlock)
+    val sets = g2.select(col("doc_id"), col("gs"), col("ng")).hint("merge")
+    val scored = graft.ops.Barrier(cand
+      .join(sets.select(col("doc_id").as("da"), col("gs").as("ga"), col("ng").as("na")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("gs").as("gb"), col("ng").as("nb")), "db")
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        graft.Functions.sorted_intersect_count(col("ga"), col("gb")).as("inter"),
+        col("na"), col("nb")))
+    scored
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .orderBy("doc_a", "doc_b")
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q15_dedup" ->

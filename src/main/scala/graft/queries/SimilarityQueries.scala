@@ -38,33 +38,56 @@ object SimilarityQueries {
   private def cosine(a: String, b: String): Column =
     expr(s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))")
 
-  /** 4-bit random-hyperplane sketch. Hyperplane j component i is
-    * md5-derived uniform in [-0.5, 0.5): deterministic and exactly
-    * reproducible in the oracle.
+  /** Random-hyperplane sketch, `nBits` planes. Hyperplane j component
+    * i is md5-derived uniform in [-0.5, 0.5): deterministic and
+    * exactly reproducible in the oracle.
     *
     * The plane values are row-INDEPENDENT, so they are computed once
     * driver-side (same md5 formula, bit-identical doubles) and
     * inlined as array literals — the HOF formulation re-derived 256
     * md5 hashes per row. Per-element op order matches the oracle:
-    * (plane · emb) products summed left-to-right. */
-  private lazy val planes: Seq[Seq[Double]] = {
+    * (plane · emb) products summed left-to-right.
+    *
+    * THE PAIR-BUDGET INVARIANT (the 100 TB contract): a near-dup
+    * self-join on bucket equality generates ~n²/2^nBits candidate
+    * pairs under uniform hashing — a CONSTANT bucket count is
+    * quadratic at scale. nBits must grow with the corpus so that
+    * E[bucket population] = n/2^nBits stays bounded: 16-24 bits for
+    * web-scale corpora (bucket then doubles as a partition column and
+    * the join shuffle is bucket-local). The declared oracle queries
+    * pin nBits=4 ONLY because 2k test vectors at 16+ bits would leave
+    * every bucket a singleton; [[annBucket]]/[[multiprobe]] are the
+    * scale-facing surface, asserted in SimilarityQueriesSpec. */
+  private def planes(nBits: Int): Seq[Seq[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def h6(s: String): Long = {
       val hex = md.digest(s.getBytes("UTF-8"))
         .map(b => f"${b & 0xff}%02x").mkString
       java.lang.Long.parseLong(hex.substring(0, 6), 16)
     }
-    (0 until 4).map(j => (1 to 64).map(i => h6(s"$j,$i") / 16777216.0d - 0.5d))
+    (0 until nBits).map(j => (1 to 64).map(i => h6(s"$j,$i") / 16777216.0d - 0.5d))
   }
 
-  private def bucketCol: Column =
-    (0 until 4).map { j =>
+  /** The nBits-plane bucket id of an embedding column. Public: this is
+    * the production bucketing surface; pick nBits by corpus size (see
+    * the pair-budget invariant above). */
+  def annBucket(emb: Column, nBits: Int): Column =
+    planes(nBits).zipWithIndex.map { case (plane, j) =>
       val dotJ = aggregate(
-        zip_with(typedLit(planes(j)), col("embedding"),
-          (p, x) => p * x.cast("double")),
+        zip_with(typedLit(plane), emb, (p, x) => p * x.cast("double")),
         lit(0.0d), (acc, v) => acc + v)
       when(dotJ > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Query-time multiprobe set: the bucket itself plus every 1-bit
+    * neighbor — recovers most of the recall lost to more planes while
+    * scanning (nBits+1)/2^nBits of the corpus. Probe with
+    * `array_contains(multiprobe(qb, n), bucket)` or an exploded
+    * equi-join on the probe list. */
+  def multiprobe(bucket: Column, nBits: Int): Column =
+    array((bucket +: (0 until nBits).map(j => bucket.bitwiseXOR(lit(1L << j)))): _*)
+
+  private def bucketCol: Column = annBucket(col("embedding"), 4)
 
   /** DuckDB rendering of the same sketch (kept adjacent so the two
     * stay in lockstep). */
@@ -116,16 +139,15 @@ object SimilarityQueries {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), bucketCol.as("bucket"),
           expr(dot("embedding", "embedding")).as("nrm"))
-      // localCheckpoint barrier: keeps the threshold filter from
+      // Barrier (graft.ops.Barrier): keeps the threshold filter from
       // collapsing into the join condition (which would re-evaluate
       // the dot product per pair inside the join loop).
-      val scored = emb.as("a")
+      val scored = graft.ops.Barrier(emb.as("a")
         .join(emb.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           (expr(dot("a.embedding", "b.embedding"))
-            / (sqrt(col("a.nrm")) * sqrt(col("b.nrm")))).as("sim"))
-        .localCheckpoint()
+            / (sqrt(col("a.nrm")) * sqrt(col("b.nrm")))).as("sim")))
       scored.filter(col("sim") >= 0.4).orderBy("vec_a", "vec_b")
     })
   )

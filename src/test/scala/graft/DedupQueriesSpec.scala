@@ -41,4 +41,49 @@ class DedupQueriesSpec extends AnyFunSuite {
       assert(s >= 0 && s < (1L << 60))
     }
   }
+
+  test("ngram block guard: a degenerate single-block corpus does not go quadratic") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.DedupQueries
+    // collapse every doc into ONE (lang, source) block — the natural-
+    // corpus worst case the (lang, source) blocking key cannot bound
+    val degenerate = Tables.documents(spark, sf)
+      .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+
+    val g2 = degenerate
+      .select(col("doc_id"), col("lang"), col("source"),
+        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("t"))
+      .filter(length(col("t")) >= 4)
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_sort(array_distinct(
+          expr("transform(sequence(1, length(t)-3), i -> substring(t, i, 4))")))
+          .as("gs"))
+      .withColumn("ng", size(col("gs")).cast("long"))
+      .localCheckpoint()
+    val n = g2.count()
+    val allPairs = n * (n - 1) / 2
+
+    // guard tripped (block of n > 10) -> LSH candidates, budget far
+    // below quadratic
+    val candidates = DedupQueries.ngramCandidates(g2, maxBlock = 10L).count()
+    assert(candidates * 5 < allPairs,
+      s"LSH fallback must cut the candidate budget (n=$n, all-pairs=$allPairs, got $candidates)")
+
+    // precision is exact: guarded results are a subset of the exact
+    // all-pairs result, and identical-text dups (all grams shared,
+    // hence identical signatures) are always recalled
+    val guarded = DedupQueries.ngramNearDups(degenerate, maxBlock = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = DedupQueries.ngramNearDups(degenerate, maxBlock = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded.subsetOf(exact))
+    val identicalDups = degenerate.groupBy("text")
+      .agg(collect_list("doc_id").as("ids")).filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> transform(slice(ids, i+2, size(ids)), b -> struct(least(a, b) AS x, greatest(a, b) AS y))))")))
+      .select("col.x", "col.y")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(identicalDups.subsetOf(guarded),
+      s"identical-text pairs must survive the LSH fallback (${identicalDups.size} expected)")
+  }
 }
