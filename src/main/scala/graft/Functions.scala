@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.graftshim.Shims
 
-import graft.functions.{EnvelopeJson, KmvSketch, MinHashAgg, RollingHash, SortedIntersectCount, UuidStr}
+import graft.functions.{EnvelopeJson, EnvelopeProtoDecode, EnvelopeProtoEncode, KmvSketch, MinHashAgg, RollingHash, SortedIntersectCount, UuidStr}
 
 /** Custom scalar functions (native Catalyst expressions, codegen-able)
   * + their SQL registration. Column-API entry points below; SQL names
@@ -25,6 +25,17 @@ object Functions {
     * struct; malformed → NULL (DROPMALFORMED, async.go:274-280). */
   def envelope_decode(json: Column): Column =
     graft.functions.EnvelopeCodec.decode(json)
+
+  /** envelope_proto(struct): dropsonde protobuf wire encoding of an
+    * Envelope (sonde-go field numbers). */
+  def envelope_proto(env: Column): Column =
+    Shims.column(EnvelopeProtoEncode(Shims.expression(env)))
+
+  /** envelope_proto_decode(bytes): the reference's true O2 input —
+    * protobuf wire frame → Envelope struct; malformed → NULL
+    * (proto.Unmarshal skip policy, async.go:274-280). */
+  def envelope_proto_decode(bytes: Column): Column =
+    Shims.column(EnvelopeProtoDecode(Shims.expression(bytes)))
 
   /** sorted_intersect_count(a, b): merge-walk |A∩B| over sorted,
     * deduped string arrays — the near-dup Jaccard hot path. */
@@ -55,6 +66,10 @@ object Functions {
     reg.createOrReplaceTempFunction(
       "envelope_decode",
       exprs => graft.functions.EnvelopeDecode(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "envelope_proto", exprs => EnvelopeProtoEncode(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "envelope_proto_decode", exprs => EnvelopeProtoDecode(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "sorted_intersect_count", exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(

@@ -67,21 +67,23 @@ object EngineQueries {
     // KMV distinct-count sketch: the k-th minimum distinct hash per
     // group and its estimator — oracle-exact because the sketch runs
     // on the shared deterministic md5-prefix hash domain. est is one
-    // IEEE multiply+divide on both engines.
+    // IEEE multiply+divide on both engines. k=8: the sf0.001 smoke
+    // data has only 15 distinct users per type, and a group below k
+    // has no k-th minimum (dropped on both sides).
     "q38_kmv" -> ((s, d) => {
       val h = expr(
         "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)")
       Tables.events(s, d)
         .select(col("event_type"), h.as("h"))
         .groupBy("event_type")
-        .agg(graft.Functions.kmv_kth(col("h"), 16).as("h_k"),
+        .agg(graft.Functions.kmv_kth(col("h"), 8).as("h_k"),
           countDistinct(col("h")).as("exact"))
         // Groups with < k distinct hashes have no k-th minimum: kmv_kth
         // yields NULL and the row is dropped, matching the oracle's
         // `WHERE rn = 16` which omits such groups entirely.
         .filter(col("h_k").isNotNull)
         .select(col("event_type"), col("h_k"),
-          (lit(15.0d) * lit(1152921504606846976.0d)
+          (lit(7.0d) * lit(1152921504606846976.0d)
             / col("h_k").cast("double")).as("est"),
           col("exact"))
         .orderBy("event_type")
@@ -145,9 +147,9 @@ object EngineQueries {
                   count(*) OVER (PARTITION BY event_type) n
            FROM h)
          SELECT event_type, h AS h_k,
-                15.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(h AS DOUBLE) AS est,
+                7.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(h AS DOUBLE) AS est,
                 n AS exact
-         FROM r WHERE rn = 16
+         FROM r WHERE rn = 8
          ORDER BY event_type""",
     "q37_semijoin" ->
       """SELECT (SELECT count(*) FROM customer WHERE EXISTS

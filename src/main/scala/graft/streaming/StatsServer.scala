@@ -11,7 +11,11 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * [[StatsServer]] is the reference's HTTP server (server.go:31-85):
   * `GET /stats/app` returns the live [[Stats]] JSON snapshot,
   * `GET /stats/runtime` returns JVM runtime counters (the Go runtime
-  * stats analogue). Uses the JDK's built-in HTTP server — no deps.
+  * stats analogue), and `GET /debug/jvm` is the `/debug/pprof`
+  * analogue (server.go:33-38): a plain-text JVM profile — thread
+  * dump with states and stack traces, heap/GC counters — the
+  * diagnostics an operator pulls when the pipeline wedges. Uses the
+  * JDK's built-in HTTP server — no deps.
   *
   * [[StatsReporter]] is the display ticker (cli.go:241-262): every
   * interval it emits the same counter lines the reference logs,
@@ -38,6 +42,28 @@ final class StatsServer(stats: Stats, port: Int) {
         s""""heap_alloc":${rt.totalMemory() - rt.freeMemory()},""" +
         s""""heap_sys":${rt.totalMemory()},""" +
         s""""cpu_num":${rt.availableProcessors()}}""")
+  })
+  server.createContext("/debug/jvm", { (ex: HttpExchange) =>
+    val mem = java.lang.management.ManagementFactory.getMemoryMXBean
+    val gcs = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    val sb = new StringBuilder(8192)
+    sb.append("heap_used ").append(mem.getHeapMemoryUsage.getUsed).append('\n')
+    sb.append("heap_committed ").append(mem.getHeapMemoryUsage.getCommitted).append('\n')
+    gcs.forEach { gc =>
+      sb.append("gc ").append(gc.getName.replace(' ', '_'))
+        .append(" count ").append(gc.getCollectionCount)
+        .append(" time_ms ").append(gc.getCollectionTime).append('\n')
+    }
+    sb.append('\n')
+    Thread.getAllStackTraces.forEach { (t, frames) =>
+      sb.append(s"thread ${t.getName} ${t.getState}\n")
+      frames.foreach(f => sb.append("  at ").append(f).append('\n'))
+    }
+    val bytes = sb.toString.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "text/plain; charset=utf-8")
+    ex.sendResponseHeaders(200, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
   })
   server.setExecutor(null)
 

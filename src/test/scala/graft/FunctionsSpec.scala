@@ -9,7 +9,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class FunctionsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  test("all seven custom functions resolve from SQL") {
+  // (envelope_proto / envelope_proto_decode SQL names are covered in
+  // EnvelopeProtoSpec)
+  test("all custom functions resolve from SQL") {
     Functions.register(spark)
     import spark.implicits._
     Seq((1L, 2L, "abc")).toDF("a", "b", "s").createOrReplaceTempView("fn_t")

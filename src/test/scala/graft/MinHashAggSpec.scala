@@ -27,9 +27,13 @@ class MinHashAggSpec extends AnyFunSuite {
                       pmod(pmod(1103515245L * (k+1) + 12345L, 2147483647) * hm + 977L * (k+1), 2147483647))))""")
             .as("mh_ref"))
     }
+    // q32 emits scalar (doc_id, k, mh_k) rows; compare against the
+    // k-th element of the reference array
     val joined = agg.join(arrayBased, "doc_id")
     assert(joined.count() === agg.count())
-    assert(joined.filter(col("mh") =!= col("mh_ref")).count() === 0)
+    assert(joined
+      .filter(col("mh_k") =!= element_at(col("mh_ref"), (col("k") + 1).cast("int")))
+      .count() === 0)
   }
 
   test("aggregate does map-side partial aggregation") {

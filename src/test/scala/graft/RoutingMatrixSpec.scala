@@ -81,10 +81,12 @@ class RoutingMatrixSpec extends AnyFunSuite {
     assert(route(fullCfg, Seq(unknown)) === Seq(None))
   }
 
-  test("template with absent app id drops instead of rendering null") {
+  test("template with absent app id renders the Go zero value (kafka.go:183-188)") {
+    // fmtTopic always applies fmt.Sprintf: a nil proto accessor
+    // yields "", so the topic is "log-" and the event IS forwarded
     val cfg = TopicConfig(logMessageFmt = "log-%s")
     val noAppId = empty.copy(eventType = Some(5),
       logMessage = Some(LogMessage(None, Some(1), None, None, None, None)))
-    assert(route(cfg, Seq(noAppId)) === Seq(None))
+    assert(route(cfg, Seq(noAppId)) === Seq(Some("log-")))
   }
 }

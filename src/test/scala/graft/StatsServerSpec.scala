@@ -47,6 +47,19 @@ class StatsServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("GET /debug/jvm serves the pprof-analogue profile (server.go:33-38)") {
+    val server = new StatsServer(new Stats(0), 0).start()
+    try {
+      val (code, body) = get(s"http://127.0.0.1:${server.boundPort}/debug/jvm")
+      assert(code === 200)
+      assert(body.contains("heap_used "))
+      assert(body.contains("gc "))
+      // a thread dump with stack frames, including this test's thread
+      assert(body.contains("thread "))
+      assert(body.contains("  at "))
+    } finally server.stop()
+  }
+
   test("reporter emits the reference's counter lines (cli.go:243-261)") {
     val stats = new Stats(0)
     stats.consume.addAndGet(10)
