@@ -57,6 +57,18 @@ object Functions {
   def rolling_hash(s: Column): Column =
     Shims.column(RollingHash(Shims.expression(s)))
 
+  /** vec_dot(a, b): sequential-fold dot product of float/double
+    * arrays — the embedding-similarity hot path, bit-identical to the
+    * HOF formulation it replaces. */
+  def vec_dot(a: Column, b: Column): Column =
+    Shims.column(graft.functions.VecDot(Shims.expression(a), Shims.expression(b)))
+
+  /** gram4_codes(t): sorted distinct char-4-gram set of a normalized
+    * ASCII string, packed one gram per Int — the n-gram dedup hot
+    * path. */
+  def gram4_codes(t: Column): Column =
+    Shims.column(graft.functions.Gram4Codes(Shims.expression(t)))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
@@ -89,5 +101,9 @@ object Functions {
       "built-in")
     reg.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "vec_dot", exprs => graft.functions.VecDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "gram4_codes", exprs => graft.functions.Gram4Codes(exprs.head), "built-in")
   }
 }

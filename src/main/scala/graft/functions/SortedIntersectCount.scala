@@ -4,10 +4,10 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 
-/** `sorted_intersect_count(a, b)` — |A ∩ B| for two SORTED string
-  * arrays via a single merge walk: O(|a|+|b|) byte comparisons, zero
+/** `sorted_intersect_count(a, b)` — |A ∩ B| for two SORTED string or
+  * int arrays via a single merge walk: O(|a|+|b|) comparisons, zero
   * allocation, fully codegen-able.
   *
   * Built for the near-dup Jaccard operators: Spark's `array_intersect`
@@ -28,21 +28,31 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
       TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"sorted_intersect_count requires (ARRAY<STRING>, ARRAY<STRING>), got " +
-        s"(${l.simpleString}, ${r.simpleString})")
+      s"sorted_intersect_count requires matching (ARRAY<STRING>, ARRAY<STRING>) " +
+        s"or (ARRAY<INT>, ARRAY<INT>), got (${l.simpleString}, ${r.simpleString})")
   }
+
+  private def intElems: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == IntegerType
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "sorted_intersect_count"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    SortedIntersectCount.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (intElems)
+      SortedIntersectCount.countInt(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      SortedIntersectCount.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val method = if (intElems) "countInt" else "count"
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.SortedIntersectCount.count($a, $b)")
+      s"graft.functions.SortedIntersectCount.$method($a, $b)")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectCount =
@@ -50,6 +60,24 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 }
 
 object SortedIntersectCount {
+  /** Primitive-int variant for packed gram codes ([[Gram4Codes]]):
+    * the pair loop is two int loads and a compare per step. */
+  def countInt(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getInt(i)
+      val y = b.getInt(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   def count(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements()
     val nb = b.numElements()

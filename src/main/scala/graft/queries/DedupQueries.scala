@@ -196,54 +196,52 @@ object DedupQueries {
   )
 
   /** doc_id, lang, source, sorted distinct char-4-gram set + size.
-    * Arrays are sorted ONCE per doc so each candidate pair costs an
-    * O(na+nb) merge walk (`sorted_intersect_count`) with zero
-    * allocation — measured ~20× faster than array_intersect's
-    * per-pair hash sets at sf0.1. */
+    * Grams are packed one-per-Int by the native `gram4_codes`
+    * expression (bijective for the normalized ASCII alphabet, so all
+    * counts match the string-gram oracle): one byte pass + primitive
+    * sort per doc instead of a per-gram UTF8String allocation +
+    * object TimSort, and each candidate pair costs an O(na+nb)
+    * merge walk over ints (`sorted_intersect_count`) with zero
+    * allocation — the string HOF formulation measured ~5 s of
+    * gram-building alone at sf0.1, ~20× slower than this end to
+    * end. */
   private def gramSets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"), col("source"),
         trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("t"))
       .filter(length(col("t")) >= 4)
       .select(col("doc_id"), col("lang"), col("source"),
-        array_sort(array_distinct(
-          expr("transform(sequence(1, length(t)-3), i -> substring(t, i, 4))")))
-          .as("gs"))
+        graft.Functions.gram4_codes(col("t")).as("gs"))
       .withColumn("ng", size(col("gs")).cast(LongType))
 
-  /** Candidate pairs under the block-size guard. Blocks of ≤ maxBlock
-    * docs do all-pairs within the block; larger blocks — the
-    * scale-killer, since block-internal pair count is quadratic and a
-    * real corpus concentrates in an (en, web)-like block — generate
-    * candidates through MinHash-LSH band buckets over the gram sets
-    * instead, bounding the pair budget to near-duplicate collisions.
-    * Exposed for the degenerate-corpus budget test. */
-  def ngramCandidates(g2: DataFrame, maxBlock: Long): DataFrame = {
-    // block sizes: one row per (lang, source) — tiny at any corpus
-    // size, always broadcastable
+  /** Split gram sets by block size: one row per (lang, source) is
+    * tiny at any corpus size, so the size table broadcasts. */
+  private def splitByBlockSize(g2: DataFrame, maxBlock: Long): (DataFrame, DataFrame) = {
     val sizes = g2.groupBy("lang", "source").agg(count(lit(1)).as("bn"))
     val gg = g2.join(broadcast(sizes), Seq("lang", "source"))
-    val small = gg.filter(col("bn") <= maxBlock)
-    val big = gg.filter(col("bn") > maxBlock)
+    (gg.filter(col("bn") <= maxBlock), gg.filter(col("bn") > maxBlock))
+  }
 
-    val smallPairs = small.as("a")
-      .join(small.as("b"),
-        col("a.lang") === col("b.lang") && col("a.source") === col("b.source")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-
-    // LSH fallback: q18's 12-minhash machinery over the 4-gram hash
-    // domain, banded 4×3 (not q18's 6×2): char-gram Jaccard runs much
-    // hotter than word-shingle Jaccard on templated text (the sf
-    // corpus medians ~0.3), and 2-row bands would admit ~40% of all
-    // pairs at J=0.3 vs ~3% for 3-row bands — the S-curve must sit
-    // above the background similarity. Recall at the 0.5 threshold:
-    // ~41% at J=0.5, 94% at J=0.8, 100% for identical docs. Pairs
-    // only form inside a (block, band, sig) bucket, so the budget is
-    // collision-bound, not block-bound.
+  /** LSH candidate pairs for the oversize blocks — the scale-killer
+    * case, since block-internal pair count is quadratic and a real
+    * corpus concentrates in an (en, web)-like block. q18's 12-minhash
+    * machinery over the 4-gram hash domain, banded 4×3 (not q18's
+    * 6×2): char-gram Jaccard runs much hotter than word-shingle
+    * Jaccard on templated text (the sf corpus medians ~0.3), and
+    * 2-row bands would admit ~40% of all pairs at J=0.3 vs ~3% for
+    * 3-row bands — the S-curve must sit above the background
+    * similarity. Recall at the 0.5 threshold: ~41% at J=0.5, 94% at
+    * J=0.8, 100% for identical docs. Pairs only form inside a
+    * (block, band, sig) bucket: collision-bound, not block-bound.
+    * Exposed (with [[ngramCandidates]]) for the degenerate-corpus
+    * budget test. */
+  private def lshPairs(big: DataFrame): DataFrame = {
+    // gram codes are ints: xxhash64 spreads them over the minhash
+    // domain (no oracle on this path — properties are spec-asserted)
     val sigs = big
       .select(col("lang"), col("source"), col("doc_id"),
-        explode(expr(s"transform(gs, x -> pmod(cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint), $P))"))
-          .as("hm"))
+        explode(col("gs")).as("g"))
+      .select(col("lang"), col("source"), col("doc_id"),
+        expr(s"pmod(xxhash64(g), $P)").as("hm"))
       .groupBy("lang", "source", "doc_id")
       .agg(graft.Functions.minhash_agg(col("hm")).as("mh"))
     val bands = sigs.select(col("lang"), col("source"), col("doc_id"),
@@ -252,36 +250,57 @@ object DedupQueries {
           .as("b"))
       .select(col("lang"), col("source"), col("doc_id"),
         col("b.j").as("j"), col("b.sig").as("sig"))
-    val bigPairs = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source")
           && col("a.j") === col("b.j") && col("a.sig") === col("b.sig")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
+  }
 
-    smallPairs.union(bigPairs)
+  /** Candidate pairs under the block-size guard: all-pairs inside
+    * blocks of ≤ maxBlock docs, LSH collisions above. */
+  def ngramCandidates(g2: DataFrame, maxBlock: Long): DataFrame = {
+    val (small, big) = splitByBlockSize(g2, maxBlock)
+    val smallPairs = small.as("a")
+      .join(small.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    smallPairs.union(lshPairs(big))
   }
 
   /** Char-4-gram Jaccard near-dups with the block-size guard (exact
     * scoring on every candidate; LSH affects recall only, inside
-    * oversize blocks only). hint("merge"): Catalyst's size estimate
-    * for computed array columns derives from the tiny parquet scan
-    * and would broadcast a multi-100MB gram relation (measured 0.7 s
-    * vs 90 s). Barriers (graft.ops.Barrier): gram sets feed three
-    * consumers (sizes, candidates, scoring), and the threshold filter
-    * must not collapse into the scoring join's condition (measured
-    * 30× slower). */
+    * oversize blocks only). Under-guard blocks score INLINE in the
+    * block self-join — one join, carrying both gram arrays once — the
+    * measured-fast r2 shape; only LSH candidates pay the two
+    * re-join-the-sets lookups. hint("merge"): Catalyst's size
+    * estimate for computed array columns derives from the tiny
+    * parquet scan and would broadcast a multi-100MB gram relation
+    * (measured 0.7 s vs 90 s). Barriers (graft.ops.Barrier): gram
+    * sets feed multiple consumers, and the threshold filter must not
+    * collapse into the scoring join's condition (measured 30×
+    * slower). */
   def ngramNearDups(docs: DataFrame, maxBlock: Long = 10000L): DataFrame = {
-    val g2 = graft.ops.Barrier(gramSets(docs))
-    val cand = ngramCandidates(g2, maxBlock)
+    val g2 = graft.ops.Barrier(gramSets(docs)).hint("merge")
+    val (small, big) = splitByBlockSize(g2, maxBlock)
+    val smallScored = small.as("a")
+      .join(small.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        graft.Functions.sorted_intersect_count(col("a.gs"), col("b.gs")).as("inter"),
+        col("a.ng").as("na"), col("b.ng").as("nb"))
     val sets = g2.select(col("doc_id"), col("gs"), col("ng")).hint("merge")
-    val scored = graft.ops.Barrier(cand
+    val bigScored = lshPairs(big)
       .join(sets.select(col("doc_id").as("da"), col("gs").as("ga"), col("ng").as("na")), "da")
       .join(sets.select(col("doc_id").as("db"), col("gs").as("gb"), col("ng").as("nb")), "db")
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         graft.Functions.sorted_intersect_count(col("ga"), col("gb")).as("inter"),
-        col("na"), col("nb")))
+        col("na"), col("nb"))
+    val scored = graft.ops.Barrier(smallScored.union(bigScored))
     scored
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("na") + col("nb") - col("inter")).as("uni"))

@@ -28,15 +28,16 @@ import graft.Tables
   */
 object SimilarityQueries {
 
-  /** Sequential-fold dot product of two double-cast float arrays. */
-  private def dot(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
-        cast(0 as double), (acc, v) -> acc + v)"""
+  /** Sequential-fold dot product — the native codegen'd expression
+    * (bit-identical to the zip_with/aggregate HOF chain, which
+    * Catalyst interprets one lambda call per element: ~6× slower on
+    * the per-pair hot path). */
+  private def dot(a: Column, b: Column): Column = graft.Functions.vec_dot(a, b)
 
   /** cosine(a,b) = dot/(sqrt(na)*sqrt(nb)) with the exact same op
     * sequence as the oracle SQL. */
   private def cosine(a: String, b: String): Column =
-    expr(s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))")
+    dot(col(a), col(b)) / (sqrt(dot(col(a), col(a))) * sqrt(dot(col(b), col(b))))
 
   /** Random-hyperplane sketch, `nBits` planes. Hyperplane j component
     * i is md5-derived uniform in [-0.5, 0.5): deterministic and
@@ -73,10 +74,8 @@ object SimilarityQueries {
     * the pair-budget invariant above). */
   def annBucket(emb: Column, nBits: Int): Column =
     planes(nBits).zipWithIndex.map { case (plane, j) =>
-      val dotJ = aggregate(
-        zip_with(typedLit(plane), emb, (p, x) => p * x.cast("double")),
-        lit(0.0d), (acc, v) => acc + v)
-      when(dotJ > 0, lit(1L << j)).otherwise(lit(0L))
+      when(graft.Functions.vec_dot(typedLit(plane), emb) > 0, lit(1L << j))
+        .otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Query-time multiprobe set: the bucket itself plus every 1-bit
@@ -138,7 +137,7 @@ object SimilarityQueries {
     "q23_embdup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), bucketCol.as("bucket"),
-          expr(dot("embedding", "embedding")).as("nrm"))
+          dot(col("embedding"), col("embedding")).as("nrm"))
       // Barrier (graft.ops.Barrier): keeps the threshold filter from
       // collapsing into the join condition (which would re-evaluate
       // the dot product per pair inside the join loop).
@@ -146,7 +145,7 @@ object SimilarityQueries {
         .join(emb.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          (expr(dot("a.embedding", "b.embedding"))
+          (dot(col("a.embedding"), col("b.embedding"))
             / (sqrt(col("a.nrm")) * sqrt(col("b.nrm")))).as("sim")))
       scored.filter(col("sim") >= 0.4).orderBy("vec_a", "vec_b")
     })

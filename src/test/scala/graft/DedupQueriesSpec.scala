@@ -55,9 +55,7 @@ class DedupQueriesSpec extends AnyFunSuite {
         trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("t"))
       .filter(length(col("t")) >= 4)
       .select(col("doc_id"), col("lang"), col("source"),
-        array_sort(array_distinct(
-          expr("transform(sequence(1, length(t)-3), i -> substring(t, i, 4))")))
-          .as("gs"))
+        Functions.gram4_codes(col("t")).as("gs"))
       .withColumn("ng", size(col("gs")).cast("long"))
       .localCheckpoint()
     val n = g2.count()
