@@ -130,6 +130,39 @@ object SimilarityQueries {
         .limit(10)
     }),
 
+    // IVF-style ANN — the codebook alternative to q22's hyperplane
+    // LSH: a deterministic coarse quantizer (the vectors with ids
+    // 1..8 as centroids — a sampled codebook, broadcast like any IVF
+    // coarse index), every vector assigned to its nearest centroid's
+    // inverted list (argmax dot, ties to the smallest centroid id),
+    // and the query probing only its nprobe=2 nearest lists. At scale
+    // K grows ~√n and the list id becomes a partition column, so a
+    // probe touches nprobe/K of the corpus; assignment is a K-way
+    // broadcast join + an 8-row-per-vector window — no shuffle of the
+    // corpus beyond the window's own partition-local sort.
+    "q40_ivf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val assigned = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          dot(col("embedding"), col("cv")).as("cd"))
+      val w = Window.partitionBy("vec_id").orderBy(col("cd").desc, col("cid").asc)
+      val ranked = assigned.withColumn("rn", row_number().over(w))
+      val lists = ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("embedding"))
+      val probes = ranked.filter(col("vec_id") === 0 && col("rn") <= 2)
+        .select(col("cid"))
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      lists.join(broadcast(probes), "cid")
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), cosine("embedding", "qv").as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // Embedding-cosine near-dup pairs via bucket-equality self-join.
     // Norms are computed once per VECTOR before the join (n rows), not
     // once per PAIR (≈ n²/buckets rows); the per-pair work is a single
@@ -164,6 +197,23 @@ object SimilarityQueries {
           SELECT e.vec_id, ${dCos("e.embedding", "q.qv")} AS sim
           FROM b e, q WHERE e.vec_id <> 0 AND e.bucket = q.qbucket
           ORDER BY sim DESC, e.vec_id LIMIT 10""",
+    "q40_ivf" ->
+      s"""WITH c AS (
+            SELECT vec_id cid, embedding cv FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+          a AS (
+            SELECT e.vec_id, e.embedding, c.cid, ${dDot("e.embedding", "c.cv")} cd
+            FROM embeddings e CROSS JOIN c),
+          r AS (
+            SELECT vec_id, embedding, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cid ASC) rn
+            FROM a),
+          lists AS (SELECT vec_id, cid, embedding FROM r WHERE rn = 1),
+          probes AS (SELECT cid FROM r WHERE vec_id = 0 AND rn <= 2),
+          q AS (SELECT embedding qv FROM embeddings WHERE vec_id = 0)
+          SELECT b.vec_id, ${dCos("b.embedding", "q.qv")} AS sim
+          FROM lists b JOIN probes p ON b.cid = p.cid, q
+          WHERE b.vec_id <> 0
+          ORDER BY sim DESC, b.vec_id LIMIT 10""",
     "q23_embdup" ->
       s"""WITH b AS (
             SELECT vec_id, embedding, $bucketSqlDuck bucket FROM embeddings)

@@ -29,8 +29,9 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("no query plans a cartesian product or unpushed cross join") {
-    // the 1-row broadcast crossJoin in q16/q22 is the intended shape
-    val allowedBnlj = Set("q16_topk", "q22_ann")
+    // the tiny broadcast crossJoins (1-row query vector in q16/q22,
+    // 8-row codebook + 1-row query in q40) are the intended shapes
+    val allowedBnlj = Set("q16_topk", "q22_ann", "q40_ivf")
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
@@ -61,5 +62,27 @@ class PlanAuditSpec extends AnyFunSuite {
     Seq("q01_scan", "q02_route", "q05_template", "q16_topk").foreach { q =>
       assert(plan(q).contains("TakeOrderedAndProject"), s"$q does a full sort")
     }
+  }
+
+  test("q36 set-ops fuse to one jobless-scan aggregation (no joins, no actions)") {
+    val p = plan("q36_setops")
+    assert(!p.contains("Join"), s"q36 should be join-free:\n$p")
+    assert(p.contains("partial_"), "q36 lost partial aggregation")
+  }
+
+  test("q37 semi/anti counts ride ONE join") {
+    val p = plan("q37_semijoin")
+    assert("(?i)join".r.findAllIn(p).size >= 1)
+    // exactly one physical join node (one pass over both tables)
+    val joins = p.linesIterator.count(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin"))
+    assert(joins === 1, s"q37 should have exactly one join, got $joins:\n$p")
+  }
+
+  test("q40 IVF probes ride broadcasts; the corpus is never shuffled") {
+    val p = plan("q40_ivf")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"q40 probe/codebook not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"q40 does a full sort:\n$p")
   }
 }
