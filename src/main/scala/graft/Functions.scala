@@ -69,6 +69,12 @@ object Functions {
   def gram4_codes(t: Column): Column =
     Shims.column(graft.functions.Gram4Codes(Shims.expression(t)))
 
+  /** word_shingles3(t): sorted distinct 3-word shingles of a
+    * normalized single-spaced string, sliced zero-copy from the
+    * input — the MinHash/SimHash shingling hot path. */
+  def word_shingles3(t: Column): Column =
+    Shims.column(graft.functions.WordShingles3(Shims.expression(t)))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
@@ -105,5 +111,7 @@ object Functions {
       "vec_dot", exprs => graft.functions.VecDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "gram4_codes", exprs => graft.functions.Gram4Codes(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "word_shingles3", exprs => graft.functions.WordShingles3(exprs.head), "built-in")
   }
 }

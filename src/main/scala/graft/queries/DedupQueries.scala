@@ -33,19 +33,19 @@ import graft.Tables
   */
 object DedupQueries {
 
-  /** Normalized word array. */
-  private def wordsCol: Column =
-    split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
-
-  /** doc_id + distinct 3-word shingle set (docs with ≥3 words). */
+  /** doc_id + SORTED distinct 3-word shingle set (docs with ≥3
+    * words). Native `word_shingles3`: shingles are contiguous
+    * substrings of the single-spaced normalized text, sliced
+    * zero-copy — same strings (hence same md5 minhash domain) as the
+    * transform/array_join HOF chain the oracle mirrors, measured
+    * ~2.8 s of the q18 wall at sf0.1 as HOFs. ≥3 words ⟺ ≥1
+    * shingle, so the row set matches the oracle's `len(words) >= 3`. */
   private def shingleSets(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), wordsCol.as("words"))
-      .filter(size(col("words")) >= 3)
       .select(col("doc_id"),
-        array_distinct(
-          expr("transform(sequence(1, size(words)-2), i -> array_join(slice(words, i, 3), ' '))"))
-          .as("sset"))
+        graft.Functions.word_shingles3(
+          trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("sset"))
+      .filter(size(col("sset")) >= 1)
 
   /** 60-bit md5-derived hash per shingle (15 hex chars → fits BIGINT,
     * reproducible as CAST('0x'||substr(md5(s),1,15) AS BIGINT) in the
@@ -101,8 +101,9 @@ object DedupQueries {
       // minhash_agg aggregate (explode + k-minima state), not the
       // interpreted transform/array_min HOF chain — cross-validated in
       // MinHashAggSpec.
+      // sset arrives sorted from word_shingles3 — no re-sort needed
       val ss = graft.ops.Barrier(shingleSets(s, d).select(col("doc_id"),
-        array_sort(col("sset")).as("sset"),
+        col("sset"),
         size(col("sset")).cast(LongType).as("nset")))
       val sigs = ss.select(col("doc_id"),
         explode(expr(s"transform(sset, x -> pmod(cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint), $P))"))
