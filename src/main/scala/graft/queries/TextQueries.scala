@@ -118,6 +118,25 @@ object TextQueries {
         graft.Functions.rolling_hash(col("t")).as("fp"),
         graft.Functions.rolling_hash(substring(col("t"), 1, 64)).as("fp_prefix"))
         .orderBy("doc_id")
+    }),
+
+    // Deterministic stratified sampling — the data-mixing op of a
+    // training pipeline: downsample the dominant language (en keeps
+    // 10%, the rest 50%) with a content-independent hash gate, so the
+    // same doc_id is kept or dropped identically on every run, every
+    // engine, every shard. Map-only (the gate is a per-row filter; no
+    // shuffle except the presentation ORDER BY); at 100 TB the rates
+    // come from a broadcast mixing table keyed by (lang, source,
+    // quality bucket) instead of a CASE.
+    "q41_sample" -> ((s, d) => {
+      val gate = expr(
+        "pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint), 100)")
+      Tables.documents(s, d)
+        .withColumn("hb", gate)
+        .withColumn("rate", when(col("lang") === "en", lit(10)).otherwise(lit(50)))
+        .filter(col("hb") < col("rate"))
+        .select(col("doc_id"), col("lang"), col("hb").cast(LongType).as("hb"))
+        .orderBy("doc_id")
     })
   )
 
@@ -173,6 +192,13 @@ object TextQueries {
                  list_reduce(list_prepend(CAST(0 AS BIGINT),
                    list_transform(range(1, least(length(t), 64)+1), i -> CAST(ascii(t[i:i]) AS BIGINT))),
                    (acc, c) -> (acc * 31 + c) % 2147483647) AS fp_prefix
-          FROM n ORDER BY doc_id"""
+          FROM n ORDER BY doc_id""",
+    "q41_sample" ->
+      """SELECT doc_id, lang,
+                CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS hb
+         FROM documents
+         WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+               < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+         ORDER BY doc_id"""
   )
 }

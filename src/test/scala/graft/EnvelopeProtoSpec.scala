@@ -110,6 +110,47 @@ class EnvelopeProtoSpec extends AnyFunSuite {
     assert(viaProto === direct)
   }
 
+  test("proto frames drive the streaming pipeline end-to-end (O2 true format)") {
+    import graft.streaming.NozzlePipeline
+    import graft.streaming.NozzlePipeline.TopicConfig
+    val spark2 = spark
+    import spark2.implicits._
+    val cfg = TopicConfig(logMessageFmt = "log-%s", valueMetric = "metric",
+      counterEvent = "counter", containerMetric = "cm", httpStartStop = "http",
+      error = "")
+
+    val envs = Seq.fill(60)(gen.envelope())
+    val frames = encodeDF(envs).collect().map(_.getAs[Array[Byte]]("p"))
+
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Array[Byte]](spark, 1)
+    val routed = ms.toDF()
+      .select(Functions.envelope_proto_decode(col("value")).as("envelope"))
+      .filter(col("envelope").isNotNull) // DROPMALFORMED
+      .select(
+        NozzlePipeline.routeExpr(cfg, col("envelope")).as("topic"),
+        Functions.envelope_json(col("envelope")).as("payload"))
+      .filter(col("topic").isNotNull)
+    val q = routed.writeStream.format("memory").queryName("proto_e2e")
+      .outputMode("append").start()
+    try {
+      ms.addData(frames.toSeq :+ Array[Byte](0x0f.toByte)) // one malformed frame
+      q.processAllAvailable()
+      val got = spark.table("proto_e2e").collect()
+      // expected: every envelope whose type routes under cfg
+      val expectedRoutable = envs.count(e => e.eventType.exists(Set(4, 5, 6, 7, 9)))
+      assert(got.length === expectedRoutable)
+      // payloads are the canonical JSON of the original envelopes
+      val df = envs.toDS().toDF()
+      val direct = df
+        .select(Functions.envelope_json(struct(df.columns.map(col): _*)).as("j"),
+          NozzlePipeline.routeExpr(cfg, struct(df.columns.map(col): _*)).as("topic"))
+        .filter(col("topic").isNotNull)
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(got.map(_.getAs[String]("payload")).sorted.toSeq === direct)
+    } finally q.stop()
+  }
+
   test("SQL names resolve: envelope_proto / envelope_proto_decode") {
     Functions.register(spark)
     val n = encodeDF(Seq.fill(10)(gen.envelope()))
