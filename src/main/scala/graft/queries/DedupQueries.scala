@@ -47,11 +47,9 @@ object DedupQueries {
           trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("sset"))
       .filter(size(col("sset")) >= 1)
 
-  /** 60-bit md5-derived hash per shingle (15 hex chars → fits BIGINT,
-    * reproducible as CAST('0x'||substr(md5(s),1,15) AS BIGINT) in the
-    * oracle). */
-  private val shingleHash60 =
-    "transform(sset, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"
+  // 60-bit md5-derived shingle hashes (15 hex chars → fits BIGINT,
+  // reproducible as CAST('0x'||substr(md5(s),1,15) AS BIGINT) in the
+  // oracle) are applied AFTER explode so the chain stays in codegen.
 
   private val P = 2147483647L // Mersenne prime 2^31-1 for hash mixing
 
@@ -62,8 +60,13 @@ object DedupQueries {
     * shingles) is interpreted per element and measured 50× slower at
     * sf0.1; this shape is a single map-side-combinable aggregation. */
   private def simhashDF(s: SparkSession, d: String): DataFrame = {
-    val hs = shingleSets(s, d).select(col("doc_id"),
-      explode(expr(shingleHash60)).as("h"))
+    // explode FIRST, hash per row after: a lambda body inside
+    // transform() is interpreted per element, while the same md5/conv
+    // chain over an exploded column stays in whole-stage codegen
+    val hs = shingleSets(s, d)
+      .select(col("doc_id"), explode(col("sset")).as("sh"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint)").as("h"))
     val ones = (0 until 60).map(j =>
       sum(expr(s"shiftright(h, $j) & 1")).as(s"o$j"))
     hs.groupBy("doc_id")
@@ -105,9 +108,11 @@ object DedupQueries {
       val ss = graft.ops.Barrier(shingleSets(s, d).select(col("doc_id"),
         col("sset"),
         size(col("sset")).cast(LongType).as("nset")))
-      val sigs = ss.select(col("doc_id"),
-        explode(expr(s"transform(sset, x -> pmod(cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint), $P))"))
-          .as("hm"))
+      // explode-then-hash keeps the md5 chain in codegen (an
+      // interpreted transform-lambda runs it per element)
+      val sigs = ss.select(col("doc_id"), explode(col("sset")).as("sh"))
+        .select(col("doc_id"),
+          expr(s"pmod(cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint), $P)").as("hm"))
         .groupBy("doc_id")
         .agg(graft.Functions.minhash_agg(col("hm")).as("mh"))
       val m = graft.ops.Barrier(ss.join(sigs, "doc_id")
@@ -152,9 +157,9 @@ object DedupQueries {
     // un-comparable there); q18 keeps consuming the array form.
     "q32_minhash_sig" -> ((s, d) => {
       shingleSets(s, d)
+        .select(col("doc_id"), explode(col("sset")).as("sh"))
         .select(col("doc_id"),
-          explode(expr(s"transform(sset, x -> pmod(cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint), $P))"))
-            .as("hm"))
+          expr(s"pmod(cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint), $P)").as("hm"))
         .groupBy("doc_id")
         .agg(graft.Functions.minhash_agg(col("hm")).as("mh"))
         .select(col("doc_id"), posexplode(col("mh")))
