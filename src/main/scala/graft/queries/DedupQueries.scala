@@ -175,9 +175,11 @@ object DedupQueries {
     }),
 
     // SimHash near-dup pairs: 4 bands of 15 bits → bucket join →
-    // hamming ≤ 3 (bit_count of xor) on candidates only.
+    // hamming ≤ 3 (bit_count of xor) on candidates only. Barrier: the
+    // signature table feeds both sides of the band self-join — without
+    // it the whole shingle+hash+60-column aggregation runs twice.
     "q20_simdup" -> ((s, d) => {
-      val sim = simhashDF(s, d)
+      val sim = graft.ops.Barrier(simhashDF(s, d))
       val bands = sim.select(col("doc_id"), col("simhash"),
         expr("explode(transform(sequence(0, 3), b -> struct(b as b, shiftright(simhash, 15*b) & 32767 as sig)))").as("x"))
         .select(col("doc_id"), col("simhash"), col("x.b").as("b"), col("x.sig").as("sig"))
