@@ -47,6 +47,12 @@ object Functions {
   def minhash_agg(h: Column): Column =
     Shims.column(MinHashAgg(Shims.expression(h)).toAggregateExpression())
 
+  /** minhash_array(shingles): the same 12-long signature as a scalar
+    * expression over a materialized per-doc shingle array — no
+    * explode/shuffle/join-back. */
+  def minhash_array(shingles: Column): Column =
+    Shims.column(graft.functions.MinHashArray(Shims.expression(shingles)))
+
   /** kmv_kth(h, k): k-th minimum distinct hash — the KMV
     * distinct-count sketch statistic (estimator (k-1)*M/h_k). */
   def kmv_kth(h: Column, k: Int): Column =
@@ -113,5 +119,7 @@ object Functions {
       "gram4_codes", exprs => graft.functions.Gram4Codes(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "word_shingles3", exprs => graft.functions.WordShingles3(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_array", exprs => graft.functions.MinHashArray(exprs.head), "built-in")
   }
 }

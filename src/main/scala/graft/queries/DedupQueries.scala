@@ -100,23 +100,16 @@ object DedupQueries {
       // graft.ops.Barrier): the signature table feeds FOUR consumers
       // (both sides of the band self-join, both set lookups) — without
       // the barrier the whole shingle+md5+minhash pipeline re-executes
-      // for each, 4× the work. Signatures come from the codegen'd
-      // minhash_agg aggregate (explode + k-minima state), not the
-      // interpreted transform/array_min HOF chain — cross-validated in
-      // MinHashAggSpec.
-      // sset arrives sorted from word_shingles3 — no re-sort needed
-      val ss = graft.ops.Barrier(shingleSets(s, d).select(col("doc_id"),
+      // for each, 4× the work. Signatures come from the scalar
+      // minhash_array expression over the already-materialized shingle
+      // array (one md5 + 12 mixes per shingle, mins in registers) —
+      // no explode/shuffle/group-by/join-back; cross-validated against
+      // the streaming minhash_agg aggregate in MinHashAggSpec.
+      // sset arrives sorted from word_shingles3 — no re-sort needed.
+      val m = graft.ops.Barrier(shingleSets(s, d).select(col("doc_id"),
         col("sset"),
-        size(col("sset")).cast(LongType).as("nset")))
-      // explode-then-hash keeps the md5 chain in codegen (an
-      // interpreted transform-lambda runs it per element)
-      val sigs = ss.select(col("doc_id"), explode(col("sset")).as("sh"))
-        .select(col("doc_id"),
-          expr(s"pmod(cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint), $P)").as("hm"))
-        .groupBy("doc_id")
-        .agg(graft.Functions.minhash_agg(col("hm")).as("mh"))
-      val m = graft.ops.Barrier(ss.join(sigs, "doc_id")
-        .select(col("doc_id"), col("sset"), col("nset"), col("mh")))
+        size(col("sset")).cast(LongType).as("nset"),
+        graft.Functions.minhash_array(col("sset")).as("mh")))
       val bands = m.select(col("doc_id"),
         expr(s"""explode(transform(sequence(0, 5), j ->
                    struct(j as j, element_at(mh, 2*j+1) * ${P}L + element_at(mh, 2*j+2) as sig)))""")

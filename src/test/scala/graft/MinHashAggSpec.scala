@@ -42,6 +42,31 @@ class MinHashAggSpec extends AnyFunSuite {
     assert(plan.contains("partial_minhash_agg"), s"no partial agg:\n$plan")
   }
 
+  test("scalar minhash_array equals the streaming aggregate (q32)") {
+    val agg = SparkEntry.queries("q32_minhash_sig")(spark, sf)
+    val scalar = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        Functions.word_shingles3(
+          trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("sset"))
+      .filter(size(col("sset")) >= 1)
+      .select(col("doc_id"),
+        posexplode(Functions.minhash_array(col("sset"))))
+      .select(col("doc_id"), col("pos").cast("long").as("k"), col("col").as("mh_k2"))
+    val joined = agg.join(scalar, Seq("doc_id", "k"))
+    assert(joined.count() === agg.count())
+    assert(joined.filter(col("mh_k") =!= col("mh_k2")).count() === 0)
+  }
+
+  test("minhash_array: empty array -> null; SQL name resolves") {
+    Functions.register(spark)
+    val r = spark.sql(
+      "SELECT minhash_array(array('a b c', 'b c d')) AS mh, " +
+        "minhash_array(CAST(array() AS ARRAY<STRING>)) AS e")
+      .head()
+    assert(r.getSeq[Long](0).length === 12)
+    assert(r.isNullAt(1))
+  }
+
   test("SQL registration and empty-group null") {
     Functions.register(spark)
     val r = spark.sql(
