@@ -53,6 +53,11 @@ object Functions {
   def minhash_array(shingles: Column): Column =
     Shims.column(graft.functions.MinHashArray(Shims.expression(shingles)))
 
+  /** simhash60(shingles): 60-bit SimHash of a per-doc shingle array —
+    * map-only, register-accumulated. */
+  def simhash60(shingles: Column): Column =
+    Shims.column(graft.functions.SimHash60(Shims.expression(shingles)))
+
   /** kmv_kth(h, k): k-th minimum distinct hash — the KMV
     * distinct-count sketch statistic (estimator (k-1)*M/h_k). */
   def kmv_kth(h: Column, k: Int): Column =
@@ -121,5 +126,7 @@ object Functions {
       "word_shingles3", exprs => graft.functions.WordShingles3(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "minhash_array", exprs => graft.functions.MinHashArray(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash60", exprs => graft.functions.SimHash60(exprs.head), "built-in")
   }
 }

@@ -53,29 +53,14 @@ object DedupQueries {
 
   private val P = 2147483647L // Mersenne prime 2^31-1 for hash mixing
 
-  /** SimHash, computed the codegen-friendly way: explode shingle
-    * hashes, then ONE hash aggregation per doc with 60 conditional-sum
-    * columns (bit j set iff ones > zeros ⟺ 2·ones > n). The naive
-    * nested-HOF formulation (aggregate over 60 × aggregate over
-    * shingles) is interpreted per element and measured 50× slower at
-    * sf0.1; this shape is a single map-side-combinable aggregation. */
-  private def simhashDF(s: SparkSession, d: String): DataFrame = {
-    // explode FIRST, hash per row after: a lambda body inside
-    // transform() is interpreted per element, while the same md5/conv
-    // chain over an exploded column stays in whole-stage codegen
-    val hs = shingleSets(s, d)
-      .select(col("doc_id"), explode(col("sset")).as("sh"))
-      .select(col("doc_id"),
-        expr("cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint)").as("h"))
-    val ones = (0 until 60).map(j =>
-      sum(expr(s"shiftright(h, $j) & 1")).as(s"o$j"))
-    hs.groupBy("doc_id")
-      .agg(count(lit(1)).as("n"), ones: _*)
-      .select(col("doc_id"),
-        (0 until 60).map(j =>
-          when(col(s"o$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-  }
+  /** SimHash via the scalar native `simhash60` over the per-doc
+    * shingle array — map-only, no shuffle (the round-2 explode +
+    * 60-conditional-sum aggregation beat the interpreted nested-HOF
+    * formulation 50×; this removes its per-(doc, shingle)-row shuffle
+    * too). Same md5-prefix feature-hash domain as the oracle. */
+  private def simhashDF(s: SparkSession, d: String): DataFrame =
+    shingleSets(s, d).select(col("doc_id"),
+      graft.Functions.simhash60(col("sset")).as("simhash"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: one representative (min doc_id) per content hash.
