@@ -89,6 +89,31 @@ object EngineQueries {
         .orderBy("event_type")
     }),
 
+    // As-of join: for every purchase, the user's most recent STRICTLY
+    // PRIOR click (ties within a microsecond broken by the larger
+    // event_id — deterministic). Spark-first composition: instead of
+    // a range join (quadratic blowup on hot keys) this is ONE shuffle
+    // on user_id and a running struct-max over a range frame — the
+    // classic scalable as-of shape; state per partition is a single
+    // (ts, id) pair. Comparisons run at µs granularity on both
+    // engines (DuckDB reads TIMESTAMP(NANOS) at µs).
+    "q42_asof" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"),
+          expr("ts_ns div 1000").as("us"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      e.withColumn("pc",
+          max(when(col("event_type") === "click",
+            struct(col("us"), col("event_id")))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("pc.event_id").as("prior_click"))
+        .orderBy("purchase_id")
+    }),
+
     // Semi/anti joins: customers with orders (EXISTS) and without
     // (NOT EXISTS) — fused into ONE job: a single left join against
     // the distinct order keys, counted by match/no-match, instead of a
@@ -151,6 +176,17 @@ object EngineQueries {
                 n AS exact
          FROM r WHERE rn = 8
          ORDER BY event_type""",
+    "q42_asof" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_us(ts) us, event_type
+           FROM events WHERE event_type IN ('click', 'purchase'))
+         SELECT p.event_id AS purchase_id,
+                (SELECT c.event_id FROM e c
+                  WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                    AND c.us < p.us
+                  ORDER BY c.us DESC, c.event_id DESC LIMIT 1) AS prior_click
+         FROM e p WHERE p.event_type = 'purchase'
+         ORDER BY purchase_id""",
     "q37_semijoin" ->
       """SELECT (SELECT count(*) FROM customer WHERE EXISTS
                    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS with_orders,
