@@ -89,6 +89,30 @@ object EngineQueries {
         .orderBy("event_type")
     }),
 
+    // Range (interval) join: events whose value falls inside each
+    // customer's [acctbal-5, acctbal+5] band. Spark-first SCALABLE
+    // shape: a naive theta-join is a nested-loop over every pair —
+    // instead both sides map to fixed-width buckets (intervals
+    // replicated to each covered bucket, ≤2 here), the join is a
+    // plain EQUI-join on the bucket id, and the exact predicate
+    // re-filters the candidates. Pair work is bucket-local at any
+    // scale; bucket width tunes replication vs selectivity.
+    "q43_range" -> ((s, d) => {
+      val pts = Tables.events(s, d)
+        .select(col("event_id"), col("value"))
+        .withColumn("b", floor(col("value") / 10).cast("long"))
+      val iv = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"))
+        .withColumn("b", explode(sequence(
+          floor((col("c_acctbal") - 5) / 10).cast("long"),
+          floor((col("c_acctbal") + 5) / 10).cast("long"))))
+      pts.join(iv, "b")
+        .filter(col("value") >= col("c_acctbal") - 5
+          && col("value") <= col("c_acctbal") + 5)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("event_id") + col("c_custkey")).as("checksum"))
+    }),
+
     // As-of join: for every purchase, the user's most recent STRICTLY
     // PRIOR click (ties within a microsecond broken by the larger
     // event_id — deterministic). Spark-first composition: instead of
@@ -176,6 +200,11 @@ object EngineQueries {
                 n AS exact
          FROM r WHERE rn = 8
          ORDER BY event_type""",
+    "q43_range" ->
+      """SELECT count(*) AS n_pairs,
+                CAST(sum(e.event_id + c.c_custkey) AS BIGINT) AS checksum
+         FROM events e JOIN customer c
+           ON e.value >= c.c_acctbal - 5 AND e.value <= c.c_acctbal + 5""",
     "q42_asof" ->
       """WITH e AS (
            SELECT event_id, user_id, epoch_us(ts) us, event_type
