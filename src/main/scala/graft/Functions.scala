@@ -58,6 +58,13 @@ object Functions {
   def simhash60(shingles: Column): Column =
     Shims.column(graft.functions.SimHash60(Shims.expression(shingles)))
 
+  /** bigram_scores(words, "a1,a2;b1,b2;..."): per-profile counts of
+    * words starting with a profile bigram — the language-ID kernel,
+    * one pass for all profiles. */
+  def bigram_scores(words: Column, spec: String): Column =
+    Shims.column(graft.functions.BigramScores(Shims.expression(words),
+      org.apache.spark.sql.catalyst.expressions.Literal(spec)))
+
   /** kmv_kth(h, k): k-th minimum distinct hash — the KMV
     * distinct-count sketch statistic (estimator (k-1)*M/h_k). */
   def kmv_kth(h: Column, k: Int): Column =
@@ -128,5 +135,7 @@ object Functions {
       "minhash_array", exprs => graft.functions.MinHashArray(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash60", exprs => graft.functions.SimHash60(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "bigram_scores", exprs => graft.functions.BigramScores(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -60,8 +60,17 @@ case class EnvelopeJson(child: Expression) extends UnaryExpression {
 
 object EnvelopeJsonWriter {
 
+  // per-task-thread reusable buffer: reset() keeps capacity, so the
+  // steady state is zero buffer allocation per row (the encoder runs
+  // 1.5M times per 500k events in q14)
+  private val buffer = new ThreadLocal[ByteArrayOutputStream] {
+    override def initialValue(): ByteArrayOutputStream =
+      new ByteArrayOutputStream(512)
+  }
+
   def encode(row: InternalRow): UTF8String = {
-    val out = new ByteArrayOutputStream(256)
+    val out = buffer.get()
+    out.reset()
     writeEnvelope(out, row)
     UTF8String.fromBytes(out.toByteArray)
   }

@@ -44,12 +44,8 @@ object TextQueries {
   private def inSet(grams: Seq[String]): String =
     grams.map("'" + _ + "'").mkString(",")
 
-  /** Spark: count word-initial bigrams present in the profile. */
-  private def scoreExpr(grams: Seq[String]): String =
-    s"""size(filter(transform(words, w -> substring(w, 1, 2)),
-          b -> b in (${inSet(grams)})))"""
-
-  /** DuckDB rendering of the same score. */
+  /** DuckDB rendering of the score the native `bigram_scores`
+    * expression computes Spark-side (one pass, all profiles). */
   private def scoreDuck(grams: Seq[String]): String =
     s"""len(list_filter(list_transform(words, w -> w[1:2]),
           b -> b in (${inSet(grams)})))"""
@@ -71,12 +67,16 @@ object TextQueries {
     }),
 
     // Language-ID: marker-word score per language, deterministic
-    // first-wins argmax (en > fr > de > es > zh on ties).
+    // first-wins argmax (en > fr > de > es > zh on ties). ONE native
+    // pass over the words for all five profiles (bigram_scores) —
+    // the per-language size(filter(transform(...))) HOF chains were
+    // interpreted, five passes per doc.
     "q24_lang" -> ((s, d) => {
-      val scored = markers.foldLeft(withWords(s, d)) { case (df, (l, ws)) =>
-        df.withColumn(s"s_$l", expr(scoreExpr(ws)).cast(LongType))
-      }
-      val Seq(en, fr, de, es, zh) = markers.map(m => col(s"s_${m._1}"))
+      val spec = markers.map(_._2.mkString(",")).mkString(";")
+      val scored = withWords(s, d)
+        .withColumn("sc", graft.Functions.bigram_scores(col("words"), spec))
+      val Seq(en, fr, de, es, zh) =
+        (1 to markers.length).map(i => element_at(col("sc"), i))
       scored.select(
         col("doc_id"),
         en.as("s_en"), fr.as("s_fr"), de.as("s_de"), es.as("s_es"), zh.as("s_zh"),
