@@ -58,6 +58,11 @@ object Functions {
   def simhash60(shingles: Column): Column =
     Shims.column(graft.functions.SimHash60(Shims.expression(shingles)))
 
+  /** text_stats(t): token/type/length/BPE-ish statistics of a
+    * normalized string in one byte pass. */
+  def text_stats(t: Column): Column =
+    Shims.column(graft.functions.TextStats(Shims.expression(t)))
+
   /** bigram_scores(words, "a1,a2;b1,b2;..."): per-profile counts of
     * words starting with a profile bigram — the language-ID kernel,
     * one pass for all profiles. */
@@ -137,5 +142,7 @@ object Functions {
       "simhash60", exprs => graft.functions.SimHash60(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "bigram_scores", exprs => graft.functions.BigramScores(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "text_stats", exprs => graft.functions.TextStats(exprs.head), "built-in")
   }
 }

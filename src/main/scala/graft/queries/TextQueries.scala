@@ -52,17 +52,17 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting + length stats: whitespace tokens, a BPE-ish
-    // regex tokenization (letter runs + single digits — the
-    // subword-style split), distinct types, word-char total, longest
-    // token. All integers.
+    // tokenization (letter runs + single digits — the subword-style
+    // split), distinct types, word-char total, longest token. All
+    // integers, fused into ONE native byte pass (text_stats) — the
+    // regexp_count / array_distinct / per-word HOF max formulation
+    // was four interpreted passes over the same text.
     "q17_text" -> ((s, d) => {
-      withWords(s, d).select(
-        col("doc_id"),
-        size(col("words")).cast(LongType).as("n_tokens"),
-        regexp_count(col("t"), lit("[a-z]+|[0-9]")).cast(LongType).as("n_bpe"),
-        size(array_distinct(col("words"))).cast(LongType).as("n_types"),
-        length(regexp_replace(col("t"), " ", "")).cast(LongType).as("n_wordchars"),
-        expr("array_max(transform(words, w -> length(w)))").cast(LongType).as("max_tok"))
+      withWords(s, d)
+        .select(col("doc_id"), graft.Functions.text_stats(col("t")).as("st"))
+        .select(col("doc_id"), col("st.n_tokens").as("n_tokens"),
+          col("st.n_bpe").as("n_bpe"), col("st.n_types").as("n_types"),
+          col("st.n_wordchars").as("n_wordchars"), col("st.max_tok").as("max_tok"))
         .orderBy("doc_id")
     }),
 
