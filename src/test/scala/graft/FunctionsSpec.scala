@@ -60,6 +60,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(agg.getAs[Seq[Long]]("mh").length === 12)
   }
 
+  test("round-3 natives resolve from SQL") {
+    Functions.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)),
+                        array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE))) AS vd,
+                gram4_codes('abcde') AS g4,
+                word_shingles3('a b c d') AS ws,
+                simhash60(array('a b c')) AS sh,
+                bigram_scores(array('the', 'then', 'x'), 'th;he') AS bs,
+                text_stats('ab 7 ab') AS ts""").head()
+    assert(r.getAs[Double]("vd") === 11.0)
+    assert(r.getAs[Seq[Int]]("g4") === Seq("abcd", "bcde").map(g =>
+      (g(0) << 24) | (g(1) << 16) | (g(2) << 8) | g(3)))
+    assert(r.getAs[Seq[String]]("ws") === Seq("a b c", "b c d"))
+    assert(r.getAs[Long]("sh") >= 0L && r.getAs[Long]("sh") < (1L << 60))
+    assert(r.getAs[Seq[Long]]("bs") === Seq(2L, 0L)) // 'the','then' start with th
+    val ts = r.getStruct(r.fieldIndex("ts"))
+    assert(ts.getAs[Long]("n_tokens") === 3L)
+    assert(ts.getAs[Long]("n_bpe") === 3L) // 'ab', '7', 'ab'
+    assert(ts.getAs[Long]("n_types") === 2L)
+    assert(ts.getAs[Long]("n_wordchars") === 5L)
+    assert(ts.getAs[Long]("max_tok") === 2L)
+  }
+
   test("kmv_kth rejects a non-literal k") {
     Functions.register(spark)
     val ex = intercept[Exception] {

@@ -79,6 +79,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(joins === 1, s"q37 should have exactly one join, got $joins:\n$p")
   }
 
+  test("hot-path queries contain no interpreted lambda HOFs") {
+    // these queries moved from HOF chains to native expressions
+    // (vec_dot, gram4_codes, word_shingles3, simhash60, minhash_array,
+    // bigram_scores, text_stats) — a lambdafunction in the plan means
+    // an interpreted per-element path crept back in
+    Seq("q16_topk", "q17_text", "q19_simhash", "q22_ann", "q23_embdup",
+        "q24_lang", "q40_ivf").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("lambdafunction"),
+        s"$q has an interpreted HOF in the hot path:\n$p")
+    }
+  }
+
   test("q40 IVF probes ride broadcasts; the corpus is never shuffled") {
     val p = plan("q40_ivf")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
