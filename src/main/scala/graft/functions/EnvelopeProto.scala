@@ -270,16 +270,19 @@ object EnvelopeProto {
       pos += 8
       v
     }
+    // `end - pos` is a small non-negative Int, so the comparison cannot
+    // wrap even when the length varint is near 2^63 (a crafted frame with
+    // `pos + n` would overflow negative and pass, looping the decoder).
     def bytes(): Array[Byte] = {
       val n = varint()
-      if (n < 0 || pos + n > end) fail()
+      if (n < 0 || n > (end - pos).toLong) fail()
       val out = java.util.Arrays.copyOfRange(buf, pos, pos + n.toInt)
       pos += n.toInt
       out
     }
     def sub(): Reader = {
       val n = varint()
-      if (n < 0 || pos + n > end) fail()
+      if (n < 0 || n > (end - pos).toLong) fail()
       val r = new Reader(buf, pos, pos + n.toInt)
       pos += n.toInt
       r
@@ -297,7 +300,16 @@ object EnvelopeProto {
     try decodeEnvelope(new Reader(frame, 0, frame.length))
     catch { case scala.util.control.NonFatal(_) => null }
 
-  private def str(r: Reader): UTF8String = UTF8String.fromBytes(r.bytes())
+  // Known fields validate their declared wire type (2 = length-delimited,
+  // 0 = varint, 1 = fixed64) so a field sent with the wrong encoding fails
+  // the frame → NULL, matching proto.Unmarshal's rejection rather than
+  // decoding garbage. Unknown fields still skip by wire type.
+  private def vint(r: Reader, wt: Int): Long = { if (wt != 0) fail(); r.varint() }
+  private def f64(r: Reader, wt: Int): Long = { if (wt != 1) fail(); r.fixed64() }
+  private def bin(r: Reader, wt: Int): Array[Byte] = { if (wt != 2) fail(); r.bytes() }
+  private def sub(r: Reader, wt: Int): Reader = { if (wt != 2) fail(); r.sub() }
+  private def str(r: Reader, wt: Int): UTF8String =
+    UTF8String.fromBytes(bin(r, wt))
 
   private def decodeEnvelope(r: Reader): InternalRow = {
     val row = new GenericInternalRow(14)
@@ -308,31 +320,35 @@ object EnvelopeProto {
       val field = (tag >>> 3).toInt
       val wt = (tag & 7).toInt
       field match {
-        case 1 => row.update(0, str(r))
-        case 2 => row.update(1, r.varint().toInt)
-        case 6 => row.update(2, r.varint())
-        case 7 => row.update(8, decodeHttpStartStop(r.sub()))
-        case 8 => row.update(9, decodeLogMessage(r.sub()))
-        case 9 => row.update(10, decodeValueMetric(r.sub()))
-        case 10 => row.update(11, decodeCounterEvent(r.sub()))
-        case 11 => row.update(12, decodeError(r.sub()))
-        case 12 => row.update(13, decodeContainerMetric(r.sub()))
-        case 13 => row.update(3, str(r))
-        case 14 => row.update(4, str(r))
-        case 15 => row.update(5, str(r))
-        case 16 => row.update(6, str(r))
+        case 1 => row.update(0, str(r, wt))
+        case 2 => row.update(1, vint(r, wt).toInt)
+        case 6 => row.update(2, vint(r, wt))
+        case 7 => row.update(8, decodeHttpStartStop(sub(r, wt)))
+        case 8 => row.update(9, decodeLogMessage(sub(r, wt)))
+        case 9 => row.update(10, decodeValueMetric(sub(r, wt)))
+        case 10 => row.update(11, decodeCounterEvent(sub(r, wt)))
+        case 11 => row.update(12, decodeError(sub(r, wt)))
+        case 12 => row.update(13, decodeContainerMetric(sub(r, wt)))
+        case 13 => row.update(3, str(r, wt))
+        case 14 => row.update(4, str(r, wt))
+        case 15 => row.update(5, str(r, wt))
+        case 16 => row.update(6, str(r, wt))
         case 17 =>
-          val e = r.sub()
-          var k: UTF8String = null; var v: UTF8String = null
+          val e = sub(r, wt)
+          // Go proto yields the zero value "" for absent map-entry fields:
+          // an entry missing key or value still materializes with "".
+          var k: UTF8String = UTF8String.EMPTY_UTF8
+          var v: UTF8String = UTF8String.EMPTY_UTF8
           while (e.hasMore) {
             val t = e.varint()
+            val ewt = (t & 7).toInt
             (t >>> 3).toInt match {
-              case 1 => k = str(e)
-              case 2 => v = str(e)
-              case _ => e.skip((t & 7).toInt)
+              case 1 => k = str(e, ewt)
+              case 2 => v = str(e, ewt)
+              case _ => e.skip(ewt)
             }
           }
-          if (k != null) { tagKeys = k :: tagKeys; tagVals = v :: tagVals }
+          tagKeys = k :: tagKeys; tagVals = v :: tagVals
         case _ => r.skip(wt)
       }
     }
@@ -346,14 +362,15 @@ object EnvelopeProto {
     val row = new GenericInternalRow(6)
     while (r.hasMore) {
       val tag = r.varint()
+      val wt = (tag & 7).toInt
       (tag >>> 3).toInt match {
-        case 1 => row.update(0, r.bytes())
-        case 2 => row.update(1, r.varint().toInt)
-        case 3 => row.update(2, r.varint())
-        case 4 => row.update(3, str(r))
-        case 5 => row.update(4, str(r))
-        case 6 => row.update(5, str(r))
-        case _ => r.skip((tag & 7).toInt)
+        case 1 => row.update(0, bin(r, wt))
+        case 2 => row.update(1, vint(r, wt).toInt)
+        case 3 => row.update(2, vint(r, wt))
+        case 4 => row.update(3, str(r, wt))
+        case 5 => row.update(4, str(r, wt))
+        case 6 => row.update(5, str(r, wt))
+        case _ => r.skip(wt)
       }
     }
     row
@@ -363,11 +380,12 @@ object EnvelopeProto {
     val row = new GenericInternalRow(3)
     while (r.hasMore) {
       val tag = r.varint()
+      val wt = (tag & 7).toInt
       (tag >>> 3).toInt match {
-        case 1 => row.update(0, str(r))
-        case 2 => row.update(1, java.lang.Double.longBitsToDouble(r.fixed64()))
-        case 3 => row.update(2, str(r))
-        case _ => r.skip((tag & 7).toInt)
+        case 1 => row.update(0, str(r, wt))
+        case 2 => row.update(1, java.lang.Double.longBitsToDouble(f64(r, wt)))
+        case 3 => row.update(2, str(r, wt))
+        case _ => r.skip(wt)
       }
     }
     row
@@ -377,11 +395,12 @@ object EnvelopeProto {
     val row = new GenericInternalRow(3)
     while (r.hasMore) {
       val tag = r.varint()
+      val wt = (tag & 7).toInt
       (tag >>> 3).toInt match {
-        case 1 => row.update(0, str(r))
-        case 2 => row.update(1, r.varint())
-        case 3 => row.update(2, r.varint())
-        case _ => r.skip((tag & 7).toInt)
+        case 1 => row.update(0, str(r, wt))
+        case 2 => row.update(1, vint(r, wt))
+        case 3 => row.update(2, vint(r, wt))
+        case _ => r.skip(wt)
       }
     }
     row
@@ -391,15 +410,16 @@ object EnvelopeProto {
     val row = new GenericInternalRow(7)
     while (r.hasMore) {
       val tag = r.varint()
+      val wt = (tag & 7).toInt
       (tag >>> 3).toInt match {
-        case 1 => row.update(0, str(r))
-        case 2 => row.update(1, r.varint().toInt)
-        case 3 => row.update(2, java.lang.Double.longBitsToDouble(r.fixed64()))
-        case 4 => row.update(3, r.varint())
-        case 5 => row.update(4, r.varint())
-        case 6 => row.update(5, r.varint())
-        case 7 => row.update(6, r.varint())
-        case _ => r.skip((tag & 7).toInt)
+        case 1 => row.update(0, str(r, wt))
+        case 2 => row.update(1, vint(r, wt).toInt)
+        case 3 => row.update(2, java.lang.Double.longBitsToDouble(f64(r, wt)))
+        case 4 => row.update(3, vint(r, wt))
+        case 5 => row.update(4, vint(r, wt))
+        case 6 => row.update(5, vint(r, wt))
+        case 7 => row.update(6, vint(r, wt))
+        case _ => r.skip(wt)
       }
     }
     row
@@ -409,11 +429,12 @@ object EnvelopeProto {
     val row = new GenericInternalRow(3)
     while (r.hasMore) {
       val tag = r.varint()
+      val wt = (tag & 7).toInt
       (tag >>> 3).toInt match {
-        case 1 => row.update(0, str(r))
-        case 2 => row.update(1, r.varint().toInt)
-        case 3 => row.update(2, str(r))
-        case _ => r.skip((tag & 7).toInt)
+        case 1 => row.update(0, str(r, wt))
+        case 2 => row.update(1, vint(r, wt).toInt)
+        case 3 => row.update(2, str(r, wt))
+        case _ => r.skip(wt)
       }
     }
     row
@@ -423,10 +444,11 @@ object EnvelopeProto {
     val row = new GenericInternalRow(2)
     while (r.hasMore) {
       val tag = r.varint()
+      val wt = (tag & 7).toInt
       (tag >>> 3).toInt match {
-        case 1 => row.update(0, r.varint())
-        case 2 => row.update(1, r.varint())
-        case _ => r.skip((tag & 7).toInt)
+        case 1 => row.update(0, vint(r, wt))
+        case 2 => row.update(1, vint(r, wt))
+        case _ => r.skip(wt)
       }
     }
     row
@@ -437,22 +459,23 @@ object EnvelopeProto {
     var fwd: List[UTF8String] = Nil
     while (r.hasMore) {
       val tag = r.varint()
+      val wt = (tag & 7).toInt
       (tag >>> 3).toInt match {
-        case 1 => row.update(0, r.varint())
-        case 2 => row.update(1, r.varint())
-        case 3 => row.update(2, decodeUuid(r.sub()))
-        case 4 => row.update(3, r.varint().toInt)
-        case 5 => row.update(4, r.varint().toInt)
-        case 6 => row.update(5, str(r))
-        case 7 => row.update(6, str(r))
-        case 8 => row.update(7, str(r))
-        case 9 => row.update(8, r.varint().toInt)
-        case 10 => row.update(9, r.varint())
-        case 12 => row.update(10, decodeUuid(r.sub()))
-        case 13 => row.update(11, r.varint().toInt)
-        case 14 => row.update(12, str(r))
-        case 15 => fwd = str(r) :: fwd
-        case _ => r.skip((tag & 7).toInt)
+        case 1 => row.update(0, vint(r, wt))
+        case 2 => row.update(1, vint(r, wt))
+        case 3 => row.update(2, decodeUuid(sub(r, wt)))
+        case 4 => row.update(3, vint(r, wt).toInt)
+        case 5 => row.update(4, vint(r, wt).toInt)
+        case 6 => row.update(5, str(r, wt))
+        case 7 => row.update(6, str(r, wt))
+        case 8 => row.update(7, str(r, wt))
+        case 9 => row.update(8, vint(r, wt).toInt)
+        case 10 => row.update(9, vint(r, wt))
+        case 12 => row.update(10, decodeUuid(sub(r, wt)))
+        case 13 => row.update(11, vint(r, wt).toInt)
+        case 14 => row.update(12, str(r, wt))
+        case 15 => fwd = str(r, wt) :: fwd
+        case _ => r.skip(wt)
       }
     }
     if (fwd.nonEmpty)

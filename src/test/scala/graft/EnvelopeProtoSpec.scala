@@ -95,6 +95,55 @@ class EnvelopeProtoSpec extends AnyFunSuite {
     assert(decoded.filter(col("e").isNull).count() === bad.length)
   }
 
+  test("near-2^63 length varint fails fast as NULL instead of looping (overflow guard)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // tag 0x3A = field 7 wiretype 2, then varint(2^63 - 10): `pos + n`
+    // wraps negative, so a naive `pos + n > end` guard admits the frame and
+    // the decoder walks backwards forever. The overflow-safe guard must
+    // reject it immediately.
+    def varintBytes(v: Long): Array[Byte] = {
+      var x = v; val b = scala.collection.mutable.ArrayBuffer[Byte]()
+      while ((x & ~0x7fL) != 0) { b += ((x & 0x7f) | 0x80).toByte; x >>>= 7 }
+      b += x.toByte; b.toArray
+    }
+    val crafted = Array[Byte](0x3a.toByte) ++ varintBytes(Long.MaxValue - 9)
+    assert(crafted.length === 10)
+    val deadline = System.nanoTime() + 10_000_000_000L
+    val decoded = Seq(crafted).toDF("p")
+      .select(Functions.envelope_proto_decode(col("p")).as("e"))
+      .head()
+    assert(decoded.isNullAt(0))
+    assert(System.nanoTime() < deadline, "decode did not terminate promptly")
+  }
+
+  test("known field with wrong wire type rejects the frame (proto.Unmarshal parity)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val bad = Seq(
+      Array[Byte](0x08, 0x05), // field 1 (origin, declared len-delim) as varint
+      Array[Byte](0x40, 0x01), // field 8 (logMessage, len-delim) as varint
+      // field 9 (valueMetric) len-delim wrapping field 2 (value, fixed64) as varint
+      Array[Byte](0x4a, 0x02, 0x10, 0x01))
+    val decoded = bad.toDF("p")
+      .select(Functions.envelope_proto_decode(col("p")).as("e"))
+    assert(decoded.filter(col("e").isNull).count() === bad.length)
+  }
+
+  test("sparse tags map entries default to Go zero value \"\"") {
+    val spark2 = spark
+    import spark2.implicits._
+    // field 17 (tags) = tag varint 0x8A 0x01; entry with key only, then one
+    // with value only — Go proto materializes the absent side as "".
+    val keyOnly = Array[Byte](0x8a.toByte, 0x01, 0x03, 0x0a, 0x01, 'k')
+    val valOnly = Array[Byte](0x8a.toByte, 0x01, 0x03, 0x12, 0x01, 'v')
+    val got = Seq(keyOnly, valOnly).toDF("p")
+      .select(Functions.envelope_proto_decode(col("p")).as("e"))
+      .select(col("e.tags").as("t"))
+      .collect().map(_.getMap[String, String](0).toMap).toSeq
+    assert(got === Seq(Map("k" -> ""), Map("" -> "v")))
+  }
+
   test("cross-codec consistency: proto and JSON codecs agree on every field") {
     val envs = Seq.fill(100)(gen.envelope())
     val viaProto = encodeDF(envs)
