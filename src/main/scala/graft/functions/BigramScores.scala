@@ -26,9 +26,20 @@ case class BigramScores(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(StringType, _), StringType) if right.foldable =>
-      val n = right.eval().toString.split(';').length
-      if (n <= 32) TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure("bigram_scores supports at most 32 profiles")
+      right.eval() match {
+        case null => TypeCheckResult.TypeCheckFailure(
+          "bigram_scores profile spec must not be NULL")
+        case spec =>
+          val profiles = spec.toString.split(';')
+          if (profiles.length > 32)
+            TypeCheckResult.TypeCheckFailure("bigram_scores supports at most 32 profiles")
+          else profiles.iterator.flatMap(_.split(',')).map(_.trim)
+            .find(_.length != 2) match {
+              case Some(m) => TypeCheckResult.TypeCheckFailure(
+                s"bigram_scores marker '$m' must be exactly 2 chars")
+              case None => TypeCheckResult.TypeCheckSuccess
+            }
+      }
     case (l, r) => TypeCheckResult.TypeCheckFailure(
       s"bigram_scores requires (ARRAY<STRING>, foldable STRING), got " +
         s"(${l.simpleString}, ${r.simpleString})")

@@ -80,7 +80,7 @@ object EngineQueries {
           countDistinct(col("h")).as("exact"))
         // Groups with < k distinct hashes have no k-th minimum: kmv_kth
         // yields NULL and the row is dropped, matching the oracle's
-        // `WHERE rn = 16` which omits such groups entirely.
+        // `WHERE rn = 8` which omits such groups entirely.
         .filter(col("h_k").isNotNull)
         .select(col("event_type"), col("h_k"),
           (lit(7.0d) * lit(1152921504606846976.0d)

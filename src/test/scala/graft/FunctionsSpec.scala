@@ -84,6 +84,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ts.getAs[Long]("max_tok") === 2L)
   }
 
+  test("bigram_scores rejects NULL and malformed specs at analysis time") {
+    Functions.register(spark)
+    // NULL spec: clean analysis failure, not an NPE
+    val exNull = intercept[Exception] {
+      spark.sql("SELECT bigram_scores(array('ab'), CAST(NULL AS STRING))").collect()
+    }
+    assert(exNull.getMessage.contains("must not be NULL"),
+      s"got: ${exNull.getMessage}")
+    // 3-char marker: analysis-time failure, not first-executor-eval runtime
+    val exLen = intercept[Exception] {
+      spark.sql("SELECT bigram_scores(array('ab'), 'abc;de')").collect()
+    }
+    assert(exLen.getMessage.contains("exactly 2 chars"),
+      s"got: ${exLen.getMessage}")
+  }
+
   test("kmv_kth rejects a non-literal k") {
     Functions.register(spark)
     val ex = intercept[Exception] {
