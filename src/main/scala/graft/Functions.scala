@@ -86,6 +86,13 @@ object Functions {
   def vec_dot(a: Column, b: Column): Column =
     Shims.column(graft.functions.VecDot(Shims.expression(a), Shims.expression(b)))
 
+  /** centroid_topk(emb, codebook, k): ids of the k nearest-by-dot
+    * codebook centroids (ties to the smallest cid) — the map-only IVF
+    * coarse-quantizer assignment over a broadcast codebook. */
+  def centroid_topk(emb: Column, codebook: Column, k: Int): Column =
+    Shims.column(graft.functions.CentroidTopK(
+      Shims.expression(emb), Shims.expression(codebook), k))
+
   /** gram4_codes(t): sorted distinct char-4-gram set of a normalized
     * ASCII string, packed one gram per Int — the n-gram dedup hot
     * path. */
@@ -130,6 +137,19 @@ object Functions {
       "built-in")
     reg.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "centroid_topk",
+      exprs => {
+        // k must be a foldable integer literal, e.g. centroid_topk(e, cb, 2)
+        val k = scala.util.Try(exprs(2).eval()).toOption match {
+          case Some(i: Int) => i
+          case Some(l: Long) => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"centroid_topk k must be an integer literal, got: ${exprs(2)}")
+        }
+        graft.functions.CentroidTopK(exprs(0), exprs(1), k)
+      },
+      "built-in")
     reg.createOrReplaceTempFunction(
       "vec_dot", exprs => graft.functions.VecDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(

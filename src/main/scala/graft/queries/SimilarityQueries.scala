@@ -135,25 +135,29 @@ object SimilarityQueries {
     // 1..8 as centroids — a sampled codebook, broadcast like any IVF
     // coarse index), every vector assigned to its nearest centroid's
     // inverted list (argmax dot, ties to the smallest centroid id),
-    // and the query probing only its nprobe=2 nearest lists. At scale
-    // K grows ~√n and the list id becomes a partition column, so a
-    // probe touches nprobe/K of the corpus; assignment is a K-way
-    // broadcast join + an 8-row-per-vector window — no shuffle of the
-    // corpus beyond the window's own partition-local sort.
+    // and the query probing only its nprobe=2 nearest lists.
+    //
+    // Assignment is MAP-ONLY: the codebook collapses to ONE array row
+    // (collect_list of K centroids), rides a broadcast to every
+    // corpus partition, and `centroid_topk` computes the per-row
+    // argmax inline — no n×K expansion, no window (a window keyed on
+    // a per-row-unique id is a full corpus shuffle). At scale K grows
+    // ~√n, the list id becomes a partition column, and a probe
+    // touches nprobe/K of the corpus; nothing here shuffles the
+    // corpus at any n.
     "q40_ivf" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val emb = Tables.embeddings(s, d)
-      val cents = emb.filter(col("vec_id").between(1, 8))
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      val assigned = emb.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cid"),
-          dot(col("embedding"), col("cv")).as("cd"))
-      val w = Window.partitionBy("vec_id").orderBy(col("cd").desc, col("cid").asc)
-      val ranked = assigned.withColumn("rn", row_number().over(w))
-      val lists = ranked.filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"), col("embedding"))
-      val probes = ranked.filter(col("vec_id") === 0 && col("rn") <= 2)
-        .select(col("cid"))
+      val cb = emb.filter(col("vec_id").between(1, 8))
+        .agg(sort_array(collect_list(struct(
+          col("vec_id").cast("long").as("cid"),
+          col("embedding").as("cv")))).as("codebook"))
+      val withCb = emb.crossJoin(broadcast(cb))
+      val lists = withCb.select(col("vec_id"), col("embedding"),
+        graft.Functions.centroid_topk(col("embedding"), col("codebook"), 1)
+          .getItem(0).as("cid"))
+      val probes = withCb.filter(col("vec_id") === 0)
+        .select(explode(graft.Functions.centroid_topk(
+          col("embedding"), col("codebook"), 2)).as("cid"))
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       lists.join(broadcast(probes), "cid")
         .filter(col("vec_id") =!= 0)

@@ -84,6 +84,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ts.getAs[Long]("max_tok") === 2L)
   }
 
+  test("centroid_topk: dot ranking, cid tie-break, poisoning NULLs") {
+    Functions.register(spark)
+    val r = spark.sql(
+      """SELECT centroid_topk(
+           array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+           array(named_struct('cid', 3L, 'cv', array(CAST(0.5 AS DOUBLE), CAST(9.0 AS DOUBLE))),
+                 named_struct('cid', 1L, 'cv', array(CAST(2.0 AS DOUBLE), CAST(0.0 AS DOUBLE))),
+                 named_struct('cid', 2L, 'cv', array(CAST(0.5 AS DOUBLE), CAST(-9.0 AS DOUBLE)))),
+           2) AS t""").head().getSeq[Long](0)
+    // dots vs (1,0): cid3 -> 0.5, cid1 -> 2.0, cid2 -> 0.5; top-2 by
+    // (dot desc, cid asc) = [1, 2]
+    assert(r === Seq(1L, 2L))
+    // k larger than the codebook returns all, still ranked
+    val all = spark.sql(
+      """SELECT centroid_topk(array(CAST(1.0 AS DOUBLE)),
+           array(named_struct('cid', 7L, 'cv', array(CAST(1.0 AS DOUBLE)))), 5) AS t""")
+      .head().getSeq[Long](0)
+    assert(all === Seq(7L))
+    // length-mismatched centroid vector poisons to NULL
+    val bad = spark.sql(
+      """SELECT centroid_topk(array(CAST(1.0 AS DOUBLE)),
+           array(named_struct('cid', 1L, 'cv',
+             array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)))), 1) AS t""").head()
+    assert(bad.isNullAt(0))
+  }
+
   test("bigram_scores rejects NULL and malformed specs at analysis time") {
     Functions.register(spark)
     // NULL spec: clean analysis failure, not an NPE

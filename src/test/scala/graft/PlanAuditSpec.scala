@@ -97,5 +97,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       s"q40 probe/codebook not broadcast:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"q40 does a full sort:\n$p")
+    // assignment must be map-only: no window (a per-row-unique
+    // partition key IS a full corpus shuffle) and no hash
+    // repartitioning anywhere — the only exchanges allowed are the
+    // codebook/probe/query broadcasts and the 8-row codebook
+    // collect_list's single-partition gather
+    assert(!p.contains("Window"), s"q40 ranks via a window shuffle:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"q40 hash-shuffles the corpus:\n$p")
   }
 }
