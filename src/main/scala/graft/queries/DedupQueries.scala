@@ -15,7 +15,9 @@ import graft.Tables
   *  - MinHash-LSH: 12 minhashes → 6 bands of 2 → equi-join on
   *    (band, signature) buckets, then exact Jaccard on candidates only;
   *  - SimHash: 60-bit signature → 4 bands of 15 bits → equi-join on
-  *    band value, hamming ≤ 3 on candidates;
+  *    band value, hamming ≤ 3 on candidates; band buckets above a
+  *    size threshold get exact-recall multi-index sub-banding
+  *    ([[simdupCandidates]]) so candidates stay collision-bound;
   *  - char-4-gram Jaccard: blocked by (lang, source) — a bounded-group
   *    blocking key — with the LSH variant as the unbounded-scale path.
   *
@@ -81,44 +83,11 @@ object DedupQueries {
     // 12× less digest work than hashing per (seed, shingle), and the
     // union size is na+nb−inter instead of materializing array_union.
     "q18_minhash" -> ((s, d) => {
-      // Barrier (localCheckpoint / reliable checkpoint, see
-      // graft.ops.Barrier): the signature table feeds FOUR consumers
-      // (both sides of the band self-join, both set lookups) — without
-      // the barrier the whole shingle+md5+minhash pipeline re-executes
-      // for each, 4× the work. Signatures come from the scalar
-      // minhash_array expression over the already-materialized shingle
-      // array (one md5 + 12 mixes per shingle, mins in registers) —
-      // no explode/shuffle/group-by/join-back; cross-validated against
-      // the streaming minhash_agg aggregate in MinHashAggSpec.
-      // sset arrives sorted from word_shingles3 — no re-sort needed.
-      val m = graft.ops.Barrier(shingleSets(s, d).select(col("doc_id"),
-        col("sset"),
-        size(col("sset")).cast(LongType).as("nset"),
-        graft.Functions.minhash_array(col("sset")).as("mh")))
-      val bands = m.select(col("doc_id"),
-        expr(s"""explode(transform(sequence(0, 5), j ->
-                   struct(j as j, element_at(mh, 2*j+1) * ${P}L + element_at(mh, 2*j+2) as sig)))""")
-          .as("b"))
-        .select(col("doc_id"), col("b.j").as("j"), col("b.sig").as("sig"))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.j") === col("b.j") && col("a.sig") === col("b.sig")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .distinct()
-      // merge hint: same computed-array size underestimate as q21 —
-      // don't let the fat shingle-set relation get broadcast.
-      // (ssets were sorted once at the source for the merge-walk.)
-      val sets = m.select(col("doc_id"), col("sset"), col("nset"))
-        .hint("merge")
       // Same optimizer barrier as q21: keep the intersect out of the
-      // join condition, evaluate it once per candidate.
-      val scored = graft.ops.Barrier(cand
-        .join(sets.select(col("doc_id").as("da"), col("sset").as("sa"), col("nset").as("na")), "da")
-        .join(sets.select(col("doc_id").as("db"), col("sset").as("sb"), col("nset").as("nb")), "db")
-        .select(col("da").as("doc_a"), col("db").as("doc_b"),
-          graft.Functions.sorted_intersect_count(col("sa"), col("sb")).as("inter"),
-          col("na"), col("nb")))
+      // join condition, evaluate it once per candidate. The scoring
+      // pipeline lives in [[minhashScored]] so plan audits can see the
+      // joins the barrier hides from the final plan.
+      val scored = graft.ops.Barrier(minhashScored(s, d))
       scored
         .select(col("doc_a"), col("doc_b"), col("inter"),
           (col("na") + col("nb") - col("inter")).as("uni"))
@@ -153,24 +122,11 @@ object DedupQueries {
     }),
 
     // SimHash near-dup pairs: 4 bands of 15 bits → bucket join →
-    // hamming ≤ 3 (bit_count of xor) on candidates only. Barrier: the
-    // signature table feeds both sides of the band self-join — without
-    // it the whole shingle+hash+60-column aggregation runs twice.
-    "q20_simdup" -> ((s, d) => {
-      val sim = graft.ops.Barrier(simhashDF(s, d))
-      val bands = sim.select(col("doc_id"), col("simhash"),
-        expr("explode(transform(sequence(0, 3), b -> struct(b as b, shiftright(simhash, 15*b) & 32767 as sig)))").as("x"))
-        .select(col("doc_id"), col("simhash"), col("x.b").as("b"), col("x.sig").as("sig"))
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.b") === col("b.b") && col("a.sig") === col("b.sig")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast(LongType).as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
-        .orderBy("doc_a", "doc_b")
-    }),
+    // hamming ≤ 3 (bit_count of xor) on candidates only, with a
+    // band-bucket size guard (see [[simdupNearDups]]): 15-bit bands
+    // give a CONSTANT 32k buckets per band, so without the guard a
+    // bucket's population grows O(n) and its pair count O(n²).
+    "q20_simdup" -> ((s, d) => simdupNearDups(simhashDF(s, d))),
 
     // Character-4-gram Jaccard near-dup, blocked by (lang, source)
     // with a block-size guard: blocks above `maxBlock` docs fall back
@@ -269,9 +225,20 @@ object DedupQueries {
     * sets feed multiple consumers, and the threshold filter must not
     * collapse into the scoring join's condition (measured 30×
     * slower). */
-  def ngramNearDups(docs: DataFrame, maxBlock: Long = 10000L): DataFrame = {
-    val g2 = graft.ops.Barrier(gramSets(docs)).hint("merge")
-    val (small, big) = splitByBlockSize(g2, maxBlock)
+  /** Pre-barrier q21 scoring pipeline — `private[graft]` for plan
+    * audits (the final q21 plan starts at the post-barrier checkpoint
+    * scan and shows none of the joins).
+    *
+    * Hint discipline: exactly ONE merge hint per scoring-join input,
+    * applied AFTER the block-census broadcast join. Hinting g2 itself
+    * (the r2-r4 shape) stacked merge against the census broadcast
+    * hint and against sets' own hint — Catalyst dropped one with a
+    * "Hint overridden" warning, so the planned join was not the one
+    * the code asked for (BENCH_r04 tail; PlanAuditSpec now pins it). */
+  private[graft] def ngramScored(docs: DataFrame, maxBlock: Long): DataFrame = {
+    val g2 = graft.ops.Barrier(gramSets(docs))
+    val (small0, big) = splitByBlockSize(g2, maxBlock)
+    val small = small0.hint("merge")
     val smallScored = small.as("a")
       .join(small.as("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source")
@@ -286,13 +253,138 @@ object DedupQueries {
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         graft.Functions.sorted_intersect_count(col("ga"), col("gb")).as("inter"),
         col("na"), col("nb"))
-    val scored = graft.ops.Barrier(smallScored.union(bigScored))
+    smallScored.union(bigScored)
+  }
+
+  def ngramNearDups(docs: DataFrame, maxBlock: Long = 10000L): DataFrame = {
+    val scored = graft.ops.Barrier(ngramScored(docs, maxBlock))
     scored
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("na") + col("nb") - col("inter")).as("uni"))
       .filter(col("inter") * 2 >= col("uni"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Pre-barrier q18 scoring pipeline: signatures → 6×2 band equi-join
+    * → exact Jaccard intersect on candidates. `private[graft]` so plan
+    * audits can inspect the join strategies (the final q18 plan starts
+    * at the post-barrier checkpoint scan and shows none of them).
+    *
+    * Barrier (localCheckpoint / reliable checkpoint, see
+    * graft.ops.Barrier): the signature table feeds FOUR consumers
+    * (both sides of the band self-join, both set lookups) — without
+    * the barrier the whole shingle+md5+minhash pipeline re-executes
+    * for each, 4× the work. Signatures come from the scalar
+    * minhash_array expression over the already-materialized shingle
+    * array (one md5 + 12 mixes per shingle, mins in registers) —
+    * no explode/shuffle/group-by/join-back; cross-validated against
+    * the streaming minhash_agg aggregate in MinHashAggSpec.
+    * sset arrives sorted from word_shingles3 — no re-sort needed. */
+  private[graft] def minhashScored(s: SparkSession, d: String): DataFrame = {
+    val m = graft.ops.Barrier(shingleSets(s, d).select(col("doc_id"),
+      col("sset"),
+      size(col("sset")).cast(LongType).as("nset"),
+      graft.Functions.minhash_array(col("sset")).as("mh")))
+    val bands = m.select(col("doc_id"),
+      expr(s"""explode(transform(sequence(0, 5), j ->
+                 struct(j as j, element_at(mh, 2*j+1) * ${P}L + element_at(mh, 2*j+2) as sig)))""")
+        .as("b"))
+      .select(col("doc_id"), col("b.j").as("j"), col("b.sig").as("sig"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.j") === col("b.j") && col("a.sig") === col("b.sig")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    // merge hint: same computed-array size underestimate as q21 —
+    // don't let the fat shingle-set relation get broadcast.
+    // (ssets were sorted once at the source for the merge-walk.)
+    val sets = m.select(col("doc_id"), col("sset"), col("nset"))
+      .hint("merge")
+    cand
+      .join(sets.select(col("doc_id").as("da"), col("sset").as("sa"), col("nset").as("na")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("sset").as("sb"), col("nset").as("nb")), "db")
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        graft.Functions.sorted_intersect_count(col("sa"), col("sb")).as("inter"),
+        col("na"), col("nb"))
+  }
+
+  // ---------------------------------------------------------------------
+  // SimHash near-dup with the band-bucket size guard
+  // ---------------------------------------------------------------------
+
+  /** Banded (b, sig) rows for a (doc_id, simhash) table, joined with
+    * the per-bucket population census. The census is ≤ 4 bands × 2^15
+    * sigs = 131,072 rows at ANY corpus size, so it always broadcasts.
+    * Barriered: the banded table feeds both sides of two self-joins
+    * (small and oversize buckets) — without the barrier the census
+    * aggregation and the upstream simhash pipeline re-run per consumer. */
+  private def simdupBands(sim0: DataFrame): DataFrame = {
+    val sim = graft.ops.Barrier(sim0)
+    val bands = sim.select(col("doc_id"), col("simhash"),
+      expr("explode(transform(sequence(0, 3), b -> struct(b as b, shiftright(simhash, 15*b) & 32767 as sig)))").as("x"))
+      .select(col("doc_id"), col("simhash"), col("x.b").as("b"), col("x.sig").as("sig"))
+    val sizes = bands.groupBy("b", "sig").agg(count(lit(1)).as("bn"))
+    graft.ops.Barrier(bands.join(broadcast(sizes), Seq("b", "sig")))
+  }
+
+  /** Candidate pairs (doc_a, doc_b, hamming), distinct, BEFORE the
+    * hamming filter — exposed for the degenerate-corpus budget test.
+    *
+    * Buckets ≤ maxBucket: plain bucket self-join (the classic 4×15
+    * banding; a hamming-≤3 pair matches ≥1 band by pigeonhole).
+    *
+    * Buckets > maxBucket: exact-recall multi-index sub-banding. Every
+    * doc in an oversize (b, sig) bucket already agrees on band b's 15
+    * bits, so a hamming-≤3 pair differs in ≤3 of the REMAINING 45
+    * bits; splitting those 45 bits into 4 sub-bands (12/12/12/9) means
+    * ≥1 sub-band matches (3 diffs can touch at most 3 of 4), so the
+    * join on (b, sig, j, sub) keeps 100% recall while cutting the
+    * bucket's pair count from O(bn²) to collision-bound O(bn²/2^12).
+    * Degenerate corpora (near-identical remaining bits) ARE genuinely
+    * near-dup-dense — the candidates produced are real output, not
+    * join waste. */
+  def simdupCandidates(sim0: DataFrame, maxBucket: Long = 10000L): DataFrame = {
+    val bb = simdupBands(sim0)
+    def pairHamming(a: String, b: String) =
+      bit_count(col(s"$a.simhash").bitwiseXOR(col(s"$b.simhash"))).cast(LongType)
+    val smallB = bb.filter(col("bn") <= maxBucket)
+    val smallPairs = smallB.as("a")
+      .join(smallB.as("b"),
+        col("a.b") === col("b.b") && col("a.sig") === col("b.sig")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        pairHamming("a", "b").as("hamming"))
+    // rem = the 45 simhash bits OUTSIDE band b (high part shifted down
+    // over the excised band, low part kept); sub-band j takes 12 bits
+    // (9 for j=3) of rem.
+    val sub = bb.filter(col("bn") > maxBucket)
+      .select(col("doc_id"), col("simhash"), col("b"), col("sig"),
+        expr("""explode(transform(sequence(0, 3), j -> struct(j as j,
+                  shiftright(
+                    shiftleft(shiftright(simhash, 15*(b+1)), 15*b)
+                      | (simhash & (shiftleft(cast(1 as bigint), 15*b) - 1)),
+                    12*j) & (CASE WHEN j < 3 THEN 4095 ELSE 511 END) as sub)))""").as("y"))
+      .select(col("doc_id"), col("simhash"), col("b"), col("sig"),
+        col("y.j").as("j"), col("y.sub").as("sub"))
+    val bigPairs = sub.as("a")
+      .join(sub.as("b"),
+        col("a.b") === col("b.b") && col("a.sig") === col("b.sig")
+          && col("a.j") === col("b.j") && col("a.sub") === col("b.sub")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        pairHamming("a", "b").as("hamming"))
+    smallPairs.union(bigPairs).distinct()
+  }
+
+  /** SimHash near-dup pairs (hamming ≤ 3) under the bucket guard. The
+    * guard changes the PLAN for oversize buckets, never the RESULT
+    * (sub-banding is exact for hamming ≤ 3) — asserted by the
+    * guarded-vs-unguarded parity test in DedupQueriesSpec. */
+  def simdupNearDups(sim0: DataFrame, maxBucket: Long = 10000L): DataFrame =
+    simdupCandidates(sim0, maxBucket)
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
 
   val oracleSql: Map[String, String] = Map(
     "q15_dedup" ->

@@ -84,4 +84,55 @@ class DedupQueriesSpec extends AnyFunSuite {
     assert(identicalDups.subsetOf(guarded),
       s"identical-text pairs must survive the LSH fallback (${identicalDups.size} expected)")
   }
+
+  /** 45 pseudo-random bits for the simhash region outside band 0
+    * (splitmix64 finalizer), shifted past the band-0 bits. */
+  private def rem45(i: Long): Long = {
+    var z = i + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    (z ^ (z >>> 31)) & ((1L << 45) - 1)
+  }
+
+  test("simdup bucket guard: degenerate shared-band corpus stays collision-bound") {
+    import spark.implicits._
+    import graft.queries.DedupQueries
+    // every doc shares band 0 (low 15 bits all zero) — ONE bucket of n
+    // in band 0, the O(n²/32k) worst case the constant bucket count
+    // cannot bound; remaining 45 bits are random
+    val n = 2000
+    val sim = (0 until n).map(i => (i.toLong, rem45(1000L + i) << 15))
+      .toDF("doc_id", "simhash")
+    val allPairs = n.toLong * (n - 1) / 2
+    val candidates = DedupQueries.simdupCandidates(sim, maxBucket = 100L).count()
+    assert(candidates * 20 < allPairs,
+      s"sub-banding must cut the candidate budget (all-pairs=$allPairs, got $candidates)")
+  }
+
+  test("simdup bucket guard: sub-banding keeps 100% recall at hamming <= 3") {
+    import spark.implicits._
+    import graft.queries.DedupQueries
+    // 300 (base, partner) pairs, all sharing band 0; partners differ in
+    // 1 or 3 bits of the remaining 45 — every pair is a true near-dup
+    // that the guarded path must still find
+    val rows = (0 until 300).flatMap { k =>
+      val base = rem45(k.toLong) << 15
+      val flipped =
+        if (k % 2 == 0) base ^ (1L << (15 + k % 45))
+        else base ^ (1L << (15 + k % 45)) ^ (1L << (15 + (k + 13) % 45)) ^
+          (1L << (15 + (k + 29) % 45))
+      Seq((2L * k, base), (2L * k + 1, flipped))
+    }
+    val sim = rows.toDF("doc_id", "simhash")
+    def run(maxBucket: Long) =
+      DedupQueries.simdupNearDups(sim, maxBucket)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val guarded = run(50L) // band-0 bucket of 600 >> 50 → sub-banded
+    val exact = run(Long.MaxValue) // guard never trips → plain banding
+    assert(guarded === exact, "guard changed the RESULT, not just the plan")
+    (0 until 300).foreach { k =>
+      assert(guarded.exists(p => p._1 == 2L * k && p._2 == 2L * k + 1),
+        s"planted near-dup pair ($k) lost by the guarded path")
+    }
+  }
 }

@@ -92,6 +92,26 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q21/q18 band joins land as asked: gram relations merge-join, block census broadcasts") {
+    // the merge hints exist to stop Catalyst broadcasting fat computed-
+    // array relations it under-estimates; a stacked/overridden hint
+    // (the BENCH_r04 warning) silently loses that protection. The
+    // final q18/q21 plans start at the post-barrier checkpoint scan,
+    // so the audit probes the pre-barrier scoring pipelines.
+    import graft.queries.DedupQueries
+    val p21 = DedupQueries.ngramScored(Tables.documents(spark, sf), 10000L)
+      .queryExecution.executedPlan.toString
+    assert(p21.contains("SortMergeJoin"), s"q21 gram self-join not merge-joined:\n$p21")
+    assert(p21.contains("BroadcastHashJoin"), s"q21 block-size census not broadcast:\n$p21")
+    assert(!p21.contains("CartesianProduct") && !p21.contains("BroadcastNestedLoopJoin"),
+      s"q21 scoring has an unbounded join:\n$p21")
+    val p18 = DedupQueries.minhashScored(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p18.contains("SortMergeJoin"), s"q18 candidate-set join not merge-joined:\n$p18")
+    assert(!p18.contains("CartesianProduct") && !p18.contains("BroadcastNestedLoopJoin"),
+      s"q18 scoring has an unbounded join:\n$p18")
+  }
+
   test("q40 IVF probes ride broadcasts; the corpus is never shuffled") {
     val p = plan("q40_ivf")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
