@@ -6,6 +6,15 @@ import org.apache.spark.sql.SparkSession
   * full materialization of every output row/column — rather than
   * `count()`, which would let Catalyst prune projections and skip the
   * post-limit sort work (measuring a different, cheaper query).
+  *
+  * Each query runs SPARK_GRAFT_RUNS times (default 3) and reports the
+  * per-query MINIMUM: single-run numbers on this box carry ±0.8 s of
+  * scheduler/GC noise (q31 swung 1.14→1.93→1.15 s across rounds 2-4
+  * with zero code changes), which made 1.2-1.3× "regressions"
+  * indistinguishable from variance. The min is the stable statistic
+  * for a cold-cache-free repeated measurement; the JSON also carries
+  * per-query max so the reader can see the noise band.
+  *
   * Failures are reported (stderr + "errors" field + time -1), never
   * silently folded into a row count.
   */
@@ -13,6 +22,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
     val spark = GraftSession.tune(
       SparkSession.builder()
         .master(s"local[$cpus]")
@@ -27,22 +37,27 @@ object Bench {
       .format("noop").mode("overwrite").save()
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          errors ::= name
-          name -> -1.0
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0
+        }
       }
+      if (times.contains(-1.0)) { errors ::= name; (name, -1.0, -1.0) }
+      else (name, times.min, times.max)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qsMax = results.map { case (k, _, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val errJson = errors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"stat":"min","queries":$qs,"queries_max":$qsMax,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

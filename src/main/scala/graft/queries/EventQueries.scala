@@ -48,7 +48,10 @@ object EventQueries {
   private def envelopeStruct(origin: Column, eventType: Int, tsNs: Column,
       lm: Column = nullOf(EnvelopeSchema.logMessage),
       vm: Column = nullOf(EnvelopeSchema.valueMetric),
-      ce: Column = nullOf(EnvelopeSchema.counterEvent)): Column =
+      ce: Column = nullOf(EnvelopeSchema.counterEvent),
+      hss: Column = nullOf(EnvelopeSchema.httpStartStop),
+      er: Column = nullOf(EnvelopeSchema.error),
+      cm: Column = nullOf(EnvelopeSchema.containerMetric)): Column =
     struct(
       origin.as("origin"),
       lit(eventType).as("eventType"),
@@ -58,12 +61,12 @@ object EventQueries {
       nullOf(StringType).as("index"),
       nullOf(StringType).as("ip"),
       nullOf(MapType(StringType, StringType)).as("tags"),
-      nullOf(EnvelopeSchema.httpStartStop).as("httpStartStop"),
+      hss.as("httpStartStop"),
       lm.as("logMessage"),
       vm.as("valueMetric"),
       ce.as("counterEvent"),
-      nullOf(EnvelopeSchema.error).as("error"),
-      nullOf(EnvelopeSchema.containerMetric).as("containerMetric"))
+      er.as("error"),
+      cm.as("containerMetric"))
 
   /** The canonical LogMessage-envelope JSON for an events row — the
     * flagship serialize step (O8) used by entry() and q14. */
@@ -216,10 +219,15 @@ object EventQueries {
         .orderBy("event_id").limit(100)
     }),
 
-    // O8 — the canonical byte-exact JSON encoder over three payload
+    // O8 — the canonical byte-exact JSON encoder over ALL SIX payload
     // shapes per row: LogMessage (base64 message, snake_case,
     // omit-if-absent), ValueMetric (Go float formatting), CounterEvent
-    // (unsigned 64-bit). Oracle reconstructs identical strings in SQL.
+    // (unsigned 64-bit), HttpStartStop (UUID {low,high} structs, the
+    // 44-value method enum, forwarded array — kafka_test.go:560-575),
+    // Error (easyjson string escaping of the props payload),
+    // ContainerMetric (unsigned u64 quotas incl. the -1 →
+    // 18446744073709551615 wrap). Oracle reconstructs identical
+    // strings in SQL.
     "q14_encode" -> ((s, d) => {
       val vm = struct(
         col("event_type").as("name"),
@@ -233,6 +241,34 @@ object EventQueries {
       // µs-truncated ns: DuckDB reads parquet TIMESTAMP(NANOS) at µs
       // resolution, so the oracle can only reconstruct µs*1000.
       val tsq = expr("(ts_ns div 1000) * 1000")
+      val hss = struct(
+        tsq.as("startTimestamp"),
+        (tsq + 1000000L).as("stopTimestamp"),
+        struct(col("user_id").as("low"), col("event_id").as("high")).as("requestId"),
+        (pmod(col("event_id"), lit(2)) + 1).cast(IntegerType).as("peerType"),
+        (pmod(col("event_id"), lit(44)) + 1).cast(IntegerType).as("method"),
+        concat(lit("http://"), col("event_type"), lit("/"), col("event_id")).as("uri"),
+        nullOf(StringType).as("remoteAddress"),
+        nullOf(StringType).as("userAgent"),
+        (pmod(col("event_id"), lit(4)) * 100 + 200).cast(IntegerType).as("statusCode"),
+        col("user_id").as("contentLength"),
+        struct(col("event_id").as("low"), (col("event_id") * 31).as("high")).as("applicationId"),
+        pmod(col("event_id"), lit(4)).cast(IntegerType).as("instanceIndex"),
+        nullOf(StringType).as("instanceId"),
+        array(concat(lit("10.0.0."), pmod(col("event_id"), lit(256))),
+          concat(lit("192.168.0."), pmod(col("event_id"), lit(100)))).as("forwarded"))
+      val er = struct(
+        col("event_type").as("source"),
+        pmod(col("event_id"), lit(100)).cast(IntegerType).as("code"),
+        col("props").as("message"))
+      val cm = struct(
+        concat(lit("cm-"), col("event_type")).as("applicationId"),
+        pmod(col("event_id"), lit(8)).cast(IntegerType).as("instanceIndex"),
+        col("value").as("cpuPercentage"),
+        (col("event_id") * 1024).as("memoryBytes"),
+        col("event_id").as("diskBytes"),
+        lit(-1L).as("memoryBytesQuota"), // u64 max, printed unsigned
+        lit(2147483648L).as("diskBytesQuota"))
       Tables.events(s, d)
         .filter(col("event_type").isNotNull)
         .select(col("event_id"),
@@ -240,7 +276,13 @@ object EventQueries {
           Functions.envelope_json(
             envelopeStruct(origin, 6, tsq, vm = vm)).as("vm_json"),
           Functions.envelope_json(
-            envelopeStruct(origin, 7, tsq, ce = ce)).as("ce_json"))
+            envelopeStruct(origin, 7, tsq, ce = ce)).as("ce_json"),
+          Functions.envelope_json(
+            envelopeStruct(origin, 4, tsq, hss = hss)).as("hss_json"),
+          Functions.envelope_json(
+            envelopeStruct(origin, 8, tsq, er = er)).as("err_json"),
+          Functions.envelope_json(
+            envelopeStruct(origin, 9, tsq, cm = cm)).as("cm_json"))
         .orderBy("event_id").limit(100)
     }),
 
@@ -377,7 +419,24 @@ object EventQueries {
              || ',"unit":"ms"}}' AS vm_json,
            '{"origin":"ev-'||event_type||'","eventType":7,"timestamp":'||epoch_ns(ts)||',"counterEvent":{"name":"'||event_type||'"'
              || CASE WHEN user_id IS NULL THEN '' ELSE ',"delta":'||user_id END
-             || ',"total":'||event_id||'}}' AS ce_json
+             || ',"total":'||event_id||'}}' AS ce_json,
+           '{"origin":"ev-'||event_type||'","eventType":4,"timestamp":'||epoch_ns(ts)||',"httpStartStop":{'
+             || '"startTimestamp":'||epoch_ns(ts)||',"stopTimestamp":'||(epoch_ns(ts)+1000000)
+             || ',"requestId":{'|| CASE WHEN user_id IS NULL THEN '' ELSE '"low":'||user_id||',' END ||'"high":'||event_id||'}'
+             || ',"peerType":'||(event_id%2+1)||',"method":'||(event_id%44+1)
+             || ',"uri":"http://'||event_type||'/'||event_id||'"'
+             || ',"statusCode":'||(event_id%4*100+200)
+             || CASE WHEN user_id IS NULL THEN '' ELSE ',"contentLength":'||user_id END
+             || ',"applicationId":{"low":'||event_id||',"high":'||(event_id*31)||'}'
+             || ',"instanceIndex":'||(event_id%4)
+             || ',"forwarded":["10.0.0.'||(event_id%256)||'","192.168.0.'||(event_id%100)||'"]}}' AS hss_json,
+           '{"origin":"ev-'||event_type||'","eventType":8,"timestamp":'||epoch_ns(ts)||',"error":{"source":"'||event_type||'","code":'||(event_id%100)
+             || CASE WHEN props IS NULL THEN '' ELSE ',"message":"'||replace(props,'"','\"')||'"' END
+             || '}}' AS err_json,
+           '{"origin":"ev-'||event_type||'","eventType":9,"timestamp":'||epoch_ns(ts)||',"containerMetric":{"applicationId":"cm-'||event_type||'","instanceIndex":'||(event_id%8)
+             || CASE WHEN value IS NULL THEN '' ELSE ',"cpuPercentage":'||regexp_replace(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR),'\.?0+$','') END
+             || ',"memoryBytes":'||(event_id*1024)||',"diskBytes":'||event_id
+             || ',"memoryBytesQuota":18446744073709551615,"diskBytesQuota":2147483648}}' AS cm_json
          FROM events WHERE event_type IS NOT NULL
          ORDER BY event_id LIMIT 100""",
     "q12_rate" ->

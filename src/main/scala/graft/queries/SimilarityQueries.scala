@@ -58,7 +58,8 @@ object SimilarityQueries {
     * the join shuffle is bucket-local). The declared oracle queries
     * pin nBits=4 ONLY because 2k test vectors at 16+ bits would leave
     * every bucket a singleton; [[annBucket]]/[[multiprobe]] are the
-    * scale-facing surface, asserted in SimilarityQueriesSpec. */
+    * scale-facing surface, asserted in SimilarityQueriesSpec and
+    * oracle-gated end to end by q44_multiprobe. */
   private def planes(nBits: Int): Seq[Seq[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def h6(s: String): Long = {
@@ -167,6 +168,25 @@ object SimilarityQueries {
         .limit(10)
     }),
 
+    // Multiprobe ANN: q22's bucketed search plus the 1-bit probe
+    // neighborhood — the recall-recovery path for higher nBits (a
+    // vector whose sketch differs from the query's in exactly one
+    // plane is still scanned). The probe set is (nBits+1) rows riding
+    // a broadcast; the corpus is never shuffled, and at scale the
+    // exploded probe list partition-prunes to (nBits+1)/2^nBits of it.
+    "q44_multiprobe" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), bucketCol.as("bucket"))
+      val probes = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"),
+          explode(multiprobe(col("bucket"), 4)).as("bucket"))
+      emb.filter(col("vec_id") =!= 0)
+        .join(broadcast(probes), Seq("bucket"))
+        .select(col("vec_id"), cosine("embedding", "qv").as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // Embedding-cosine near-dup pairs via bucket-equality self-join.
     // Norms are computed once per VECTOR before the join (n rows), not
     // once per PAIR (≈ n²/buckets rows); the per-pair work is a single
@@ -218,6 +238,15 @@ object SimilarityQueries {
           FROM lists b JOIN probes p ON b.cid = p.cid, q
           WHERE b.vec_id <> 0
           ORDER BY sim DESC, b.vec_id LIMIT 10""",
+    "q44_multiprobe" ->
+      s"""WITH b AS (
+            SELECT vec_id, embedding, $bucketSqlDuck bucket FROM embeddings),
+          q AS (SELECT embedding qv, bucket qb FROM b WHERE vec_id = 0),
+          p AS (SELECT qv, unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4), xor(qb, 8)]) AS bucket FROM q)
+          SELECT e.vec_id, ${dCos("e.embedding", "p.qv")} AS sim
+          FROM b e JOIN p ON e.bucket = p.bucket
+          WHERE e.vec_id <> 0
+          ORDER BY sim DESC, e.vec_id LIMIT 10""",
     "q23_embdup" ->
       s"""WITH b AS (
             SELECT vec_id, embedding, $bucketSqlDuck bucket FROM embeddings)
