@@ -269,8 +269,15 @@ object EventQueries {
         col("event_id").as("diskBytes"),
         lit(-1L).as("memoryBytesQuota"), // u64 max, printed unsigned
         lit(2147483648L).as("diskBytesQuota"))
+      // Top-k FIRST, encode the survivors: the sort key needs no
+      // computed column, so a distributed TakeOrderedAndProject picks
+      // the 100 rows and the six encoders run 100 times, not 6×|table|
+      // (Catalyst keeps projections below an orderBy, so inlining the
+      // encodes would evaluate them corpus-wide). Full-table encoder
+      // throughput stays measured by q39's all-rows round-trip.
       Tables.events(s, d)
         .filter(col("event_type").isNotNull)
+        .orderBy("event_id").limit(100)
         .select(col("event_id"),
           logMessageJson(tsq).as("lm_json"),
           Functions.envelope_json(
@@ -283,7 +290,7 @@ object EventQueries {
             envelopeStruct(origin, 8, tsq, er = er)).as("err_json"),
           Functions.envelope_json(
             envelopeStruct(origin, 9, tsq, cm = cm)).as("cm_json"))
-        .orderBy("event_id").limit(100)
+        .orderBy("event_id")
     }),
 
     // O13 variant — per-second rate as the delta vs the previous second
