@@ -63,6 +63,12 @@ object Functions {
   def text_stats(t: Column): Column =
     Shims.column(graft.functions.TextStats(Shims.expression(t)))
 
+  /** repetition_stats(t): word/type counts plus top word and top
+    * adjacent-bigram occurrence counts in one pass — the Gopher-style
+    * repetition-filter kernel. */
+  def repetition_stats(t: Column): Column =
+    Shims.column(graft.functions.RepetitionStats(Shims.expression(t)))
+
   /** bigram_scores(words, "a1,a2;b1,b2;..."): per-profile counts of
     * words starting with a profile bigram — the language-ID kernel,
     * one pass for all profiles. */
@@ -164,5 +170,7 @@ object Functions {
       "bigram_scores", exprs => graft.functions.BigramScores(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "text_stats", exprs => graft.functions.TextStats(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "repetition_stats", exprs => graft.functions.RepetitionStats(exprs.head), "built-in")
   }
 }

@@ -120,6 +120,30 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Repetition filtering — the Gopher/C4-style gate against
+    // templated/boilerplate text: duplicate-word fraction and
+    // top-word/top-bigram concentration, all integers, from ONE
+    // native pass (repetition_stats). Map-only: the explode +
+    // groupBy(doc, token) alternative shuffles a row per TOKEN.
+    // rep_ok mirrors the published thresholds in spirit: ≤30%
+    // duplicate words and the dominant bigram ≤20% of all bigrams.
+    "q45_repetition" -> ((s, d) => {
+      withWords(s, d)
+        .select(col("doc_id"), graft.Functions.repetition_stats(col("t")).as("r"))
+        .select(col("doc_id"),
+          col("r.n_words").as("n_words"),
+          col("r.n_types").as("n_types"),
+          col("r.top_word_n").as("top_word_n"),
+          col("r.top_bigram_n").as("top_bigram_n"))
+        .select(col("doc_id"), col("n_words"), col("n_types"),
+          col("top_word_n"), col("top_bigram_n"),
+          expr("(100 * (n_words - n_types)) div n_words").as("dup_word_pct"),
+          ((col("n_words") - col("n_types")) * 100 <= col("n_words") * 30
+            && col("top_bigram_n") * 100 <= greatest(col("n_words") - 1, lit(1L)) * 20)
+            .as("rep_ok"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic stratified sampling — the data-mixing op of a
     // training pipeline: downsample the dominant language (en keeps
     // 10%, the rest 50%) with a content-independent hash gate, so the
@@ -193,6 +217,29 @@ object TextQueries {
                    list_transform(range(1, least(length(t), 64)+1), i -> CAST(ascii(t[i:i]) AS BIGINT))),
                    (acc, c) -> (acc * 31 + c) % 2147483647) AS fp_prefix
           FROM n ORDER BY doc_id""",
+    "q45_repetition" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+          w AS (SELECT doc_id, string_split(t, ' ') words FROM n),
+          base AS (SELECT doc_id, len(words) n_words,
+                          len(list_distinct(words)) n_types FROM w),
+          wx AS (SELECT doc_id, unnest(words) w FROM w),
+          twc AS (SELECT doc_id, max(c) top_word_n FROM
+                    (SELECT doc_id, w, count(*) c FROM wx GROUP BY doc_id, w)
+                  GROUP BY doc_id),
+          bg AS (SELECT doc_id, words[i] || ' ' || words[i+1] b
+                 FROM w, unnest(range(1, len(words))) t(i)),
+          tbc AS (SELECT doc_id, max(c) top_bigram_n FROM
+                    (SELECT doc_id, b, count(*) c FROM bg GROUP BY doc_id, b)
+                  GROUP BY doc_id)
+          SELECT base.doc_id, n_words, n_types, top_word_n,
+                 coalesce(top_bigram_n, 0) AS top_bigram_n,
+                 (100 * (n_words - n_types)) // n_words AS dup_word_pct,
+                 ((n_words - n_types) * 100 <= n_words * 30
+                   AND coalesce(top_bigram_n, 0) * 100 <= greatest(n_words - 1, 1) * 20) AS rep_ok
+          FROM base
+          JOIN twc ON base.doc_id = twc.doc_id
+          LEFT JOIN tbc ON base.doc_id = tbc.doc_id
+          ORDER BY base.doc_id""",
     "q41_sample" ->
       """SELECT doc_id, lang,
                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS hb

@@ -126,6 +126,27 @@ class FunctionsSpec extends AnyFunSuite {
       s"got: ${exLen.getMessage}")
   }
 
+  test("repetition_stats: word/type/top-word/top-bigram tallies") {
+    Functions.register(spark)
+    def r(t: String): (Long, Long, Long, Long) = {
+      val row = spark.sql(s"SELECT repetition_stats('$t') AS r").select(
+        "r.n_words", "r.n_types", "r.top_word_n", "r.top_bigram_n").head()
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    }
+    // "a b a b a": 5 words, 2 types, 'a'×3; bigrams: "a b"×2, "b a"×2
+    assert(r("a b a b a") === ((5L, 2L, 3L, 2L)))
+    // all distinct: every count 1
+    assert(r("x y z") === ((3L, 3L, 1L, 1L)))
+    // single word: no bigram
+    assert(r("solo") === ((1L, 1L, 1L, 0L)))
+    // empty string: one empty word, exactly `split` semantics
+    assert(r("") === ((1L, 1L, 1L, 0L)))
+    // fully templated: one word repeated — the degenerate boilerplate
+    assert(r("spam spam spam spam") === ((4L, 1L, 4L, 3L)))
+    // NULL in → NULL out
+    assert(spark.sql("SELECT repetition_stats(CAST(NULL AS STRING))").head().isNullAt(0))
+  }
+
   test("kmv_kth rejects a non-literal k") {
     Functions.register(spark)
     val ex = intercept[Exception] {
