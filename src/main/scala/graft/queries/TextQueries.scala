@@ -144,6 +144,33 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Distinctive terms — TF-IDF's ranking with a float-free surface:
+    // per doc, the top-3 terms ordered by (tf DESC, df ASC, term) —
+    // exactly the tf·idf ordering for fixed tf since idf is monotone
+    // decreasing in df, with integer-only outputs so the oracle
+    // hash-matches. The corpus-statistics join shape at scale:
+    // (doc, term) counts partial-aggregate map-side before the
+    // shuffle; the document-frequency table aggregates distinct
+    // (doc, term) pairs by term (and above ~1e6 vocab would take a
+    // min-df cutoff and broadcast); ranking windows partition by
+    // doc_id — never a global sort.
+    "q46_terms" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wx = withWords(s, d)
+        .select(col("doc_id"), explode(col("words")).as("term"))
+      val tf = wx.groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+      val df = wx.distinct().groupBy("term")
+        .agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("term"))
+      tf.join(df, "term")
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"))
+        .orderBy("doc_id", "rnk")
+    }),
+
     // Deterministic stratified sampling — the data-mixing op of a
     // training pipeline: downsample the dominant language (en keeps
     // 10%, the rest 50%) with a content-independent hash gate, so the
@@ -240,6 +267,18 @@ object TextQueries {
           JOIN twc ON base.doc_id = twc.doc_id
           LEFT JOIN tbc ON base.doc_id = tbc.doc_id
           ORDER BY base.doc_id""",
+    "q46_terms" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+          w AS (SELECT doc_id, string_split(t, ' ') words FROM n),
+          wx AS (SELECT doc_id, unnest(words) term FROM w),
+          tf AS (SELECT doc_id, term, count(*) tf FROM wx GROUP BY doc_id, term),
+          df AS (SELECT term, count(DISTINCT doc_id) df FROM wx GROUP BY term),
+          r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                       row_number() OVER (PARTITION BY tf.doc_id
+                         ORDER BY tf.tf DESC, df.df ASC, tf.term) rnk
+                FROM tf JOIN df ON tf.term = df.term)
+          SELECT doc_id, rnk, term, tf, df FROM r
+          WHERE rnk <= 3 ORDER BY doc_id, rnk""",
     "q41_sample" ->
       """SELECT doc_id, lang,
                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS hb
