@@ -158,10 +158,14 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val wx = withWords(s, d)
         .select(col("doc_id"), explode(col("words")).as("term"))
-      val tf = wx.groupBy("doc_id", "term")
-        .agg(count(lit(1)).as("tf"))
-      val df = wx.distinct().groupBy("term")
-        .agg(count(lit(1)).as("df"))
+      // ONE explode + ONE (doc, term) shuffle: df re-aggregates the
+      // already-aggregated tf table (a (doc,term,tf) row exists iff
+      // the doc contains the term), instead of a second corpus
+      // explode + distinct shuffle. Barrier: tf feeds both df and the
+      // ranking join.
+      val tf = graft.ops.Barrier(wx.groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf")))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("tf").desc, col("df").asc, col("term"))
       tf.join(df, "term")
