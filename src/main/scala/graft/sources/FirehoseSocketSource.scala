@@ -1,0 +1,180 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.streaming.{Connector, NozzleReader}
+
+/** `graft-firehose-socket` — the NETWORK-backed variant of the
+  * firehose source: a DataSource V2 micro-batch stream whose rows are
+  * raw frames pulled by [[NozzleReader]] over a live TCP connection
+  * (dial → AUTH via TokenFetcher → idle-deadline reads → backoff
+  * re-dial → refresh-on-401), the lifecycle of the reference consumer
+  * (noaa async.go:228-351, 372-406). Downstream applies
+  * `envelope_decode` (O2) exactly where the reference applies
+  * proto.Unmarshal — malformed frames become NULL rows to drop.
+  *
+  * Design mirrors Spark's own TextSocketMicroBatchStream: a
+  * driver-side daemon thread appends frames to a buffer; offsets are
+  * frame counts; each micro-batch serves a buffered slice (one
+  * partition — the transport is a single socket). Like Spark's socket
+  * source, a live socket cannot replay before the buffer's origin, so
+  * this source is for ingestion at the edge; the file/firehose replay
+  * sources remain the checkpoint-recoverable path (SURVEY §7.4).
+  *
+  * Options: `host`, `port`, `idleTimeoutMs`, `rowsPerBatch`
+  * (admission control), `backoffMinMs`/`backoffMaxMs`/`maxRetries`,
+  * `uaa.addr`/`uaa.username`/`uaa.password` (AUTH token source).
+  */
+class FirehoseSocketSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-firehose-socket"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FirehoseSocketSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new FirehoseSocketTable
+}
+
+object FirehoseSocketSource {
+  val schema: StructType = StructType(Seq(
+    StructField("frame", StringType, nullable = false)))
+}
+
+private class FirehoseSocketTable extends Table with SupportsRead {
+  override def name(): String = "graft-firehose-socket"
+  override def schema(): StructType = FirehoseSocketSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan {
+      override def build(): Scan = this
+      override def readSchema(): StructType = FirehoseSocketSource.schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new FirehoseSocketMicroBatchStream(
+          host = options.getOrDefault("host", "127.0.0.1"),
+          port = options.getInt("port", 0),
+          idleTimeoutMs = options.getInt("idleTimeoutMs", 5000),
+          rowsPerBatch = options.getLong("rowsPerBatch", 1000L),
+          backoffMinMs = options.getLong("backoffMinMs", 500L),
+          backoffMaxMs = options.getLong("backoffMaxMs", 60000L),
+          maxRetries = options.getLong("maxRetries", 1000L),
+          uaaAddr = options.getOrDefault("uaa.addr", "uaa.local"),
+          username = options.getOrDefault("uaa.username", "anonymous"),
+          password = options.getOrDefault("uaa.password", "anonymous"))
+    }
+}
+
+private class FirehoseSocketMicroBatchStream(
+    host: String, port: Int, idleTimeoutMs: Int, rowsPerBatch: Long,
+    backoffMinMs: Long, backoffMaxMs: Long, maxRetries: Long,
+    uaaAddr: String, username: String, password: String)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  // Driver-side frame buffer: indices ARE offsets. Never trimmed
+  // within a run (bounded by the stream's lifetime, like Spark's
+  // socket source); a restarted query starts a fresh buffer.
+  private val frames = new ArrayBuffer[String]()
+  @volatile private var stopped = false
+  @volatile private var readerError: String = null
+  private var readerThread: Thread = null
+
+  private def ensureReader(): Unit = synchronized {
+    if (readerThread == null) {
+      val fetcher = new Connector.TokenFetcher(
+        uaaAddr, username, password, () => s"token-for-$username")
+      val backoff = new Connector.Backoff(backoffMinMs, backoffMaxMs, maxRetries)
+      readerThread = new Thread(() => {
+        NozzleReader.run(host, port, fetcher, backoff, idleTimeoutMs,
+          Long.MaxValue,
+          f => frames.synchronized { frames += f; () },
+          () => stopped) match {
+          case Left(e) => readerError = e
+          case Right(_) => ()
+        }
+      }, s"graft-socket-reader-$host:$port")
+      readerThread.setDaemon(true)
+      readerThread.start()
+    }
+  }
+
+  override def initialOffset(): Offset = {
+    ensureReader()
+    SocketOffset(0L)
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    ensureReader()
+    // a dead reader fails the query instead of silently idling
+    if (readerError != null)
+      throw new IllegalStateException(s"socket reader failed: $readerError")
+    val s = start.asInstanceOf[SocketOffset].rows
+    val available = frames.synchronized(frames.length.toLong)
+    val step = limit match {
+      case m: ReadMaxRows => m.maxRows()
+      case _ => rowsPerBatch
+    }
+    SocketOffset(math.max(s, math.min(available, s + step)))
+  }
+
+  override def reportLatestOffset(): Offset =
+    SocketOffset(frames.synchronized(frames.length.toLong))
+
+  override def deserializeOffset(json: String): Offset =
+    SocketOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SocketOffset].rows.toInt
+    val e = end.asInstanceOf[SocketOffset].rows.toInt
+    val slice = frames.synchronized {
+      // a fresh buffer after query restart cannot replay earlier
+      // offsets (socket-source contract); serve what exists
+      frames.slice(math.min(s, frames.length), math.min(e, frames.length)).toArray
+    }
+    if (slice.isEmpty) Array.empty
+    else Array(SocketFrames(slice))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val fs = partition.asInstanceOf[SocketFrames].frames
+      new PartitionReader[InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < fs.length }
+        override def get(): InternalRow = {
+          val row = new GenericInternalRow(1)
+          row.update(0, UTF8String.fromString(fs(i)))
+          row
+        }
+        override def close(): Unit = ()
+      }
+    }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = {
+    stopped = true // reader notices at the next frame/timeout boundary
+  }
+}
+
+private case class SocketOffset(rows: Long) extends Offset {
+  override def json(): String = rows.toString
+}
+
+private case class SocketFrames(frames: Array[String]) extends InputPartition

@@ -47,7 +47,8 @@ object NozzleReader {
       backoff: Connector.Backoff,
       idleTimeoutMs: Int,
       maxFrames: Long,
-      onFrame: String => Unit): Either[String, ReaderStats] = {
+      onFrame: String => Unit,
+      shouldStop: () => Boolean = () => false): Either[String, ReaderStats] = {
     var dials = 0L
     var refreshes = 0L
     var frames = 0L
@@ -57,6 +58,8 @@ object NozzleReader {
     }
     var result: Either[String, ReaderStats] = null
     while (result == null) {
+      if (shouldStop())
+        return Right(ReaderStats(frames, dials, refreshes)) // conn.Close() analogue
       var retryable: String = null
       var redial401 = true
       var refreshedThisDial = false
@@ -79,10 +82,12 @@ object NozzleReader {
               while (line != null && result == null) {
                 onFrame(line)
                 frames += 1
-                if (frames >= maxFrames)
+                if (frames >= maxFrames || shouldStop())
                   result = Right(ReaderStats(frames, dials, refreshes))
                 else line = in.readLine()
               }
+              if (result == null && shouldStop())
+                result = Right(ReaderStats(frames, dials, refreshes))
               if (result == null) retryable = "connection closed mid-stream"
             case "401" =>
               if (!refreshedThisDial) fetcher.refresh() match {
