@@ -175,6 +175,26 @@ object TextQueries {
         .orderBy("doc_id", "rnk")
     }),
 
+    // Cross-document boilerplate spans — the C4-style "same span in
+    // multiple documents" detector that feeds span-level scrubbing:
+    // 3-word shingles (the native word_shingles3 set, so a span
+    // counts once per doc) aggregated by span with map-side combine,
+    // kept where ≥5 distinct docs share the span, top-20 by spread.
+    // Scale shape: the only shuffle is the (span → count) partial
+    // aggregation; TakeOrderedAndProject for the top-k — no global
+    // sort, no row-per-token shuffle (distinct spans per doc, not
+    // occurrences).
+    "q47_spans" -> ((s, d) => {
+      withWords(s, d)
+        .select(col("doc_id"),
+          explode(graft.Functions.word_shingles3(col("t"))).as("span"))
+        .groupBy("span")
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 5)
+        .orderBy(col("n_docs").desc, col("span"))
+        .limit(20)
+    }),
+
     // Deterministic stratified sampling — the data-mixing op of a
     // training pipeline: downsample the dominant language (en keeps
     // 10%, the rest 50%) with a content-independent hash gate, so the
@@ -283,6 +303,17 @@ object TextQueries {
                 FROM tf JOIN df ON tf.term = df.term)
           SELECT doc_id, rnk, term, tf, df FROM r
           WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "q47_spans" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+          w AS (SELECT doc_id, string_split(t, ' ') words FROM n),
+          sh AS (SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(words)-1),
+                     i -> array_to_string(words[i:i+2], ' '))) spans
+                 FROM w WHERE len(words) >= 3),
+          sx AS (SELECT doc_id, unnest(spans) span FROM sh)
+          SELECT span, count(*) n_docs FROM sx
+          GROUP BY span HAVING count(*) >= 5
+          ORDER BY n_docs DESC, span LIMIT 20""",
     "q41_sample" ->
       """SELECT doc_id, lang,
                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS hb

@@ -147,6 +147,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT repetition_stats(CAST(NULL AS STRING))").head().isNullAt(0))
   }
 
+  test("repetition_stats matches a naive reference on 200 random word sequences") {
+    Functions.register(spark)
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "spam", "x1", "0")
+    val cases = (1 to 200).map { _ =>
+      (0 until (1 + rnd.nextInt(40))).map(_ => vocab(rnd.nextInt(vocab.size)))
+    }
+    def naive(ws: Seq[String]): (Long, Long, Long, Long) = {
+      val tw = ws.groupBy(identity).values.map(_.size).max
+      val bgs = ws.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val tb = if (bgs.isEmpty) 0 else bgs.groupBy(identity).values.map(_.size).max
+      (ws.size.toLong, ws.distinct.size.toLong, tw.toLong, tb.toLong)
+    }
+    import spark.implicits._
+    val got = cases.map(_.mkString(" ")).toDF("t")
+      .selectExpr("repetition_stats(t) AS r")
+      .select("r.n_words", "r.n_types", "r.top_word_n", "r.top_bigram_n")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    cases.zip(got).foreach { case (ws, g) =>
+      assert(g === naive(ws), s"mismatch on: ${ws.mkString(" ")}")
+    }
+  }
+
   test("kmv_kth rejects a non-literal k") {
     Functions.register(spark)
     val ex = intercept[Exception] {

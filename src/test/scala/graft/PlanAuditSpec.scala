@@ -112,6 +112,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q18 scoring has an unbounded join:\n$p18")
   }
 
+  test("q45 repetition is map-only; q46/q47 keep partial aggregation") {
+    val p45 = plan("q45_repetition")
+    assert(!p45.contains("Exchange hashpartitioning"),
+      s"q45 must not shuffle (native kernel, per-row projection):\n$p45")
+    assert(!p45.contains("lambdafunction"), s"q45 has an interpreted HOF:\n$p45")
+    // the corpus-statistics aggregations must map-side combine
+    Seq("q46_terms", "q47_spans").foreach { q =>
+      assert(plan(q).contains("partial_"), s"$q lost partial aggregation")
+    }
+    assert(plan("q47_spans").contains("TakeOrderedAndProject"),
+      "q47 top-k must not global-sort")
+  }
+
   test("q40 IVF probes ride broadcasts; the corpus is never shuffled") {
     val p = plan("q40_ivf")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
