@@ -99,6 +99,11 @@ object Functions {
     Shims.column(graft.functions.CentroidTopK(
       Shims.expression(emb), Shims.expression(codebook), k))
 
+  /** vec_quant8(emb): symmetric int8 quantization (floor(x·127/maxabs))
+    * — the embedding storage/compression step, integer outputs. */
+  def vec_quant8(emb: Column): Column =
+    Shims.column(graft.functions.VecQuant8(Shims.expression(emb)))
+
   /** gram4_codes(t): sorted distinct char-4-gram set of a normalized
     * ASCII string, packed one gram per Int — the n-gram dedup hot
     * path. */
@@ -172,5 +177,7 @@ object Functions {
       "text_stats", exprs => graft.functions.TextStats(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "repetition_stats", exprs => graft.functions.RepetitionStats(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "vec_quant8", exprs => graft.functions.VecQuant8(exprs.head), "built-in")
   }
 }

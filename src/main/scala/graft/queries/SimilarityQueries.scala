@@ -187,6 +187,22 @@ object SimilarityQueries {
         .limit(10)
     }),
 
+    // Symmetric int8 quantization — the embedding storage/compression
+    // step (4× smaller vectors for the ANN index). Map-only native
+    // kernel (vec_quant8); output posexploded to scalar (vec_id, i, q)
+    // rows because the driver's comparator hashes scalar cells only.
+    // floor() semantics make the mapping integer-exact across engines.
+    "q48_quant" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") < 200)
+        .select(col("vec_id"),
+          posexplode(graft.Functions.vec_quant8(col("embedding"))))
+        .select(col("vec_id"),
+          col("pos").cast(org.apache.spark.sql.types.LongType).as("i"),
+          col("col").as("q"))
+        .orderBy("vec_id", "i")
+    }),
+
     // Embedding-cosine near-dup pairs via bucket-equality self-join.
     // Norms are computed once per VECTOR before the join (n rows), not
     // once per PAIR (≈ n²/buckets rows); the per-pair work is a single
@@ -247,6 +263,17 @@ object SimilarityQueries {
           FROM b e JOIN p ON e.bucket = p.bucket
           WHERE e.vec_id <> 0
           ORDER BY sim DESC, e.vec_id LIMIT 10""",
+    "q48_quant" ->
+      """WITH m AS (
+           SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) maxabs
+           FROM embeddings WHERE vec_id < 200)
+         SELECT vec_id, i - 1 AS i,
+                CASE WHEN maxabs > 0
+                     THEN CAST(floor(CAST(embedding[i] AS DOUBLE) * 127 / maxabs) AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END AS q
+         FROM m, unnest(range(1, len(embedding)+1)) t(i)
+         ORDER BY vec_id, i""",
     "q23_embdup" ->
       s"""WITH b AS (
             SELECT vec_id, embedding, $bucketSqlDuck bucket FROM embeddings)

@@ -171,6 +171,25 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("vec_quant8: symmetric int8 mapping, zero vector, NULL poisoning") {
+    Functions.register(spark)
+    def q(sql: String): Any = spark.sql(sql).head().get(0)
+    // maxabs=2: floor(1*127/2)=63, floor(-2*127/2)=-127, floor(0.5*127/2)=31
+    assert(q("SELECT vec_quant8(array(CAST(1.0 AS DOUBLE), CAST(-2.0 AS DOUBLE), CAST(0.5 AS DOUBLE)))")
+      === Seq(63L, -127L, 31L))
+    // all-zero vector → all zeros (no div-by-zero)
+    assert(q("SELECT vec_quant8(array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)))")
+      === Seq(0L, 0L))
+    // float input widens like the oracle
+    assert(q("SELECT vec_quant8(array(CAST(3.0 AS FLOAT), CAST(-3.0 AS FLOAT)))")
+      === Seq(127L, -127L))
+    // NULL element poisons; NULL array → NULL
+    assert(spark.sql(
+      "SELECT vec_quant8(array(CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE)))").head().isNullAt(0))
+    assert(spark.sql(
+      "SELECT vec_quant8(CAST(NULL AS ARRAY<DOUBLE>))").head().isNullAt(0))
+  }
+
   test("kmv_kth rejects a non-literal k") {
     Functions.register(spark)
     val ex = intercept[Exception] {
