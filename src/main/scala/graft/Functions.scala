@@ -104,6 +104,11 @@ object Functions {
   def vec_quant8(emb: Column): Column =
     Shims.column(graft.functions.VecQuant8(Shims.expression(emb)))
 
+  /** vec_dot_int(a, b): exact integer dot product of ARRAY<BIGINT>
+    * vectors — the quantized-ANN ranking kernel. */
+  def vec_dot_int(a: Column, b: Column): Column =
+    Shims.column(graft.functions.VecDotInt(Shims.expression(a), Shims.expression(b)))
+
   /** gram4_codes(t): sorted distinct char-4-gram set of a normalized
     * ASCII string, packed one gram per Int — the n-gram dedup hot
     * path. */
@@ -179,5 +184,7 @@ object Functions {
       "repetition_stats", exprs => graft.functions.RepetitionStats(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "vec_quant8", exprs => graft.functions.VecQuant8(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "vec_dot_int", exprs => graft.functions.VecDotInt(exprs(0), exprs(1)), "built-in")
   }
 }

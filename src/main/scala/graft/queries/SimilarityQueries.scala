@@ -203,6 +203,25 @@ object SimilarityQueries {
         .orderBy("vec_id", "i")
     }),
 
+    // Quantized ANN — search over the COMPRESSED vectors: exact
+    // integer dot products of the int8 codes rank the corpus against
+    // the quantized query (broadcast 1-row). The end-to-end
+    // compression→search path of a 100 TB embedding store: 4× less
+    // scan I/O, integer SIMD-friendly scoring, zero float surface so
+    // the oracle hashes exactly. Barrier: the quantized table feeds
+    // both the query lookup and the scan.
+    "q49_qann" -> ((s, d) => {
+      val qemb = graft.ops.Barrier(Tables.embeddings(s, d)
+        .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8")))
+      val q = qemb.filter(col("vec_id") === 0).select(col("q8").as("qq"))
+      qemb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          graft.Functions.vec_dot_int(col("q8"), col("qq")).as("qsim"))
+        .orderBy(col("qsim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // Embedding-cosine near-dup pairs via bucket-equality self-join.
     // Norms are computed once per VECTOR before the join (n rows), not
     // once per PAIR (≈ n²/buckets rows); the per-pair work is a single
@@ -274,6 +293,22 @@ object SimilarityQueries {
                      ELSE CAST(0 AS BIGINT) END AS q
          FROM m, unnest(range(1, len(embedding)+1)) t(i)
          ORDER BY vec_id, i""",
+    "q49_qann" ->
+      """WITH m AS (
+           SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) maxabs
+           FROM embeddings),
+         v AS (
+           SELECT vec_id,
+                  CASE WHEN maxabs > 0
+                       THEN list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127 / maxabs) AS BIGINT))
+                       ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END q8
+           FROM m),
+         q AS (SELECT q8 qq FROM v WHERE vec_id = 0)
+         SELECT v.vec_id,
+                CAST(list_sum(list_transform(range(1, len(v.q8)+1), i -> v.q8[i] * qq[i])) AS BIGINT) AS qsim
+         FROM v, q WHERE v.vec_id <> 0
+         ORDER BY qsim DESC, v.vec_id LIMIT 10""",
     "q23_embdup" ->
       s"""WITH b AS (
             SELECT vec_id, embedding, $bucketSqlDuck bucket FROM embeddings)
