@@ -130,6 +130,33 @@ class NozzleReaderSpec extends AnyFunSuite {
     assert(result.swap.getOrElse("").contains("max retries"))
   }
 
+  test("a garbage handshake is retryable and reports the last error on exhaustion") {
+    val server = new ServerSocket(0, 8, InetAddress.getLoopbackAddress)
+    val acceptor = new Thread(() => {
+      try {
+        while (!server.isClosed) {
+          val s = server.accept()
+          val out = new OutputStreamWriter(s.getOutputStream, "UTF-8")
+          new BufferedReader(new InputStreamReader(s.getInputStream, "UTF-8")).readLine()
+          out.write("HTTP/1.1 500 oops\n"); out.flush(); s.close()
+        }
+      } catch { case _: Exception => () }
+    })
+    acceptor.setDaemon(true)
+    acceptor.start()
+    try {
+      val fetcher = new Connector.TokenFetcher(
+        "https://uaa.example", "u", "p", () => "tok")
+      val backoff = new Connector.Backoff(minDelayMs = 1, maxDelayMs = 2, maxRetries = 3)
+      val result = NozzleReader.run(
+        "127.0.0.1", server.getLocalPort, fetcher, backoff,
+        idleTimeoutMs = 200, maxFrames = 1, onFrame = _ => ())
+      assert(result.isLeft)
+      val msg = result.swap.getOrElse("")
+      assert(msg.contains("max retries") && msg.contains("bad handshake"), msg)
+    } finally server.close()
+  }
+
   test("a failed initial token fetch fails the reader before any dial (nozzle.go:113-138)") {
     val fetcher = new Connector.TokenFetcher(
       "", "u", "p", () => "tok") // empty UaaAddr → validate() fails
