@@ -82,10 +82,14 @@ private class FirehoseSocketMicroBatchStream(
     uaaAddr: String, username: String, password: String)
     extends MicroBatchStream with SupportsAdmissionControl {
 
-  // Driver-side frame buffer: indices ARE offsets. Never trimmed
-  // within a run (bounded by the stream's lifetime, like Spark's
-  // socket source); a restarted query starts a fresh buffer.
+  // Driver-side frame buffer. `base` is the global offset of
+  // frames(0): committed batches are trimmed in commit(), so resident
+  // memory is bounded by uncommitted frames (micro-batch size ×
+  // in-flight batches), not the stream's lifetime. A restarted query
+  // starts a fresh buffer and cannot replay earlier offsets — the
+  // socket-source contract, same as Spark's own.
   private val frames = new ArrayBuffer[String]()
+  private var base = 0L
   @volatile private var stopped = false
   @volatile private var readerError: String = null
   private var readerThread: Thread = null
@@ -126,7 +130,7 @@ private class FirehoseSocketMicroBatchStream(
     if (readerError != null)
       throw new IllegalStateException(s"socket reader failed: $readerError")
     val s = start.asInstanceOf[SocketOffset].rows
-    val available = frames.synchronized(frames.length.toLong)
+    val available = frames.synchronized(base + frames.length)
     val step = limit match {
       case m: ReadMaxRows => m.maxRows()
       case _ => rowsPerBatch
@@ -135,18 +139,21 @@ private class FirehoseSocketMicroBatchStream(
   }
 
   override def reportLatestOffset(): Offset =
-    SocketOffset(frames.synchronized(frames.length.toLong))
+    SocketOffset(frames.synchronized(base + frames.length))
 
   override def deserializeOffset(json: String): Offset =
     SocketOffset(json.trim.toLong)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[SocketOffset].rows.toInt
-    val e = end.asInstanceOf[SocketOffset].rows.toInt
+    val s = start.asInstanceOf[SocketOffset].rows
+    val e = end.asInstanceOf[SocketOffset].rows
     val slice = frames.synchronized {
-      // a fresh buffer after query restart cannot replay earlier
-      // offsets (socket-source contract); serve what exists
-      frames.slice(math.min(s, frames.length), math.min(e, frames.length)).toArray
+      // clamp into the live window [base, base + length): a fresh
+      // buffer after query restart cannot replay earlier offsets
+      // (socket-source contract); serve what exists
+      val from = math.min(math.max(s - base, 0L), frames.length.toLong).toInt
+      val until = math.min(math.max(e - base, 0L), frames.length.toLong).toInt
+      frames.slice(from, until).toArray
     }
     if (slice.isEmpty) Array.empty
     else Array(SocketFrames(slice))
@@ -167,7 +174,16 @@ private class FirehoseSocketMicroBatchStream(
       }
     }
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = {
+    // processed-and-checkpointed frames can never be re-requested:
+    // trim them so resident memory tracks the uncommitted window
+    val e = end.asInstanceOf[SocketOffset].rows
+    frames.synchronized {
+      val drop = math.min(math.max(e - base, 0L), frames.length.toLong).toInt
+      if (drop > 0) { frames.remove(0, drop); base += drop }
+    }
+  }
+
   override def stop(): Unit = {
     stopped = true // reader notices at the next frame/timeout boundary
   }
