@@ -195,6 +195,26 @@ object TextQueries {
         .limit(20)
     }),
 
+    // Document chunking — the sequence-windowing step before
+    // tokenizer packing (pretraining) or embedding (RAG): 100-token
+    // windows at stride 80 (20-token overlap), last window clipped.
+    // Map-only: the explode multiplies rows inside the partition, no
+    // shuffle until the presentation ORDER BY; chunk content is
+    // pinned by md5 so the oracle verifies the actual slices, not
+    // just the arithmetic.
+    "q50_chunks" -> ((s, d) => {
+      withWords(s, d)
+        .select(col("doc_id"), col("words"))
+        .withColumn("n", size(col("words")).cast(LongType))
+        .withColumn("k", explode(expr("sequence(0L, (n + 79) div 80 - 1)")))
+        .select(col("doc_id"), col("k").as("chunk_id"),
+          (col("k") * 80).as("tok_start"),
+          least(lit(100L), col("n") - col("k") * 80).as("tok_len"),
+          md5(expr("array_join(slice(words, cast(k*80+1 as int), cast(least(100L, n - k*80) as int)), ' ')")
+            .cast(BinaryType)).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // Deterministic stratified sampling — the data-mixing op of a
     // training pipeline: downsample the dominant language (en keeps
     // 10%, the rest 50%) with a content-independent hash gate, so the
@@ -314,6 +334,15 @@ object TextQueries {
           SELECT span, count(*) n_docs FROM sx
           GROUP BY span HAVING count(*) >= 5
           ORDER BY n_docs DESC, span LIMIT 20""",
+    "q50_chunks" ->
+      s"""WITH n0 AS (SELECT doc_id, $normDuck t FROM documents),
+          w AS (SELECT doc_id, string_split(t, ' ') words FROM n0),
+          x AS (SELECT doc_id, words, len(words) n FROM w),
+          c AS (SELECT doc_id, words, n, unnest(range(0, (n + 79) // 80)) k FROM x)
+          SELECT doc_id, k AS chunk_id, k*80 AS tok_start,
+                 least(100, n - k*80) AS tok_len,
+                 md5(array_to_string(words[k*80+1 : k*80+least(100, n - k*80)], ' ')) AS chunk_md5
+          FROM c ORDER BY doc_id, chunk_id""",
     "q41_sample" ->
       """SELECT doc_id, lang,
                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS hb
