@@ -37,18 +37,25 @@ object Bench {
       .format("noop").mode("overwrite").save()
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      // stop at the first failure: a failing query marks the whole
+      // entry failed regardless of the other runs, so re-running it
+      // only multiplies wall-clock and stderr noise
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var failed = false
+      var r = 0
+      while (r < runs && !failed) {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          times += (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            -1.0
+            failed = true
         }
+        r += 1
       }
-      if (times.contains(-1.0)) { errors ::= name; (name, -1.0, -1.0) }
+      if (failed) { errors ::= name; (name, -1.0, -1.0) }
       else (name, times.min, times.max)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }

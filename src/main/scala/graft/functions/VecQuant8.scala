@@ -7,9 +7,12 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** `vec_quant8(emb)` — symmetric int8 quantization of an embedding:
-  * each component maps to `floor(x * 127 / maxabs)` where `maxabs` is
-  * the vector's max |component| (the per-vector scale), yielding
-  * values in [-127, 127]; an all-zero vector quantizes to all zeros.
+  * each component maps to `floor(x * 127 / maxabs)` clamped to
+  * [-127, 127], where `maxabs` is the vector's max |component| (the
+  * per-vector scale); an all-zero vector quantizes to all zeros. The
+  * clamp matters: double-rounding in `(x·127)/maxabs` can land a hair
+  * past ±127 for the max-magnitude component, which floor alone would
+  * take to -128.
   *
   * The storage/ANN-compression step of an embedding pipeline: 4×
   * smaller vectors whose integer dot products approximate cosine
@@ -68,7 +71,12 @@ object VecQuant8 {
     if (maxabs > 0.0d) {
       i = 0
       while (i < n) {
-        out(i) = math.floor(xs(i) * 127.0d / maxabs).toLong
+        // clamp: double-rounding in (x*127)/maxabs can land a hair
+        // past ±127 for the max-magnitude component (two rounding
+        // errors exceed the ULP at 127), which floor would take to
+        // -128 — outside the documented int8 range
+        val q = math.floor(xs(i) * 127.0d / maxabs).toLong
+        out(i) = math.max(-127L, math.min(127L, q))
         i += 1
       }
     }

@@ -213,28 +213,22 @@ object DedupQueries {
     smallPairs.union(lshPairs(big))
   }
 
-  /** Char-4-gram Jaccard near-dups with the block-size guard (exact
-    * scoring on every candidate; LSH affects recall only, inside
-    * oversize blocks only). Under-guard blocks score INLINE in the
-    * block self-join — one join, carrying both gram arrays once — the
-    * measured-fast r2 shape; only LSH candidates pay the two
-    * re-join-the-sets lookups. hint("merge"): Catalyst's size
-    * estimate for computed array columns derives from the tiny
-    * parquet scan and would broadcast a multi-100MB gram relation
-    * (measured 0.7 s vs 90 s). Barriers (graft.ops.Barrier): gram
-    * sets feed multiple consumers, and the threshold filter must not
-    * collapse into the scoring join's condition (measured 30×
-    * slower). */
   /** Pre-barrier q21 scoring pipeline — `private[graft]` for plan
     * audits (the final q21 plan starts at the post-barrier checkpoint
-    * scan and shows none of the joins).
+    * scan and shows none of the joins). Under-guard blocks score
+    * INLINE in the block self-join — one join, carrying both gram
+    * arrays once — the measured-fast r2 shape; only LSH candidates
+    * pay the two re-join-the-sets lookups.
     *
     * Hint discipline: exactly ONE merge hint per scoring-join input,
-    * applied AFTER the block-census broadcast join. Hinting g2 itself
-    * (the r2-r4 shape) stacked merge against the census broadcast
-    * hint and against sets' own hint — Catalyst dropped one with a
-    * "Hint overridden" warning, so the planned join was not the one
-    * the code asked for (BENCH_r04 tail; PlanAuditSpec now pins it). */
+    * applied AFTER the block-census broadcast join (Catalyst's size
+    * estimate for computed array columns derives from the tiny
+    * parquet scan and would broadcast a multi-100MB gram relation —
+    * measured 0.7 s vs 90 s). Hinting g2 itself (the r2-r4 shape)
+    * stacked merge against the census broadcast hint and against
+    * sets' own hint — Catalyst dropped one with a "Hint overridden"
+    * warning, so the planned join was not the one the code asked for
+    * (BENCH_r04 tail; PlanAuditSpec now pins it). */
   private[graft] def ngramScored(docs: DataFrame, maxBlock: Long): DataFrame = {
     val g2 = graft.ops.Barrier(gramSets(docs))
     val (small0, big) = splitByBlockSize(g2, maxBlock)
@@ -256,6 +250,12 @@ object DedupQueries {
     smallScored.union(bigScored)
   }
 
+  /** Char-4-gram Jaccard near-dups with the block-size guard (exact
+    * scoring on every candidate; LSH affects recall only, inside
+    * oversize blocks only). Barriers (graft.ops.Barrier): gram sets
+    * feed multiple consumers, and the threshold filter must not
+    * collapse into the scoring join's condition (measured 30×
+    * slower). */
   def ngramNearDups(docs: DataFrame, maxBlock: Long = 10000L): DataFrame = {
     val scored = graft.ops.Barrier(ngramScored(docs, maxBlock))
     scored

@@ -289,7 +289,8 @@ object SimilarityQueries {
            FROM embeddings WHERE vec_id < 200)
          SELECT vec_id, i - 1 AS i,
                 CASE WHEN maxabs > 0
-                     THEN CAST(floor(CAST(embedding[i] AS DOUBLE) * 127 / maxabs) AS BIGINT)
+                     THEN greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+                            CAST(floor(CAST(embedding[i] AS DOUBLE) * 127 / maxabs) AS BIGINT)))
                      ELSE CAST(0 AS BIGINT) END AS q
          FROM m, unnest(range(1, len(embedding)+1)) t(i)
          ORDER BY vec_id, i""",
@@ -301,7 +302,9 @@ object SimilarityQueries {
          v AS (
            SELECT vec_id,
                   CASE WHEN maxabs > 0
-                       THEN list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127 / maxabs) AS BIGINT))
+                       THEN list_transform(embedding, x -> greatest(CAST(-127 AS BIGINT),
+                              least(CAST(127 AS BIGINT),
+                                CAST(floor(CAST(x AS DOUBLE) * 127 / maxabs) AS BIGINT))))
                        ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END q8
            FROM m),
          q AS (SELECT q8 qq FROM v WHERE vec_id = 0)

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -88,11 +88,26 @@ private class FirehoseSocketMicroBatchStream(
   // in-flight batches), not the stream's lifetime. A restarted query
   // starts a fresh buffer and cannot replay earlier offsets — the
   // socket-source contract, same as Spark's own.
+  require(port >= 1 && port <= 65535, s"option 'port' must be 1-65535, got $port")
+
   private val frames = new ArrayBuffer[String]()
   private var base = 0L
+  // A restarted query resumes from the CHECKPOINTED offset while this
+  // instance's buffer starts fresh: the origin must be re-aligned to
+  // the restored offset on the first call, or every new frame would be
+  // mislabeled as pre-restart data (served never, trimmed silently).
+  private var originAligned = false
   @volatile private var stopped = false
   @volatile private var readerError: String = null
   private var readerThread: Thread = null
+  private val liveSocket = new java.util.concurrent.atomic.AtomicReference[java.net.Socket]()
+
+  private def alignOrigin(offset: Long): Unit = frames.synchronized {
+    if (!originAligned) {
+      if (offset > base + frames.length) base = offset
+      originAligned = true
+    }
+  }
 
   private def ensureReader(): Unit = synchronized {
     if (readerThread == null) {
@@ -100,12 +115,20 @@ private class FirehoseSocketMicroBatchStream(
         uaaAddr, username, password, () => s"token-for-$username")
       val backoff = new Connector.Backoff(backoffMinMs, backoffMaxMs, maxRetries)
       readerThread = new Thread(() => {
-        NozzleReader.run(host, port, fetcher, backoff, idleTimeoutMs,
-          Long.MaxValue,
-          f => frames.synchronized { frames += f; () },
-          () => stopped) match {
-          case Left(e) => readerError = e
-          case Right(_) => ()
+        // anything escaping the reader must surface as a query error,
+        // never a silent idle stream
+        try {
+          NozzleReader.run(host, port, fetcher, backoff, idleTimeoutMs,
+            Long.MaxValue,
+            f => frames.synchronized { frames += f; () },
+            () => stopped,
+            s => liveSocket.set(s)) match {
+            case Left(e) => readerError = e
+            case Right(_) => ()
+          }
+        } catch {
+          case _: InterruptedException if stopped => ()
+          case t: Throwable => if (!stopped) readerError = t.toString
         }
       }, s"graft-socket-reader-$host:$port")
       readerThread.setDaemon(true)
@@ -115,6 +138,7 @@ private class FirehoseSocketMicroBatchStream(
 
   override def initialOffset(): Offset = {
     ensureReader()
+    alignOrigin(0L)
     SocketOffset(0L)
   }
 
@@ -130,12 +154,16 @@ private class FirehoseSocketMicroBatchStream(
     if (readerError != null)
       throw new IllegalStateException(s"socket reader failed: $readerError")
     val s = start.asInstanceOf[SocketOffset].rows
+    alignOrigin(s)
     val available = frames.synchronized(base + frames.length)
     val step = limit match {
       case m: ReadMaxRows => m.maxRows()
+      case _: ReadAllAvailable => Long.MaxValue // Trigger.Once drains the buffer
       case _ => rowsPerBatch
     }
-    SocketOffset(math.max(s, math.min(available, s + step)))
+    // cap the step BEFORE adding: step may be Long.MaxValue
+    val capped = math.max(0L, math.min(step, available - s))
+    SocketOffset(s + capped)
   }
 
   override def reportLatestOffset(): Offset =
@@ -147,6 +175,11 @@ private class FirehoseSocketMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SocketOffset].rows
     val e = end.asInstanceOf[SocketOffset].rows
+    // restart-with-uncommitted-batch path: this runs BEFORE any
+    // latestOffset call; the replayed [s, e) cannot be served from a
+    // fresh buffer (socket contract) — align the origin to its end so
+    // new frames take offsets from there
+    alignOrigin(e)
     val slice = frames.synchronized {
       // clamp into the live window [base, base + length): a fresh
       // buffer after query restart cannot replay earlier offsets
@@ -185,7 +218,14 @@ private class FirehoseSocketMicroBatchStream(
   }
 
   override def stop(): Unit = {
-    stopped = true // reader notices at the next frame/timeout boundary
+    stopped = true
+    // force prompt teardown: close the live socket so a blocked read
+    // throws immediately (instead of holding the connection for up to
+    // an idle timeout), and interrupt any backoff sleep
+    val s = liveSocket.get()
+    if (s != null) { try s.close() catch { case _: Exception => () } }
+    val t = synchronized(readerThread)
+    if (t != null) t.interrupt()
   }
 }
 

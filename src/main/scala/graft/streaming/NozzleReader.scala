@@ -48,7 +48,8 @@ object NozzleReader {
       idleTimeoutMs: Int,
       maxFrames: Long,
       onFrame: String => Unit,
-      shouldStop: () => Boolean = () => false): Either[String, ReaderStats] = {
+      shouldStop: () => Boolean = () => false,
+      onSocket: Socket => Unit = _ => ()): Either[String, ReaderStats] = {
     var dials = 0L
     var refreshes = 0L
     var frames = 0L
@@ -70,6 +71,7 @@ object NozzleReader {
           sock = new Socket()
           sock.connect(new InetSocketAddress(host, port), idleTimeoutMs)
           sock.setSoTimeout(idleTimeoutMs) // the idle read deadline
+          onSocket(sock) // expose for external teardown (stream stop)
           dials += 1
           val out = new OutputStreamWriter(sock.getOutputStream, "UTF-8")
           val in = new BufferedReader(new InputStreamReader(sock.getInputStream, "UTF-8"))
@@ -106,7 +108,10 @@ object NozzleReader {
       }
       if (result == null && retryable != null) backoff.nextDelayMs() match {
         case None => result = Left(s"max retries reached (last: $retryable)")
-        case Some(d) => Thread.sleep(d)
+        case Some(d) =>
+          // an interrupt (external stop) just ends the sleep early;
+          // the loop head re-checks shouldStop
+          try Thread.sleep(d) catch { case _: InterruptedException => () }
       }
     }
     result

@@ -56,10 +56,18 @@ object FakeKafka {
     if (bootstrap.isEmpty) return Left("bootstrap.servers is required")
     val acks = producer.getOrElse("acks", "1")
     if (!Set("all", "-1", "0", "1")(acks)) return Left(s"invalid acks: $acks")
+    // non-empty, digits only, and within the numeric type's range
+    // ("" and overflowing values must be a Left, not a NumberFormatException)
+    def posNum(s: String, max: Long): Option[Long] =
+      if (s.nonEmpty && s.length <= 18 && s.forall(_.isDigit) && s.toLong <= max)
+        Some(s.toLong)
+      else None
     val retries = producer.getOrElse("retries", "2147483647")
-    if (!retries.forall(_.isDigit)) return Left(s"invalid retries: $retries")
+    if (posNum(retries, Int.MaxValue.toLong).isEmpty)
+      return Left(s"invalid retries: $retries")
     val backoff = producer.getOrElse("retry.backoff.ms", "100")
-    if (!backoff.forall(_.isDigit)) return Left(s"invalid retry.backoff.ms: $backoff")
+    if (posNum(backoff, Long.MaxValue).isEmpty)
+      return Left(s"invalid retry.backoff.ms: $backoff")
     val codec = producer.getOrElse("compression.type", "none")
     if (!Set("none", "gzip", "snappy", "lz4", "zstd")(codec))
       return Left(s"invalid compression.type: $codec")

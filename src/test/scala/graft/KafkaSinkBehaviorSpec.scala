@@ -56,6 +56,15 @@ class KafkaSinkBehaviorSpec extends AnyFunSuite {
     val badAcks = options(KafkaConfig(brokers = Seq("b:9092"))) +
       ("kafka.acks" -> "most")
     assert(FakeKafka.parseOptions(badAcks) === Left("invalid acks: most"))
+    // numeric validation returns Left (not NumberFormatException) for
+    // empty and overflowing values
+    val base = options(KafkaConfig(brokers = Seq("b:9092")))
+    assert(FakeKafka.parseOptions(base + ("kafka.retries" -> ""))
+      === Left("invalid retries: "))
+    assert(FakeKafka.parseOptions(base + ("kafka.retries" -> "99999999999"))
+      === Left("invalid retries: 99999999999"))
+    assert(FakeKafka.parseOptions(base + ("kafka.retry.backoff.ms" -> "9999999999999999999"))
+      === Left("invalid retry.backoff.ms: 9999999999999999999"))
   }
 
   test("key-less sends round-robin across partitions (kafka_test.go:314-388)") {
