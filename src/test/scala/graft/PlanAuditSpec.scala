@@ -125,6 +125,22 @@ class PlanAuditSpec extends AnyFunSuite {
       "q47 top-k must not global-sort")
   }
 
+  test("q44/q48/q49/q50 plan shapes: broadcast probes, map-only kernels, top-k") {
+    val p44 = plan("q44_multiprobe")
+    assert(p44.contains("BroadcastHashJoin"), s"q44 probe list not broadcast:\n$p44")
+    assert(p44.contains("TakeOrderedAndProject"), s"q44 does a full sort:\n$p44")
+    // quantization (q48) and chunking (q50) are per-row projections:
+    // the ONLY exchange allowed is the presentation sort
+    val joinOps = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|CartesianProduct|BroadcastNestedLoopJoin)".r
+    Seq("q48_quant", "q50_chunks").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning"), s"$q shuffles a map-only kernel:\n$p")
+      assert(joinOps.findFirstIn(p).isEmpty, s"$q has a join:\n$p")
+    }
+    assert(plan("q49_qann").contains("TakeOrderedAndProject"),
+      "q49 quantized ranking must not global-sort")
+  }
+
   test("q40 IVF probes ride broadcasts; the corpus is never shuffled") {
     val p = plan("q40_ivf")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
