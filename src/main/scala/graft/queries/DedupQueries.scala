@@ -82,17 +82,26 @@ object DedupQueries {
     // universal-hash mixes (a_k·h + b_k mod 2^31-1) of that one hash —
     // 12× less digest work than hashing per (seed, shingle), and the
     // union size is na+nb−inter instead of materializing array_union.
-    "q18_minhash" -> ((s, d) => {
-      // Same optimizer barrier as q21: keep the intersect out of the
-      // join condition, evaluate it once per candidate. The scoring
-      // pipeline lives in [[minhashScored]] so plan audits can see the
-      // joins the barrier hides from the final plan.
-      val scored = graft.ops.Barrier(minhashScored(s, d))
-      scored
-        .select(col("doc_a"), col("doc_b"), col("inter"),
-          (col("na") + col("nb") - col("inter")).as("uni"))
-        .filter(col("inter") * 5 >= col("uni") * 3)
-        .orderBy("doc_a", "doc_b")
+    "q18_minhash" -> ((s, d) => minhashNearDupPairs(s, d).orderBy("doc_a", "doc_b")),
+
+    // Near-dup CLUSTERS: q18's pairs grouped into connected
+    // components (component id = min doc_id), every document labeled,
+    // keep = 1 for the cluster representative — the actionable form
+    // of dedup (a 100 TB pipeline drops rows where keep = 0). The
+    // component step shuffles only (long, long) id pairs; see
+    // graft.ops.ConnectedComponents for the round-complexity and
+    // skew story.
+    "q51_cluster" -> ((s, d) => {
+      val pairs = minhashNearDupPairs(s, d).select("doc_a", "doc_b")
+      val labels = graft.ops.ConnectedComponents(pairs)
+        .withColumnRenamed("node", "doc_id")
+      Tables.documents(s, d).select("doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        .withColumn("keep",
+          (col("cluster_id") === col("doc_id")).cast(LongType))
+        .orderBy("doc_id")
     }),
 
     // MinHash signatures via the custom TypedImperativeAggregate —
@@ -265,6 +274,21 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q18's near-dup pairs (Jaccard ≥ 0.6, integer compare), unordered
+    * — shared by q18 (ordered pair listing) and q51 (connected-
+    * component clustering). Same optimizer barrier as q21: keep the
+    * intersect out of the join condition, evaluate it once per
+    * candidate. The scoring pipeline lives in [[minhashScored]] so
+    * plan audits can see the joins the barrier hides from the final
+    * plan. */
+  private[graft] def minhashNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val scored = graft.ops.Barrier(minhashScored(s, d))
+    scored
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"))
+      .filter(col("inter") * 5 >= col("uni") * 3)
+  }
+
   /** Pre-barrier q18 scoring pipeline: signatures → 6×2 band equi-join
     * → exact Jaccard intersect on candidates. `private[graft]` so plan
     * audits can inspect the join strategies (the final q18 plan starts
@@ -422,6 +446,53 @@ object DedupQueries {
          FROM cand JOIN hsv x ON da=x.doc_id JOIN hsv y ON db=y.doc_id
          WHERE 5*len(list_intersect(x.sset, y.sset)) >= 3*(x.nset + y.nset - len(list_intersect(x.sset, y.sset)))
          ORDER BY doc_a, doc_b""",
+    // q18's pipeline up to the threshold filter, then connected
+    // components as a recursive min-reachability closure: r reaches
+    // itself; if r reaches x and x—t is an edge, r reaches t. UNION
+    // (not UNION ALL) dedups the frontier so the recursion terminates
+    // on cyclic components; min(r) per node = the component minimum.
+    "q51_cluster" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2],' ')) shingles
+           FROM w WHERE len(words) >= 3),
+         ss AS (
+           SELECT doc_id, list_distinct(shingles) sset FROM sh),
+         hsv AS (
+           SELECT doc_id, sset, len(sset) nset,
+                  list_transform(sset, x -> CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) % 2147483647) hs
+           FROM ss),
+         m AS (
+           SELECT doc_id, sset, nset,
+             [list_aggregate(list_transform(hs, hm ->
+                ((CAST(1103515245 AS BIGINT) * (k+1) + 12345) % 2147483647 * hm + 977 * (k+1)) % 2147483647), 'min')
+              for k in range(0,12)] mh
+           FROM hsv),
+         bands AS (
+           SELECT doc_id, j, mh[2*j+1] * 2147483647 + mh[2*j+2] sig
+           FROM m, unnest(range(0,6)) t(j)),
+         cand AS (
+           SELECT DISTINCT a.doc_id da, b.doc_id db
+           FROM bands a JOIN bands b ON a.j=b.j AND a.sig=b.sig AND a.doc_id < b.doc_id),
+         pairs AS (
+           SELECT da, db
+           FROM cand JOIN hsv x ON da=x.doc_id JOIN hsv y ON db=y.doc_id
+           WHERE 5*len(list_intersect(x.sset, y.sset)) >= 3*(x.nset + y.nset - len(list_intersect(x.sset, y.sset)))),
+         edges AS (
+           SELECT da AS s, db AS t FROM pairs UNION SELECT db, da FROM pairs),
+         reach(node, r) AS (
+           SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+           UNION
+           SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.node),
+         labels AS (
+           SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+         SELECT d.doc_id,
+                coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+                CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+         ORDER BY doc_id""",
     "q32_minhash_sig" ->
       """WITH w AS (
            SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
