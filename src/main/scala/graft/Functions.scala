@@ -109,6 +109,18 @@ object Functions {
   def vec_dot_int(a: Column, b: Column): Column =
     Shims.column(graft.functions.VecDotInt(Shims.expression(a), Shims.expression(b)))
 
+  /** bloom_agg(h, numBits, numHashes): order-independent bloom-filter
+    * build over BIGINT keys — the broadcastable small side of the
+    * bloom semi-join (wire format [k: 1 byte][bitset]). */
+  def bloom_agg(h: Column, numBits: Int, numHashes: Int = 7): Column =
+    Shims.column(graft.functions.BloomAgg(Shims.expression(h), numBits, numHashes)
+      .toAggregateExpression())
+
+  /** bloom_contains(b, key): map-side bloom probe — never a false
+    * negative, so exact-join re-filtering preserves semi-join results. */
+  def bloom_contains(b: Column, key: Column): Column =
+    Shims.column(graft.functions.BloomContains(Shims.expression(b), Shims.expression(key)))
+
   /** gram4_codes(t): sorted distinct char-4-gram set of a normalized
     * ASCII string, packed one gram per Int — the n-gram dedup hot
     * path. */
@@ -186,5 +198,24 @@ object Functions {
       "vec_quant8", exprs => graft.functions.VecQuant8(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "vec_dot_int", exprs => graft.functions.VecDotInt(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "bloom_agg",
+      exprs => {
+        // numBits/numHashes must be integer literals, e.g.
+        // bloom_agg(h, 1048576, 7)
+        def lit(e: org.apache.spark.sql.catalyst.expressions.Expression, what: String): Int =
+          scala.util.Try(e.eval()).toOption match {
+            case Some(i: Int) => i
+            case Some(l: Long) => l.toInt
+            case _ => throw new IllegalArgumentException(
+              s"bloom_agg $what must be an integer literal, got: $e")
+          }
+        graft.functions.BloomAgg(exprs(0), lit(exprs(1), "numBits"),
+          lit(exprs(2), "numHashes")).toAggregateExpression()
+      },
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "bloom_contains",
+      exprs => graft.functions.BloomContains(exprs(0), exprs(1)), "built-in")
   }
 }

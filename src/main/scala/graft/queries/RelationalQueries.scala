@@ -53,6 +53,51 @@ object RelationalQueries {
         .orderBy("r_name")
     }),
 
+    // Bloom-prefiltered semi-join: build a bloom over the (selective)
+    // customer-key build side, probe it as a SCALAR-SUBQUERY filter on
+    // the fact scan, then run the exact semi-join to kill false
+    // positives. Result ≡ the plain semi-join (the oracle form); the
+    // plan is the 100 TB shape — the bloom probe is a map-side Filter
+    // directly over the scan, so at bits/n=16, k=7 the semi-join's
+    // shuffle carries the ~matching fraction +0.04% FP instead of the
+    // whole fact table. This is the same shape Spark's own
+    // InjectRuntimeFilter plans (a might_contain(scalar-subquery)
+    // filter), built explicitly: a broadcast-1-row-join formulation
+    // gets REORDERED (PushDownLeftSemiAntiJoin pushes the exact join
+    // below the probe, inverting the intent); Dataset.scalar() pins
+    // the probe below the join because a Filter over the scan is
+    // already at the bottom.
+    "q52_bloom" -> ((s, d) => {
+      val keys = Tables.customer(s, d)
+        .filter(col("c_nationkey") === 1)
+        .select(col("c_custkey").cast(LongType).as("k"))
+      val bloom = keys.agg(graft.Functions.bloom_agg(col("k"), 1 << 20).as("bf")).scalar()
+      Tables.orders(s, d)
+        .filter(graft.Functions.bloom_contains(bloom, col("o_custkey").cast(LongType)))
+        .join(keys, col("o_custkey").cast(LongType) === col("k"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Group-wise top-k: the "best N docs per group" selection every
+    // curation pipeline runs. row_number over (group, order) + rn<=k
+    // is the declarative form; what makes it 100 TB-safe is Spark's
+    // WindowGroupLimit push-down — each map task keeps only k rows
+    // per group BEFORE the window shuffle, so the exchange carries
+    // O(groups·k), not the corpus. PlanAuditSpec pins the
+    // WindowGroupLimit operator.
+    "q53_grouptopk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang", "source")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 3)
+        .orderBy("lang", "source", "rn")
+    }),
+
     // Rollup with explicit grouping flags for deterministic subtotals.
     "q31_rollup" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -82,6 +127,18 @@ object RelationalQueries {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name ORDER BY r_name""",
+    "q52_bloom" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+         FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 1)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q53_grouptopk" ->
+      """SELECT doc_id, lang, source, n_chars, rn FROM (
+           SELECT doc_id, lang, source, n_chars,
+                  CAST(row_number() OVER (PARTITION BY lang, source
+                                          ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn
+           FROM documents)
+         WHERE rn <= 3 ORDER BY lang, source, rn""",
     "q31_rollup" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(CASE WHEN GROUPING(l_returnflag) = 1 THEN 1 ELSE 0 END AS BIGINT) AS g_rf,

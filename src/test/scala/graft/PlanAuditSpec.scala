@@ -64,6 +64,26 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q52 bloom probe runs map-side BEFORE the exact semi-join") {
+    val p = plan("q52_bloom")
+    assert(p.contains("LeftSemi"), s"exact semi-join missing:\n$p")
+    assert(p.contains("bloom_contains"), s"bloom probe missing:\n$p")
+    // executedPlan prints top-down (consumers first): the bloom filter
+    // must sit BELOW the semi-join, i.e. execute before it — the
+    // scalar-subquery formulation pins this (the broadcast-1-row-join
+    // one got inverted by PushDownLeftSemiAntiJoin)
+    assert(p.indexOf("bloom_contains") > p.indexOf("LeftSemi"),
+      s"bloom probe did not run before the semi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"bloom should ride a scalar subquery, not a 1-row join:\n$p")
+  }
+
+  test("q53 group top-k keeps only k rows per group before the window shuffle") {
+    val p = plan("q53_grouptopk")
+    assert(p.contains("WindowGroupLimit"),
+      s"rn<=k not pushed below the window exchange:\n$p")
+  }
+
   test("q36 set-ops fuse to one jobless-scan aggregation (no joins, no actions)") {
     val p = plan("q36_setops")
     assert(!p.contains("Join"), s"q36 should be join-free:\n$p")
