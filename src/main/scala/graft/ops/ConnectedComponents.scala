@@ -45,16 +45,20 @@ object ConnectedComponents {
     val c = edges.columns
     var e = Barrier(canon(edges.select(
       col(c(0)).cast(LongType).as("u"), col(c(1)).cast(LongType).as("v"))))
-    var n = e.count()
-    var converged = n == 0L
+    var sig = signature(e)
+    var converged = sig._1 == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
       val next = Barrier(smallStar(largeStar(e)))
-      val nn = next.count()
-      // distinct sets: equal counts + one-sided containment ⇒ equal
-      converged = nn == n && next.join(e, Seq("u", "v"), "left_anti").isEmpty
+      val nsig = signature(next)
+      // one cheap aggregate per round; the exact (shuffling) anti-join
+      // containment check runs only on signature-stable rounds — a
+      // changed (count, hash-sum) proves non-convergence outright, and
+      // the confirming join keeps correctness independent of the hash
+      converged = nsig == sig &&
+        next.join(e, Seq("u", "v"), "left_anti").isEmpty
       e = next
-      n = nn
+      sig = nsig
       iter += 1
     }
     if (!converged)
@@ -65,6 +69,15 @@ object ConnectedComponents {
     e.select(col("u").as("node"), col("v").as("component"))
       .union(e.select(col("v").as("node"), col("v").as("component")))
       .distinct()
+  }
+
+  /** Order-independent edge-set fingerprint: (count, xor of per-edge
+    * 64-bit hashes) in a single map-side-combined aggregate job —
+    * bit_xor can't overflow under ANSI and the edge set is distinct,
+    * so every edge contributes exactly once. */
+  private def signature(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
   /** Canonical big→small orientation, loops dropped, distinct. */
