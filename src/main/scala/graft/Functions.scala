@@ -109,6 +109,13 @@ object Functions {
   def vec_dot_int(a: Column, b: Column): Column =
     Shims.column(graft.functions.VecDotInt(Shims.expression(a), Shims.expression(b)))
 
+  /** misra_gries(word, capacity): Misra-Gries frequent-items summary —
+    * capacity-bounded mergeable state; output is a guaranteed superset
+    * of items with frequency > N/(capacity+1). */
+  def misra_gries(word: Column, capacity: Int): Column =
+    Shims.column(graft.functions.MisraGries(Shims.expression(word), capacity)
+      .toAggregateExpression())
+
   /** bloom_agg(h, numBits, numHashes): order-independent bloom-filter
     * build over BIGINT keys — the broadcastable small side of the
     * bloom semi-join (wire format [k: 1 byte][bitset]). */
@@ -217,5 +224,18 @@ object Functions {
     reg.createOrReplaceTempFunction(
       "bloom_contains",
       exprs => graft.functions.BloomContains(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "misra_gries",
+      exprs => {
+        // capacity must be an integer literal, e.g. misra_gries(w, 4000)
+        val cap = scala.util.Try(exprs(1).eval()).toOption match {
+          case Some(i: Int) => i
+          case Some(l: Long) => l.toInt
+          case _ => throw new IllegalArgumentException(
+            s"misra_gries capacity must be an integer literal, got: ${exprs(1)}")
+        }
+        graft.functions.MisraGries(exprs(0), cap).toAggregateExpression()
+      },
+      "built-in")
   }
 }

@@ -215,6 +215,34 @@ object TextQueries {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // Corpus heavy hitters — exact frequent words, computed the way a
+    // 100 TB corpus has to: a Misra-Gries sketch pass (fixed
+    // capacity-bounded state per partition, map-side mergeable, a
+    // guaranteed SUPERSET of everything above N/(capacity+1)) yields
+    // ≤4000 candidates; only candidates are exactly re-counted (the
+    // semi-join keeps the (word, count) shuffle candidate-bounded
+    // instead of one row per distinct word); the true threshold
+    // N/1000 then filters exactly. Sketch → candidates → exact
+    // confirm, like the LSH and bloom families — the final output is
+    // deterministic even though the sketch's extra candidates vary
+    // with merge order. The corpus is re-scanned per pass (3 cheap
+    // pushed-down scans) rather than checkpointing an exploded
+    // row-per-token table.
+    "q54_heavy" -> ((s, d) => {
+      def words = withWords(s, d)
+        .select(explode(col("words")).as("word"))
+        .filter(col("word") =!= "")
+      val cands = words
+        .agg(graft.Functions.misra_gries(col("word"), 4000).as("cs"))
+        .select(explode(col("cs")).as("word"))
+      val total = words.agg(count(lit(1)).as("n")).scalar()
+      words.join(broadcast(cands), Seq("word"), "left_semi")
+        .groupBy("word")
+        .agg(count(lit(1)).as("n_word"))
+        .filter(col("n_word") * 1000 > total)
+        .orderBy("word")
+    }),
+
     // Deterministic stratified sampling — the data-mixing op of a
     // training pipeline: downsample the dominant language (en keeps
     // 10%, the rest 50%) with a content-independent hash gate, so the
@@ -239,6 +267,16 @@ object TextQueries {
     "trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g'))"
 
   val oracleSql: Map[String, String] = Map(
+    // exact heavy hitters — the sketch is invisible to the result
+    "q54_heavy" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+          w AS (SELECT unnest(string_split(t, ' ')) AS word FROM n),
+          ww AS (SELECT word FROM w WHERE word <> ''),
+          tot AS (SELECT count(*) AS tn FROM ww)
+          SELECT word, count(*) AS n_word
+          FROM ww GROUP BY word
+          HAVING count(*) * 1000 > (SELECT tn FROM tot)
+          ORDER BY word""",
     "q17_text" ->
       s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
           w AS (SELECT doc_id, t, string_split(t, ' ') words FROM n)

@@ -84,6 +84,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"rn<=k not pushed below the window exchange:\n$p")
   }
 
+  test("q54 exact re-count is candidate-bounded (broadcast semi-join, partial agg)") {
+    val p = plan("q54_heavy")
+    assert(p.contains("LeftSemi"), s"candidate semi-join missing:\n$p")
+    assert(p.contains("partial_count"), s"word counts lost map-side combine:\n$p")
+  }
+
   test("q36 set-ops fuse to one jobless-scan aggregation (no joins, no actions)") {
     val p = plan("q36_setops")
     assert(!p.contains("Join"), s"q36 should be join-free:\n$p")
