@@ -140,102 +140,63 @@ object Functions {
   def word_shingles3(t: Column): Column =
     Shims.column(graft.functions.WordShingles3(Shims.expression(t)))
 
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** Extract a foldable integer literal argument (k, capacity, bits). */
+  private def intLit(fn: String, what: String)(e: Expression): Int =
+    scala.util.Try(e.eval()).toOption match {
+      case Some(i: Int) => i
+      case Some(l: Long) => l.toInt
+      case _ => throw new IllegalArgumentException(
+        s"$fn $what must be an integer literal, got: $e")
+    }
+
+  /** The SQL function surface — one source of truth consumed by both
+    * [[register]] (temp functions on an existing session) and
+    * [[GraftExtensions]] (`spark.sql.extensions` injection, the
+    * cluster-deploy path that needs no driver code). */
+  private[graft] val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "uuid_str" -> (exprs => UuidStr(exprs(0), exprs(1))),
+    "envelope_json" -> (exprs => EnvelopeJson(exprs.head)),
+    "envelope_decode" -> (exprs => graft.functions.EnvelopeDecode(exprs.head)),
+    "envelope_proto" -> (exprs => EnvelopeProtoEncode(exprs.head)),
+    "envelope_proto_decode" -> (exprs => EnvelopeProtoDecode(exprs.head)),
+    "sorted_intersect_count" -> (exprs => SortedIntersectCount(exprs(0), exprs(1))),
+    "minhash_agg" -> (exprs => MinHashAgg(exprs.head).toAggregateExpression()),
+    // kmv_kth(h, 16): k must be a foldable integer literal
+    "kmv_kth" -> (exprs =>
+      KmvSketch(exprs(0), intLit("kmv_kth", "k")(exprs(1))).toAggregateExpression()),
+    "rolling_hash" -> (exprs => RollingHash(exprs.head)),
+    // centroid_topk(e, cb, 2): k must be a foldable integer literal
+    "centroid_topk" -> (exprs =>
+      graft.functions.CentroidTopK(exprs(0), exprs(1),
+        intLit("centroid_topk", "k")(exprs(2)))),
+    "vec_dot" -> (exprs => graft.functions.VecDot(exprs(0), exprs(1))),
+    "gram4_codes" -> (exprs => graft.functions.Gram4Codes(exprs.head)),
+    "word_shingles3" -> (exprs => graft.functions.WordShingles3(exprs.head)),
+    "minhash_array" -> (exprs => graft.functions.MinHashArray(exprs.head)),
+    "simhash60" -> (exprs => graft.functions.SimHash60(exprs.head)),
+    "bigram_scores" -> (exprs => graft.functions.BigramScores(exprs(0), exprs(1))),
+    "text_stats" -> (exprs => graft.functions.TextStats(exprs.head)),
+    "repetition_stats" -> (exprs => graft.functions.RepetitionStats(exprs.head)),
+    "vec_quant8" -> (exprs => graft.functions.VecQuant8(exprs.head)),
+    "vec_dot_int" -> (exprs => graft.functions.VecDotInt(exprs(0), exprs(1))),
+    // bloom_agg(h, 1048576, 7): numBits/numHashes integer literals
+    "bloom_agg" -> (exprs =>
+      graft.functions.BloomAgg(exprs(0),
+        intLit("bloom_agg", "numBits")(exprs(1)),
+        intLit("bloom_agg", "numHashes")(exprs(2))).toAggregateExpression()),
+    "bloom_contains" -> (exprs => graft.functions.BloomContains(exprs(0), exprs(1))),
+    // misra_gries(w, 4000): capacity must be a foldable integer literal
+    "misra_gries" -> (exprs =>
+      graft.functions.MisraGries(exprs(0),
+        intLit("misra_gries", "capacity")(exprs(1))).toAggregateExpression())
+  )
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "uuid_str", exprs => UuidStr(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "envelope_json", exprs => EnvelopeJson(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "envelope_decode",
-      exprs => graft.functions.EnvelopeDecode(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "envelope_proto", exprs => EnvelopeProtoEncode(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "envelope_proto_decode", exprs => EnvelopeProtoDecode(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "sorted_intersect_count", exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "minhash_agg", exprs => MinHashAgg(exprs.head).toAggregateExpression(), "built-in")
-    reg.createOrReplaceTempFunction(
-      "kmv_kth",
-      exprs => {
-        // k must be a foldable integer literal, e.g. kmv_kth(h, 16)
-        val k = scala.util.Try(exprs(1).eval()).toOption match {
-          case Some(i: Int) => i
-          case Some(l: Long) => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"kmv_kth k must be an integer literal, got: ${exprs(1)}")
-        }
-        KmvSketch(exprs(0), k).toAggregateExpression()
-      },
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "centroid_topk",
-      exprs => {
-        // k must be a foldable integer literal, e.g. centroid_topk(e, cb, 2)
-        val k = scala.util.Try(exprs(2).eval()).toOption match {
-          case Some(i: Int) => i
-          case Some(l: Long) => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"centroid_topk k must be an integer literal, got: ${exprs(2)}")
-        }
-        graft.functions.CentroidTopK(exprs(0), exprs(1), k)
-      },
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "vec_dot", exprs => graft.functions.VecDot(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "gram4_codes", exprs => graft.functions.Gram4Codes(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "word_shingles3", exprs => graft.functions.WordShingles3(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "minhash_array", exprs => graft.functions.MinHashArray(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "simhash60", exprs => graft.functions.SimHash60(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "bigram_scores", exprs => graft.functions.BigramScores(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "text_stats", exprs => graft.functions.TextStats(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "repetition_stats", exprs => graft.functions.RepetitionStats(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "vec_quant8", exprs => graft.functions.VecQuant8(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "vec_dot_int", exprs => graft.functions.VecDotInt(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "bloom_agg",
-      exprs => {
-        // numBits/numHashes must be integer literals, e.g.
-        // bloom_agg(h, 1048576, 7)
-        def lit(e: org.apache.spark.sql.catalyst.expressions.Expression, what: String): Int =
-          scala.util.Try(e.eval()).toOption match {
-            case Some(i: Int) => i
-            case Some(l: Long) => l.toInt
-            case _ => throw new IllegalArgumentException(
-              s"bloom_agg $what must be an integer literal, got: $e")
-          }
-        graft.functions.BloomAgg(exprs(0), lit(exprs(1), "numBits"),
-          lit(exprs(2), "numHashes")).toAggregateExpression()
-      },
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "bloom_contains",
-      exprs => graft.functions.BloomContains(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "misra_gries",
-      exprs => {
-        // capacity must be an integer literal, e.g. misra_gries(w, 4000)
-        val cap = scala.util.Try(exprs(1).eval()).toOption match {
-          case Some(i: Int) => i
-          case Some(l: Long) => l.toInt
-          case _ => throw new IllegalArgumentException(
-            s"misra_gries capacity must be an integer literal, got: ${exprs(1)}")
-        }
-        graft.functions.MisraGries(exprs(0), cap).toAggregateExpression()
-      },
-      "built-in")
+    sqlBuilders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

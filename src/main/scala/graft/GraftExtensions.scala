@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session-extensions installer for the graft SQL surface:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * registers every custom function ([[Functions.sqlBuilders]]) on each
+  * new SparkSession cluster-wide — no driver-side
+  * `Functions.register(spark)` call needed, and the functions survive
+  * `spark.newSession()` (temp-function registration does not). This is
+  * the deploy path for SQL-only consumers (JDBC/Thrift, notebooks).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    Functions.sqlBuilders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.Functions", name),
+        builder))
+    }
+}
