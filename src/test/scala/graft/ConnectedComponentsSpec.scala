@@ -62,6 +62,15 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("hub + clique + random edges at moderate size match union-find") {
+    val rnd = new scala.util.Random(11)
+    val hub = (1L to 100L).map(i => (5000L, 5000L + i))        // max-id hub
+    val clique = for (a <- 200L to 215L; b <- (a + 1) to 215L) yield (a, b)
+    val rand = Seq.fill(600)((rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
+    val edges = hub ++ clique ++ rand
+    assert(run(edges) === oracle(edges))
+  }
+
   test("high-diameter chain with shuffled ids converges") {
     // worst case for naive propagation: a long path whose ids are a
     // fixed permutation, so mins travel against the id order
