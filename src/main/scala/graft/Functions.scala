@@ -181,11 +181,17 @@ object Functions {
     "repetition_stats" -> (exprs => graft.functions.RepetitionStats(exprs.head)),
     "vec_quant8" -> (exprs => graft.functions.VecQuant8(exprs.head)),
     "vec_dot_int" -> (exprs => graft.functions.VecDotInt(exprs(0), exprs(1))),
-    // bloom_agg(h, 1048576, 7): numBits/numHashes integer literals
-    "bloom_agg" -> (exprs =>
+    // bloom_agg(h, 1048576[, 7]): numBits/numHashes integer literals;
+    // numHashes defaults to 7 like the Scala API
+    "bloom_agg" -> (exprs => {
+      if (exprs.length < 2 || exprs.length > 3)
+        throw new IllegalArgumentException(
+          s"bloom_agg expects (key, numBits[, numHashes]), got ${exprs.length} arguments")
+      val hashes =
+        if (exprs.length == 3) intLit("bloom_agg", "numHashes")(exprs(2)) else 7
       graft.functions.BloomAgg(exprs(0),
-        intLit("bloom_agg", "numBits")(exprs(1)),
-        intLit("bloom_agg", "numHashes")(exprs(2))).toAggregateExpression()),
+        intLit("bloom_agg", "numBits")(exprs(1)), hashes).toAggregateExpression()
+    }),
     "bloom_contains" -> (exprs => graft.functions.BloomContains(exprs(0), exprs(1))),
     // misra_gries(w, 4000): capacity must be a foldable integer literal
     "misra_gries" -> (exprs =>

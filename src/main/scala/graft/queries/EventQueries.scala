@@ -438,7 +438,7 @@ object EventQueries {
              || ',"instanceIndex":'||(event_id%4)
              || ',"forwarded":["10.0.0.'||(event_id%256)||'","192.168.0.'||(event_id%100)||'"]}}' AS hss_json,
            '{"origin":"ev-'||event_type||'","eventType":8,"timestamp":'||epoch_ns(ts)||',"error":{"source":"'||event_type||'","code":'||(event_id%100)
-             || CASE WHEN props IS NULL THEN '' ELSE ',"message":"'||replace(props,'"','\"')||'"' END
+             || CASE WHEN props IS NULL THEN '' ELSE ',"message":"'||replace(replace(replace(replace(replace(props,'\','\\'),'"','\"'),'<','\'||'u003c'),'>','\'||'u003e'),'&','\'||'u0026')||'"' END
              || '}}' AS err_json,
            '{"origin":"ev-'||event_type||'","eventType":9,"timestamp":'||epoch_ns(ts)||',"containerMetric":{"applicationId":"cm-'||event_type||'","instanceIndex":'||(event_id%8)
              || CASE WHEN value IS NULL THEN '' ELSE ',"cpuPercentage":'||regexp_replace(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR),'\.?0+$','') END

@@ -195,6 +195,11 @@ object SimilarityQueries {
     "q48_quant" -> ((s, d) => {
       Tables.embeddings(s, d)
         .filter(col("vec_id") < 200)
+        // NULL-element vectors are excluded EXPLICITLY on both sides:
+        // vec_quant8 poisons them to NULL (posexplode then drops the
+        // row) while DuckDB's list_transform keeps per-element NULLs —
+        // the shared filter makes the two engines agree on any corpus
+        .filter(!exists(col("embedding"), _.isNull))
         .select(col("vec_id"),
           posexplode(graft.Functions.vec_quant8(col("embedding"))))
         .select(col("vec_id"),
@@ -212,6 +217,7 @@ object SimilarityQueries {
     // both the query lookup and the scan.
     "q49_qann" -> ((s, d) => {
       val qemb = graft.ops.Barrier(Tables.embeddings(s, d)
+        .filter(!exists(col("embedding"), _.isNull)) // see q48 note
         .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8")))
       val q = qemb.filter(col("vec_id") === 0).select(col("q8").as("qq"))
       qemb.filter(col("vec_id") =!= 0)
@@ -286,7 +292,9 @@ object SimilarityQueries {
       """WITH m AS (
            SELECT vec_id, embedding,
                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) maxabs
-           FROM embeddings WHERE vec_id < 200)
+           FROM embeddings
+           WHERE vec_id < 200
+             AND len(list_filter(embedding, x -> x IS NULL)) = 0)
          SELECT vec_id, i - 1 AS i,
                 CASE WHEN maxabs > 0
                      THEN greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
@@ -298,7 +306,8 @@ object SimilarityQueries {
       """WITH m AS (
            SELECT vec_id, embedding,
                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) maxabs
-           FROM embeddings),
+           FROM embeddings
+           WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
          v AS (
            SELECT vec_id,
                   CASE WHEN maxabs > 0

@@ -102,9 +102,15 @@ private class FirehoseSocketMicroBatchStream(
   private var readerThread: Thread = null
   private val liveSocket = new java.util.concurrent.atomic.AtomicReference[java.net.Socket]()
 
+  // MUST run before ensureReader() on every entry path: alignment
+  // while frames are provably empty closes the race where a fast
+  // reader buffers n >= offset frames first, the old
+  // `offset > base + n` guard skips re-basing, and the first `offset`
+  // new frames land below the restored start — served never, trimmed
+  // silently on the next commit().
   private def alignOrigin(offset: Long): Unit = frames.synchronized {
     if (!originAligned) {
-      if (offset > base + frames.length) base = offset
+      if (offset > base) base = offset
       originAligned = true
     }
   }
@@ -137,8 +143,8 @@ private class FirehoseSocketMicroBatchStream(
   }
 
   override def initialOffset(): Offset = {
-    ensureReader()
     alignOrigin(0L)
+    ensureReader()
     SocketOffset(0L)
   }
 
@@ -149,12 +155,12 @@ private class FirehoseSocketMicroBatchStream(
       "latestOffset(Offset, ReadLimit) should be called instead")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SocketOffset].rows
+    alignOrigin(s) // before the reader can buffer anything (see above)
     ensureReader()
     // a dead reader fails the query instead of silently idling
     if (readerError != null)
       throw new IllegalStateException(s"socket reader failed: $readerError")
-    val s = start.asInstanceOf[SocketOffset].rows
-    alignOrigin(s)
     val available = frames.synchronized(base + frames.length)
     val step = limit match {
       case m: ReadMaxRows => m.maxRows()

@@ -86,13 +86,9 @@ class DedupQueriesSpec extends AnyFunSuite {
   }
 
   /** 45 pseudo-random bits for the simhash region outside band 0
-    * (splitmix64 finalizer), shifted past the band-0 bits. */
-  private def rem45(i: Long): Long = {
-    var z = i + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    (z ^ (z >>> 31)) & ((1L << 45) - 1)
-  }
+    * (the shared splitmix64 kernel), shifted past the band-0 bits. */
+  private def rem45(i: Long): Long =
+    graft.functions.Bloom.mix(i) & ((1L << 45) - 1)
 
   test("simdup bucket guard: degenerate shared-band corpus stays collision-bound") {
     import spark.implicits._

@@ -111,4 +111,76 @@ class FirehoseSocketSourceSpec extends AnyFunSuite {
       server.close()
     }
   }
+
+  test("restart origin aligns before the reader can buffer (no silent loss)") {
+    // A restarted query resumes from checkpointed offset 3 while this
+    // fresh buffer starts empty. The origin MUST be re-based to 3
+    // before the reader thread can buffer anything; the pre-fix guard
+    // (`offset > base + frames.length`) skipped re-basing once a fast
+    // server had delivered >= 3 frames, so the first 3 new frames got
+    // pre-restart offsets and were silently trimmed.
+    import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+    val server = new ServerSocket(0, 8, InetAddress.getLoopbackAddress)
+    val acceptor = new Thread(() => {
+      try {
+        while (!server.isClosed) {
+          val s = server.accept()
+          val t = new Thread(() => try {
+            val in = new BufferedReader(new InputStreamReader(s.getInputStream, "UTF-8"))
+            val out = new OutputStreamWriter(s.getOutputStream, "UTF-8")
+            in.readLine() // AUTH
+            out.write("OK\n")
+            (0 until 5).foreach(i => out.write(frame(i) + "\n"))
+            out.flush()
+            Thread.sleep(20000) // hold open; a live firehose does not replay
+            s.close()
+          } catch { case _: Exception => () })
+          t.setDaemon(true)
+          t.start()
+        }
+      } catch { case _: Exception => () }
+    })
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("host", "127.0.0.1")
+    opts.put("port", server.getLocalPort.toString)
+    opts.put("idleTimeoutMs", "60000")
+    opts.put("backoffMinMs", "10")
+    opts.put("backoffMaxMs", "50")
+    val stream = new graft.sources.FirehoseSocketSource()
+      .getTable(graft.sources.FirehoseSocketSource.schema, Array.empty, opts)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(new CaseInsensitiveStringMap(opts))
+      .build()
+      .toMicroBatchStream("unused")
+    try {
+      val ac = stream.asInstanceOf[SupportsAdmissionControl]
+      // first driver call after restart: resume from offset 3
+      val start = stream.deserializeOffset("3")
+      ac.latestOffset(start, ReadLimit.maxRows(100))
+      // wait until all 5 frames arrived; with the origin at 3 they
+      // occupy [3, 8)
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      def avail(): Long = ac.reportLatestOffset().json().trim.toLong
+      while (avail() < 8 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(avail() === 8, s"expected origin 3 + 5 frames, got ${avail()}")
+      val end = ac.latestOffset(start, ReadLimit.maxRows(100))
+      val parts = stream.planInputPartitions(start, end)
+      val served = parts.flatMap { p =>
+        val r = stream.createReaderFactory().createReader(p)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (r.next()) buf += r.get().getUTF8String(0).toString
+        buf
+      }
+      assert(served.toSeq === (0 until 5).map(frame),
+        "all post-restart frames must be served, none trimmed as pre-restart")
+    } finally {
+      stream.stop()
+      server.close()
+    }
+  }
 }
