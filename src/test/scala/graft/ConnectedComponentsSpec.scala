@@ -53,6 +53,15 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(run(Seq.empty[(Long, Long)]) === Map.empty)
   }
 
+  test("maxIter exhaustion fails loudly instead of returning partial labels") {
+    val edges = (1L until 40L).map(i => (i, i + 1))
+    val df = spark.createDataFrame(edges).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents(df, maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("random graphs match union-find") {
     val rnd = new scala.util.Random(42)
     (1 to 8).foreach { _ =>

@@ -59,6 +59,22 @@ class MisraGriesSpec extends AnyFunSuite {
     assert(got.collect().toSeq === want.collect().toSeq)
   }
 
+  test("grouped aggregation keeps the per-group guarantee") {
+    import spark.implicits._
+    // two groups with different dominant items, shuffled together
+    val rnd = new scala.util.Random(3)
+    val a = Seq.fill(300)("hot_a") ++ (1 to 300).map(i => s"a$i")
+    val b = Seq.fill(400)("hot_b") ++ (1 to 200).map(i => s"b$i")
+    val rows = rnd.shuffle(a.map(("ga", _)) ++ b.map(("gb", _)))
+    val out = rows.toDF("g", "w").repartition(16)
+      .groupBy("g")
+      .agg(Functions.misra_gries(col("w"), 50).as("c"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    assert(out("ga").contains("hot_a") && out.keySet === Set("ga", "gb"))
+    assert(out("gb").contains("hot_b"))
+    assert(out("ga").size <= 50 && out("gb").size <= 50)
+  }
+
   test("SQL name registered with literal capacity") {
     GraftSession(spark)
     import spark.implicits._
