@@ -243,6 +243,73 @@ object TextQueries {
         .orderBy("word")
     }),
 
+    // Benchmark decontamination — the eval-overlap scrub every
+    // pretraining corpus needs: documents sharing any word-shingle
+    // with the eval split are flagged (n_hits = distinct shared
+    // spans). The eval side is tiny at ANY corpus size (benchmarks
+    // are MBs), so its distinct shingle set BROADCASTS and the
+    // corpus-side probe is map-local — the per-doc shingle explode
+    // partial-aggregates before the one (doc_id → count) shuffle.
+    // k=3 here (the native word_shingles3 kernel, shared with q47);
+    // production decontam raises k to 8-13 grams — same plan shape,
+    // only the span extractor's window width changes.
+    "q55_decontam" -> ((s, d) => {
+      val sh = withWords(s, d)
+        .select(col("doc_id"), graft.Functions.word_shingles3(col("t")).as("spans"))
+      val ev = sh.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("spans")).as("span")).distinct()
+      val corp = sh.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(col("spans")).as("span"))
+      corp.join(broadcast(ev), Seq("span"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact per-stratum length quantiles — the corpus-profiling step
+    // behind sequence-length bucketing and packing budgets: median /
+    // p90 / max of n_chars per (lang, source), rank-selected so the
+    // result is integer-exact (no interpolation surface). ONE shuffle:
+    // both window functions share the (lang, source) partitioning and
+    // the following groupBy reuses it — Catalyst plans a single
+    // exchange. Only (lang, source, n_chars, doc_id) ever shuffles,
+    // never text. At 100 TB strata stay bounded (langs × sources), so
+    // per-stratum sort depth is data/strata; a skewed stratum would
+    // switch to the KMV/sketch path (q38) — this op is the exact form.
+    "q56_quantile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang", "source").orderBy(col("n_chars"), col("doc_id"))
+      val wc = Window.partitionBy("lang", "source")
+      Tables.documents(s, d)
+        .select(col("lang"), col("source"), col("n_chars"), col("doc_id"))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .withColumn("n", count(lit(1)).over(wc))
+        .groupBy("lang", "source")
+        .agg(
+          max(when(col("rn") === expr("(n+1) div 2"), col("n_chars"))).as("p50"),
+          max(when(col("rn") === expr("(9*n+9) div 10"), col("n_chars"))).as("p90"),
+          max(when(col("rn") === col("n"), col("n_chars"))).as("p100"))
+        .orderBy("lang", "source")
+    }),
+
+    // Denylist redaction — the PII-scrub shape (dictionary-driven
+    // token replacement + audit count + content pin): map-only, one
+    // HOF pass over the word array, no shuffle except the
+    // presentation ORDER BY. Word-set matching instead of regex keeps
+    // the oracle surface engine-exact (Java regex vs RE2 word
+    // boundaries diverge); a production denylist of thousands of
+    // terms compiles the same shape to an Aho-Corasick native kernel.
+    "q57_scrub" -> ((s, d) => {
+      val inList = "'customer','supplier','key'"
+      withWords(s, d)
+        .select(col("doc_id"),
+          expr(s"cast(size(filter(words, x -> x in ($inList))) as bigint)")
+            .as("n_redacted"),
+          md5(expr(s"array_join(transform(words, x -> CASE WHEN x in ($inList) THEN '<PII>' ELSE x END), ' ')")
+            .cast(BinaryType)).as("red_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic stratified sampling — the data-mixing op of a
     // training pipeline: downsample the dominant language (en keeps
     // 10%, the rest 50%) with a content-independent hash gate, so the
@@ -381,6 +448,37 @@ object TextQueries {
                  least(100, n - k*80) AS tok_len,
                  md5(array_to_string(words[k*80+1 : k*80+least(100, n - k*80)], ' ')) AS chunk_md5
           FROM c ORDER BY doc_id, chunk_id""",
+    "q55_decontam" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+          w AS (SELECT doc_id, string_split(t, ' ') words FROM n),
+          sh AS (SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(words)-1),
+                     i -> array_to_string(words[i:i+2], ' '))) spans
+                 FROM w WHERE len(words) >= 3),
+          ev AS (SELECT DISTINCT unnest(spans) span FROM sh WHERE doc_id % 97 = 0),
+          corp AS (SELECT doc_id, unnest(spans) span FROM sh WHERE doc_id % 97 <> 0)
+          SELECT corp.doc_id, count(*) AS n_hits
+          FROM corp JOIN ev ON corp.span = ev.span
+          GROUP BY corp.doc_id ORDER BY corp.doc_id""",
+    "q56_quantile" ->
+      """WITH r AS (SELECT lang, source, n_chars,
+               row_number() OVER (PARTITION BY lang, source
+                 ORDER BY n_chars, doc_id) rn,
+               count(*) OVER (PARTITION BY lang, source) n
+             FROM documents)
+         SELECT lang, source,
+                max(CASE WHEN rn = (n+1)//2 THEN n_chars END) AS p50,
+                max(CASE WHEN rn = (9*n+9)//10 THEN n_chars END) AS p90,
+                max(CASE WHEN rn = n THEN n_chars END) AS p100
+         FROM r GROUP BY lang, source ORDER BY lang, source""",
+    "q57_scrub" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+          w AS (SELECT doc_id, string_split(t, ' ') words FROM n)
+          SELECT doc_id,
+                 len(list_filter(words, x -> x in ('customer','supplier','key'))) AS n_redacted,
+                 md5(array_to_string(list_transform(words, x ->
+                   CASE WHEN x in ('customer','supplier','key') THEN '<PII>' ELSE x END), ' ')) AS red_md5
+          FROM w ORDER BY doc_id""",
     "q41_sample" ->
       """SELECT doc_id, lang,
                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS hb

@@ -90,6 +90,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"word counts lost map-side combine:\n$p")
   }
 
+  test("q55 decontam broadcasts the eval shingle set (map-local probe)") {
+    val p = plan("q55_decontam")
+    assert(p.contains("BroadcastHashJoin"), s"eval set not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shingles got shuffle-joined against the tiny eval set:\n$p")
+    assert(p.contains("partial_count"), "hit counts lost map-side combine")
+  }
+
+  test("q56 quantiles plan ONE exchange and never shuffle text") {
+    val p = plan("q56_quantile")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"window + groupBy did not share the (lang, source) partitioning:\n$p")
+    val scan = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!scan.contains("text"), s"text column reached the quantile scan: $scan")
+  }
+
+  test("q57 scrub is map-only (no exchange before the presentation sort)") {
+    val p = plan("q57_scrub")
+    assert(!p.contains("hashpartitioning"), s"scrub plan shuffles:\n$p")
+  }
+
   test("q36 set-ops fuse to one jobless-scan aggregation (no joins, no actions)") {
     val p = plan("q36_setops")
     assert(!p.contains("Join"), s"q36 should be join-free:\n$p")
