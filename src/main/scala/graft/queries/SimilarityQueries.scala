@@ -228,6 +228,29 @@ object SimilarityQueries {
         .limit(10)
     }),
 
+    // Metadata-filtered ANN — the "filtered vector search" problem:
+    // rank only vectors whose document passes a metadata predicate
+    // (lang = 'de'). PRE-filtering: the predicate pushes into the
+    // documents scan, the surviving keys broadcast as a semi-join
+    // against the embedding scan, and scoring touches only survivors
+    // — right whenever the filter is selective (post-filtering an ANN
+    // bucket instead wins when it isn't; both compose with q22/q44's
+    // buckets). The corpus is never shuffled: filter keys ride the
+    // broadcast, ranking is TakeOrderedAndProject.
+    "q58_fann" -> ((s, d) => {
+      val keep = Tables.documents(s, d)
+        .filter(col("lang") === "de")
+        .select(col("doc_id").as("vec_id"))
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      emb.join(broadcast(keep), Seq("vec_id"), "left_semi")
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), cosine("embedding", "qv").as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // Embedding-cosine near-dup pairs via bucket-equality self-join.
     // Norms are computed once per VECTOR before the join (n rows), not
     // once per PAIR (≈ n²/buckets rows); the per-pair work is a single
@@ -321,6 +344,13 @@ object SimilarityQueries {
                 CAST(list_sum(list_transform(range(1, len(v.q8)+1), i -> v.q8[i] * qq[i])) AS BIGINT) AS qsim
          FROM v, q WHERE v.vec_id <> 0
          ORDER BY qsim DESC, v.vec_id LIMIT 10""",
+    "q58_fann" ->
+      s"""WITH k AS (SELECT doc_id FROM documents WHERE lang = 'de'),
+          q AS (SELECT embedding qv FROM embeddings WHERE vec_id = 0)
+          SELECT e.vec_id, ${dCos("e.embedding", "q.qv")} AS sim
+          FROM embeddings e JOIN k ON e.vec_id = k.doc_id, q
+          WHERE e.vec_id <> 0
+          ORDER BY sim DESC, e.vec_id LIMIT 10""",
     "q23_embdup" ->
       s"""WITH b AS (
             SELECT vec_id, embedding, $bucketSqlDuck bucket FROM embeddings)

@@ -292,6 +292,60 @@ object TextQueries {
         .orderBy("lang", "source")
     }),
 
+    // The curation funnel — the queries above composed into the final
+    // keep/drop manifest a pretraining corpus build emits, one row per
+    // document with every gate's verdict:
+    //   keep_exact   canonical-text exact dedup (earliest doc_id per
+    //                md5 wins; the ONLY shuffle — 16-byte keys, not
+    //                bodies),
+    //   not_eval     the eval split itself never trains,
+    //   decontam_ok  no shingle overlap with the eval split (q55's
+    //                broadcast probe),
+    //   quality_ok   q25's integer gates all pass,
+    //   rep_ok       q45's repetition gate.
+    // Near-dup clustering composes the same way via q51's keep-list
+    // (kept out here so the funnel stays one cheap pass + one
+    // broadcast probe). Everything except the md5 window is map-local;
+    // at 100 TB this runs as one job whose shuffle carries
+    // (md5, doc_id, 5 booleans).
+    "q59_funnel" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = withWords(s, d)
+        .select(col("doc_id"), col("t"),
+          graft.Functions.repetition_stats(col("t")).as("r"),
+          expr("cast(size(filter(words, w -> w in ('the', 'a'))) as bigint)").as("n_stop"),
+          length(regexp_replace(col("t"), " ", "")).cast(LongType).as("n_wordchars"))
+        .select(col("doc_id"), col("t"),
+          col("r.n_words").as("n_words"), col("r.n_types").as("n_types"),
+          col("r.top_bigram_n").as("top_bigram_n"), col("n_stop"), col("n_wordchars"))
+      val sh = withWords(s, d)
+        .select(col("doc_id"), graft.Functions.word_shingles3(col("t")).as("spans"))
+      val ev = sh.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("spans")).as("span")).distinct()
+      val hits = sh.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(col("spans")).as("span"))
+        .join(broadcast(ev), Seq("span"))
+        .select(col("doc_id")).distinct()
+        .withColumn("hit", lit(true))
+      val wMd5 = Window.partitionBy(md5(col("t").cast(BinaryType)))
+      base
+        .withColumn("keep_exact", col("doc_id") === min(col("doc_id")).over(wMd5))
+        .join(broadcast(hits), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("keep_exact"),
+          (col("doc_id") % 97 =!= 0).as("not_eval"),
+          col("hit").isNull.as("decontam_ok"),
+          (col("n_words") >= 30 && col("n_stop") * 10 <= col("n_words")
+            && expr("(n_wordchars * 100) div n_words").between(300, 800))
+            .as("quality_ok"),
+          ((col("n_words") - col("n_types")) * 100 <= col("n_words") * 30
+            && col("top_bigram_n") * 100 <= greatest(col("n_words") - 1, lit(1L)) * 20)
+            .as("rep_ok"))
+        .withColumn("kept",
+          col("keep_exact") && col("not_eval") && col("decontam_ok")
+            && col("quality_ok") && col("rep_ok"))
+        .orderBy("doc_id")
+    }),
+
     // Denylist redaction — the PII-scrub shape (dictionary-driven
     // token replacement + audit count + content pin): map-only, one
     // HOF pass over the word array, no shuffle except the
@@ -471,6 +525,42 @@ object TextQueries {
                 max(CASE WHEN rn = (9*n+9)//10 THEN n_chars END) AS p90,
                 max(CASE WHEN rn = n THEN n_chars END) AS p100
          FROM r GROUP BY lang, source ORDER BY lang, source""",
+    "q59_funnel" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+          w AS (SELECT doc_id, t, string_split(t, ' ') words FROM n),
+          base AS (SELECT doc_id, t, len(words) n_words,
+                     len(list_distinct(words)) n_types,
+                     len(list_filter(words, x -> x in ('the', 'a'))) n_stop,
+                     length(replace(t, ' ', '')) n_wordchars
+                   FROM w),
+          bg AS (SELECT doc_id, words[i] || ' ' || words[i+1] b
+                 FROM w, unnest(range(1, len(words))) t(i)),
+          tbc AS (SELECT doc_id, max(c) top_bigram_n FROM
+                    (SELECT doc_id, b, count(*) c FROM bg GROUP BY doc_id, b)
+                  GROUP BY doc_id),
+          sh AS (SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(words)-1),
+                     i -> array_to_string(words[i:i+2], ' '))) spans
+                 FROM w WHERE len(words) >= 3),
+          ev AS (SELECT DISTINCT unnest(spans) span FROM sh WHERE doc_id % 97 = 0),
+          corp AS (SELECT doc_id, unnest(spans) span FROM sh WHERE doc_id % 97 <> 0),
+          hits AS (SELECT DISTINCT corp.doc_id FROM corp JOIN ev ON corp.span = ev.span),
+          g AS (SELECT b.doc_id,
+                  b.doc_id = min(b.doc_id) OVER (PARTITION BY md5(b.t)) AS keep_exact,
+                  b.doc_id % 97 <> 0 AS not_eval,
+                  h.doc_id IS NULL AS decontam_ok,
+                  (b.n_words >= 30 AND b.n_stop * 10 <= b.n_words
+                    AND (b.n_wordchars * 100) // b.n_words BETWEEN 300 AND 800) AS quality_ok,
+                  ((b.n_words - b.n_types) * 100 <= b.n_words * 30
+                    AND coalesce(tbc.top_bigram_n, 0) * 100
+                        <= greatest(b.n_words - 1, 1) * 20) AS rep_ok
+                FROM base b
+                LEFT JOIN tbc ON b.doc_id = tbc.doc_id
+                LEFT JOIN hits h ON b.doc_id = h.doc_id)
+          SELECT doc_id, keep_exact, not_eval, decontam_ok, quality_ok, rep_ok,
+                 (keep_exact AND not_eval AND decontam_ok
+                   AND quality_ok AND rep_ok) AS kept
+          FROM g ORDER BY doc_id""",
     "q57_scrub" ->
       s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
           w AS (SELECT doc_id, string_split(t, ' ') words FROM n)

@@ -111,6 +111,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"), s"scrub plan shuffles:\n$p")
   }
 
+  test("q58 filtered ANN: predicate pushed to the documents scan, keys broadcast") {
+    val p = plan("q58_fann")
+    assert(p.contains("EqualTo(lang,de)"), s"lang filter not pushed down:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"filter keys not broadcast-semi-joined:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"embedding corpus got shuffle-joined:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "ranking lost the top-k shape")
+  }
+
+  test("q59 funnel: gates stay broadcast-joined, bodies never shuffle") {
+    val p = plan("q59_funnel")
+    assert(!p.contains("SortMergeJoin"),
+      s"a funnel gate shuffle-joined the corpus:\n$p")
+    // the md5 dedup window is the one corpus-wide exchange; it must
+    // carry the hash, not the text column
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.nonEmpty, "exact-dedup window lost its md5 partitioning")
+    assert(!ex.exists(_.contains("t#")), s"document text reached a shuffle:\n$ex")
+  }
+
   test("q36 set-ops fuse to one jobless-scan aggregation (no joins, no actions)") {
     val p = plan("q36_setops")
     assert(!p.contains("Join"), s"q36 should be join-free:\n$p")
