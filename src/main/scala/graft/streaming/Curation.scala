@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming corpus curation — the q59 funnel's gates applied to a
+  * document STREAM (the ingest path of a corpus build: filter the
+  * crawl as it lands instead of re-scanning it later).
+  *
+  * Everything here is deliberately STATELESS: quality and repetition
+  * are per-document projections, and decontamination probes a
+  * pre-built eval-split bloom filter that rides the task closure —
+  * no state store, no watermark, no shuffle. A 100 TB/day crawl
+  * streams through at source parallelism; the only coordination is
+  * re-broadcasting the bloom when the eval set changes. Exact-dedup
+  * is the one funnel gate that needs state and stays out of this
+  * module — compose [[NozzlePipeline.dedupStream]]'s
+  * watermark-bounded form (on `md5(t)`) downstream when at-most-once
+  * content is required on the stream itself.
+  *
+  * The bloom probe admits false POSITIVES only (a clean document can
+  * be flagged, bounded by the filter's FPP — ~0.04% at 16 bits/key),
+  * never false negatives: every truly contaminated document is
+  * flagged. That is the correct polarity for decontamination — the
+  * batch exact probe (q55) re-confirms flagged survivors offline.
+  */
+object Curation {
+
+  /** The corpus-wide text normalization (same as TextQueries). */
+  def normText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Batch-build the eval split's shingle bloom: one binary value, a
+    * few MB at any eval-set size, order-independent. */
+  def evalShingleBloom(evalDocs: DataFrame, numBits: Int = 1 << 20): Array[Byte] =
+    evalDocs
+      .select(explode(graft.Functions.word_shingles3(normText(col("text")))).as("span"))
+      .agg(graft.Functions.bloom_agg(xxhash64(col("span")), numBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+
+  /** Per-document gate verdicts over a streaming (or batch) documents
+    * relation with a `text` column. Map-only and stateless: legal
+    * under any trigger and output mode, no state operator in the plan
+    * (pinned by StreamingCurationSpec). */
+  def gate(docs: DataFrame, evalBloom: Array[Byte]): DataFrame = {
+    val probed = docs
+      .withColumn("t", normText(col("text")))
+      .withColumn("r", graft.Functions.repetition_stats(col("t")))
+      .withColumn("n_stop",
+        expr("cast(size(filter(split(t, ' '), w -> w in ('the', 'a'))) as bigint)"))
+      .withColumn("n_wordchars",
+        length(regexp_replace(col("t"), " ", "")).cast("long"))
+      .withColumn("contaminated",
+        exists(graft.Functions.word_shingles3(col("t")),
+          s => graft.Functions.bloom_contains(lit(evalBloom), xxhash64(s))))
+    probed
+      .withColumn("quality_ok",
+        col("r.n_words") >= 30 && col("n_stop") * 10 <= col("r.n_words")
+          && expr("(n_wordchars * 100) div r.n_words").between(300, 800))
+      .withColumn("rep_ok",
+        (col("r.n_words") - col("r.n_types")) * 100 <= col("r.n_words") * 30
+          && col("r.top_bigram_n") * 100 <= greatest(col("r.n_words") - 1, lit(1L)) * 20)
+      .withColumn("kept", col("quality_ok") && col("rep_ok") && !col("contaminated"))
+      .drop("t", "r", "n_stop", "n_wordchars")
+  }
+
+  /** The gate composed as a stream filter: only kept documents pass. */
+  def keptStream(docs: DataFrame, evalBloom: Array[Byte]): DataFrame =
+    gate(docs, evalBloom).filter(col("kept")).drop("quality_ok", "rep_ok", "contaminated", "kept")
+}
