@@ -140,6 +140,12 @@ object Functions {
   def word_shingles3(t: Column): Column =
     Shims.column(graft.functions.WordShingles3(Shims.expression(t)))
 
+  /** word_shingles(t, k): the parameterized k-word shingle set —
+    * decontamination's production span widths (k = 8-13) with the
+    * same zero-copy kernel. */
+  def word_shingles(t: Column, k: Int): Column =
+    Shims.column(graft.functions.WordShinglesK(Shims.expression(t), k))
+
   import org.apache.spark.sql.catalyst.expressions.Expression
 
   /** Extract a foldable integer literal argument (k, capacity, bits). */
@@ -174,6 +180,9 @@ object Functions {
     "vec_dot" -> (exprs => graft.functions.VecDot(exprs(0), exprs(1))),
     "gram4_codes" -> (exprs => graft.functions.Gram4Codes(exprs.head)),
     "word_shingles3" -> (exprs => graft.functions.WordShingles3(exprs.head)),
+    // word_shingles(t, 8): k must be a foldable integer literal
+    "word_shingles" -> (exprs =>
+      graft.functions.WordShinglesK(exprs(0), intLit("word_shingles", "k")(exprs(1)))),
     "minhash_array" -> (exprs => graft.functions.MinHashArray(exprs.head)),
     "simhash60" -> (exprs => graft.functions.SimHash60(exprs.head)),
     "bigram_scores" -> (exprs => graft.functions.BigramScores(exprs(0), exprs(1))),

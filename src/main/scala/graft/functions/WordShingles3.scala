@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -47,41 +47,5 @@ case class WordShingles3(child: Expression) extends UnaryExpression {
 }
 
 object WordShingles3 {
-  private val empty = new GenericArrayData(Array.empty[Any])
-
-  def shingles(t: UTF8String): ArrayData = {
-    val b = t.getBytes
-    val n = b.length
-    if (n == 0) return empty
-    // word start offsets (input is trimmed + single-spaced)
-    var words = 1
-    var i = 0
-    while (i < n) { if (b(i) == ' ') words += 1; i += 1 }
-    if (words < 3) return empty
-    val starts = new Array[Int](words)
-    starts(0) = 0
-    var w = 1
-    i = 0
-    while (i < n) { if (b(i) == ' ') { starts(w) = i + 1; w += 1 }; i += 1 }
-    // shingle i covers [starts(i), end of word i+2)
-    val m = words - 2
-    val arr = new Array[AnyRef](m)
-    i = 0
-    while (i < m) {
-      val from = starts(i)
-      val until = if (i + 3 < words) starts(i + 3) - 1 else n
-      arr(i) = UTF8String.fromBytes(b, from, until - from)
-      i += 1
-    }
-    java.util.Arrays.sort(arr, (a: AnyRef, c: AnyRef) =>
-      a.asInstanceOf[UTF8String].compareTo(c.asInstanceOf[UTF8String]))
-    var out = 0
-    i = 0
-    while (i < m) {
-      if (out == 0 || !arr(i).equals(arr(out - 1))) { arr(out) = arr(i); out += 1 }
-      i += 1
-    }
-    new GenericArrayData(
-      (if (out == m) arr else java.util.Arrays.copyOf(arr, out)).asInstanceOf[Array[Any]])
-  }
+  def shingles(t: UTF8String): ArrayData = WordShinglesK.shingles(t, 3)
 }

@@ -266,6 +266,25 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Decontamination at a production span width — q55's plan with
+    // the parameterized kernel at k=4 (`word_shingles(t, k)`): wider
+    // spans are MORE selective (fewer, longer shingles per doc and
+    // far fewer accidental collisions), so the broadcast eval set
+    // SHRINKS as k grows — the 8-13-gram deployment is strictly
+    // cheaper than the k=3 test pin. Same broadcast-probe shape.
+    "q60_decontam4" -> ((s, d) => {
+      val sh = withWords(s, d)
+        .select(col("doc_id"), graft.Functions.word_shingles(col("t"), 4).as("spans"))
+      val ev = sh.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("spans")).as("span")).distinct()
+      val corp = sh.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(col("spans")).as("span"))
+      corp.join(broadcast(ev), Seq("span"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
+    }),
+
     // Exact per-stratum length quantiles — the corpus-profiling step
     // behind sequence-length bucketing and packing budgets: median /
     // p90 / max of n_chars per (lang, source), rank-selected so the
@@ -509,6 +528,18 @@ object TextQueries {
                    list_distinct(list_transform(range(1, len(words)-1),
                      i -> array_to_string(words[i:i+2], ' '))) spans
                  FROM w WHERE len(words) >= 3),
+          ev AS (SELECT DISTINCT unnest(spans) span FROM sh WHERE doc_id % 97 = 0),
+          corp AS (SELECT doc_id, unnest(spans) span FROM sh WHERE doc_id % 97 <> 0)
+          SELECT corp.doc_id, count(*) AS n_hits
+          FROM corp JOIN ev ON corp.span = ev.span
+          GROUP BY corp.doc_id ORDER BY corp.doc_id""",
+    "q60_decontam4" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+          w AS (SELECT doc_id, string_split(t, ' ') words FROM n),
+          sh AS (SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(words)-2),
+                     i -> array_to_string(words[i:i+3], ' '))) spans
+                 FROM w WHERE len(words) >= 4),
           ev AS (SELECT DISTINCT unnest(spans) span FROM sh WHERE doc_id % 97 = 0),
           corp AS (SELECT doc_id, unnest(spans) span FROM sh WHERE doc_id % 97 <> 0)
           SELECT corp.doc_id, count(*) AS n_hits

@@ -31,10 +31,13 @@ object Curation {
     trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
   /** Batch-build the eval split's shingle bloom: one binary value, a
-    * few MB at any eval-set size, order-independent. */
-  def evalShingleBloom(evalDocs: DataFrame, numBits: Int = 1 << 20): Array[Byte] =
+    * few MB at any eval-set size, order-independent. `k` is the span
+    * width (production decontamination: 8-13 words; wider is MORE
+    * selective, so the filter only shrinks) and must match the
+    * [[gate]] probe's. */
+  def evalShingleBloom(evalDocs: DataFrame, numBits: Int = 1 << 20, k: Int = 3): Array[Byte] =
     evalDocs
-      .select(explode(graft.Functions.word_shingles3(normText(col("text")))).as("span"))
+      .select(explode(graft.Functions.word_shingles(normText(col("text")), k)).as("span"))
       .agg(graft.Functions.bloom_agg(xxhash64(col("span")), numBits).as("bf"))
       .head().getAs[Array[Byte]](0)
 
@@ -42,7 +45,7 @@ object Curation {
     * relation with a `text` column. Map-only and stateless: legal
     * under any trigger and output mode, no state operator in the plan
     * (pinned by StreamingCurationSpec). */
-  def gate(docs: DataFrame, evalBloom: Array[Byte]): DataFrame = {
+  def gate(docs: DataFrame, evalBloom: Array[Byte], k: Int = 3): DataFrame = {
     val probed = docs
       .withColumn("t", normText(col("text")))
       .withColumn("r", graft.Functions.repetition_stats(col("t")))
@@ -51,7 +54,7 @@ object Curation {
       .withColumn("n_wordchars",
         length(regexp_replace(col("t"), " ", "")).cast("long"))
       .withColumn("contaminated",
-        exists(graft.Functions.word_shingles3(col("t")),
+        exists(graft.Functions.word_shingles(col("t"), k),
           s => graft.Functions.bloom_contains(lit(evalBloom), xxhash64(s))))
     probed
       .withColumn("quality_ok",
@@ -65,6 +68,7 @@ object Curation {
   }
 
   /** The gate composed as a stream filter: only kept documents pass. */
-  def keptStream(docs: DataFrame, evalBloom: Array[Byte]): DataFrame =
-    gate(docs, evalBloom).filter(col("kept")).drop("quality_ok", "rep_ok", "contaminated", "kept")
+  def keptStream(docs: DataFrame, evalBloom: Array[Byte], k: Int = 3): DataFrame =
+    gate(docs, evalBloom, k).filter(col("kept"))
+      .drop("quality_ok", "rep_ok", "contaminated", "kept")
 }

@@ -84,6 +84,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ts.getAs[Long]("max_tok") === 2L)
   }
 
+  test("word_shingles(t, k): parameterized spans, k=3 parity, literal k") {
+    Functions.register(spark)
+    val r = spark.sql(
+      """SELECT word_shingles('a b c d', 3) AS k3,
+                word_shingles3('a b c d') AS ws3,
+                word_shingles('a b c d', 2) AS k2,
+                word_shingles('a b c d', 4) AS k4,
+                word_shingles('a b c d', 5) AS short,
+                word_shingles('b a b a b', 2) AS dedup""").head()
+    def gs(n: String): Seq[String] = r.getSeq[String](r.fieldIndex(n)).toList
+    assert(gs("k3") === gs("ws3"))
+    assert(gs("k2") === Seq("a b", "b c", "c d"))
+    assert(gs("k4") === Seq("a b c d"))
+    assert(gs("short") === Seq.empty)
+    // sorted + deduped: occurrences collapse, order is lexicographic
+    assert(gs("dedup") === Seq("a b", "b a"))
+    // k must be a literal
+    val ex = intercept[Exception] {
+      spark.sql("SELECT word_shingles('a b', n) FROM (SELECT 2 AS n)").collect()
+    }
+    assert(ex.getMessage.contains("integer literal")
+      || Option(ex.getCause).exists(_.getMessage.contains("integer literal")),
+      s"got: ${ex.getMessage}")
+    // k out of range fails analysis, not execution
+    val ex2 = intercept[Exception] {
+      spark.sql("SELECT word_shingles('a b', 0)").collect()
+    }
+    assert(ex2.getMessage.contains("[1, 256]"), s"got: ${ex2.getMessage}")
+  }
+
   test("centroid_topk: dot ranking, cid tie-break, poisoning NULLs") {
     Functions.register(spark)
     val r = spark.sql(
