@@ -114,6 +114,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("[1, 256]"), s"got: ${ex2.getMessage}")
   }
 
+  test("word_shingles(t, k) matches the reference formulation on random corpora") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "bb", "ccc", "d", "ee", "fff", "gg", "h")
+    val texts = Seq.fill(300)(
+      (0 until rnd.nextInt(31)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val df = texts.toDF("t")
+    for (k <- 1 to 6) {
+      val got = df.select(graft.Functions.word_shingles(col("t"), k).as("s"))
+        .collect().map(_.getSeq[String](0).toList)
+      val want = texts.map { t =>
+        if (t.isEmpty) Nil
+        else {
+          val ws = t.split(" ")
+          if (ws.length < k) Nil
+          else ws.sliding(k).map(_.mkString(" ")).toList.distinct.sorted
+        }
+      }
+      got.toSeq.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+        assert(g === w, s"k=$k text='${texts(i)}'")
+      }
+    }
+  }
+
   test("centroid_topk: dot ranking, cid tie-break, poisoning NULLs") {
     Functions.register(spark)
     val r = spark.sql(
