@@ -111,6 +111,31 @@ object RelationalQueries {
           col("l_returnflag"), col("l_linestatus"),
           col("g_rf"), col("g_ls"), col("n"), col("qty"))
         .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // CUBE — the full grouping-sets surface (rollup covers only the
+    // prefix sets; cube adds the (∅, l_linestatus) slice and the
+    // grand total in ONE pass). Spark expands the sets BEFORE the
+    // shuffle and still partial-aggregates, so the exchange carries
+    // (sets × groups) aggregate rows, not input rows — at 100 TB a
+    // 2-column cube shuffles 4× the group count, never 4× the data.
+    // Ship-year cube over derived time: date_trunc on l_shipdate —
+    // the date-function slice of SURVEY §2.2's scalar categories.
+    "q61_cube" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .withColumn("ship_year", year(col("l_shipdate")).cast(LongType))
+        .cube("l_returnflag", "ship_year")
+        .agg(
+          grouping(col("l_returnflag")).cast(LongType).as("g_rf"),
+          grouping(col("ship_year")).cast(LongType).as("g_y"),
+          count(lit(1)).as("n"),
+          // integer cents: decimal→double casts of 1e9-scale sums
+          // round differently across engines; cents are exact
+          sum(expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"))
+            .as("price_cents"))
+        .select(col("l_returnflag"), col("ship_year"),
+          col("g_rf"), col("g_y"), col("n"), col("price_cents"))
+        .orderBy(col("g_rf"), col("g_y"), col("l_returnflag"), col("ship_year"))
     })
   )
 
@@ -147,6 +172,15 @@ object RelationalQueries {
                 CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS qty
          FROM lineitem
          GROUP BY ROLLUP (l_returnflag, l_linestatus)
-         ORDER BY g_rf, g_ls, l_returnflag, l_linestatus"""
+         ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""",
+    "q61_cube" ->
+      """SELECT l_returnflag, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+                CAST(CASE WHEN GROUPING(l_returnflag) = 1 THEN 1 ELSE 0 END AS BIGINT) AS g_rf,
+                CAST(CASE WHEN GROUPING(CAST(year(l_shipdate) AS BIGINT)) = 1 THEN 1 ELSE 0 END AS BIGINT) AS g_y,
+                count(*) AS n,
+                CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS price_cents
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, CAST(year(l_shipdate) AS BIGINT))
+         ORDER BY g_rf, g_y, l_returnflag, ship_year"""
   )
 }
