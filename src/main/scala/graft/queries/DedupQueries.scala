@@ -104,6 +104,36 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental dedup — the production mode of a corpus that grows
+    // daily: dedup the NEW batch (doc_id ≥ 400 here) against the
+    // HISTORICAL corpus without re-pairing history with itself. The
+    // content key is bag-of-words (md5 of the sorted distinct word
+    // set — order-insensitive, catches shuffled re-posts exact md5
+    // misses). Shape: the historical key set collapses into a bloom
+    // (a few MB at any history size) probed MAP-SIDE on the new
+    // batch — the exact left-semi confirm then shuffles only bloom
+    // positives (~matching fraction + FPP), never the history or the
+    // batch. Same sketch→candidates→exact pattern as q52/q54.
+    "q63_incdedup" -> ((s, d) => {
+      val keyed = Tables.documents(s, d).select(col("doc_id"),
+        md5(expr("array_join(array_sort(array_distinct(split(" +
+          "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '))), ' ')")
+          .cast(BinaryType)).as("bow"))
+      val hist = keyed.filter(col("doc_id") < 400).select("bow")
+      val bloom = hist
+        .agg(graft.Functions.bloom_agg(xxhash64(col("bow")), 1 << 20).as("bf"))
+        .scalar()
+      val batch = keyed.filter(col("doc_id") >= 400)
+      val dups = batch
+        .filter(graft.Functions.bloom_contains(bloom, xxhash64(col("bow"))))
+        .join(hist, Seq("bow"), "left_semi")
+        .select(col("doc_id"))
+        .withColumn("hit", lit(true))
+      batch.join(dups, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("is_dup"))
+        .orderBy("doc_id")
+    }),
+
     // MinHash signatures via the custom TypedImperativeAggregate —
     // the 100 TB-shape formulation: shingles stream through explode,
     // group state is a fixed 12-long vector (no per-doc arrays),
@@ -411,6 +441,14 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
 
   val oracleSql: Map[String, String] = Map(
+    "q63_incdedup" ->
+      """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) t
+                    FROM documents),
+          k AS (SELECT doc_id,
+                  md5(array_to_string(list_sort(list_distinct(string_split(t, ' '))), ' ')) bow
+                FROM n)
+          SELECT b.doc_id, b.bow IN (SELECT bow FROM k WHERE doc_id < 400) AS is_dup
+          FROM k b WHERE b.doc_id >= 400 ORDER BY b.doc_id""",
     "q15_dedup" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,
                 count(*) AS n_copies

@@ -383,6 +383,28 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-source capping — the "domain cap" every web corpus applies
+    // (no single site dominates training data): keep at most 20
+    // documents per source, chosen by a deterministic content-
+    // independent hash rank so every engine/run/shard keeps the same
+    // ones. The rank window rides WindowGroupLimit push-down (as
+    // q53): each map task keeps ≤20 rows per source BEFORE the
+    // window exchange, so the shuffle is O(sources × cap) at any
+    // corpus size — never a full per-source sort.
+    "q62_capsource" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hk = expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
+      val w = Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+        .withColumn("hk", hk)
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 20)
+        .select("doc_id", "source", "rk")
+        .orderBy("doc_id")
+    }),
+
     // Deterministic stratified sampling — the data-mixing op of a
     // training pipeline: downsample the dominant language (en keeps
     // 10%, the rest 50%) with a content-independent hash gate, so the
@@ -600,6 +622,14 @@ object TextQueries {
                  md5(array_to_string(list_transform(words, x ->
                    CASE WHEN x in ('customer','supplier','key') THEN '<PII>' ELSE x END), ' ')) AS red_md5
           FROM w ORDER BY doc_id""",
+    "q62_capsource" ->
+      """WITH r AS (SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                 doc_id) rk
+             FROM documents)
+         SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+         FROM r WHERE rk <= 20 ORDER BY doc_id""",
     "q41_sample" ->
       """SELECT doc_id, lang,
                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS hb

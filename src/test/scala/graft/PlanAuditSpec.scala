@@ -131,6 +131,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!ex.exists(_.contains("t#")), s"document text reached a shuffle:\n$ex")
   }
 
+  test("q62 per-source cap keeps <=k rows per group before the window shuffle") {
+    assert(plan("q62_capsource").contains("WindowGroupLimit"),
+      s"rk<=20 not pushed below the window exchange")
+  }
+
+  test("q63 incremental dedup probes the history bloom before the exact confirm") {
+    val p = plan("q63_incdedup")
+    assert(p.contains("bloom_contains"), s"bloom probe missing:\n$p")
+    assert(p.contains("LeftSemi"), s"exact confirm missing:\n$p")
+    assert(p.indexOf("bloom_contains") > p.indexOf("LeftSemi"),
+      s"bloom probe did not run before the exact confirm:\n$p")
+  }
+
   test("q36 set-ops fuse to one jobless-scan aggregation (no joins, no actions)") {
     val p = plan("q36_setops")
     assert(!p.contains("Join"), s"q36 should be join-free:\n$p")
