@@ -105,7 +105,8 @@ object DedupQueries {
     }),
 
     // Incremental dedup — the production mode of a corpus that grows
-    // daily: dedup the NEW batch (doc_id ≥ 400 here) against the
+    // daily: dedup the NEW batch (the doc_id % 10 ∈ {8,9} slice, so
+    // the 80/20 history/batch ratio holds at every SF) against the
     // HISTORICAL corpus without re-pairing history with itself. The
     // content key is bag-of-words (md5 of the sorted distinct word
     // set — order-insensitive, catches shuffled re-posts exact md5
@@ -119,11 +120,11 @@ object DedupQueries {
         md5(expr("array_join(array_sort(array_distinct(split(" +
           "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '))), ' ')")
           .cast(BinaryType)).as("bow"))
-      val hist = keyed.filter(col("doc_id") < 400).select("bow")
+      val hist = keyed.filter(col("doc_id") % 10 < 8).select("bow")
       val bloom = hist
         .agg(graft.Functions.bloom_agg(xxhash64(col("bow")), 1 << 20).as("bf"))
         .scalar()
-      val batch = keyed.filter(col("doc_id") >= 400)
+      val batch = keyed.filter(col("doc_id") % 10 >= 8)
       val dups = batch
         .filter(graft.Functions.bloom_contains(bloom, xxhash64(col("bow"))))
         .join(hist, Seq("bow"), "left_semi")
@@ -447,8 +448,8 @@ object DedupQueries {
           k AS (SELECT doc_id,
                   md5(array_to_string(list_sort(list_distinct(string_split(t, ' '))), ' ')) bow
                 FROM n)
-          SELECT b.doc_id, b.bow IN (SELECT bow FROM k WHERE doc_id < 400) AS is_dup
-          FROM k b WHERE b.doc_id >= 400 ORDER BY b.doc_id""",
+          SELECT b.doc_id, b.bow IN (SELECT bow FROM k WHERE doc_id % 10 < 8) AS is_dup
+          FROM k b WHERE b.doc_id % 10 >= 8 ORDER BY b.doc_id""",
     "q15_dedup" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,
                 count(*) AS n_copies
