@@ -236,6 +236,19 @@ object NozzlePipeline {
       .agg(count(lit(1)).as("per_sec"))
       .select(col("window.start").as("w"), col("per_sec"))
 
+  /** Streaming per-user session windows (the q33 batch analogue):
+    * sessions close when the watermark passes their gap-extended end,
+    * so state is bounded by (active users × open sessions) — never
+    * the stream. The 30-minute gap matches the batch gaps-and-islands
+    * oracle exactly once sessions are closed. */
+  def sessionWindows(src: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 seconds"): DataFrame =
+    src.withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+
   /** Streaming exact dedup with watermark-bounded state (the LLM-
     * pipeline dedup operator in its streaming form): duplicate
     * event_ids arriving within the watermark are dropped; state for

@@ -49,6 +49,30 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(joined.filter(col("per_sec") =!= col("expect")).count() === 0)
   }
 
+  test("streaming session windows close via watermark and match batch sessions") {
+    import org.apache.spark.sql.functions.session_window
+    val srcDir = tmp("sess-src")
+    stage(srcDir, "part-0.parquet")
+    stage(srcDir, "part-1.parquet")
+    val q = NozzlePipeline.sessionWindows(NozzlePipeline.source(spark, srcDir))
+      .writeStream
+      .format("memory").queryName("sess")
+      .option("checkpointLocation", tmp("sess-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val emitted = spark.table("sess")
+    assert(emitted.count() > 0, "no sessions closed — watermark never advanced")
+    val one = Tables.events(spark, sf)
+    val batch = one.union(one)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("expect"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("expect"))
+    val joined = emitted.join(batch, Seq("user_id", "session_start"))
+    assert(joined.count() === emitted.count(), "emitted session missing from batch")
+    assert(joined.filter(col("n_events") =!= col("expect")).count() === 0)
+  }
+
   test("mapGroupsWithState keeps per-user running totals across batches") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger => T}
     val srcDir = tmp("mgws-src")

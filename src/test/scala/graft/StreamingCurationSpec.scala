@@ -72,6 +72,27 @@ class StreamingCurationSpec extends AnyFunSuite {
       s"bloom flagged $fps clean documents — filter too small for the shingle set")
   }
 
+  test("bloom decontamination holds at a wider span width (k=4)") {
+    val bloom4 =
+      Curation.evalShingleBloom(batchDocs.filter(col("doc_id") % 97 === 0), k = 4)
+    val gated = Curation.gate(batchDocs, bloom4, k = 4)
+      .select(col("doc_id"), col("contaminated"))
+    val sh = batchDocs.select(col("doc_id"),
+      explode(graft.Functions.word_shingles(Curation.normText(col("text")), 4)).as("span"))
+    val ev = sh.filter(col("doc_id") % 97 === 0).select("span").distinct()
+    val truth = sh.join(ev, "span").select("doc_id").distinct()
+      .withColumn("hit", lit(true))
+    val joined = gated.join(truth, Seq("doc_id"), "left_outer")
+    assert(joined.filter(col("hit") === true && !col("contaminated")).count() === 0,
+      "k=4 bloom missed a truly contaminated document")
+    // wider spans are strictly rarer: k=4 must not flag more docs than k=3
+    val flagged3 = Curation.gate(batchDocs, evalBloom)
+      .filter(col("contaminated")).count()
+    val flagged4 = gated.filter(col("contaminated")).count()
+    assert(flagged4 <= flagged3,
+      s"k=4 flagged $flagged4 docs but k=3 only $flagged3 — selectivity inverted")
+  }
+
   test("kept stream keeps exactly the documents every gate passes") {
     val kept = Curation.keptStream(batchDocs, evalBloom)
     val gate = Curation.gate(batchDocs, evalBloom)
