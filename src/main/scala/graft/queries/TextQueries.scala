@@ -44,6 +44,35 @@ object TextQueries {
   private def inSet(grams: Seq[String]): String =
     grams.map("'" + _ + "'").mkString(",")
 
+  /** The eval-split overlap probe shared by q55/q59/q60: (doc_id,
+    * span) rows where a corpus document's k-word shingle appears in
+    * the eval split's shingle set. The eval side is tiny at any
+    * corpus size (benchmarks are MBs) so it BROADCASTS; the corpus
+    * probe is map-local. */
+  private def evalOverlap(s: SparkSession, d: String, k: Int): DataFrame = {
+    val sh = withWords(s, d)
+      .select(col("doc_id"), graft.Functions.word_shingles(col("t"), k).as("spans"))
+    val ev = sh.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("spans")).as("span")).distinct()
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), explode(col("spans")).as("span"))
+      .join(broadcast(ev), Seq("span"))
+  }
+
+  /** DuckDB mirror of [[evalOverlap]] + per-doc hit counts. */
+  private def decontamOracle(k: Int): String =
+    s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+        w AS (SELECT doc_id, string_split(t, ' ') words FROM n),
+        sh AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(words)-${k - 2}),
+                   i -> array_to_string(words[i:i+${k - 1}], ' '))) spans
+               FROM w WHERE len(words) >= $k),
+        ev AS (SELECT DISTINCT unnest(spans) span FROM sh WHERE doc_id % 97 = 0),
+        corp AS (SELECT doc_id, unnest(spans) span FROM sh WHERE doc_id % 97 <> 0)
+        SELECT corp.doc_id, count(*) AS n_hits
+        FROM corp JOIN ev ON corp.span = ev.span
+        GROUP BY corp.doc_id ORDER BY corp.doc_id"""
+
   /** DuckDB rendering of the score the native `bigram_scores`
     * expression computes Spark-side (one pass, all profiles). */
   private def scoreDuck(grams: Seq[String]): String =
@@ -254,13 +283,7 @@ object TextQueries {
     // production decontam raises k to 8-13 grams — same plan shape,
     // only the span extractor's window width changes.
     "q55_decontam" -> ((s, d) => {
-      val sh = withWords(s, d)
-        .select(col("doc_id"), graft.Functions.word_shingles3(col("t")).as("spans"))
-      val ev = sh.filter(col("doc_id") % 97 === 0)
-        .select(explode(col("spans")).as("span")).distinct()
-      val corp = sh.filter(col("doc_id") % 97 =!= 0)
-        .select(col("doc_id"), explode(col("spans")).as("span"))
-      corp.join(broadcast(ev), Seq("span"))
+      evalOverlap(s, d, 3)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_hits"))
         .orderBy("doc_id")
@@ -273,13 +296,7 @@ object TextQueries {
     // SHRINKS as k grows — the 8-13-gram deployment is strictly
     // cheaper than the k=3 test pin. Same broadcast-probe shape.
     "q60_decontam4" -> ((s, d) => {
-      val sh = withWords(s, d)
-        .select(col("doc_id"), graft.Functions.word_shingles(col("t"), 4).as("spans"))
-      val ev = sh.filter(col("doc_id") % 97 === 0)
-        .select(explode(col("spans")).as("span")).distinct()
-      val corp = sh.filter(col("doc_id") % 97 =!= 0)
-        .select(col("doc_id"), explode(col("spans")).as("span"))
-      corp.join(broadcast(ev), Seq("span"))
+      evalOverlap(s, d, 4)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_hits"))
         .orderBy("doc_id")
@@ -337,13 +354,7 @@ object TextQueries {
         .select(col("doc_id"), col("t"),
           col("r.n_words").as("n_words"), col("r.n_types").as("n_types"),
           col("r.top_bigram_n").as("top_bigram_n"), col("n_stop"), col("n_wordchars"))
-      val sh = withWords(s, d)
-        .select(col("doc_id"), graft.Functions.word_shingles3(col("t")).as("spans"))
-      val ev = sh.filter(col("doc_id") % 97 === 0)
-        .select(explode(col("spans")).as("span")).distinct()
-      val hits = sh.filter(col("doc_id") % 97 =!= 0)
-        .select(col("doc_id"), explode(col("spans")).as("span"))
-        .join(broadcast(ev), Seq("span"))
+      val hits = evalOverlap(s, d, 3)
         .select(col("doc_id")).distinct()
         .withColumn("hit", lit(true))
       val wMd5 = Window.partitionBy(md5(col("t").cast(BinaryType)))
@@ -353,11 +364,13 @@ object TextQueries {
         .select(col("doc_id"), col("keep_exact"),
           (col("doc_id") % 97 =!= 0).as("not_eval"),
           col("hit").isNull.as("decontam_ok"),
-          (col("n_words") >= 30 && col("n_stop") * 10 <= col("n_words")
-            && expr("(n_wordchars * 100) div n_words").between(300, 800))
+          // ONE gate definition shared with the streaming form
+          // (graft.streaming.Curation) so batch and stream can't drift
+          graft.streaming.Curation
+            .qualityOk(col("n_words"), col("n_stop"), col("n_wordchars"))
             .as("quality_ok"),
-          ((col("n_words") - col("n_types")) * 100 <= col("n_words") * 30
-            && col("top_bigram_n") * 100 <= greatest(col("n_words") - 1, lit(1L)) * 20)
+          graft.streaming.Curation
+            .repOk(col("n_words"), col("n_types"), col("top_bigram_n"))
             .as("rep_ok"))
         .withColumn("kept",
           col("keep_exact") && col("not_eval") && col("decontam_ok")
@@ -543,30 +556,8 @@ object TextQueries {
                  least(100, n - k*80) AS tok_len,
                  md5(array_to_string(words[k*80+1 : k*80+least(100, n - k*80)], ' ')) AS chunk_md5
           FROM c ORDER BY doc_id, chunk_id""",
-    "q55_decontam" ->
-      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
-          w AS (SELECT doc_id, string_split(t, ' ') words FROM n),
-          sh AS (SELECT doc_id,
-                   list_distinct(list_transform(range(1, len(words)-1),
-                     i -> array_to_string(words[i:i+2], ' '))) spans
-                 FROM w WHERE len(words) >= 3),
-          ev AS (SELECT DISTINCT unnest(spans) span FROM sh WHERE doc_id % 97 = 0),
-          corp AS (SELECT doc_id, unnest(spans) span FROM sh WHERE doc_id % 97 <> 0)
-          SELECT corp.doc_id, count(*) AS n_hits
-          FROM corp JOIN ev ON corp.span = ev.span
-          GROUP BY corp.doc_id ORDER BY corp.doc_id""",
-    "q60_decontam4" ->
-      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
-          w AS (SELECT doc_id, string_split(t, ' ') words FROM n),
-          sh AS (SELECT doc_id,
-                   list_distinct(list_transform(range(1, len(words)-2),
-                     i -> array_to_string(words[i:i+3], ' '))) spans
-                 FROM w WHERE len(words) >= 4),
-          ev AS (SELECT DISTINCT unnest(spans) span FROM sh WHERE doc_id % 97 = 0),
-          corp AS (SELECT doc_id, unnest(spans) span FROM sh WHERE doc_id % 97 <> 0)
-          SELECT corp.doc_id, count(*) AS n_hits
-          FROM corp JOIN ev ON corp.span = ev.span
-          GROUP BY corp.doc_id ORDER BY corp.doc_id""",
+    "q55_decontam" -> decontamOracle(3),
+    "q60_decontam4" -> decontamOracle(4),
     "q56_quantile" ->
       """WITH r AS (SELECT lang, source, n_chars,
                row_number() OVER (PARTITION BY lang, source

@@ -30,6 +30,22 @@ object Curation {
   def normText(text: Column): Column =
     trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
+  /** The quality gate — ONE definition shared by the batch funnel
+    * (q59) and the streaming [[gate]], so the two cannot drift
+    * (StreamingCurationSpec asserts parity). The mean-token-length
+    * band is the integer-division BETWEEN restated as pure integer
+    * inequalities (300 ≤ (wc·100) div n ≤ 800 ⟺ 300n ≤ wc·100 < 801n
+    * for n > 0), so it composes from Columns without an expr(). */
+  def qualityOk(nWords: Column, nStop: Column, nWordchars: Column): Column =
+    nWords >= 30 && nStop * 10 <= nWords &&
+      nWordchars * 100 >= nWords * 300 && nWordchars * 100 < nWords * 801
+
+  /** The repetition gate (Gopher/C4-style) — shared like [[qualityOk]]:
+    * ≤30% duplicate words and the dominant adjacent bigram ≤20%. */
+  def repOk(nWords: Column, nTypes: Column, topBigramN: Column): Column =
+    (nWords - nTypes) * 100 <= nWords * 30 &&
+      topBigramN * 100 <= greatest(nWords - 1, lit(1L)) * 20
+
   /** Batch-build the eval split's shingle bloom: one binary value, a
     * few MB at any eval-set size, order-independent. `k` is the span
     * width (production decontamination: 8-13 words; wider is MORE
@@ -42,29 +58,31 @@ object Curation {
       .head().getAs[Array[Byte]](0)
 
   /** Per-document gate verdicts over a streaming (or batch) documents
-    * relation with a `text` column. Map-only and stateless: legal
-    * under any trigger and output mode, no state operator in the plan
-    * (pinned by StreamingCurationSpec). */
+    * relation with a `text` column: the input columns plus
+    * `quality_ok`, `rep_ok`, `contaminated`, `kept` (those four names
+    * are the output contract and shadow same-named inputs). Map-only
+    * and stateless: legal under any trigger and output mode, no state
+    * operator in the plan (pinned by StreamingCurationSpec).
+    * Intermediates use reserved `__cur_`-prefixed names so caller
+    * columns like `t` or `r` are never clobbered. */
   def gate(docs: DataFrame, evalBloom: Array[Byte], k: Int = 3): DataFrame = {
     val probed = docs
-      .withColumn("t", normText(col("text")))
-      .withColumn("r", graft.Functions.repetition_stats(col("t")))
-      .withColumn("n_stop",
-        expr("cast(size(filter(split(t, ' '), w -> w in ('the', 'a'))) as bigint)"))
-      .withColumn("n_wordchars",
-        length(regexp_replace(col("t"), " ", "")).cast("long"))
+      .withColumn("__cur_t", normText(col("text")))
+      .withColumn("__cur_r", graft.Functions.repetition_stats(col("__cur_t")))
+      .withColumn("__cur_nstop",
+        expr("cast(size(filter(split(__cur_t, ' '), w -> w in ('the', 'a'))) as bigint)"))
+      .withColumn("__cur_nwc",
+        length(regexp_replace(col("__cur_t"), " ", "")).cast("long"))
       .withColumn("contaminated",
-        exists(graft.Functions.word_shingles(col("t"), k),
+        exists(graft.Functions.word_shingles(col("__cur_t"), k),
           s => graft.Functions.bloom_contains(lit(evalBloom), xxhash64(s))))
     probed
       .withColumn("quality_ok",
-        col("r.n_words") >= 30 && col("n_stop") * 10 <= col("r.n_words")
-          && expr("(n_wordchars * 100) div r.n_words").between(300, 800))
+        qualityOk(col("__cur_r.n_words"), col("__cur_nstop"), col("__cur_nwc")))
       .withColumn("rep_ok",
-        (col("r.n_words") - col("r.n_types")) * 100 <= col("r.n_words") * 30
-          && col("r.top_bigram_n") * 100 <= greatest(col("r.n_words") - 1, lit(1L)) * 20)
+        repOk(col("__cur_r.n_words"), col("__cur_r.n_types"), col("__cur_r.top_bigram_n")))
       .withColumn("kept", col("quality_ok") && col("rep_ok") && !col("contaminated"))
-      .drop("t", "r", "n_stop", "n_wordchars")
+      .drop("__cur_t", "__cur_r", "__cur_nstop", "__cur_nwc")
   }
 
   /** The gate composed as a stream filter: only kept documents pass. */

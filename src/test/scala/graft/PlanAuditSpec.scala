@@ -124,11 +124,26 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q59_funnel")
     assert(!p.contains("SortMergeJoin"),
       s"a funnel gate shuffle-joined the corpus:\n$p")
-    // the md5 dedup window is the one corpus-wide exchange; it must
-    // carry the hash, not the text column
-    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
-    assert(ex.nonEmpty, "exact-dedup window lost its md5 partitioning")
-    assert(!ex.exists(_.contains("t#")), s"document text reached a shuffle:\n$ex")
+    // the md5 dedup window is the one corpus-wide exchange; assert on
+    // the SHUFFLED ROW SCHEMA (each exchange input's attributes), not
+    // the partitioning expression — md5(t) projects into a _w0 attr,
+    // so the partitioning spec could hide a text column riding along
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def shuffles(sp: SparkPlan): Seq[ShuffleExchangeExec] = sp match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case e: ShuffleExchangeExec => e +: e.children.flatMap(shuffles)
+      case other => other.children.flatMap(shuffles)
+    }
+    val ex = shuffles(
+      SparkEntry.queries("q59_funnel")(spark, sf).queryExecution.executedPlan)
+    assert(ex.nonEmpty, "exact-dedup window lost its exchange")
+    ex.foreach { e =>
+      val names = e.child.output.map(_.name)
+      assert(!names.contains("t") && !names.contains("text"),
+        s"document text column rode a shuffle: $names")
+    }
   }
 
   test("q62 per-source cap keeps <=k rows per group before the window shuffle") {

@@ -72,6 +72,18 @@ class StreamingCurationSpec extends AnyFunSuite {
       s"bloom flagged $fps clean documents — filter too small for the shingle set")
   }
 
+  test("gate verdicts equal the q59 funnel's quality/repetition columns") {
+    // the shared-definition contract: the streaming gate and the
+    // batch funnel must produce identical quality_ok/rep_ok verdicts
+    val funnel = SparkEntry.queries("q59_funnel")(spark, sf)
+      .select(col("doc_id"), col("quality_ok").as("f_q"), col("rep_ok").as("f_r"))
+    val gated = Curation.gate(batchDocs, evalBloom)
+      .select(col("doc_id"), col("quality_ok"), col("rep_ok"))
+    val diff = gated.join(funnel, "doc_id")
+      .filter(col("quality_ok") =!= col("f_q") || col("rep_ok") =!= col("f_r"))
+    assert(diff.count() === 0, "streaming gate diverged from the batch funnel")
+  }
+
   test("bloom decontamination holds at a wider span width (k=4)") {
     val bloom4 =
       Curation.evalShingleBloom(batchDocs.filter(col("doc_id") % 97 === 0), k = 4)
