@@ -135,6 +135,26 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental NEAR-dup — q63's fuzzy counterpart: the new batch's
+    // near-duplicates OF HISTORY via q18's exact MinHash-LSH
+    // machinery with a cross-set pair predicate (hist × batch bands
+    // only) — history never re-pairs with itself, so the incremental
+    // cost is O(batch signatures + collisions), not O(corpus²). At
+    // 100 TB the history side is a PERSISTED signature/band table
+    // (bucketed by (band, sig) — graft.ops.Bucketing): each daily
+    // batch computes its own signatures and band-joins the stored
+    // table exchange-free; recomputing history here is testdata
+    // convenience, not the shape.
+    "q64_incneardup" -> ((s, d) => {
+      val scored = graft.ops.Barrier(minhashScored(s, d,
+        (a, b) => a % 10 < 8 && b % 10 >= 8))
+      scored
+        .select(col("doc_a").as("hist_doc"), col("doc_b").as("new_doc"),
+          col("inter"), (col("na") + col("nb") - col("inter")).as("uni"))
+        .filter(col("inter") * 5 >= col("uni") * 3)
+        .orderBy("new_doc", "hist_doc")
+    }),
+
     // MinHash signatures via the custom TypedImperativeAggregate —
     // the 100 TB-shape formulation: shingles stream through explode,
     // group state is a fixed 12-long vector (no per-doc arrays),
@@ -335,7 +355,9 @@ object DedupQueries {
     * no explode/shuffle/group-by/join-back; cross-validated against
     * the streaming minhash_agg aggregate in MinHashAggSpec.
     * sset arrives sorted from word_shingles3 — no re-sort needed. */
-  private[graft] def minhashScored(s: SparkSession, d: String): DataFrame = {
+  private[graft] def minhashScored(
+      s: SparkSession, d: String,
+      pairPred: (Column, Column) => Column = _ < _): DataFrame = {
     val m = graft.ops.Barrier(shingleSets(s, d).select(col("doc_id"),
       col("sset"),
       size(col("sset")).cast(LongType).as("nset"),
@@ -348,7 +370,7 @@ object DedupQueries {
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.j") === col("b.j") && col("a.sig") === col("b.sig")
-          && col("a.doc_id") < col("b.doc_id"))
+          && pairPred(col("a.doc_id"), col("b.doc_id")))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
     // merge hint: same computed-array size underestimate as q21 —
@@ -450,6 +472,37 @@ object DedupQueries {
                 FROM n)
           SELECT b.doc_id, b.bow IN (SELECT bow FROM k WHERE doc_id % 10 < 8) AS is_dup
           FROM k b WHERE b.doc_id % 10 >= 8 ORDER BY b.doc_id""",
+    "q64_incneardup" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2],' ')) shingles
+           FROM w WHERE len(words) >= 3),
+         ss AS (SELECT doc_id, list_distinct(shingles) sset FROM sh),
+         hsv AS (
+           SELECT doc_id, sset, len(sset) nset,
+                  list_transform(sset, x -> CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) % 2147483647) hs
+           FROM ss),
+         m AS (
+           SELECT doc_id, sset, nset,
+             [list_aggregate(list_transform(hs, hm ->
+                ((CAST(1103515245 AS BIGINT) * (k+1) + 12345) % 2147483647 * hm + 977 * (k+1)) % 2147483647), 'min')
+              for k in range(0,12)] mh
+           FROM hsv),
+         bands AS (
+           SELECT doc_id, j, mh[2*j+1] * 2147483647 + mh[2*j+2] sig
+           FROM m, unnest(range(0,6)) t(j)),
+         cand AS (
+           SELECT DISTINCT a.doc_id da, b.doc_id db
+           FROM bands a JOIN bands b ON a.j=b.j AND a.sig=b.sig
+           WHERE a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8)
+         SELECT da AS hist_doc, db AS new_doc,
+                len(list_intersect(x.sset, y.sset)) AS inter,
+                x.nset + y.nset - len(list_intersect(x.sset, y.sset)) AS uni
+         FROM cand JOIN hsv x ON da=x.doc_id JOIN hsv y ON db=y.doc_id
+         WHERE 5*len(list_intersect(x.sset, y.sset)) >= 3*(x.nset + y.nset - len(list_intersect(x.sset, y.sset)))
+         ORDER BY new_doc, hist_doc""",
     "q15_dedup" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,
                 count(*) AS n_copies
