@@ -17,6 +17,23 @@ class DedupQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental near-dup pairs are strictly cross-set (hist x batch)") {
+    import org.apache.spark.sql.functions.col
+    val pairs = SparkEntry.queries("q64_incneardup")(spark, sf)
+    // no history-history or batch-batch pair can ever appear
+    assert(pairs.filter(col("hist_doc") % 10 >= 8 || col("new_doc") % 10 < 8)
+      .count() === 0)
+    // the cross-set predicate only RESTRICTS q18's candidate space:
+    // every q64 pair is a q18 pair (in canonical min/max orientation)
+    import org.apache.spark.sql.functions.{greatest, least}
+    val canon64 = pairs.select(
+      least(col("hist_doc"), col("new_doc")).as("doc_a"),
+      greatest(col("hist_doc"), col("new_doc")).as("doc_b"))
+    val q18 = SparkEntry.queries("q18_minhash")(spark, sf).select("doc_a", "doc_b")
+    assert(canon64.join(q18, Seq("doc_a", "doc_b"), "left_anti").count() === 0,
+      "q64 produced a pair q18's full search does not contain")
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     val docs = Tables.documents(spark, sf)
     val deduped = SparkEntry.queries("q15_dedup")(spark, sf)
