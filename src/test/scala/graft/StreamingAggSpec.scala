@@ -103,6 +103,38 @@ class StreamingAggSpec extends AnyFunSuite {
       .filter(col("count") >= 2).count() > 0)
   }
 
+  test("misra_gries sketch aggregates across micro-batches (streaming sketch)") {
+    import org.apache.spark.sql.streaming.OutputMode
+    // the heavy-hitter sketch is a TypedImperativeAggregate: its
+    // buffer must survive the streaming state store across batches,
+    // and the final candidate set must keep the deterministic
+    // superset guarantee the batch pass (q54) relies on
+    val srcDir = tmp("mg-src")
+    stage(srcDir, "part-0.parquet")
+    stage(srcDir, "part-1.parquet")
+    val q = NozzlePipeline.source(spark, srcDir)
+      .groupBy()
+      .agg(graft.Functions.misra_gries(col("event_type"), 3).as("cands"))
+      .writeStream
+      .format("memory").queryName("mg_stream")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", tmp("mg-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val last = spark.table("mg_stream").collect().last
+      .getSeq[String](0).toSet
+    // superset guarantee: every event_type above N/(capacity+1) of the
+    // doubled stream must be among the streamed candidates
+    val n = Tables.events(spark, sf).count() * 2
+    val heavy = Tables.events(spark, sf)
+      .groupBy("event_type").count()
+      .filter(col("count") * 2 > n / 4)
+      .collect().map(_.getString(0)).toSet
+    assert(heavy.subsetOf(last),
+      s"streamed sketch lost a guaranteed heavy hitter: $heavy vs $last")
+  }
+
   test("stateful queries run on the RocksDB state store provider") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
