@@ -136,6 +136,43 @@ object RelationalQueries {
         .select(col("l_returnflag"), col("ship_year"),
           col("g_rf"), col("g_y"), col("n"), col("price_cents"))
         .orderBy(col("g_rf"), col("g_y"), col("l_returnflag"), col("ship_year"))
+    }),
+
+    // PIVOT — long-to-wide reshaping with an EXPLICIT value list
+    // (pinning the values skips the distinct-value discovery JOB an
+    // unpinned pivot runs first). Catalyst plans two stacked
+    // aggregations — (source, lang) counts, then pivotfirst by
+    // source — BOTH map-side combined, so the two exchanges carry
+    // only aggregate rows (groups × langs, then groups × 1): at
+    // 100 TB the shuffles are group-bound, never data-bound. Absent
+    // combinations coalesce to 0 (pivot yields NULL, the oracle's
+    // conditional count yields 0).
+    "q65_pivot" -> ((s, d) => {
+      val p = Tables.documents(s, d)
+        .groupBy("source")
+        .pivot("lang", Seq("en", "fr", "de", "es", "zh"))
+        .agg(count(lit(1)))
+      p.select(col("source") +:
+          Seq("en", "fr", "de", "es", "zh").map(l =>
+            coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
+        .orderBy("source")
+    }),
+
+    // ROWS-frame window — the 7-day moving sum over daily order
+    // totals. The frame runs over the PRE-AGGREGATED daily table
+    // (one row per day — thousands of rows at any corpus size), so
+    // the unpartitioned ordered window is bounded by the calendar,
+    // never the data; the heavy lifting is the partial-aggregated
+    // groupBy underneath. Integer cents for exactness (see q61).
+    "q66_moving" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("o_day"))
+        .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"))
+          .as("cents"))
+      val w = Window.orderBy("o_day").rowsBetween(-6, 0)
+      daily.withColumn("mov7", sum(col("cents")).over(w))
+        .orderBy("o_day").limit(400)
     })
   )
 
@@ -181,6 +218,22 @@ object RelationalQueries {
                 CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS price_cents
          FROM lineitem
          GROUP BY CUBE (l_returnflag, CAST(year(l_shipdate) AS BIGINT))
-         ORDER BY g_rf, g_y, l_returnflag, ship_year"""
+         ORDER BY g_rf, g_y, l_returnflag, ship_year""",
+    "q65_pivot" ->
+      """SELECT source,
+                count(CASE WHEN lang='en' THEN 1 END) AS n_en,
+                count(CASE WHEN lang='fr' THEN 1 END) AS n_fr,
+                count(CASE WHEN lang='de' THEN 1 END) AS n_de,
+                count(CASE WHEN lang='es' THEN 1 END) AS n_es,
+                count(CASE WHEN lang='zh' THEN 1 END) AS n_zh
+         FROM documents GROUP BY source ORDER BY source""",
+    "q66_moving" ->
+      """WITH d AS (
+           SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS o_day,
+                  sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+           FROM orders GROUP BY 1)
+         SELECT o_day, cents,
+                sum(cents) OVER (ORDER BY o_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mov7
+         FROM d ORDER BY o_day LIMIT 400"""
   )
 }

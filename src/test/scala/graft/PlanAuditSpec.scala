@@ -159,6 +159,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bloom probe did not run before the exact confirm:\n$p")
   }
 
+  test("q65 explicit-values pivot: aggregate-only shuffles, no discovery job") {
+    val p = plan("q65_pivot")
+    // explicit values ⇒ pivotfirst directly (an unpinned pivot first
+    // runs a collect job to discover distinct langs); both stacked
+    // aggregations keep map-side combine so every exchange carries
+    // aggregate rows only
+    assert(p.contains("pivotfirst"), s"pivot not planned as pivotfirst:\n$p")
+    assert(p.contains("partial_pivotfirst") && p.contains("partial_count"),
+      "pivot aggregations lost map-side combine")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"pivot planned more than its two aggregate exchanges:\n$p")
+  }
+
+  test("q66 moving window aggregates daily totals with map-side combine") {
+    assert(plan("q66_moving").contains("partial_sum"),
+      "daily totals lost partial aggregation under the window")
+  }
+
   test("q36 set-ops fuse to one jobless-scan aggregation (no joins, no actions)") {
     val p = plan("q36_setops")
     assert(!p.contains("Join"), s"q36 should be join-free:\n$p")
