@@ -158,6 +158,28 @@ object RelationalQueries {
         .orderBy("source")
     }),
 
+    // UNPIVOT — the inverse reshape (wide-to-long, melt): q65's wide
+    // per-source language counts back to (source, lang, n) rows.
+    // Unpivot is a pure per-row projection (each input row expands to
+    // one row per value column, map-side, no shuffle beyond the
+    // upstream aggregation) — the oracle is the equivalent UNION ALL
+    // of per-column selects.
+    "q67_unpivot" -> ((s, d) => {
+      val langs = Seq("en", "fr", "de", "es", "zh")
+      val wide = Tables.documents(s, d)
+        .groupBy("source")
+        .pivot("lang", langs)
+        .agg(count(lit(1)))
+        .select(col("source") +:
+          langs.map(l => coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
+      wide.unpivot(
+          Array(col("source")),
+          langs.map(l => col(s"n_$l")).toArray,
+          "lang", "n")
+        .withColumn("lang", expr("substring(lang, 3)"))
+        .orderBy("source", "lang")
+    }),
+
     // ROWS-frame window — the 7-day moving sum over daily order
     // totals. The frame runs over the PRE-AGGREGATED daily table
     // (one row per day — thousands of rows at any corpus size), so
@@ -227,6 +249,15 @@ object RelationalQueries {
                 count(CASE WHEN lang='es' THEN 1 END) AS n_es,
                 count(CASE WHEN lang='zh' THEN 1 END) AS n_zh
          FROM documents GROUP BY source ORDER BY source""",
+    "q67_unpivot" ->
+      """WITH g AS (SELECT source, lang, count(*) AS n
+                    FROM documents GROUP BY source, lang),
+          s AS (SELECT DISTINCT source FROM documents),
+          l AS (SELECT unnest(['en','fr','de','es','zh']) AS lang)
+         SELECT s.source, l.lang, coalesce(g.n, 0) AS n
+         FROM s CROSS JOIN l
+         LEFT JOIN g ON g.source = s.source AND g.lang = l.lang
+         ORDER BY s.source, l.lang""",
     "q66_moving" ->
       """WITH d AS (
            SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS o_day,
