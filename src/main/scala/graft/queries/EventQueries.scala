@@ -311,6 +311,24 @@ object EventQueries {
         .orderBy("w_s").limit(500)
     }),
 
+    // Semi-structured extraction — the JSON-path surface over the
+    // props payload column (`get_json_object`, Jackson-backed and
+    // codegen-friendly): extract a typed field from per-event JSON
+    // and aggregate it. Map-side extraction + partial aggregation:
+    // the shuffle carries (event_type, 4 longs), never the JSON. At
+    // 100 TB repeated multi-field extraction graduates to one
+    // `from_json` with an explicit schema (single parse per row).
+    "q68_json" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("props").isNotNull && col("props") =!= "")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
     // O12+O14 — grouped double aggregates, exact via DECIMAL.
     "q13_agg" -> ((s, d) => {
       Tables.events(s, d)
@@ -453,6 +471,13 @@ object EventQueries {
          SELECT a.w_s, a.n, a.n - b.n AS rate
          FROM per a LEFT JOIN per b ON a.w_s = b.w_s + 1
          ORDER BY a.w_s LIMIT 500""",
+    "q68_json" ->
+      """SELECT event_type, count(*) AS n,
+                sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+                max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+         FROM events WHERE props IS NOT NULL AND props <> ''
+         GROUP BY event_type ORDER BY event_type""",
     "q13_agg" ->
       """SELECT event_type,
                 CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sv,
