@@ -105,6 +105,26 @@ class StreamingCurationSpec extends AnyFunSuite {
       s"k=4 flagged $flagged4 docs but k=3 only $flagged3 — selectivity inverted")
   }
 
+  test("keptStream filters a live stream down to the kept documents") {
+    val srcDir = tmp("kept-src")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      Paths.get(s"$srcDir/part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(srcDir)
+    val q = Curation.keptStream(stream, evalBloom)
+      .writeStream
+      .format("memory").queryName("kept_live")
+      .option("checkpointLocation", tmp("kept-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val live = spark.table("kept_live")
+    val expect = Curation.gate(batchDocs, evalBloom).filter(col("kept"))
+    assert(live.count() === expect.count())
+    assert(live.columns.toSeq === batchDocs.columns.toSeq)
+    // same documents, not just the same count
+    assert(live.select("doc_id").exceptAll(expect.select("doc_id")).count() === 0)
+  }
+
   test("kept stream keeps exactly the documents every gate passes") {
     val kept = Curation.keptStream(batchDocs, evalBloom)
     val gate = Curation.gate(batchDocs, evalBloom)
