@@ -251,6 +251,51 @@ object SimilarityQueries {
         .limit(10)
     }),
 
+    // Product quantization + ADC search — the third leg of the
+    // compression stack (hyperplane LSH q22, IVF q40, int8 q48/q49):
+    // the 64-dim vector splits into M=4 16-dim subvectors, each
+    // encoded as its nearest centroid id from a per-subvector
+    // codebook (sampled centroids, like q40) — a 4-small-int code per
+    // vector (64× smaller than float32). Search is asymmetric
+    // distance computation: d(q, x) ≈ Σ_m ‖q_m − c_{m,code_m(x)}‖².
+    // Encoding is MAP-ONLY (one broadcast codebook row, per-row
+    // argmin inline via array_min over (d2, cid) structs — exact
+    // tie-break, no n×K expansion); ranking is TakeOrderedAndProject.
+    // Every L2 is the same sequential fold in both engines, so the
+    // assignment AND the ADC doubles hash-match exactly. At scale M
+    // and the per-subvector K grow (8-16 subvectors × 256 centroids),
+    // the codebook stays a broadcast, and the scan reads codes (bytes)
+    // instead of vectors — with q40's IVF lists on top for the
+    // coarse cut.
+    "q69_pqann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .filter(!exists(col("embedding"), _.isNull)) // see q48 note
+      val cbs = emb.filter(col("vec_id").between(1, 8))
+        .agg(sort_array(collect_list(struct(
+          col("vec_id").cast(org.apache.spark.sql.types.LongType).as("cid"),
+          expr("transform(embedding, x -> cast(x as double))").as("cv")))).as("cb"))
+      def subv(c: String, m: Int) =
+        s"transform(slice($c, ${m * 16 + 1}, 16), x -> cast(x as double))"
+      def d2(a: String, b: String) =
+        s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+      def codeExpr(m: Int) =
+        s"array_min(transform(cb, c -> struct(${d2(subv("embedding", m), s"slice(c.cv, ${m * 16 + 1}, 16)")} as d2, c.cid as cid))).cid"
+      val coded = emb.crossJoin(broadcast(cbs))
+        .select(col("vec_id"), col("cb"),
+          expr(s"array(${(0 until 4).map(codeExpr).mkString(", ")})").as("codes"))
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val dists = (0 until 4).map(m =>
+        d2(subv("qv", m),
+          s"slice(element_at(cb, cast(element_at(codes, ${m + 1}) as int)).cv, ${m * 16 + 1}, 16)"))
+      coded.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          expr(s"aggregate(array(${dists.mkString(", ")}), 0D, (acc, v) -> acc + v)")
+            .as("adist"))
+        .orderBy(col("adist").asc, col("vec_id"))
+        .limit(10)
+    }),
+
     // Embedding-cosine near-dup pairs via bucket-equality self-join.
     // Norms are computed once per VECTOR before the join (n rows), not
     // once per PAIR (≈ n²/buckets rows); the per-pair work is a single
@@ -351,6 +396,31 @@ object SimilarityQueries {
           FROM embeddings e JOIN k ON e.vec_id = k.doc_id, q
           WHERE e.vec_id <> 0
           ORDER BY sim DESC, e.vec_id LIMIT 10""",
+    "q69_pqann" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings
+                    WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
+          c AS (SELECT vec_id cid, embedding cv FROM e WHERE vec_id BETWEEN 1 AND 8),
+          sub AS (SELECT unnest([0,1,2,3]) AS m),
+          a AS (SELECT e.vec_id, s.m, c.cid,
+                  list_sum(list_transform(range(1, 17), i ->
+                    (CAST(e.embedding[s.m*16+i] AS DOUBLE) - CAST(c.cv[s.m*16+i] AS DOUBLE))
+                    * (CAST(e.embedding[s.m*16+i] AS DOUBLE) - CAST(c.cv[s.m*16+i] AS DOUBLE)))) d2
+                FROM e CROSS JOIN sub s CROSS JOIN c),
+          r AS (SELECT vec_id, m, cid,
+                  row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) rn
+                FROM a),
+          codes AS (SELECT vec_id, list(cid ORDER BY m) cds
+                    FROM r WHERE rn = 1 GROUP BY vec_id),
+          cb AS (SELECT list(cv ORDER BY cid) cvs FROM c),
+          q AS (SELECT embedding qv FROM e WHERE vec_id = 0)
+          SELECT co.vec_id,
+                 list_sum(list_transform(range(0, 4), m ->
+                   list_sum(list_transform(range(1, 17), i ->
+                     (CAST(q.qv[m*16+i] AS DOUBLE) - CAST(cb.cvs[co.cds[m+1]][m*16+i] AS DOUBLE))
+                     * (CAST(q.qv[m*16+i] AS DOUBLE) - CAST(cb.cvs[co.cds[m+1]][m*16+i] AS DOUBLE)))))) AS adist
+          FROM codes co, cb, q
+          WHERE co.vec_id <> 0
+          ORDER BY adist ASC, co.vec_id LIMIT 10""",
     "q23_embdup" ->
       s"""WITH b AS (
             SELECT vec_id, embedding, $bucketSqlDuck bucket FROM embeddings)
