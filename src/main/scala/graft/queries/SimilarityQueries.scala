@@ -296,6 +296,55 @@ object SimilarityQueries {
         .limit(10)
     }),
 
+    // IVF-PQ — the production ANN architecture, composed from the two
+    // verified pieces: q40's IVF coarse quantizer cuts the corpus to
+    // the query's nprobe=2 inverted lists, and q69's PQ codes rank the
+    // survivors by asymmetric distance. ONE broadcast row carries both
+    // codebooks (same sampled centroids); encoding stays map-only
+    // (cid + 4 PQ codes per vector in one pass); the probe rides a
+    // broadcast; ranking is TakeOrderedAndProject. At 100 TB the list
+    // id is a partition column (scan prunes to nprobe/K of the
+    // corpus), the PQ codes are the only columns read, and full
+    // vectors are never touched at query time.
+    "q70_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .filter(!exists(col("embedding"), _.isNull)) // see q48 note
+      val cbs = emb.filter(col("vec_id").between(1, 8))
+        .agg(
+          sort_array(collect_list(struct(
+            col("vec_id").cast(org.apache.spark.sql.types.LongType).as("cid"),
+            col("embedding").as("cv")))).as("cbi"),
+          sort_array(collect_list(struct(
+            col("vec_id").cast(org.apache.spark.sql.types.LongType).as("cid"),
+            expr("transform(embedding, x -> cast(x as double))").as("cv")))).as("cbp"))
+      def subv(c: String, m: Int) =
+        s"transform(slice($c, ${m * 16 + 1}, 16), x -> cast(x as double))"
+      def d2(a: String, b: String) =
+        s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+      def codeExpr(m: Int) =
+        s"array_min(transform(cbp, c -> struct(${d2(subv("embedding", m), s"slice(c.cv, ${m * 16 + 1}, 16)")} as d2, c.cid as cid))).cid"
+      val withCb = emb.crossJoin(broadcast(cbs))
+      val coded = withCb.select(col("vec_id"), col("cbp"),
+        graft.Functions.centroid_topk(col("embedding"), col("cbi"), 1)
+          .getItem(0).as("cid"),
+        expr(s"array(${(0 until 4).map(codeExpr).mkString(", ")})").as("codes"))
+      val probes = withCb.filter(col("vec_id") === 0)
+        .select(explode(graft.Functions.centroid_topk(
+          col("embedding"), col("cbi"), 2)).as("cid"))
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val dists = (0 until 4).map(m =>
+        d2(subv("qv", m),
+          s"slice(element_at(cbp, cast(element_at(codes, ${m + 1}) as int)).cv, ${m * 16 + 1}, 16)"))
+      coded.join(broadcast(probes), "cid")
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          expr(s"aggregate(array(${dists.mkString(", ")}), 0D, (acc, v) -> acc + v)")
+            .as("adist"))
+        .orderBy(col("adist").asc, col("vec_id"))
+        .limit(10)
+    }),
+
     // Embedding-cosine near-dup pairs via bucket-equality self-join.
     // Norms are computed once per VECTOR before the join (n rows), not
     // once per PAIR (≈ n²/buckets rows); the per-pair work is a single
@@ -419,6 +468,40 @@ object SimilarityQueries {
                      (CAST(q.qv[m*16+i] AS DOUBLE) - CAST(cb.cvs[co.cds[m+1]][m*16+i] AS DOUBLE))
                      * (CAST(q.qv[m*16+i] AS DOUBLE) - CAST(cb.cvs[co.cds[m+1]][m*16+i] AS DOUBLE)))))) AS adist
           FROM codes co, cb, q
+          WHERE co.vec_id <> 0
+          ORDER BY adist ASC, co.vec_id LIMIT 10""",
+    "q70_ivfpq" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+                     WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
+          c AS (SELECT vec_id cid, embedding cv FROM e WHERE vec_id BETWEEN 1 AND 8),
+          iv AS (SELECT e.vec_id, c.cid, ${dDot("e.embedding", "c.cv")} cd
+                 FROM e CROSS JOIN c),
+          ir AS (SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cid ASC) rn
+                 FROM iv),
+          lists AS (SELECT vec_id, cid FROM ir WHERE rn = 1),
+          probes AS (SELECT cid FROM ir WHERE vec_id = 0 AND rn <= 2),
+          sub AS (SELECT unnest([0,1,2,3]) AS m),
+          a AS (SELECT e.vec_id, s.m, c.cid,
+                  list_sum(list_transform(range(1, 17), i ->
+                    (CAST(e.embedding[s.m*16+i] AS DOUBLE) - CAST(c.cv[s.m*16+i] AS DOUBLE))
+                    * (CAST(e.embedding[s.m*16+i] AS DOUBLE) - CAST(c.cv[s.m*16+i] AS DOUBLE)))) d2
+                FROM e CROSS JOIN sub s CROSS JOIN c),
+          r AS (SELECT vec_id, m, cid,
+                  row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) rn
+                FROM a),
+          codes AS (SELECT vec_id, list(cid ORDER BY m) cds
+                    FROM r WHERE rn = 1 GROUP BY vec_id),
+          cb AS (SELECT list(cv ORDER BY cid) cvs FROM c),
+          q AS (SELECT embedding qv FROM e WHERE vec_id = 0)
+          SELECT co.vec_id,
+                 list_sum(list_transform(range(0, 4), m ->
+                   list_sum(list_transform(range(1, 17), i ->
+                     (CAST(q.qv[m*16+i] AS DOUBLE) - CAST(cb.cvs[co.cds[m+1]][m*16+i] AS DOUBLE))
+                     * (CAST(q.qv[m*16+i] AS DOUBLE) - CAST(cb.cvs[co.cds[m+1]][m*16+i] AS DOUBLE)))))) AS adist
+          FROM codes co
+          JOIN lists l ON co.vec_id = l.vec_id
+          JOIN probes p ON l.cid = p.cid, cb, q
           WHERE co.vec_id <> 0
           ORDER BY adist ASC, co.vec_id LIMIT 10""",
     "q23_embdup" ->

@@ -31,8 +31,9 @@ class PlanAuditSpec extends AnyFunSuite {
   test("no query plans a cartesian product or unpushed cross join") {
     // the tiny broadcast crossJoins (1-row query vector in q16/q22,
     // 8-row codebook + 1-row query in q40) are the intended shapes
-    val allowedBnlj =
-      Set("q16_topk", "q22_ann", "q40_ivf", "q49_qann", "q58_fann", "q69_pqann")
+    val allowedBnlj = Set(
+      "q16_topk", "q22_ann", "q40_ivf", "q49_qann", "q58_fann", "q69_pqann",
+      "q70_ivfpq")
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
