@@ -64,7 +64,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val errJson = errors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"stat":"min","queries":$qs,"queries_max":$qsMax,"errors":$errJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"stat":"min","queries":$qs,"queries_max":$qsMax,"errors":$errJson,"sf":"$sfDir"}"""
+    println(json)
+    // The driver captures only a truncated stdout tail (BENCH_r01-r06
+    // all arrived with parsed:null) — persist the full line to a file
+    // so each round's numbers survive whole.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_out.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -321,6 +321,11 @@ object EventQueries {
     "q68_json" -> ((s, d) => {
       Tables.events(s, d)
         .filter(col("props").isNotNull && col("props") =!= "")
+        // Validity gate mirrored in the oracle's `json_valid(props)`:
+        // get_json_object(x, '$') is NULL iff x is malformed JSON, so
+        // both engines drop the same rows (DuckDB's json_extract would
+        // otherwise RAISE where Spark silently NULLs).
+        .filter(get_json_object(col("props"), "$").isNotNull)
         .select(col("event_type"),
           get_json_object(col("props"), "$.k").cast(LongType).as("k"))
         .groupBy("event_type")
@@ -473,10 +478,10 @@ object EventQueries {
          ORDER BY a.w_s LIMIT 500""",
     "q68_json" ->
       """SELECT event_type, count(*) AS n,
-                sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                 min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
                 max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
-         FROM events WHERE props IS NOT NULL AND props <> ''
+         FROM events WHERE props IS NOT NULL AND props <> '' AND json_valid(props)
          GROUP BY event_type ORDER BY event_type""",
     "q13_agg" ->
       """SELECT event_type,

@@ -261,10 +261,10 @@ object RelationalQueries {
     "q66_moving" ->
       """WITH d AS (
            SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS o_day,
-                  sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+                  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
            FROM orders GROUP BY 1)
          SELECT o_day, cents,
-                sum(cents) OVER (ORDER BY o_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mov7
+                CAST(sum(cents) OVER (ORDER BY o_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov7
          FROM d ORDER BY o_day LIMIT 400"""
   )
 }
