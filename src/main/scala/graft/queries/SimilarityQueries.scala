@@ -106,6 +106,43 @@ object SimilarityQueries {
   private def dCos(a: String, b: String): String =
     s"${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))"
 
+  /** Product-quantization encode + ADC ranking (the q69 pipeline),
+    * parameterized by the centroid predicate so [[graft.PqLookupSpec]]
+    * can drive it with a NON-contiguous cid set.
+    *
+    * The codebook lookup is keyed BY cid, never by array position: a
+    * positional `element_at(cb, code)` silently reads the wrong
+    * centroid the moment the cid range has a hole — and because both
+    * engines would shift their indexing identically, the oracle
+    * parity harness cannot catch that regression. Only the
+    * dropped-centroid spec can, which is why the helper exists. */
+  private[graft] def pqAdc(emb: DataFrame, centroidPred: Column): DataFrame = {
+    val cbs = emb.filter(centroidPred)
+      .agg(sort_array(collect_list(struct(
+        col("vec_id").cast(org.apache.spark.sql.types.LongType).as("cid"),
+        expr("transform(embedding, x -> cast(x as double))").as("cv")))).as("cb"))
+    def subv(c: String, m: Int) =
+      s"transform(slice($c, ${m * 16 + 1}, 16), x -> cast(x as double))"
+    def d2(a: String, b: String) =
+      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+    def codeExpr(m: Int) =
+      s"array_min(transform(cb, c -> struct(${d2(subv("embedding", m), s"slice(c.cv, ${m * 16 + 1}, 16)")} as d2, c.cid as cid))).cid"
+    val coded = emb.crossJoin(broadcast(cbs))
+      .select(col("vec_id"), col("cb"),
+        expr(s"array(${(0 until 4).map(codeExpr).mkString(", ")})").as("codes"))
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val dists = (0 until 4).map(m =>
+      d2(subv("qv", m),
+        s"slice(element_at(filter(cb, c -> c.cid = element_at(codes, ${m + 1})), 1).cv, ${m * 16 + 1}, 16)"))
+    coded.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        expr(s"aggregate(array(${dists.mkString(", ")}), 0D, (acc, v) -> acc + v)")
+          .as("adist"))
+      .orderBy(col("adist").asc, col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact top-20 cosine vs vec_id 0 (ties broken by vec_id).
     "q16_topk" -> ((s, d) => {
@@ -270,30 +307,7 @@ object SimilarityQueries {
     "q69_pqann" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
         .filter(!exists(col("embedding"), _.isNull)) // see q48 note
-      val cbs = emb.filter(col("vec_id").between(1, 8))
-        .agg(sort_array(collect_list(struct(
-          col("vec_id").cast(org.apache.spark.sql.types.LongType).as("cid"),
-          expr("transform(embedding, x -> cast(x as double))").as("cv")))).as("cb"))
-      def subv(c: String, m: Int) =
-        s"transform(slice($c, ${m * 16 + 1}, 16), x -> cast(x as double))"
-      def d2(a: String, b: String) =
-        s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
-      def codeExpr(m: Int) =
-        s"array_min(transform(cb, c -> struct(${d2(subv("embedding", m), s"slice(c.cv, ${m * 16 + 1}, 16)")} as d2, c.cid as cid))).cid"
-      val coded = emb.crossJoin(broadcast(cbs))
-        .select(col("vec_id"), col("cb"),
-          expr(s"array(${(0 until 4).map(codeExpr).mkString(", ")})").as("codes"))
-      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      val dists = (0 until 4).map(m =>
-        d2(subv("qv", m),
-          s"slice(element_at(cb, cast(element_at(codes, ${m + 1}) as int)).cv, ${m * 16 + 1}, 16)"))
-      coded.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"),
-          expr(s"aggregate(array(${dists.mkString(", ")}), 0D, (acc, v) -> acc + v)")
-            .as("adist"))
-        .orderBy(col("adist").asc, col("vec_id"))
-        .limit(10)
+      pqAdc(emb, col("vec_id").between(1, 8))
     }),
 
     // IVF-PQ — the production ANN architecture, composed from the two
@@ -332,9 +346,10 @@ object SimilarityQueries {
         .select(explode(graft.Functions.centroid_topk(
           col("embedding"), col("cbi"), 2)).as("cid"))
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      // cid-keyed codebook lookup — see the q69 note.
       val dists = (0 until 4).map(m =>
         d2(subv("qv", m),
-          s"slice(element_at(cbp, cast(element_at(codes, ${m + 1}) as int)).cv, ${m * 16 + 1}, 16)"))
+          s"slice(element_at(filter(cbp, c -> c.cid = element_at(codes, ${m + 1})), 1).cv, ${m * 16 + 1}, 16)"))
       coded.join(broadcast(probes), "cid")
         .filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
@@ -460,13 +475,13 @@ object SimilarityQueries {
                 FROM a),
           codes AS (SELECT vec_id, list(cid ORDER BY m) cds
                     FROM r WHERE rn = 1 GROUP BY vec_id),
-          cb AS (SELECT list(cv ORDER BY cid) cvs FROM c),
+          cb AS (SELECT list(struct_pack(cid := cid, cv := cv) ORDER BY cid) cbs FROM c),
           q AS (SELECT embedding qv FROM e WHERE vec_id = 0)
           SELECT co.vec_id,
                  list_sum(list_transform(range(0, 4), m ->
                    list_sum(list_transform(range(1, 17), i ->
-                     (CAST(q.qv[m*16+i] AS DOUBLE) - CAST(cb.cvs[co.cds[m+1]][m*16+i] AS DOUBLE))
-                     * (CAST(q.qv[m*16+i] AS DOUBLE) - CAST(cb.cvs[co.cds[m+1]][m*16+i] AS DOUBLE)))))) AS adist
+                     (CAST(q.qv[m*16+i] AS DOUBLE) - CAST(list_filter(cb.cbs, cc -> cc.cid = co.cds[m+1])[1].cv[m*16+i] AS DOUBLE))
+                     * (CAST(q.qv[m*16+i] AS DOUBLE) - CAST(list_filter(cb.cbs, cc -> cc.cid = co.cds[m+1])[1].cv[m*16+i] AS DOUBLE)))))) AS adist
           FROM codes co, cb, q
           WHERE co.vec_id <> 0
           ORDER BY adist ASC, co.vec_id LIMIT 10""",
@@ -492,13 +507,13 @@ object SimilarityQueries {
                 FROM a),
           codes AS (SELECT vec_id, list(cid ORDER BY m) cds
                     FROM r WHERE rn = 1 GROUP BY vec_id),
-          cb AS (SELECT list(cv ORDER BY cid) cvs FROM c),
+          cb AS (SELECT list(struct_pack(cid := cid, cv := cv) ORDER BY cid) cbs FROM c),
           q AS (SELECT embedding qv FROM e WHERE vec_id = 0)
           SELECT co.vec_id,
                  list_sum(list_transform(range(0, 4), m ->
                    list_sum(list_transform(range(1, 17), i ->
-                     (CAST(q.qv[m*16+i] AS DOUBLE) - CAST(cb.cvs[co.cds[m+1]][m*16+i] AS DOUBLE))
-                     * (CAST(q.qv[m*16+i] AS DOUBLE) - CAST(cb.cvs[co.cds[m+1]][m*16+i] AS DOUBLE)))))) AS adist
+                     (CAST(q.qv[m*16+i] AS DOUBLE) - CAST(list_filter(cb.cbs, cc -> cc.cid = co.cds[m+1])[1].cv[m*16+i] AS DOUBLE))
+                     * (CAST(q.qv[m*16+i] AS DOUBLE) - CAST(list_filter(cb.cbs, cc -> cc.cid = co.cds[m+1])[1].cv[m*16+i] AS DOUBLE)))))) AS adist
           FROM codes co
           JOIN lists l ON co.vec_id = l.vec_id
           JOIN probes p ON l.cid = p.cid, cb, q
