@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Distributed Lloyd's k-means over INTEGER vectors (int8-quantized
+  * embeddings, the `vec_quant8` output) with exact, order-independent
+  * arithmetic — the trained-codebook path for the IVF/PQ ANN stack.
+  *
+  * Why integer state instead of float centroids: float summation is
+  * not associative, so a float `avg` shuffle produces partition-order-
+  * dependent centroids — retraining on a repartitioned corpus (or
+  * comparing against any other engine) would flip argmin assignments
+  * on near-ties. Here a centroid is the exact rational S/c, carried as
+  * (S: ARRAY<BIGINT> element sums, c: BIGINT count). Every training
+  * step is integer-exact and therefore bit-identical under ANY
+  * partitioning (KMeansSpec pins this), and the DuckDB oracle can
+  * replay training exactly (q71_kmeans).
+  *
+  * Per-iteration plan shape (the 100 TB contract):
+  *  - ASSIGN is map-only: the k centroids are driver-side literals
+  *    (the codebook is k·d longs — broadcast-sized by construction);
+  *    the per-row cost is k native codegen'd `vec_dot_int` calls.
+  *    d(x, S/c)² is ranked via the exact integer polynomial
+  *    c²·(x·x) − 2c·(x·S) + (S·S) divided ONCE by c² in double — a
+  *    single IEEE rounding of exact integers, deterministic in any
+  *    engine. (x·x) is computed once per row, (S·S) and c² fold to
+  *    literals at plan time.
+  *  - UPDATE is one groupBy(cid) with d column-wise `sum(element_at)`
+  *    aggregates: map-side partial aggregation, k·(d+1) longs on the
+  *    wire, NO posexplode row blow-up. The k-row result is collected
+  *    to the driver (the ConnectedComponents convergence pattern).
+  *  - CONVERGENCE is exact integer state equality — no epsilon.
+  *
+  * Overflow bound: |x_j| ≤ 127 (int8 codes), so S_j ≤ 127·c and the
+  * polynomial is ≲ 3·(127·c)²·d; with d = 64 this stays inside Long
+  * for c up to ~10^7 vectors per cluster and inside double-exact
+  * (2^53) for the division input up to c ≈ 10^5. Past that, train on
+  * a deterministic hash-sample per cluster (k-means centroids are
+  * means — a 10^5 sample estimates them to ±1%%), which is how a
+  * 100 TB corpus trains its codebook anyway: sample → train → one
+  * map-only assign pass over the full corpus.
+  */
+object KMeans {
+
+  /** Exact centroid state: the centroid is the rational sums/count. */
+  final case class Centroid(cid: Long, sums: Array[Long], count: Long) {
+    def mean: Array[Double] = sums.map(_.toDouble / count.toDouble)
+    def sameAs(o: Centroid): Boolean =
+      cid == o.cid && count == o.count && sums.sameElements(o.sums)
+  }
+
+  /** argmin-by-(distance, cid) assignment column for one centroid set.
+    * Map-only: centroids are plan-time literals; ties break on the
+    * LOWER cid (least() on (d, cid) structs — exact, engine-portable). */
+  def assignExpr(vec: Column, state: Seq[Centroid]): Column = {
+    require(state.nonEmpty, "kmeans: empty centroid state")
+    val xx = graft.Functions.vec_dot_int(vec, vec)
+    val ranked = state.sortBy(_.cid).map { st =>
+      val cc = st.count * st.count
+      val ss = st.sums.map(s => s * s).sum
+      val xs = graft.Functions.vec_dot_int(vec, typedLit(st.sums.toSeq))
+      val num = lit(cc) * xx - lit(2L * st.count) * xs + lit(ss)
+      struct((num.cast(DoubleType) / lit(cc.toDouble)).as("d"), lit(st.cid).as("cid"))
+    }
+    if (ranked.size == 1) ranked.head.getField("cid")
+    else least(ranked: _*).getField("cid")
+  }
+
+  /** Seed state from the vectors whose id is in `seedIds` (count = 1,
+    * sums = the vector itself, cid = the id): deterministic and
+    * replayable in an oracle. A tiny driver-side collect (k rows). */
+  def seedsFromIds(vecs: DataFrame, idCol: String, vecCol: String,
+                   seedIds: Seq[Long]): Seq[Centroid] = {
+    val rows = vecs.filter(col(idCol).isin(seedIds: _*))
+      .select(col(idCol), col(vecCol)).collect()
+    require(rows.length == seedIds.length,
+      s"kmeans: ${seedIds.length} seeds requested, ${rows.length} found")
+    rows.map(r => Centroid(r.getLong(0), r.getSeq[Long](1).toArray, 1L))
+      .sortBy(_.cid).toSeq
+  }
+
+  /** Lloyd's loop: assign → exact integer update → converge-or-iterate.
+    * Returns the final state after at most `maxIter` update rounds
+    * (fewer if the integer state reaches a fixed point). A cluster
+    * that receives no vectors KEEPS its previous state — deterministic
+    * and oracle-replayable. */
+  def train(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
+            seeds: Seq[Centroid], maxIter: Int): Seq[Centroid] = {
+    var state = seeds.sortBy(_.cid)
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val sumCols = (0 until dim).map(j =>
+        sum(element_at(col(vecCol), j + 1)).as(s"_s$j"))
+      val upd = vecs
+        .select(col(vecCol), assignExpr(col(vecCol), state).as("_cid"))
+        .groupBy("_cid")
+        .agg(count(lit(1)).as("_c"), sumCols: _*)
+        .collect()
+        .map { r =>
+          val sums = Array.tabulate(dim)(j => r.getLong(r.fieldIndex(s"_s$j")))
+          r.getLong(0) -> Centroid(r.getLong(0), sums, r.getLong(r.fieldIndex("_c")))
+        }.toMap
+      val next = state.map(old => upd.getOrElse(old.cid, old))
+      converged = next.zip(state).forall { case (a, b) => a.sameAs(b) }
+      state = next
+      it += 1
+    }
+    state
+  }
+
+  /** Driver-side mirror of [[assignExpr]]'s distance — the SAME exact
+    * integer polynomial and single IEEE division, for query-planning
+    * steps (e.g. picking the nprobe nearest centroids for ONE query
+    * vector) that don't warrant a Spark job. */
+  def distanceTo(x: Array[Long], st: Centroid): Double = {
+    var xx = 0L; var xs = 0L; var ss = 0L
+    var j = 0
+    while (j < x.length) {
+      xx += x(j) * x(j); xs += x(j) * st.sums(j); ss += st.sums(j) * st.sums(j)
+      j += 1
+    }
+    val cc = st.count * st.count
+    (cc * xx - 2L * st.count * xs + ss).toDouble / cc.toDouble
+  }
+
+  /** One map-only assignment pass under a trained model. */
+  def assign(vecs: DataFrame, idCol: String, vecCol: String,
+             state: Seq[Centroid]): DataFrame =
+    vecs.select(col(idCol), assignExpr(col(vecCol), state).as("cid"))
+}

@@ -106,6 +106,83 @@ object SimilarityQueries {
   private def dCos(a: String, b: String): String =
     s"${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))"
 
+  /** One Lloyd's round, DuckDB rendering — kept in lockstep with
+    * [[graft.ops.KMeans]]: centroid = exact rational (S, c); distance
+    * ranks by Σ(c·x_j − S_j)² / c² (ONE double division of exact
+    * integers, ≡ the Spark side's c²·x·x − 2c·x·S + S·S polynomial);
+    * ties break on the lower cid; an empty cluster keeps its previous
+    * state via the LEFT JOIN + coalesce. */
+  private def kmAssign(a: String, sIn: String): String =
+    s"""$a AS (SELECT vec_id, cid FROM (
+            SELECT v.vec_id, s.cid,
+              row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                CAST(list_sum(list_transform(range(1, 65), i ->
+                  (s.c * v.q8[i] - s.s[i]) * (s.c * v.q8[i] - s.s[i]))) AS DOUBLE)
+                / CAST(s.c * s.c AS DOUBLE) ASC, s.cid ASC) rn
+            FROM v CROSS JOIN $sIn s) WHERE rn = 1)"""
+
+  private def kmUpdate(n: Int, a: String, sIn: String, sOut: String): String =
+    s"""u$n AS (SELECT a.cid, t.i, CAST(sum(v.q8[t.i]) AS BIGINT) sm, count(*) c
+            FROM $a a JOIN v USING (vec_id), unnest(range(1, 65)) t(i)
+            GROUP BY a.cid, t.i),
+          w$n AS (SELECT cid, list(sm ORDER BY i) s, min(c) c FROM u$n GROUP BY cid),
+          $sOut AS (SELECT p.cid, coalesce(w.s, p.s) s, coalesce(w.c, p.c) c
+            FROM $sIn p LEFT JOIN w$n w ON p.cid = w.cid)"""
+
+  /** Quantization + seeding + `iters` unrolled training rounds: the
+    * WITH-body prefix shared by the q71/q72 oracles. Leaves `v`
+    * (quantized vectors) and `s$iters` (final centroid state) bound. */
+  private def kmeansCtes(iters: Int): String = {
+    val rounds = (0 until iters).map(n =>
+      s"${kmAssign(s"a$n", s"s$n")},\n          ${kmUpdate(n, s"a$n", s"s$n", s"s${n + 1}")}")
+      .mkString(",\n          ")
+    s"""e AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
+          mq AS (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) maxabs
+                 FROM e),
+          v AS (SELECT vec_id,
+                  CASE WHEN maxabs > 0
+                       THEN list_transform(embedding, x -> greatest(CAST(-127 AS BIGINT),
+                              least(CAST(127 AS BIGINT),
+                                CAST(floor(CAST(x AS DOUBLE) * 127 / maxabs) AS BIGINT))))
+                       ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END q8
+                FROM mq),
+          s0 AS (SELECT vec_id cid, q8 s, CAST(1 AS BIGINT) c FROM v
+                 WHERE vec_id BETWEEN 1 AND 8),
+          $rounds"""
+  }
+
+  /** 2 unrolled training rounds + the final assignment pass — the
+    * exact replay of q71's KMeans.train(maxIter = 2) + assign. */
+  private def kmeansOracle(iters: Int): String =
+    s"""WITH ${kmeansCtes(iters)},
+          ${kmAssign("afin", s"s$iters")}
+         SELECT vec_id, cid FROM afin ORDER BY vec_id"""
+
+  /** Trained-IVF search oracle: the kmeans CTEs, then coarse-assign
+    * every vector (rn = 1), probe the query's 2 nearest trained
+    * centroids (rn <= 2 for vec_id 0) and rank survivors by the exact
+    * integer dot — the q72 replay. */
+  private def ivfTrainedOracle(iters: Int): String =
+    s"""WITH ${kmeansCtes(iters)},
+          ad AS (SELECT v.vec_id, s.cid,
+                   CAST(list_sum(list_transform(range(1, 65), i ->
+                     (s.c * v.q8[i] - s.s[i]) * (s.c * v.q8[i] - s.s[i]))) AS DOUBLE)
+                   / CAST(s.c * s.c AS DOUBLE) d
+                 FROM v CROSS JOIN s$iters s),
+          r AS (SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) rn
+                FROM ad),
+          lists AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+          probes AS (SELECT cid FROM r WHERE vec_id = 0 AND rn <= 2),
+          q AS (SELECT q8 qq FROM v WHERE vec_id = 0)
+         SELECT l.vec_id,
+                CAST(list_sum(list_transform(range(1, 65), i -> v.q8[i] * q.qq[i])) AS BIGINT) AS qsim
+         FROM lists l JOIN v USING (vec_id) JOIN probes p ON l.cid = p.cid, q
+         WHERE l.vec_id <> 0
+         ORDER BY qsim DESC, l.vec_id LIMIT 10"""
+
   /** Product-quantization encode + ADC ranking (the q69 pipeline),
     * parameterized by the centroid predicate so [[graft.PqLookupSpec]]
     * can drive it with a NON-contiguous cid set.
@@ -360,6 +437,56 @@ object SimilarityQueries {
         .limit(10)
     }),
 
+    // Trained k-means codebook (Lloyd's, 2 rounds) over int8-quantized
+    // embeddings — the production path that replaces q40/q69/q70's
+    // sampled centroids with trained ones. graft.ops.KMeans carries
+    // EXACT integer state (element sums + count per centroid), so
+    // training is bit-deterministic under any partitioning and the
+    // oracle replays it verbatim (2 unrolled assign/update rounds).
+    // Per round: one map-only assign (native vec_dot_int against
+    // plan-time centroid literals) + one groupBy(cid) with map-side
+    // partial aggregation; k·(d+1) longs cross the wire. At 100 TB the
+    // train input is a deterministic hash-sample (means need no full
+    // pass) and the final assign is the only full-corpus pass.
+    "q71_kmeans" -> ((s, d) => {
+      val qemb = Tables.embeddings(s, d)
+        .filter(!exists(col("embedding"), _.isNull)) // see q48 note
+        .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8"))
+      val seeds = graft.ops.KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
+      val model = graft.ops.KMeans.train(qemb, "vec_id", "q8", 64, seeds, maxIter = 2)
+      graft.ops.KMeans.assign(qemb, "vec_id", "q8", model).orderBy("vec_id")
+    }),
+
+    // IVF search over the TRAINED codebook — q71's model gating q49's
+    // integer ranking: coarse-assign the corpus to trained centroids
+    // (map-only, plan-time literals), probe the query's 2 nearest
+    // lists, rank survivors by exact integer dot. Probe selection is
+    // DRIVER-side query planning (the query is one vector; its nprobe
+    // centroids come from the broadcast-sized model, no job needed).
+    // At 100 TB cid is a partition column: the scan prunes to
+    // nprobe/k of the corpus and ranking is TakeOrderedAndProject.
+    "q72_ivf_trained" -> ((s, d) => {
+      import graft.ops.KMeans
+      val qemb = Tables.embeddings(s, d)
+        .filter(!exists(col("embedding"), _.isNull)) // see q48 note
+        .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8"))
+      val seeds = KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
+      val model = KMeans.train(qemb, "vec_id", "q8", 64, seeds, maxIter = 2)
+      val qVec = qemb.filter(col("vec_id") === 0)
+        .select("q8").head().getSeq[Long](0).toArray
+      val probes = model.map(st => (KMeans.distanceTo(qVec, st), st.cid))
+        .sorted.take(2).map(_._2)
+      val q = qemb.filter(col("vec_id") === 0).select(col("q8").as("qq"))
+      qemb.select(col("vec_id"), col("q8"),
+          KMeans.assignExpr(col("q8"), model).as("cid"))
+        .filter(col("cid").isin(probes: _*) && col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          graft.Functions.vec_dot_int(col("q8"), col("qq")).as("qsim"))
+        .orderBy(col("qsim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // Embedding-cosine near-dup pairs via bucket-equality self-join.
     // Norms are computed once per VECTOR before the join (n rows), not
     // once per PAIR (≈ n²/buckets rows); the per-pair work is a single
@@ -519,6 +646,8 @@ object SimilarityQueries {
           JOIN probes p ON l.cid = p.cid, cb, q
           WHERE co.vec_id <> 0
           ORDER BY adist ASC, co.vec_id LIMIT 10""",
+    "q71_kmeans" -> kmeansOracle(2),
+    "q72_ivf_trained" -> ivfTrainedOracle(2),
     "q23_embdup" ->
       s"""WITH b AS (
             SELECT vec_id, embedding, $bucketSqlDuck bucket FROM embeddings)

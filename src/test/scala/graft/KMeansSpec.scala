@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.KMeans
+import graft.ops.KMeans.Centroid
+
+class KMeansSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def df(rows: Seq[(Long, Array[Long])]) = {
+    val s2 = spark
+    import s2.implicits._
+    rows.map { case (id, v) => (id, v.toSeq) }.toDF("id", "v")
+  }
+
+  // Two well-separated blobs in 4-d integer space; ids 1 and 101 are
+  // one point from each blob (the seeds).
+  private val blobA = (1L to 20L).map(i => i -> Array(0L + i % 3, 1L, 2L, 0L))
+  private val blobB = (101L to 120L).map(i => i -> Array(100L + i % 3, 99L, 98L, 100L))
+  private val blobs = blobA ++ blobB
+
+  test("converges on separable blobs and groups them correctly") {
+    val vecs = df(blobs)
+    val seeds = KMeans.seedsFromIds(vecs, "id", "v", Seq(1L, 101L))
+    val model = KMeans.train(vecs, "id", "v", dim = 4, seeds, maxIter = 10)
+
+    val assigned = KMeans.assign(vecs, "id", "v", model).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    blobA.foreach { case (id, _) => assert(assigned(id) === 1L, s"id $id") }
+    blobB.foreach { case (id, _) => assert(assigned(id) === 101L, s"id $id") }
+
+    // Fixed point: one more round must not move the exact state.
+    val again = KMeans.train(vecs, "id", "v", dim = 4, model, maxIter = 1)
+    assert(again.zip(model).forall { case (a, b) => a.sameAs(b) })
+    // The converged centroid IS the exact blob aggregate.
+    val a = model.find(_.cid == 1L).get
+    assert(a.count === blobA.length)
+    assert(a.sums === blobA.map(_._2).transpose.map(_.sum).toArray)
+  }
+
+  test("training state is bit-identical under different partitionings") {
+    val vecs = df(blobs)
+    val seeds = KMeans.seedsFromIds(vecs, "id", "v", Seq(1L, 101L))
+    val m3 = KMeans.train(vecs.repartition(3), "id", "v", 4, seeds, maxIter = 5)
+    val m13 = KMeans.train(vecs.repartition(13), "id", "v", 4, seeds, maxIter = 5)
+    assert(m3.zip(m13).forall { case (a, b) => a.sameAs(b) },
+      "integer state must be partition-order independent")
+  }
+
+  test("assignment matches a driver-side exact recomputation") {
+    val vecs = df(blobs)
+    val seeds = KMeans.seedsFromIds(vecs, "id", "v", Seq(1L, 101L))
+    val model = KMeans.train(vecs, "id", "v", 4, seeds, maxIter = 3)
+
+    val got = KMeans.assign(vecs, "id", "v", model).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    blobs.foreach { case (id, x) =>
+      val want = model.map { st =>
+        val xx = x.map(v => v * v).sum
+        val xs = x.zip(st.sums).map { case (a, b) => a * b }.sum
+        val ss = st.sums.map(s => s * s).sum
+        val num = st.count * st.count * xx - 2 * st.count * xs + ss
+        (num.toDouble / (st.count * st.count).toDouble, st.cid)
+      }.min._2
+      assert(got(id) === want, s"id $id")
+    }
+  }
+
+  test("a cluster that receives no vectors keeps its previous state") {
+    // Both points are IDENTICAL and both are seeds: every assignment
+    // round ties and the lower cid wins, so cluster 2 is empty at
+    // EVERY iteration and must carry its seed state to convergence.
+    val rows = Seq(1L -> Array(5L, 5L), 2L -> Array(5L, 5L))
+    val vecs = df(rows)
+    val seeds = KMeans.seedsFromIds(vecs, "id", "v", Seq(1L, 2L))
+    val model = KMeans.train(vecs, "id", "v", 2, seeds, maxIter = 4)
+    val c2 = model.find(_.cid == 2L).get
+    assert(c2.count === 1L && c2.sums === Array(5L, 5L),
+      "empty cluster must carry its previous exact state forward")
+    val c1 = model.find(_.cid == 1L).get
+    assert(c1.count === 2L, "tie-break must send every vector to the lower cid")
+  }
+
+  test("assignExpr stays whole-stage-codegen'd on a parquet scan, no HOF kernels") {
+    val sf = "/root/testdata/sf0.001"
+    val qemb = Tables.embeddings(spark, sf)
+      .filter(!exists(col("embedding"), _.isNull))
+      .select(col("vec_id"), Functions.vec_quant8(col("embedding")).as("q8"))
+    val seeds = KMeans.seedsFromIds(qemb, "vec_id", "q8", Seq(1L, 2L, 3L, 4L))
+    val plan = KMeans.assign(qemb, "vec_id", "q8", seeds)
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix is the simple-string rendering of a
+    // WholeStageCodegen stage wrapping the assignment Project
+    assert(plan.contains("*(") && plan.contains("Project [vec_id"), s"plan:\n$plan")
+    assert(plan.contains("vec_dot_int"),
+      s"assignment must rank via the native integer-dot kernel:\n$plan")
+    assert(!plan.contains("zip_with"),
+      s"no interpreted HOFs in the assignment hot path:\n$plan")
+  }
+}
