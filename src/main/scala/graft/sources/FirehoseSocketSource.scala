@@ -36,7 +36,12 @@ import graft.streaming.{Connector, NozzleReader}
   *
   * Options: `host`, `port`, `idleTimeoutMs`, `rowsPerBatch`
   * (admission control), `backoffMinMs`/`backoffMaxMs`/`maxRetries`,
-  * `uaa.addr`/`uaa.username`/`uaa.password` (AUTH token source).
+  * `uaa.addr`/`uaa.username`/`uaa.password` (AUTH token source),
+  * `protocol` — `lines` (default, the loopback-testable line framing)
+  * or `ws` (RFC-6455 frames via [[NozzleReader.runWs]], the
+  * reference's real transport; a 1008 close bumps the process-wide
+  * [[FirehoseSocketSource.slowConsumerAlerts]] counter — the O4 side
+  * channel, go-nozzle detector.go:70-90 — and re-dials).
   */
 class FirehoseSocketSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-firehose-socket"
@@ -50,6 +55,12 @@ class FirehoseSocketSource extends TableProvider with DataSourceRegister {
 object FirehoseSocketSource {
   val schema: StructType = StructType(Seq(
     StructField("frame", StringType, nullable = false)))
+
+  /** Slow-consumer alerts from ws close-1008, process-wide — the
+    * analogue of the reference's stats.Inc(SlowConsumerAlert)
+    * (cli.go:299-303): one nozzle per process there, one counter
+    * here; StatsServer-style reporters read it directly. */
+  val slowConsumerAlerts = new java.util.concurrent.atomic.AtomicLong
 }
 
 private class FirehoseSocketTable extends Table with SupportsRead {
@@ -72,15 +83,20 @@ private class FirehoseSocketTable extends Table with SupportsRead {
           maxRetries = options.getLong("maxRetries", 1000L),
           uaaAddr = options.getOrDefault("uaa.addr", "uaa.local"),
           username = options.getOrDefault("uaa.username", "anonymous"),
-          password = options.getOrDefault("uaa.password", "anonymous"))
+          password = options.getOrDefault("uaa.password", "anonymous"),
+          protocol = options.getOrDefault("protocol", "lines"))
     }
 }
 
 private class FirehoseSocketMicroBatchStream(
     host: String, port: Int, idleTimeoutMs: Int, rowsPerBatch: Long,
     backoffMinMs: Long, backoffMaxMs: Long, maxRetries: Long,
-    uaaAddr: String, username: String, password: String)
+    uaaAddr: String, username: String, password: String,
+    protocol: String = "lines")
     extends MicroBatchStream with SupportsAdmissionControl {
+
+  require(protocol == "lines" || protocol == "ws",
+    s"option 'protocol' must be 'lines' or 'ws', got '$protocol'")
 
   // Driver-side frame buffer. `base` is the global offset of
   // frames(0): committed batches are trimmed in commit(), so resident
@@ -124,11 +140,21 @@ private class FirehoseSocketMicroBatchStream(
         // anything escaping the reader must surface as a query error,
         // never a silent idle stream
         try {
-          NozzleReader.run(host, port, fetcher, backoff, idleTimeoutMs,
-            Long.MaxValue,
-            f => frames.synchronized { frames += f; () },
-            () => stopped,
-            s => liveSocket.set(s)) match {
+          val r =
+            if (protocol == "ws")
+              NozzleReader.runWs(host, port, fetcher, backoff, idleTimeoutMs,
+                Long.MaxValue,
+                f => frames.synchronized { frames += f; () },
+                _ => { FirehoseSocketSource.slowConsumerAlerts.incrementAndGet(); () },
+                () => stopped,
+                s => liveSocket.set(s))
+            else
+              NozzleReader.run(host, port, fetcher, backoff, idleTimeoutMs,
+                Long.MaxValue,
+                f => frames.synchronized { frames += f; () },
+                () => stopped,
+                s => liveSocket.set(s))
+          r match {
             case Left(e) => readerError = e
             case Right(_) => ()
           }
