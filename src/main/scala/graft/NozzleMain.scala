@@ -99,8 +99,16 @@ object NozzleApp {
 }
 
 object NozzleMain {
-  /** args: <config.toml> [checkpointDir] [dlqPath] */
+  /** args: <config.toml> [checkpointDir] [dlqPath] | -version
+    *
+    * `-version`/`--version` prints "<name> version <version>" to
+    * stderr and exits 0, before any config/Spark work — reference
+    * cli.go:107,129-131. */
   def main(args: Array[String]): Unit = {
+    if (args.exists(a => a == "-version" || a == "--version")) {
+      System.err.println(BuildInfo.versionLine)
+      return
+    }
     val configPath = args.headOption.getOrElse("fixtures/basic.toml")
     val checkpoint = args.lift(1).getOrElse("/tmp/graft-nozzle/checkpoint")
     val dlqPath = args.lift(2).getOrElse("/tmp/graft-nozzle/dlq")

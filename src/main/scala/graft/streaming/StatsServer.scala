@@ -38,7 +38,8 @@ final class StatsServer(stats: Stats, port: Int) {
   server.createContext("/stats/runtime", { (ex: HttpExchange) =>
     val rt = Runtime.getRuntime
     respond(ex, 200,
-      s"""{"goroutine_num":${Thread.activeCount()},""" +
+      s"""{"version":"${graft.BuildInfo.Version}",""" +
+        s""""goroutine_num":${Thread.activeCount()},""" +
         s""""heap_alloc":${rt.totalMemory() - rt.freeMemory()},""" +
         s""""heap_sys":${rt.totalMemory()},""" +
         s""""cpu_num":${rt.availableProcessors()}}""")

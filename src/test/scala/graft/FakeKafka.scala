@@ -160,6 +160,59 @@ object FakeKafka {
       parseOptions(opts).map(new Producer(broker, _))
   }
 
+  /** The broker's network face for the TLS matrix (tls_test.go:18-248
+    * analogue): an SSLServerSocket that DEMANDS a client certificate
+    * (mutual TLS, like the reference's tls.RequireAndVerifyClientCert
+    * deployment) and speaks a one-line produce protocol —
+    * `PRODUCE <topic> <base64 value>` → `OK <partition>`. What's under
+    * test is the HANDSHAKE seam (CA trust, client key possession);
+    * the Kafka wire protocol itself is out of scope, as in
+    * sarama.MockBroker. */
+  final class TlsListener(broker: Broker, ctx: javax.net.ssl.SSLContext) {
+    private val ss = ctx.getServerSocketFactory
+      .createServerSocket(0, 8, java.net.InetAddress.getLoopbackAddress)
+      .asInstanceOf[javax.net.ssl.SSLServerSocket]
+    ss.setNeedClientAuth(true)
+    val port: Int = ss.getLocalPort
+    @volatile private var closed = false
+    private val rr = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    private val acceptor = new Thread(() => {
+      try while (!closed) {
+        val s = ss.accept()
+        val t = new Thread(() => handle(s))
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Exception => () } // closed
+    }, s"fake-kafka-tls-$port")
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    private def handle(s: java.net.Socket): Unit =
+      try {
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(s.getInputStream, "UTF-8"))
+        val out = new java.io.OutputStreamWriter(s.getOutputStream, "UTF-8")
+        var line = in.readLine() // triggers the TLS handshake
+        while (line != null) {
+          line.split(" ", 3) match {
+            case Array("PRODUCE", topic, b64) =>
+              val part = rr.getAndIncrement() % broker.partitions
+              broker.append(topic, part,
+                Record(None, java.util.Base64.getDecoder.decode(b64), "none"))
+              out.write(s"OK $part\n"); out.flush()
+            case _ =>
+              out.write("ERR bad request\n"); out.flush()
+          }
+          line = in.readLine()
+        }
+      } catch {
+        case _: Exception => () // handshake failures end the connection
+      } finally s.close()
+
+    def close(): Unit = { closed = true; ss.close() }
+  }
+
   def gunzip(bytes: Array[Byte]): Array[Byte] = {
     val in = new GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
     val out = new ByteArrayOutputStream()

@@ -146,4 +146,69 @@ class KafkaSinkBehaviorSpec extends AnyFunSuite {
     broker.failPartition("doomed", 1, times = 10)
     intercept[IllegalStateException] { publisher.publish("doomed", "x") }
   }
+
+  test("TLS handshake matrix over a live socket: success / wrong-CA / no-TLS / wrong-key (tls_test.go:18-248)") {
+    val m = TlsTestKit.material
+    val broker = new FakeKafka.Broker(partitions = 4)
+    val listener = new FakeKafka.TlsListener(broker, m.serverContext)
+    try {
+      def cfg(ca: String, key: String) = KafkaConfig(
+        brokers = Seq(s"127.0.0.1:${listener.port}"),
+        enableTLS = true, caCerts = Seq(ca), clientKey = key,
+        clientCert = m.clientCertPem)
+
+      def sslSend(opts: Map[String, String], payload: String): String = {
+        val ctx = TlsTestKit.clientContextFromOptions(opts)
+        val sock = ctx.getSocketFactory.createSocket("127.0.0.1", listener.port)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        try {
+          sock.setSoTimeout(5000)
+          val out = new java.io.OutputStreamWriter(sock.getOutputStream, UTF_8)
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(sock.getInputStream, UTF_8))
+          val b64 = java.util.Base64.getEncoder.encodeToString(payload.getBytes(UTF_8))
+          out.write(s"PRODUCE t-tls $b64\n"); out.flush()
+          val resp = in.readLine()
+          if (resp == null) throw new javax.net.ssl.SSLException(
+            "connection closed during/after handshake")
+          resp
+        } finally sock.close()
+      }
+
+      // SUCCESS: client PEM material emitted by Connector completes a
+      // MUTUAL handshake (the listener demands a client cert) and the
+      // payload lands on the broker
+      val ok = Connector.kafkaSinkOptions(cfg(m.caPem, m.clientKeyPem))
+        .fold(e => fail(s"options rejected: $e"), identity)
+      assert(sslSend(ok, "hello-tls").startsWith("OK "))
+      assert(broker.totalRecords("t-tls") === 1)
+      assert(new String(broker.fetch("t-tls", 0).head.value, UTF_8) === "hello-tls")
+
+      // WRONG CA: trust root that did NOT sign the server cert — the
+      // client must refuse the server during path validation
+      val wrongCa = Connector.kafkaSinkOptions(cfg(m.ca2Pem, m.clientKeyPem))
+        .fold(e => fail(s"options rejected: $e"), identity)
+      intercept[javax.net.ssl.SSLException](sslSend(wrongCa, "never"))
+
+      // NO TLS: a plaintext client against the TLS port never produces
+      // (the server answers with a TLS alert, not the protocol)
+      val plain = new java.net.Socket("127.0.0.1", listener.port)
+      try {
+        plain.setSoTimeout(5000)
+        plain.getOutputStream.write("PRODUCE t-tls cGxhaW4=\n".getBytes(UTF_8))
+        plain.getOutputStream.flush()
+        plain.getInputStream.read() // alert bytes or EOF — never "OK"
+      } catch { case _: java.io.IOException => () } finally plain.close()
+
+      // WRONG KEY: well-formed PEM that matches no certificate —
+      // passes option validation (the documented seam: sarama also
+      // fails this only at handshake) and dies in CertificateVerify
+      val wrongKey = Connector.kafkaSinkOptions(cfg(m.caPem, m.wrongKeyPem))
+        .fold(e => fail(s"options rejected: $e"), identity)
+      intercept[java.io.IOException](sslSend(wrongKey, "never"))
+
+      assert(broker.totalRecords("t-tls") === 1,
+        "only the valid handshake may ever produce")
+    } finally listener.close()
+  }
 }

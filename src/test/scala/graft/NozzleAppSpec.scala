@@ -66,4 +66,21 @@ class NozzleAppSpec extends AnyFunSuite {
     // shutdown is idempotent-safe for the engine surfaces we hold
     assert(!running.query.isActive)
   }
+
+  test("-version prints '<name> version <version>' to stderr and exits 0 (cli.go:129-131)") {
+    val buf = new java.io.ByteArrayOutputStream()
+    val prev = System.err
+    System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+    try NozzleMain.main(Array("-version"))
+    finally System.setErr(prev)
+    assert(buf.toString("UTF-8").trim === BuildInfo.versionLine)
+    assert(BuildInfo.versionLine === s"${BuildInfo.Name} version ${BuildInfo.Version}")
+    // and it never touched config/Spark: a bogus config path after the
+    // flag must not matter
+    val buf2 = new java.io.ByteArrayOutputStream()
+    System.setErr(new java.io.PrintStream(buf2, true, "UTF-8"))
+    try NozzleMain.main(Array("--version", "/no/such/config.toml"))
+    finally System.setErr(prev)
+    assert(buf2.toString("UTF-8").trim === BuildInfo.versionLine)
+  }
 }

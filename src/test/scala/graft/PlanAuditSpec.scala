@@ -153,12 +153,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"rk<=20 not pushed below the window exchange")
   }
 
-  test("q63 incremental dedup probes the history bloom before the exact confirm") {
-    val p = plan("q63_incdedup")
-    assert(p.contains("bloom_contains"), s"bloom probe missing:\n$p")
-    assert(p.contains("LeftSemi"), s"exact confirm missing:\n$p")
-    assert(p.indexOf("bloom_contains") > p.indexOf("LeftSemi"),
-      s"bloom probe did not run before the exact confirm:\n$p")
+  test("q63 incremental dedup probes the history bloom below the exact confirm") {
+    // STRUCTURAL check, not string offsets: the bloom_contains filter
+    // must live in the LeftSemi join's streamed (left) subtree — i.e.
+    // rows are bloom-probed before the join ever sees them
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def walk(sp: SparkPlan): Seq[SparkPlan] = sp match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val root = SparkEntry.queries("q63_incdedup")(spark, sf)
+      .queryExecution.executedPlan
+    val semis = walk(root).collect {
+      case j: BaseJoinExec if j.joinType == LeftSemi => j
+    }
+    assert(semis.nonEmpty, s"exact confirm (LeftSemi) missing:\n$root")
+    val probed = semis.exists(j =>
+      walk(j.left).exists(_.simpleString(200).contains("bloom_contains")))
+    assert(probed,
+      s"bloom_contains filter is not below the LeftSemi join's streamed side:\n$root")
   }
 
   test("q65 explicit-values pivot: aggregate-only shuffles, no discovery job") {

@@ -44,6 +44,8 @@ class StatsServerSpec extends AnyFunSuite {
       val (code, body) = get(s"http://127.0.0.1:${server.boundPort}/stats/runtime")
       assert(code === 200)
       assert(body.contains("\"heap_alloc\":") && body.contains("\"cpu_num\":"))
+      assert(body.contains(s""""version":"${BuildInfo.Version}""""),
+        s"build version missing from /stats/runtime: $body")
     } finally server.stop()
   }
 
