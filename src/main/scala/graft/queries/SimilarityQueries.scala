@@ -112,30 +112,43 @@ object SimilarityQueries {
     * integers, ≡ the Spark side's c²·x·x − 2c·x·S + S·S polynomial);
     * ties break on the lower cid; an empty cluster keeps its previous
     * state via the LEFT JOIN + coalesce. */
-  private def kmAssign(a: String, sIn: String): String =
+  private def kmAssign(a: String, sIn: String, v: String = "v",
+                       dim: Int = 64): String =
     s"""$a AS (SELECT vec_id, cid FROM (
             SELECT v.vec_id, s.cid,
               row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                CAST(list_sum(list_transform(range(1, 65), i ->
+                CAST(list_sum(list_transform(range(1, ${dim + 1}), i ->
                   (s.c * v.q8[i] - s.s[i]) * (s.c * v.q8[i] - s.s[i]))) AS DOUBLE)
                 / CAST(s.c * s.c AS DOUBLE) ASC, s.cid ASC) rn
-            FROM v CROSS JOIN $sIn s) WHERE rn = 1)"""
+            FROM $v v CROSS JOIN $sIn s) WHERE rn = 1)"""
 
-  private def kmUpdate(n: Int, a: String, sIn: String, sOut: String): String =
+  private def kmUpdate(n: String, a: String, sIn: String, sOut: String,
+                       v: String = "v", dim: Int = 64): String =
     s"""u$n AS (SELECT a.cid, t.i, CAST(sum(v.q8[t.i]) AS BIGINT) sm, count(*) c
-            FROM $a a JOIN v USING (vec_id), unnest(range(1, 65)) t(i)
+            FROM $a a JOIN $v v USING (vec_id), unnest(range(1, ${dim + 1})) t(i)
             GROUP BY a.cid, t.i),
           w$n AS (SELECT cid, list(sm ORDER BY i) s, min(c) c FROM u$n GROUP BY cid),
           $sOut AS (SELECT p.cid, coalesce(w.s, p.s) s, coalesce(w.c, p.c) c
             FROM $sIn p LEFT JOIN w$n w ON p.cid = w.cid)"""
 
-  /** Quantization + seeding + `iters` unrolled training rounds: the
-    * WITH-body prefix shared by the q71/q72 oracles. Leaves `v`
-    * (quantized vectors) and `s$iters` (final centroid state) bound. */
-  private def kmeansCtes(iters: Int): String = {
+  /** Seeds + `iters` unrolled training rounds over table `v` (columns
+    * vec_id, q8 of length `dim`); all CTE names carry `sfx`. Leaves
+    * `s$iters$sfx` (final centroid state) bound. */
+  private def kmRounds(iters: Int, v: String = "v", dim: Int = 64,
+                       sfx: String = ""): String = {
+    val seed =
+      s"""s0$sfx AS (SELECT vec_id cid, q8 s, CAST(1 AS BIGINT) c FROM $v
+                 WHERE vec_id BETWEEN 1 AND 8)"""
     val rounds = (0 until iters).map(n =>
-      s"${kmAssign(s"a$n", s"s$n")},\n          ${kmUpdate(n, s"a$n", s"s$n", s"s${n + 1}")}")
+      s"${kmAssign(s"a$n$sfx", s"s$n$sfx", v, dim)},\n          " +
+        kmUpdate(s"$sfx$n", s"a$n$sfx", s"s$n$sfx", s"s${n + 1}$sfx", v, dim))
       .mkString(",\n          ")
+    s"$seed,\n          $rounds"
+  }
+
+  /** Null-filter + int8 quantization: the `e`/`mq`/`v` prefix shared
+    * by every trained-codebook oracle (the q48/q49 quantization). */
+  private val quantCtes: String =
     s"""e AS (SELECT vec_id, embedding FROM embeddings
                    WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
           mq AS (SELECT vec_id, embedding,
@@ -147,10 +160,45 @@ object SimilarityQueries {
                               least(CAST(127 AS BIGINT),
                                 CAST(floor(CAST(x AS DOUBLE) * 127 / maxabs) AS BIGINT))))
                        ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END q8
-                FROM mq),
-          s0 AS (SELECT vec_id cid, q8 s, CAST(1 AS BIGINT) c FROM v
-                 WHERE vec_id BETWEEN 1 AND 8),
-          $rounds"""
+                FROM mq)"""
+
+  /** Quantization + seeding + `iters` unrolled training rounds: the
+    * WITH-body prefix shared by the q71/q72 oracles. Leaves `v`
+    * (quantized vectors) and `s$iters` (final centroid state) bound. */
+  private def kmeansCtes(iters: Int): String =
+    s"$quantCtes,\n          ${kmRounds(iters)}"
+
+  /** Trained-PQ oracle (q73): per 16-dim subspace m — slice, train
+    * `iters` rounds, final-assign (the per-vector code), and an ADC
+    * table dq_m (query-to-centroid distance per cid, the SAME integer
+    * polynomial). adist sums the four looked-up table entries in
+    * Spark's reduce order. */
+  private def pqTrainedOracle(iters: Int): String = {
+    val subs = (0 until 4).map { m =>
+      s"""v$m AS (SELECT vec_id, q8[${m * 16 + 1}:${m * 16 + 16}] q8 FROM v),
+          ${kmRounds(iters, s"v$m", 16, s"_$m")},
+          ${kmAssign(s"afin_$m", s"s$iters" + s"_$m", s"v$m", 16)},
+          dq_$m AS (SELECT s.cid,
+                  CAST(list_sum(list_transform(range(1, 17), i ->
+                    (s.c * q.q8[i] - s.s[i]) * (s.c * q.q8[i] - s.s[i]))) AS DOUBLE)
+                  / CAST(s.c * s.c AS DOUBLE) d
+                FROM (SELECT q8 FROM v$m WHERE vec_id = 0) q
+                CROSS JOIN s$iters${s"_$m"} s)"""
+    }.mkString(",\n          ")
+    s"""WITH $quantCtes,
+          $subs
+         SELECT a0.vec_id,
+                ((dq0.d + dq1.d) + dq2.d) + dq3.d AS adist
+         FROM afin_0 a0
+         JOIN afin_1 a1 USING (vec_id)
+         JOIN afin_2 a2 USING (vec_id)
+         JOIN afin_3 a3 USING (vec_id)
+         JOIN dq_0 dq0 ON dq0.cid = a0.cid
+         JOIN dq_1 dq1 ON dq1.cid = a1.cid
+         JOIN dq_2 dq2 ON dq2.cid = a2.cid
+         JOIN dq_3 dq3 ON dq3.cid = a3.cid
+         WHERE a0.vec_id <> 0
+         ORDER BY adist ASC, a0.vec_id LIMIT 10"""
   }
 
   /** 2 unrolled training rounds + the final assignment pass — the
@@ -487,6 +535,47 @@ object SimilarityQueries {
         .limit(10)
     }),
 
+    // Trained product quantization — KMeans per 16-dim subspace (the
+    // real PQ training, replacing q69's sampled sub-codebooks) + the
+    // classic ADC LOOKUP-TABLE trick: distances from the fixed query
+    // subvector to every trained centroid are 4×8 driver-side
+    // constants (same exact-integer polynomial as assignment), so the
+    // per-row search cost is 4 map-literal lookups + 3 adds — no
+    // vector math touches the corpus at query time. Encoding stays
+    // map-only (native vec_dot_int against plan-time literals); the
+    // ranking is TakeOrderedAndProject. At 100 TB: train each
+    // subspace on a hash-sample, store codes as 4 bytes/vector, and
+    // the ADC tables rebuild per query from the broadcast-sized model.
+    "q73_pq_trained" -> ((s, d) => {
+      import graft.ops.KMeans
+      val qemb = Tables.embeddings(s, d)
+        .filter(!exists(col("embedding"), _.isNull)) // see q48 note
+        .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8"))
+      val models = (0 until 4).map { m =>
+        val sv = qemb.select(col("vec_id"),
+          expr(s"slice(q8, ${m * 16 + 1}, 16)").as("q8"))
+        val seeds = KMeans.seedsFromIds(sv, "vec_id", "q8", (1L to 8L))
+        m -> KMeans.train(sv, "vec_id", "q8", 16, seeds, maxIter = 2)
+      }
+      val qVec = qemb.filter(col("vec_id") === 0)
+        .select("q8").head().getSeq[Long](0).toArray
+      val dTables = models.map { case (m, model) =>
+        val qSub = qVec.slice(m * 16, m * 16 + 16)
+        m -> model.map(st => st.cid -> KMeans.distanceTo(qSub, st)).toMap
+      }.toMap
+      val codeCols = models.map { case (m, model) =>
+        KMeans.assignExpr(expr(s"slice(q8, ${m * 16 + 1}, 16)"), model).as(s"c$m")
+      }
+      val coded = qemb.select((col("vec_id") +: codeCols): _*)
+      val adist = (0 until 4)
+        .map(m => element_at(typedLit(dTables(m)), col(s"c$m")))
+        .reduce(_ + _) // ((d0+d1)+d2)+d3 — the oracle adds in the same order
+      coded.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), adist.as("adist"))
+        .orderBy(col("adist").asc, col("vec_id"))
+        .limit(10)
+    }),
+
     // Embedding-cosine near-dup pairs via bucket-equality self-join.
     // Norms are computed once per VECTOR before the join (n rows), not
     // once per PAIR (≈ n²/buckets rows); the per-pair work is a single
@@ -648,6 +737,7 @@ object SimilarityQueries {
           ORDER BY adist ASC, co.vec_id LIMIT 10""",
     "q71_kmeans" -> kmeansOracle(2),
     "q72_ivf_trained" -> ivfTrainedOracle(2),
+    "q73_pq_trained" -> pqTrainedOracle(2),
     "q23_embdup" ->
       s"""WITH b AS (
             SELECT vec_id, embedding, $bucketSqlDuck bucket FROM embeddings)

@@ -177,6 +177,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bloom_contains filter is not below the LeftSemi join's streamed side:\n$root")
   }
 
+  test("q73 trained-PQ search is join-free: codes + ADC table lookups + top-k") {
+    // the ADC tables are plan-time literals; the ONLY distributed work
+    // is the map-only encode and the distributed partial top-k
+    val p = plan("q73_pq_trained")
+    assert(p.contains("TakeOrderedAndProject"), s"ranking lost partial top-k:\n$p")
+    assert(p.contains("vec_dot_int"), s"encode lost the native kernel:\n$p")
+    assert(!p.contains("Join"), s"q73 must not join at query time:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"q73 must not shuffle:\n$p")
+  }
+
   test("q65 explicit-values pivot: aggregate-only shuffles, no discovery job") {
     val p = plan("q65_pivot")
     // explicit values ⇒ pivotfirst directly (an unpinned pivot first
