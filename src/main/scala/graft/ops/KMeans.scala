@@ -56,6 +56,18 @@ object KMeans {
     * LOWER cid (least() on (d, cid) structs — exact, engine-portable). */
   def assignExpr(vec: Column, state: Seq[Centroid]): Column = {
     require(state.nonEmpty, "kmeans: empty centroid state")
+    // Exactness bound (see the scaladoc overflow note): the ranking
+    // polynomial c²·(x·x) must stay inside Long. |x_j| ≤ 127 ⇒
+    // x·x ≤ 127²·d, so c ≤ √(Long.Max / (127²·d)) — ~3M vectors per
+    // cluster at d = 64. Past that, train on a deterministic
+    // hash-sample; this fails loudly instead of wrapping silently.
+    state.foreach { st =>
+      val dim = st.sums.length.max(1)
+      val maxCount = math.sqrt(Long.MaxValue.toDouble / (16129.0 * dim)).toLong
+      require(st.count <= maxCount,
+        s"kmeans: cluster ${st.cid} count ${st.count} exceeds the exact-integer " +
+          s"bound $maxCount for dim $dim — train on a hash-sample instead")
+    }
     val xx = graft.Functions.vec_dot_int(vec, vec)
     val ranked = state.sortBy(_.cid).map { st =>
       val cc = st.count * st.count

@@ -208,6 +208,50 @@ object SimilarityQueries {
           ${kmAssign("afin", s"s$iters")}
          SELECT vec_id, cid FROM afin ORDER BY vec_id"""
 
+  /** Trained IVF-PQ oracle (q74): coarse training + lists/probes (the
+    * q72 CTEs) composed with the four subspace trainings + ADC tables
+    * (the q73 CTEs); the probe join gates which rows are ranked. */
+  private def ivfPqTrainedOracle(iters: Int): String = {
+    val subs = (0 until 4).map { m =>
+      s"""v$m AS (SELECT vec_id, q8[${m * 16 + 1}:${m * 16 + 16}] q8 FROM v),
+          ${kmRounds(iters, s"v$m", 16, s"_$m")},
+          ${kmAssign(s"afin_$m", s"s$iters" + s"_$m", s"v$m", 16)},
+          dq_$m AS (SELECT s.cid,
+                  CAST(list_sum(list_transform(range(1, 17), i ->
+                    (s.c * q.q8[i] - s.s[i]) * (s.c * q.q8[i] - s.s[i]))) AS DOUBLE)
+                  / CAST(s.c * s.c AS DOUBLE) d
+                FROM (SELECT q8 FROM v$m WHERE vec_id = 0) q
+                CROSS JOIN s$iters${s"_$m"} s)"""
+    }.mkString(",\n          ")
+    s"""WITH $quantCtes,
+          ${kmRounds(iters)},
+          ad AS (SELECT v.vec_id, s.cid,
+                   CAST(list_sum(list_transform(range(1, 65), i ->
+                     (s.c * v.q8[i] - s.s[i]) * (s.c * v.q8[i] - s.s[i]))) AS DOUBLE)
+                   / CAST(s.c * s.c AS DOUBLE) d
+                 FROM v CROSS JOIN s$iters s),
+          r AS (SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) rn
+                FROM ad),
+          lists AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+          probes AS (SELECT cid FROM r WHERE vec_id = 0 AND rn <= 2),
+          $subs
+         SELECT a0.vec_id,
+                ((dq0.d + dq1.d) + dq2.d) + dq3.d AS adist
+         FROM afin_0 a0
+         JOIN afin_1 a1 USING (vec_id)
+         JOIN afin_2 a2 USING (vec_id)
+         JOIN afin_3 a3 USING (vec_id)
+         JOIN dq_0 dq0 ON dq0.cid = a0.cid
+         JOIN dq_1 dq1 ON dq1.cid = a1.cid
+         JOIN dq_2 dq2 ON dq2.cid = a2.cid
+         JOIN dq_3 dq3 ON dq3.cid = a3.cid
+         JOIN lists l ON l.vec_id = a0.vec_id
+         JOIN probes p ON p.cid = l.cid
+         WHERE a0.vec_id <> 0
+         ORDER BY adist ASC, a0.vec_id LIMIT 10"""
+  }
+
   /** Trained-IVF search oracle: the kmeans CTEs, then coarse-assign
     * every vector (rn = 1), probe the query's 2 nearest trained
     * centroids (rn <= 2 for vec_id 0) and rank survivors by the exact
@@ -576,6 +620,51 @@ object SimilarityQueries {
         .limit(10)
     }),
 
+    // Trained IVF-PQ — the fully-trained production composition:
+    // q71's coarse model prunes the corpus to the query's nprobe=2
+    // inverted lists, q73's per-subspace models + ADC lookup tables
+    // rank the survivors. EVERY codebook is trained (no sampled
+    // centroids anywhere) and the query plan is STILL join-free: one
+    // map-only pass emits (coarse cid, 4 PQ codes), the probe filter
+    // is an isin literal, ranking is TakeOrderedAndProject. At 100 TB
+    // the coarse cid is the partition column (scan prunes to
+    // nprobe/k), codes are the only columns read, and the ADC tables
+    // rebuild per query from the broadcast-sized models.
+    "q74_ivfpq_trained" -> ((s, d) => {
+      import graft.ops.KMeans
+      val qemb = Tables.embeddings(s, d)
+        .filter(!exists(col("embedding"), _.isNull)) // see q48 note
+        .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8"))
+      val coarse = KMeans.train(qemb, "vec_id", "q8", 64,
+        KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L)), maxIter = 2)
+      val models = (0 until 4).map { m =>
+        val sv = qemb.select(col("vec_id"),
+          expr(s"slice(q8, ${m * 16 + 1}, 16)").as("q8"))
+        m -> KMeans.train(sv, "vec_id", "q8", 16,
+          KMeans.seedsFromIds(sv, "vec_id", "q8", (1L to 8L)), maxIter = 2)
+      }
+      val qVec = qemb.filter(col("vec_id") === 0)
+        .select("q8").head().getSeq[Long](0).toArray
+      val probes = coarse.map(st => (KMeans.distanceTo(qVec, st), st.cid))
+        .sorted.take(2).map(_._2)
+      val dTables = models.map { case (m, model) =>
+        val qSub = qVec.slice(m * 16, m * 16 + 16)
+        m -> model.map(st => st.cid -> KMeans.distanceTo(qSub, st)).toMap
+      }.toMap
+      val codeCols = models.map { case (m, model) =>
+        KMeans.assignExpr(expr(s"slice(q8, ${m * 16 + 1}, 16)"), model).as(s"c$m")
+      }
+      val coded = qemb.select(
+        (col("vec_id") +: KMeans.assignExpr(col("q8"), coarse).as("cid") +: codeCols): _*)
+      val adist = (0 until 4)
+        .map(m => element_at(typedLit(dTables(m)), col(s"c$m")))
+        .reduce(_ + _)
+      coded.filter(col("cid").isin(probes: _*) && col("vec_id") =!= 0)
+        .select(col("vec_id"), adist.as("adist"))
+        .orderBy(col("adist").asc, col("vec_id"))
+        .limit(10)
+    }),
+
     // Embedding-cosine near-dup pairs via bucket-equality self-join.
     // Norms are computed once per VECTOR before the join (n rows), not
     // once per PAIR (≈ n²/buckets rows); the per-pair work is a single
@@ -738,6 +827,7 @@ object SimilarityQueries {
     "q71_kmeans" -> kmeansOracle(2),
     "q72_ivf_trained" -> ivfTrainedOracle(2),
     "q73_pq_trained" -> pqTrainedOracle(2),
+    "q74_ivfpq_trained" -> ivfPqTrainedOracle(2),
     "q23_embdup" ->
       s"""WITH b AS (
             SELECT vec_id, embedding, $bucketSqlDuck bucket FROM embeddings)

@@ -187,6 +187,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), s"q73 must not shuffle:\n$p")
   }
 
+  test("q74 trained IVF-PQ keeps the join-free shape with the probe gate pushed down") {
+    val p = plan("q74_ivfpq_trained")
+    assert(p.contains("TakeOrderedAndProject"), s"ranking lost partial top-k:\n$p")
+    assert(!p.contains("Join"), s"q74 must not join at query time:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"q74 must not shuffle:\n$p")
+    // the nprobe gate is a literal IN filter on the coarse assignment
+    assert(p.contains(" IN ") || p.contains("cid#"), s"probe gate missing:\n$p")
+  }
+
   test("q65 explicit-values pivot: aggregate-only shuffles, no discovery job") {
     val p = plan("q65_pivot")
     // explicit values ⇒ pivotfirst directly (an unpinned pivot first
