@@ -93,29 +93,59 @@ object KMeans {
       .sortBy(_.cid).toSeq
   }
 
+  /** One frozen-model aggregation step: assign every vector under
+    * `state` and return the EXACT per-cluster (sums, count) — absent
+    * cids received nothing. This is the unit of both batch training
+    * (one Lloyd round) and streaming codebook maintenance: integer
+    * sums are associative, so micro-batch steps merged with
+    * [[mergeSteps]] equal the one-shot step over the union,
+    * bit-for-bit, under the same frozen model. */
+  def aggregateStep(vecs: DataFrame, vecCol: String, dim: Int,
+                    state: Seq[Centroid]): Map[Long, Centroid] = {
+    val sumCols = (0 until dim).map(j =>
+      sum(element_at(col(vecCol), j + 1)).as(s"_s$j"))
+    vecs
+      .select(col(vecCol), assignExpr(col(vecCol), state).as("_cid"))
+      .groupBy("_cid")
+      .agg(count(lit(1)).as("_c"), sumCols: _*)
+      .collect()
+      .map { r =>
+        val sums = Array.tabulate(dim)(j => r.getLong(r.fieldIndex(s"_s$j")))
+        r.getLong(0) -> Centroid(r.getLong(0), sums, r.getLong(r.fieldIndex("_c")))
+      }.toMap
+  }
+
+  /** Merge two partial aggregation steps (element-wise sum + count
+    * add) — the streaming accumulator. Exact and order-independent. */
+  def mergeSteps(a: Map[Long, Centroid], b: Map[Long, Centroid]): Map[Long, Centroid] =
+    (a.keySet ++ b.keySet).map { cid =>
+      (a.get(cid), b.get(cid)) match {
+        case (Some(x), Some(y)) =>
+          cid -> Centroid(cid,
+            x.sums.zip(y.sums).map { case (p, q) => p + q },
+            x.count + y.count)
+        case (Some(x), None) => cid -> x
+        case (None, Some(y)) => cid -> y
+        case _ => throw new IllegalStateException("unreachable")
+      }
+    }.toMap
+
+  /** Fold an aggregation step into the previous state: a cluster that
+    * received no vectors KEEPS its previous state (deterministic and
+    * oracle-replayable). */
+  def applyStep(state: Seq[Centroid], step: Map[Long, Centroid]): Seq[Centroid] =
+    state.map(old => step.getOrElse(old.cid, old))
+
   /** Lloyd's loop: assign → exact integer update → converge-or-iterate.
     * Returns the final state after at most `maxIter` update rounds
-    * (fewer if the integer state reaches a fixed point). A cluster
-    * that receives no vectors KEEPS its previous state — deterministic
-    * and oracle-replayable. */
+    * (fewer if the integer state reaches a fixed point). */
   def train(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
             seeds: Seq[Centroid], maxIter: Int): Seq[Centroid] = {
     var state = seeds.sortBy(_.cid)
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
-      val sumCols = (0 until dim).map(j =>
-        sum(element_at(col(vecCol), j + 1)).as(s"_s$j"))
-      val upd = vecs
-        .select(col(vecCol), assignExpr(col(vecCol), state).as("_cid"))
-        .groupBy("_cid")
-        .agg(count(lit(1)).as("_c"), sumCols: _*)
-        .collect()
-        .map { r =>
-          val sums = Array.tabulate(dim)(j => r.getLong(r.fieldIndex(s"_s$j")))
-          r.getLong(0) -> Centroid(r.getLong(0), sums, r.getLong(r.fieldIndex("_c")))
-        }.toMap
-      val next = state.map(old => upd.getOrElse(old.cid, old))
+      val next = applyStep(state, aggregateStep(vecs, vecCol, dim, state))
       converged = next.zip(state).forall { case (a, b) => a.sameAs(b) }
       state = next
       it += 1
