@@ -665,6 +665,45 @@ object SimilarityQueries {
         .limit(10)
     }),
 
+    // kNN classification — the label-consumer of similarity search:
+    // majority vote over the query's top-20 cosine neighbors (ties →
+    // lower label). The neighbor scan is q16's TakeOrderedAndProject
+    // (distributed partial top-k, never a global sort); the vote is a
+    // 20-row aggregate. At scale the neighbor set comes from any of
+    // the ANN paths (q22/q40/q72/q74) instead of the exact scan.
+    "q75_knn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val knn = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          cosine("embedding", "qv").as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(20)
+      knn.groupBy("label").agg(count(lit(1)).as("votes"))
+        .orderBy(col("votes").desc, col("label"))
+        .limit(1)
+    }),
+
+    // Label purity of the TRAINED clusters — the quality audit a real
+    // pipeline runs after (re)training a codebook: per (cluster,
+    // label) counts under q71's model. Map-only assignment (label
+    // rides the same row — no join anywhere) + one k×labels-sized
+    // aggregate. Exact integers end-to-end.
+    "q76_purity" -> ((s, d) => {
+      import graft.ops.KMeans
+      val qemb = Tables.embeddings(s, d)
+        .filter(!exists(col("embedding"), _.isNull)) // see q48 note
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          graft.Functions.vec_quant8(col("embedding")).as("q8"))
+      val seeds = KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
+      val model = KMeans.train(qemb, "vec_id", "q8", 64, seeds, maxIter = 2)
+      qemb.select(col("label"), KMeans.assignExpr(col("q8"), model).as("cid"))
+        .groupBy("cid", "label")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("cid", "label")
+    }),
+
     // Embedding-cosine near-dup pairs via bucket-equality self-join.
     // Norms are computed once per VECTOR before the join (n rows), not
     // once per PAIR (≈ n²/buckets rows); the per-pair work is a single
@@ -828,6 +867,24 @@ object SimilarityQueries {
     "q72_ivf_trained" -> ivfTrainedOracle(2),
     "q73_pq_trained" -> pqTrainedOracle(2),
     "q74_ivfpq_trained" -> ivfPqTrainedOracle(2),
+    "q75_knn" ->
+      s"""WITH q AS (SELECT embedding qv FROM embeddings WHERE vec_id = 0),
+          knn AS (
+            SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+                   ${dCos("e.embedding", "q.qv")} AS sim
+            FROM embeddings e, q WHERE e.vec_id <> 0
+            ORDER BY sim DESC, e.vec_id LIMIT 20)
+          SELECT label, CAST(count(*) AS BIGINT) AS votes
+          FROM knn GROUP BY label
+          ORDER BY votes DESC, label LIMIT 1""",
+    "q76_purity" ->
+      s"""WITH ${kmeansCtes(2)},
+          ${kmAssign("afin", "s2")},
+          lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings)
+          SELECT a.cid, l.label, CAST(count(*) AS BIGINT) AS n
+          FROM afin a JOIN lbl l USING (vec_id)
+          GROUP BY a.cid, l.label
+          ORDER BY a.cid, l.label""",
     "q23_embdup" ->
       s"""WITH b AS (
             SELECT vec_id, embedding, $bucketSqlDuck bucket FROM embeddings)
