@@ -136,6 +136,65 @@ object KMeans {
   def applyStep(state: Seq[Centroid], step: Map[Long, Centroid]): Seq[Centroid] =
     state.map(old => step.getOrElse(old.cid, old))
 
+  /** All-subspace variant of [[aggregateStep]] for PQ training: ONE
+    * scan computes every (subspace, cluster) sum+count. Each row
+    * assigns all M subspaces map-side, then fans out M (m, cid)
+    * structs — the shuffle key becomes (m, cid) and the aggregate is
+    * an ordinary subDim+1-column groupBy with map-side combine (a
+    * giant conditional-aggregate formulation blew past the codegen
+    * method limits and ran SLOWER; this shape stays small). Exact
+    * integers ⇒ bit-identical to M separate [[aggregateStep]] passes
+    * (KMeansSpec pins this); at 100 TB this is 1 scan per training
+    * round instead of M. */
+  def aggregateStepMulti(vecs: DataFrame, vecCol: String, subDim: Int,
+                         states: Seq[Seq[Centroid]]): Seq[Map[Long, Centroid]] = {
+    val mc = explode(array(states.zipWithIndex.map { case (st, m) =>
+      struct(lit(m).as("m"),
+        assignExpr(expr(s"slice($vecCol, ${m * subDim + 1}, $subDim)"), st).as("cid"))
+    }: _*))
+    val sumCols = (0 until subDim).map(j =>
+      sum(expr(s"element_at($vecCol, _m * $subDim + ${j + 1})")).as(s"_s$j"))
+    val rows = vecs
+      .select(col(vecCol), mc.as("_mc"))
+      .select(col(vecCol), col("_mc.m").as("_m"), col("_mc.cid").as("_cid"))
+      .groupBy("_m", "_cid")
+      .agg(count(lit(1)).as("_c"), sumCols: _*)
+      .collect()
+    val byM = rows.groupBy(_.getInt(0))
+    states.indices.map { m =>
+      byM.getOrElse(m, Array.empty).map { r =>
+        val sums = Array.tabulate(subDim)(j => r.getLong(r.fieldIndex(s"_s$j")))
+        r.getLong(1) -> Centroid(r.getLong(1), sums, r.getLong(r.fieldIndex("_c")))
+      }.toMap
+    }
+  }
+
+  /** Train every PQ subspace simultaneously — one scan per Lloyd
+    * round instead of M. Bit-identical to training each subspace
+    * separately (exact integer state). */
+  def trainSubspaces(vecs: DataFrame, vecCol: String, subDim: Int,
+                     seeds: Seq[Seq[Centroid]], maxIter: Int): Seq[Seq[Centroid]] = {
+    var states = seeds.map(_.sortBy(_.cid))
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val steps = aggregateStepMulti(vecs, vecCol, subDim, states)
+      val next = states.zip(steps).map { case (st, step) => applyStep(st, step) }
+      converged = next.zip(states).forall { case (a, b) =>
+        a.zip(b).forall { case (x, y) => x.sameAs(y) } }
+      states = next
+      it += 1
+    }
+    states
+  }
+
+  /** Slice full-vector seed centroids into per-subspace seeds (one
+    * driver-side collect serves every subspace). */
+  def sliceSeeds(seeds: Seq[Centroid], subDim: Int, subspaces: Int): Seq[Seq[Centroid]] =
+    (0 until subspaces).map(m =>
+      seeds.map(c => Centroid(c.cid,
+        c.sums.slice(m * subDim, m * subDim + subDim), c.count)))
+
   /** Lloyd's loop: assign → exact integer update → converge-or-iterate.
     * Returns the final state after at most `maxIter` update rounds
     * (fewer if the integer state reaches a fixed point). */

@@ -595,12 +595,12 @@ object SimilarityQueries {
       val qemb = Tables.embeddings(s, d)
         .filter(!exists(col("embedding"), _.isNull)) // see q48 note
         .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8"))
-      val models = (0 until 4).map { m =>
-        val sv = qemb.select(col("vec_id"),
-          expr(s"slice(q8, ${m * 16 + 1}, 16)").as("q8"))
-        val seeds = KMeans.seedsFromIds(sv, "vec_id", "q8", (1L to 8L))
-        m -> KMeans.train(sv, "vec_id", "q8", 16, seeds, maxIter = 2)
-      }
+      // one seed collect + ONE scan per Lloyd round trains all 4
+      // subspaces (exact integers ⇒ bit-identical to separate runs)
+      val fullSeeds = KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
+      val models = KMeans.trainSubspaces(qemb, "q8", 16,
+        KMeans.sliceSeeds(fullSeeds, 16, 4), maxIter = 2).zipWithIndex
+        .map { case (mod, m) => m -> mod }
       val qVec = qemb.filter(col("vec_id") === 0)
         .select("q8").head().getSeq[Long](0).toArray
       val dTables = models.map { case (m, model) =>
@@ -635,14 +635,12 @@ object SimilarityQueries {
       val qemb = Tables.embeddings(s, d)
         .filter(!exists(col("embedding"), _.isNull)) // see q48 note
         .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8"))
-      val coarse = KMeans.train(qemb, "vec_id", "q8", 64,
-        KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L)), maxIter = 2)
-      val models = (0 until 4).map { m =>
-        val sv = qemb.select(col("vec_id"),
-          expr(s"slice(q8, ${m * 16 + 1}, 16)").as("q8"))
-        m -> KMeans.train(sv, "vec_id", "q8", 16,
-          KMeans.seedsFromIds(sv, "vec_id", "q8", (1L to 8L)), maxIter = 2)
-      }
+      val fullSeeds = KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
+      val coarse = KMeans.train(qemb, "vec_id", "q8", 64, fullSeeds, maxIter = 2)
+      // all 4 PQ subspaces in one scan per round — see the q73 note
+      val models = KMeans.trainSubspaces(qemb, "q8", 16,
+        KMeans.sliceSeeds(fullSeeds, 16, 4), maxIter = 2).zipWithIndex
+        .map { case (mod, m) => m -> mod }
       val qVec = qemb.filter(col("vec_id") === 0)
         .select("q8").head().getSeq[Long](0).toArray
       val probes = coarse.map(st => (KMeans.distanceTo(qVec, st), st.cid))

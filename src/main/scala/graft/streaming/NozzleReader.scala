@@ -138,7 +138,7 @@ object NozzleReader {
                       case c =>
                         retryable = s"connection closed (code ${c.getOrElse(1005)})"
                     }
-                  case other => // unknown control frame: ignore, keep reading
+                  case _ => // unknown control frame: ignore, keep reading
                 }
                 if (result == null && !closed && shouldStop()) result = done()
               }

@@ -83,6 +83,26 @@ class KMeansSpec extends AnyFunSuite {
     assert(c1.count === 2L, "tie-break must send every vector to the lower cid")
   }
 
+  test("fused subspace training is bit-identical to separate per-subspace runs") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val sf = "/root/testdata/sf0.001"
+    val qemb = Tables.embeddings(spark, sf)
+      .filter(!org.apache.spark.sql.functions.exists(col("embedding"), _.isNull))
+      .select(col("vec_id"), Functions.vec_quant8(col("embedding")).as("q8"))
+    val fullSeeds = KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
+    val fused = KMeans.trainSubspaces(qemb, "q8", 16,
+      KMeans.sliceSeeds(fullSeeds, 16, 4), maxIter = 2)
+    val separate = (0 until 4).map { m =>
+      val sv = qemb.select(col("vec_id"), expr(s"slice(q8, ${m * 16 + 1}, 16)").as("q8"))
+      KMeans.train(sv, "vec_id", "q8", 16,
+        KMeans.sliceSeeds(fullSeeds, 16, 4)(m), maxIter = 2)
+    }
+    fused.zip(separate).zipWithIndex.foreach { case ((f, s), m) =>
+      assert(f.zip(s).forall { case (a, b) => a.sameAs(b) },
+        s"subspace $m diverged between fused and separate training")
+    }
+  }
+
   test("assignExpr stays whole-stage-codegen'd on a parquet scan, no HOF kernels") {
     val sf = "/root/testdata/sf0.001"
     val qemb = Tables.embeddings(spark, sf)
