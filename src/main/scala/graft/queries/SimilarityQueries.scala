@@ -541,9 +541,12 @@ object SimilarityQueries {
     // train input is a deterministic hash-sample (means need no full
     // pass) and the final assign is the only full-corpus pass.
     "q71_kmeans" -> ((s, d) => {
-      val qemb = Tables.embeddings(s, d)
+      // Barrier: the quantized corpus feeds seed collection, every
+      // training round, and the final assignment — materialize once
+      // instead of re-reading parquet per pass (graft.ops.Barrier)
+      val qemb = graft.ops.Barrier(Tables.embeddings(s, d)
         .filter(!exists(col("embedding"), _.isNull)) // see q48 note
-        .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8"))
+        .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8")))
       val seeds = graft.ops.KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
       val model = graft.ops.KMeans.train(qemb, "vec_id", "q8", 64, seeds, maxIter = 2)
       graft.ops.KMeans.assign(qemb, "vec_id", "q8", model).orderBy("vec_id")
@@ -559,9 +562,12 @@ object SimilarityQueries {
     // nprobe/k of the corpus and ranking is TakeOrderedAndProject.
     "q72_ivf_trained" -> ((s, d) => {
       import graft.ops.KMeans
-      val qemb = Tables.embeddings(s, d)
+      // Barrier: the quantized corpus feeds seed collection, every
+      // training round, and the final assignment — materialize once
+      // instead of re-reading parquet per pass (graft.ops.Barrier)
+      val qemb = graft.ops.Barrier(Tables.embeddings(s, d)
         .filter(!exists(col("embedding"), _.isNull)) // see q48 note
-        .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8"))
+        .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8")))
       val seeds = KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
       val model = KMeans.train(qemb, "vec_id", "q8", 64, seeds, maxIter = 2)
       val qVec = qemb.filter(col("vec_id") === 0)
@@ -592,9 +598,12 @@ object SimilarityQueries {
     // the ADC tables rebuild per query from the broadcast-sized model.
     "q73_pq_trained" -> ((s, d) => {
       import graft.ops.KMeans
-      val qemb = Tables.embeddings(s, d)
+      // Barrier: the quantized corpus feeds seed collection, every
+      // training round, and the final assignment — materialize once
+      // instead of re-reading parquet per pass (graft.ops.Barrier)
+      val qemb = graft.ops.Barrier(Tables.embeddings(s, d)
         .filter(!exists(col("embedding"), _.isNull)) // see q48 note
-        .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8"))
+        .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8")))
       // one seed collect + ONE scan per Lloyd round trains all 4
       // subspaces (exact integers ⇒ bit-identical to separate runs)
       val fullSeeds = KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
@@ -632,9 +641,12 @@ object SimilarityQueries {
     // rebuild per query from the broadcast-sized models.
     "q74_ivfpq_trained" -> ((s, d) => {
       import graft.ops.KMeans
-      val qemb = Tables.embeddings(s, d)
+      // Barrier: the quantized corpus feeds seed collection, every
+      // training round, and the final assignment — materialize once
+      // instead of re-reading parquet per pass (graft.ops.Barrier)
+      val qemb = graft.ops.Barrier(Tables.embeddings(s, d)
         .filter(!exists(col("embedding"), _.isNull)) // see q48 note
-        .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8"))
+        .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8")))
       val fullSeeds = KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
       val coarse = KMeans.train(qemb, "vec_id", "q8", 64, fullSeeds, maxIter = 2)
       // all 4 PQ subspaces in one scan per round — see the q73 note
@@ -690,10 +702,10 @@ object SimilarityQueries {
     // aggregate. Exact integers end-to-end.
     "q76_purity" -> ((s, d) => {
       import graft.ops.KMeans
-      val qemb = Tables.embeddings(s, d)
+      val qemb = graft.ops.Barrier(Tables.embeddings(s, d)
         .filter(!exists(col("embedding"), _.isNull)) // see q48 note
         .select(col("vec_id"), col("label").cast("long").as("label"),
-          graft.Functions.vec_quant8(col("embedding")).as("q8"))
+          graft.Functions.vec_quant8(col("embedding")).as("q8"))) // Barrier: see q71
       val seeds = KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
       val model = KMeans.train(qemb, "vec_id", "q8", 64, seeds, maxIter = 2)
       qemb.select(col("label"), KMeans.assignExpr(col("q8"), model).as("cid"))
