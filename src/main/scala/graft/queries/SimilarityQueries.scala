@@ -714,6 +714,33 @@ object SimilarityQueries {
         .orderBy("cid", "label")
     }),
 
+    // ANN recall audit — the index-quality eval a production pipeline
+    // runs before trusting an approximate path: recall@10 of the
+    // LSH-bucketed search (q22) against exact brute force (q16's
+    // scan), as a left-semi intersection count. Both searches are
+    // deterministic, so the measurement is oracle-exact. At scale
+    // this runs over a query SAMPLE and gates index deploys (recall
+    // below threshold → more planes / multiprobe / retrain).
+    "q77_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), bucketCol.as("bucket"))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
+      val exact = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), cosine("embedding", "qv").as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+      val ann = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .filter(col("bucket") === col("qbucket"))
+        .select(col("vec_id"), cosine("embedding", "qv").as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+      exact.join(ann, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"), lit(10L).as("k"))
+    }),
+
     // Embedding-cosine near-dup pairs via bucket-equality self-join.
     // Norms are computed once per VECTOR before the join (n rows), not
     // once per PAIR (≈ n²/buckets rows); the per-pair work is a single
@@ -887,6 +914,20 @@ object SimilarityQueries {
           SELECT label, CAST(count(*) AS BIGINT) AS votes
           FROM knn GROUP BY label
           ORDER BY votes DESC, label LIMIT 1""",
+    "q77_recall" ->
+      s"""WITH b AS (
+            SELECT vec_id, embedding, $bucketSqlDuck bucket FROM embeddings),
+          q AS (SELECT embedding qv, bucket qbucket FROM b WHERE vec_id = 0),
+          exact AS (
+            SELECT e.vec_id, ${dCos("e.embedding", "q.qv")} AS sim
+            FROM b e, q WHERE e.vec_id <> 0
+            ORDER BY sim DESC, e.vec_id LIMIT 10),
+          ann AS (
+            SELECT e.vec_id, ${dCos("e.embedding", "q.qv")} AS sim
+            FROM b e, q WHERE e.vec_id <> 0 AND e.bucket = q.qbucket
+            ORDER BY sim DESC, e.vec_id LIMIT 10)
+          SELECT CAST(count(*) AS BIGINT) AS hits, CAST(10 AS BIGINT) AS k
+          FROM exact WHERE vec_id IN (SELECT vec_id FROM ann)""",
     "q76_purity" ->
       s"""WITH ${kmeansCtes(2)},
           ${kmAssign("afin", "s2")},

@@ -129,6 +129,10 @@ object NozzleReader {
                     WebSocket.writeFrame(out, WebSocket.OpPong, f.payload, mask = true)
                   case WebSocket.OpClose =>
                     closed = true
+                    // RFC 6455 §5.5.1: echo the close before teardown
+                    // (best effort — the server may already be gone)
+                    try WebSocket.writeFrame(out, WebSocket.OpClose, f.payload, mask = true)
+                    catch { case _: java.io.IOException => () }
                     WebSocket.closeCode(f) match {
                       case Some(WebSocket.ClosePolicyViolation) =>
                         alerts += 1

@@ -33,7 +33,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // 8-row codebook + 1-row query in q40) are the intended shapes
     val allowedBnlj = Set(
       "q16_topk", "q22_ann", "q40_ivf", "q49_qann", "q58_fann", "q69_pqann",
-      "q70_ivfpq", "q72_ivf_trained", "q75_knn")
+      "q70_ivfpq", "q72_ivf_trained", "q75_knn", "q77_recall")
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
