@@ -35,7 +35,7 @@ import org.apache.spark.sql.types.DoubleType
   *
   * Overflow bound: |x_j| ≤ 127 (int8 codes), so S_j ≤ 127·c and the
   * polynomial is ≲ 3·(127·c)²·d; with d = 64 this stays inside Long
-  * for c up to ~10^7 vectors per cluster and inside double-exact
+  * for c up to ~3·10^6 vectors per cluster and inside double-exact
   * (2^53) for the division input up to c ≈ 10^5. Past that, train on
   * a deterministic hash-sample per cluster (k-means centroids are
   * means — a 10^5 sample estimates them to ±1%%), which is how a
