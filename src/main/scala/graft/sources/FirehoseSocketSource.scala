@@ -84,7 +84,10 @@ private class FirehoseSocketTable extends Table with SupportsRead {
           uaaAddr = options.getOrDefault("uaa.addr", "uaa.local"),
           username = options.getOrDefault("uaa.username", "anonymous"),
           password = options.getOrDefault("uaa.password", "anonymous"),
-          protocol = options.getOrDefault("protocol", "lines"))
+          protocol = options.getOrDefault("protocol", "lines"),
+          // reference default: cli.go:44-46 DefaultSubscriptionID
+          subscriptionId = options.getOrDefault("subscriptionId",
+            "debug-kafka-firehose-nozzle"))
     }
 }
 
@@ -92,7 +95,8 @@ private class FirehoseSocketMicroBatchStream(
     host: String, port: Int, idleTimeoutMs: Int, rowsPerBatch: Long,
     backoffMinMs: Long, backoffMaxMs: Long, maxRetries: Long,
     uaaAddr: String, username: String, password: String,
-    protocol: String = "lines")
+    protocol: String = "lines",
+    subscriptionId: String = "debug-kafka-firehose-nozzle")
     extends MicroBatchStream with SupportsAdmissionControl {
 
   require(protocol == "lines" || protocol == "ws",
@@ -147,7 +151,9 @@ private class FirehoseSocketMicroBatchStream(
                 f => frames.synchronized { frames += f; () },
                 _ => { FirehoseSocketSource.slowConsumerAlerts.incrementAndGet(); () },
                 () => stopped,
-                s => liveSocket.set(s))
+                s => liveSocket.set(s),
+                // the reference's stream path: firehose.go:42-44
+                path = s"/firehose/$subscriptionId")
             else
               NozzleReader.run(host, port, fetcher, backoff, idleTimeoutMs,
                 Long.MaxValue,

@@ -40,6 +40,7 @@ class WebSocketReaderSpec extends AnyFunSuite {
     val first = line()
     assert(first.startsWith("GET ") && first.endsWith(" HTTP/1.1"), first)
     val h = Map.newBuilder[String, String]
+    h += ":path" -> first.stripPrefix("GET ").stripSuffix(" HTTP/1.1")
     var l = line()
     while (l.nonEmpty) {
       val i = l.indexOf(':')
@@ -160,11 +161,13 @@ class WebSocketReaderSpec extends AnyFunSuite {
     val spark = SparkTestSession.spark
     val server = new ServerSocket(0, 8, InetAddress.getLoopbackAddress)
     val connIdx = new AtomicInteger(0)
+    val paths = new CopyOnWriteArrayList[String]()
 
     def handle(idx: Int, s: Socket): Unit = {
       val in = new java.io.BufferedInputStream(s.getInputStream)
       val out = s.getOutputStream
       val h = readReqHead(in)
+      paths.add(h.getOrElse(":path", "<none>"))
       accept101(out, h.getOrElse("sec-websocket-key", ""))
       if (idx == 0) {
         (0 until 3).foreach(i =>
@@ -197,6 +200,7 @@ class WebSocketReaderSpec extends AnyFunSuite {
       .option("host", "127.0.0.1")
       .option("port", server.getLocalPort)
       .option("protocol", "ws")
+      .option("subscriptionId", "graft-sub-7")
       .option("idleTimeoutMs", 60000)
       .option("backoffMinMs", 10)
       .option("backoffMaxMs", 50)
@@ -218,6 +222,8 @@ class WebSocketReaderSpec extends AnyFunSuite {
       assert(got === (0 until 6).map(i => s"wf$i"))
       // the 1008 close crossed the reconnect AND surfaced as an alert
       assert(graft.sources.FirehoseSocketSource.slowConsumerAlerts.get() === baseline + 1)
+      // the stream path carries the subscription id (firehose.go:42-44)
+      assert(paths.get(0) === "/firehose/graft-sub-7", paths)
     } finally {
       q.stop()
       server.close()
