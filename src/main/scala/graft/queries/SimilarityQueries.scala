@@ -741,6 +741,33 @@ object SimilarityQueries {
         .agg(count(lit(1)).as("hits"), lit(10L).as("k"))
     }),
 
+    // Batched ANN — the production serving shape: a TABLE of query
+    // vectors (vec_id < 5), each answered with its top-3 bucket-local
+    // neighbors in one job. The query side is small → broadcast; the
+    // corpus joins on bucket equality (never all-pairs), and the
+    // grouped top-k plans as WindowGroupLimit (≤k rows per query
+    // survive each map task before the rank exchange — the shuffle
+    // carries O(queries × k), not the candidate set). At 100 TB this
+    // is the nightly batch-inference join: bucket (or trained-IVF
+    // cid) is the corpus partition column, queries broadcast, and
+    // per-query candidates never leave their partition unranked.
+    "q78_batch_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), bucketCol.as("bucket"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("bucket").as("qbucket"))
+      val ranked = emb.filter(col("vec_id") >= 5)
+        .join(broadcast(queries), col("bucket") === col("qbucket"))
+        .select(col("qid"), col("vec_id"), cosine("embedding", "qv").as("sim"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))))
+      ranked.filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id"), col("sim"))
+        .orderBy("qid", "vec_id")
+    }),
+
     // Embedding-cosine near-dup pairs via bucket-equality self-join.
     // Norms are computed once per VECTOR before the join (n rows), not
     // once per PAIR (≈ n²/buckets rows); the per-pair work is a single
@@ -928,6 +955,19 @@ object SimilarityQueries {
             ORDER BY sim DESC, e.vec_id LIMIT 10)
           SELECT CAST(count(*) AS BIGINT) AS hits, CAST(10 AS BIGINT) AS k
           FROM exact WHERE vec_id IN (SELECT vec_id FROM ann)""",
+    "q78_batch_ann" ->
+      s"""WITH b AS (
+            SELECT vec_id, embedding, $bucketSqlDuck bucket FROM embeddings),
+          q AS (SELECT vec_id qid, embedding qv, bucket qbucket FROM b WHERE vec_id < 5),
+          cand AS (
+            SELECT q.qid, e.vec_id, ${dCos("e.embedding", "q.qv")} AS sim
+            FROM b e JOIN q ON e.bucket = q.qbucket
+            WHERE e.vec_id >= 5),
+          r AS (SELECT qid, vec_id, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn
+                FROM cand)
+          SELECT qid, vec_id, sim FROM r WHERE rn <= 3
+          ORDER BY qid, vec_id""",
     "q76_purity" ->
       s"""WITH ${kmeansCtes(2)},
           ${kmAssign("afin", "s2")},

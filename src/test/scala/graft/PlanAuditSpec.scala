@@ -177,6 +177,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bloom_contains filter is not below the LeftSemi join's streamed side:\n$root")
   }
 
+  test("q78 batched ANN broadcasts the query table and pushes the per-query limit") {
+    val p = plan("q78_batch_ann")
+    assert(p.contains("BroadcastHashJoin"), s"query table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus got shuffle-joined:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rn<=3 not pushed below the rank exchange:\n$p")
+  }
+
   test("q73 trained-PQ search is join-free: codes + ADC table lookups + top-k") {
     // the ADC tables are plan-time literals; the ONLY distributed work
     // is the map-only encode and the distributed partial top-k
