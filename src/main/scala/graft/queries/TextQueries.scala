@@ -86,6 +86,28 @@ object TextQueries {
     // integers, fused into ONE native byte pass (text_stats) — the
     // regexp_count / array_distinct / per-word HOF max formulation
     // was four interpreted passes over the same text.
+    // Sequence packing — the pretraining batch-assembly step: fill
+    // fixed-size concatenation bins (4096 chars) with documents,
+    // longest-first, one packing stream PER LANGUAGE. pack_id =
+    // (running_total − 1) div 4096 over the (n_chars DESC, doc_id)
+    // order — contiguous fill, exact integers. The window is
+    // PARTITIONED (by lang): no global single-partition prefix sum.
+    // At 100 TB the partition key is (lang, shard-hash) so every
+    // packing stream stays executor-local; packs then feed the
+    // chunk/concat writer (q50's surface).
+    "q79_packing" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("cum", sum(col("n_chars")).over(w))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          expr("(cum - 1) div 4096").as("pack_id")) // integer div, exact
+        .orderBy("lang", "pack_id", "doc_id")
+    }),
+
     "q17_text" -> ((s, d) => {
       withWords(s, d)
         .select(col("doc_id"), graft.Functions.text_stats(col("t")).as("st"))
@@ -452,6 +474,14 @@ object TextQueries {
           FROM ww GROUP BY word
           HAVING count(*) * 1000 > (SELECT tn FROM tot)
           ORDER BY word""",
+    "q79_packing" ->
+      """SELECT doc_id, lang, n_chars,
+                (CAST(sum(n_chars) OVER (PARTITION BY lang
+                   ORDER BY n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1)
+                  // 4096 AS pack_id
+         FROM documents
+         ORDER BY lang, pack_id, doc_id""",
     "q17_text" ->
       s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
           w AS (SELECT doc_id, t, string_split(t, ' ') words FROM n)

@@ -217,6 +217,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"pivot planned more than its two aggregate exchanges:\n$p")
   }
 
+  test("q79 packing runs one PARTITIONED prefix-sum window (no global single partition)") {
+    val p = plan("q79_packing")
+    assert(p.contains("windowspecdefinition(lang"),
+      s"packing window lost its lang partitioning:\n$p")
+    assert("Exchange hashpartitioning\\(lang".r.findFirstIn(p).isDefined,
+      s"window exchange should key on lang:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"packing should shuffle exactly once:\n$p")
+  }
+
   test("q66 moving window aggregates daily totals with map-side combine") {
     assert(plan("q66_moving").contains("partial_sum"),
       "daily totals lost partial aggregation under the window")
