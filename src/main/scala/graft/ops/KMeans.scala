@@ -33,10 +33,13 @@ import org.apache.spark.sql.types.DoubleType
   *    to the driver (the ConnectedComponents convergence pattern).
   *  - CONVERGENCE is exact integer state equality — no epsilon.
   *
-  * Overflow bound: |x_j| ≤ 127 (int8 codes), so S_j ≤ 127·c and the
-  * polynomial is ≲ 3·(127·c)²·d; with d = 64 this stays inside Long
-  * for c up to ~3·10^6 vectors per cluster and inside double-exact
-  * (2^53) for the division input up to c ≈ 10^5. Past that, train on
+  * Overflow bound: |x_j| ≤ 127 (int8 codes), so S_j ≤ 127·c and
+  * every per-element term of the polynomial — including the worst
+  * case (c·x_j − S_j)² ≤ (2·127·c)² when x_j is anti-aligned with
+  * S_j, and the −2c·(x·S) intermediate — is ≤ 4·(127·c)²·d; with
+  * d = 64 this stays inside Long for c up to ~1.5·10^6 vectors per
+  * cluster and inside double-exact (2^53) for the division input up
+  * to c ≈ 10^5. Past that, train on
   * a deterministic hash-sample per cluster (k-means centroids are
   * means — a 10^5 sample estimates them to ±1%%), which is how a
   * 100 TB corpus trains its codebook anyway: sample → train → one
@@ -56,14 +59,16 @@ object KMeans {
     * LOWER cid (least() on (d, cid) structs — exact, engine-portable). */
   def assignExpr(vec: Column, state: Seq[Centroid]): Column = {
     require(state.nonEmpty, "kmeans: empty centroid state")
-    // Exactness bound (see the scaladoc overflow note): the ranking
-    // polynomial c²·(x·x) must stay inside Long. |x_j| ≤ 127 ⇒
-    // x·x ≤ 127²·d, so c ≤ √(Long.Max / (127²·d)) — ~3M vectors per
+    // Exactness bound (see the scaladoc overflow note): every
+    // intermediate of c²·(x·x) − 2c·(x·S) + (S·S) must stay inside
+    // Long. The worst per-element term is (c·x_j − S_j)² ≤ (254c)²
+    // (x_j anti-aligned with S_j), so the bound is 4·127²·c²·d ≤
+    // Long.Max ⇒ c ≤ √(Long.Max / (4·127²·d)) — ~1.5M vectors per
     // cluster at d = 64. Past that, train on a deterministic
     // hash-sample; this fails loudly instead of wrapping silently.
     state.foreach { st =>
       val dim = st.sums.length.max(1)
-      val maxCount = math.sqrt(Long.MaxValue.toDouble / (16129.0 * dim)).toLong
+      val maxCount = math.sqrt(Long.MaxValue.toDouble / (4 * 16129.0 * dim)).toLong
       require(st.count <= maxCount,
         s"kmeans: cluster ${st.cid} count ${st.count} exceeds the exact-integer " +
           s"bound $maxCount for dim $dim — train on a hash-sample instead")

@@ -321,9 +321,12 @@ object EventQueries {
     "q68_json" -> ((s, d) => {
       Tables.events(s, d)
         .filter(col("props").isNotNull && col("props") =!= "")
-        // Validity gate mirrored in the oracle's `json_valid(props)`:
-        // get_json_object(x, '$') is NULL iff x is malformed JSON, so
-        // both engines drop the same rows (DuckDB's json_extract would
+        // Validity gate mirrored in the oracle's `json_valid(props)
+        // AND trim(props) <> 'null'`: get_json_object(x, '$') is NULL
+        // both for malformed JSON AND for the well-formed root `null`
+        // document, while DuckDB's json_valid('null') is true — the
+        // oracle excludes root-null explicitly so both engines drop
+        // the same rows by construction (DuckDB's json_extract would
         // otherwise RAISE where Spark silently NULLs).
         .filter(get_json_object(col("props"), "$").isNotNull)
         .select(col("event_type"),
@@ -482,6 +485,7 @@ object EventQueries {
                 min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
                 max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
          FROM events WHERE props IS NOT NULL AND props <> '' AND json_valid(props)
+           AND trim(props) <> 'null'
          GROUP BY event_type ORDER BY event_type""",
     "q13_agg" ->
       """SELECT event_type,

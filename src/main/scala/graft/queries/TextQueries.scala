@@ -79,6 +79,46 @@ object TextQueries {
     s"""len(list_filter(list_transform(words, w -> w[1:2]),
           b -> b in (${inSet(grams)})))"""
 
+  /** Sequence packing into fixed-size concatenation bins, the
+    * pretraining batch-assembly step. pack_id = (greatest(cum,1) − 1)
+    * div binChars over the (n_chars DESC, doc_id) longest-first order
+    * — contiguous fill, exact integers (greatest keeps the dividend
+    * non-negative: Spark `div` truncates toward zero while DuckDB `//`
+    * floors, so a −1 dividend would diverge; with greatest both
+    * engines compute the same non-negative quotient).
+    *
+    * nShards is the skew control: with nShards = 1 the window key is
+    * `lang` alone (the reference semantics; fine at test SF, but a
+    * ~half-English corpus puts half the rows in ONE prefix-sum task
+    * at 100 TB). With nShards > 1 the key is (lang, shard) where
+    * shard = md5-prefix(doc_id) % nShards — the q41 oracle-replayable
+    * hash gate, identical in Spark and DuckDB — and pack ids are
+    * offset per shard (local·nShards + shard): globally unique per
+    * lang, deterministic under any partitioning, and each packing
+    * stream is 1/nShards of its language. Bins of shard s are only
+    * ever filled from shard s — the packs differ from the nShards = 1
+    * assignment, which is fine: packing is an assembly policy, not a
+    * per-row semantic. */
+  def packBins(docs: DataFrame, binChars: Long, nShards: Int): DataFrame = {
+    require(binChars > 0 && nShards >= 1, s"packBins: bad ($binChars, $nShards)")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("shard",
+        if (nShards == 1) lit(0L)
+        else expr("pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, 15), " +
+          s"16, 10) as bigint), $nShards)"))
+    val keys = if (nShards == 1) Seq(col("lang")) else Seq(col("lang"), col("shard"))
+    val w = Window.partitionBy(keys: _*)
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (expr(s"(greatest(cum, 1) - 1) div $binChars") * lit(nShards.toLong)
+          + col("shard")).as("pack_id"))
+      .orderBy("lang", "pack_id", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting + length stats: whitespace tokens, a BPE-ish
     // tokenization (letter runs + single digits — the subword-style
@@ -88,25 +128,19 @@ object TextQueries {
     // was four interpreted passes over the same text.
     // Sequence packing — the pretraining batch-assembly step: fill
     // fixed-size concatenation bins (4096 chars) with documents,
-    // longest-first, one packing stream PER LANGUAGE. pack_id =
-    // (running_total − 1) div 4096 over the (n_chars DESC, doc_id)
-    // order — contiguous fill, exact integers. The window is
-    // PARTITIONED (by lang): no global single-partition prefix sum.
-    // At 100 TB the partition key is (lang, shard-hash) so every
-    // packing stream stays executor-local; packs then feed the
-    // chunk/concat writer (q50's surface).
-    "q79_packing" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("lang")
-        .orderBy(col("n_chars").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-        .withColumn("cum", sum(col("n_chars")).over(w))
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          expr("(cum - 1) div 4096").as("pack_id")) // integer div, exact
-        .orderBy("lang", "pack_id", "doc_id")
-    }),
+    // longest-first, one packing stream PER LANGUAGE. nShards = 1 is
+    // the reference semantics pin; q80 is the de-skewed scale form.
+    "q79_packing" -> ((s, d) => packBins(Tables.documents(s, d), 4096L, 1)),
+
+    // Sharded sequence packing — the 100 TB form of q79. A real
+    // pretraining corpus is ~half one language, so a lang-only window
+    // key sends half the rows through ONE prefix-sum task; here the
+    // window key is (lang, shard) with shard = md5-gate(doc_id) % 8
+    // (the q41 oracle-replayable hash), so every packing stream is
+    // 1/nShards of its language and stays executor-local. pack_id is
+    // offset per shard (local*nShards + shard) — globally unique per
+    // lang, deterministic under any partitioning.
+    "q80_packing_sharded" -> ((s, d) => packBins(Tables.documents(s, d), 4096L, 8)),
 
     "q17_text" -> ((s, d) => {
       withWords(s, d)
@@ -476,11 +510,23 @@ object TextQueries {
           ORDER BY word""",
     "q79_packing" ->
       """SELECT doc_id, lang, n_chars,
-                (CAST(sum(n_chars) OVER (PARTITION BY lang
+                (greatest(CAST(sum(n_chars) OVER (PARTITION BY lang
                    ORDER BY n_chars DESC, doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1)
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT), 1) - 1)
                   // 4096 AS pack_id
          FROM documents
+         ORDER BY lang, pack_id, doc_id""",
+    "q80_packing_sharded" ->
+      """WITH s AS (
+           SELECT doc_id, lang, n_chars,
+                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard
+           FROM documents)
+         SELECT doc_id, lang, n_chars,
+                (greatest(CAST(sum(n_chars) OVER (PARTITION BY lang, shard
+                   ORDER BY n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT), 1) - 1)
+                  // 4096 * 8 + shard AS pack_id
+         FROM s
          ORDER BY lang, pack_id, doc_id""",
     "q17_text" ->
       s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),

@@ -13,6 +13,26 @@ class PlanAuditSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Flatten a physical plan to its node list (through AQE), for
+    * STRUCTURAL ordering checks — a node "runs before" another iff it
+    * sits in that node's subtree, not because of string offsets. */
+  private def walk(sp: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = sp match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      walk(a.executedPlan)
+    case other => other +: other.children.flatMap(walk)
+  }
+
+  /** The LeftSemi joins of a query's executed plan. */
+  private def leftSemis(name: String)
+      : (org.apache.spark.sql.execution.SparkPlan,
+         Seq[org.apache.spark.sql.execution.joins.BaseJoinExec]) = {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val root = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+    (root, walk(root).collect { case j: BaseJoinExec if j.joinType == LeftSemi => j })
+  }
+
   test("q01 scan prunes to the 3 projected columns") {
     val scan = plan("q01_scan").linesIterator.find(_.contains("ReadSchema")).get
     assert(scan.contains("event_id") && scan.contains("event_type"))
@@ -67,17 +87,19 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("q52 bloom probe runs map-side BEFORE the exact semi-join") {
-    val p = plan("q52_bloom")
-    assert(p.contains("LeftSemi"), s"exact semi-join missing:\n$p")
-    assert(p.contains("bloom_contains"), s"bloom probe missing:\n$p")
-    // executedPlan prints top-down (consumers first): the bloom filter
-    // must sit BELOW the semi-join, i.e. execute before it — the
+    // STRUCTURAL check (the q63 tree-walk pattern): the bloom_contains
+    // filter must live in the LeftSemi join's streamed (left) subtree —
+    // rows are bloom-probed before the join ever sees them. The
     // scalar-subquery formulation pins this (the broadcast-1-row-join
-    // one got inverted by PushDownLeftSemiAntiJoin)
-    assert(p.indexOf("bloom_contains") > p.indexOf("LeftSemi"),
-      s"bloom probe did not run before the semi-join:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin"),
-      s"bloom should ride a scalar subquery, not a 1-row join:\n$p")
+    // one got inverted by PushDownLeftSemiAntiJoin).
+    val (root, semis) = leftSemis("q52_bloom")
+    assert(semis.nonEmpty, s"exact semi-join missing:\n$root")
+    val probed = semis.exists(j =>
+      walk(j.left).exists(_.simpleString(200).contains("bloom_contains")))
+    assert(probed,
+      s"bloom_contains filter is not below the LeftSemi join's streamed side:\n$root")
+    assert(!root.toString.contains("BroadcastNestedLoopJoin"),
+      s"bloom should ride a scalar subquery, not a 1-row join:\n$root")
   }
 
   test("q53 group top-k keeps only k rows per group before the window shuffle") {
@@ -157,19 +179,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // STRUCTURAL check, not string offsets: the bloom_contains filter
     // must live in the LeftSemi join's streamed (left) subtree — i.e.
     // rows are bloom-probed before the join ever sees them
-    import org.apache.spark.sql.catalyst.plans.LeftSemi
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.joins.BaseJoinExec
-    def walk(sp: SparkPlan): Seq[SparkPlan] = sp match {
-      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-      case other => other +: other.children.flatMap(walk)
-    }
-    val root = SparkEntry.queries("q63_incdedup")(spark, sf)
-      .queryExecution.executedPlan
-    val semis = walk(root).collect {
-      case j: BaseJoinExec if j.joinType == LeftSemi => j
-    }
+    val (root, semis) = leftSemis("q63_incdedup")
     assert(semis.nonEmpty, s"exact confirm (LeftSemi) missing:\n$root")
     val probed = semis.exists(j =>
       walk(j.left).exists(_.simpleString(200).contains("bloom_contains")))
@@ -225,6 +235,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"window exchange should key on lang:\n$p")
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
       s"packing should shuffle exactly once:\n$p")
+  }
+
+  test("q80 sharded packing windows on a >=2-column key (lang, shard)") {
+    val p = plan("q80_packing_sharded")
+    assert(p.contains("windowspecdefinition(lang"),
+      s"sharded packing window lost its lang partitioning:\n$p")
+    // the de-skew contract: the window (and its exchange) must key on
+    // (lang, shard), never lang alone
+    assert("windowspecdefinition\\(lang[^,]*, shard".r.findFirstIn(p).isDefined,
+      s"window key is lang-only — the skew fix regressed:\n$p")
+    assert("Exchange hashpartitioning\\(lang[^,]*, shard".r.findFirstIn(p).isDefined,
+      s"window exchange should key on (lang, shard):\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"sharded packing should shuffle exactly once:\n$p")
   }
 
   test("q66 moving window aggregates daily totals with map-side combine") {
