@@ -61,6 +61,7 @@ object NozzleApp {
       publisher: Option[Publisher],
       statsPort: Option[Int] = None,
       statsIntervalMs: Long = 10000,
+      kafkaSink: Boolean = false,
       log: String => Unit = s => System.err.println(s"[nozzle] $s")): Running = {
 
     val resolved = GraftConfig.resolve(cfg)
@@ -71,18 +72,27 @@ object NozzleApp {
     val routed = NozzlePipeline.build(source,
       GraftConfig.toRouting(resolved.kafka.topic))
 
-    // main query: Kafka-sink stand-in with bounded retry + DLQ, or a
-    // memory sink for debug mode
-    val query = publisher match {
-      case Some(p) =>
-        val repartitionMax =
-          if (resolved.kafka.repartitionMax != 0) resolved.kafka.repartitionMax
-          else GraftConfig.DefaultRepartitionMax
-        NozzlePipeline.startDlq(routed, s"$checkpointDir/main", p,
-          repartitionMax, stats, dlqPath)
-      case None =>
-        NozzlePipeline.startMemory(routed, "nozzle_debug", s"$checkpointDir/main")
-    }
+    // main query: the real Kafka sink (non-debug production path — the
+    // reference's NewKafkaProducer, which likewise fails fast on a bad
+    // config, cli.go:228-235), a Kafka-sink stand-in with bounded
+    // retry + DLQ, or a memory sink for debug mode
+    val query =
+      if (kafkaSink)
+        graft.streaming.Connector.kafkaWriter(routed, resolved.kafka,
+            s"$checkpointDir/main", resolved.insecureSSLSkipVerify) match {
+          case Right(w) => w.start()
+          case Left(e) => throw new IllegalArgumentException(s"kafka producer: $e")
+        }
+      else publisher match {
+        case Some(p) =>
+          val repartitionMax =
+            if (resolved.kafka.repartitionMax != 0) resolved.kafka.repartitionMax
+            else GraftConfig.DefaultRepartitionMax
+          NozzlePipeline.startDlq(routed, s"$checkpointDir/main", p,
+            repartitionMax, stats, dlqPath)
+        case None =>
+          NozzlePipeline.startMemory(routed, "nozzle_debug", s"$checkpointDir/main")
+      }
 
     // O4 side-output: slow-consumer alerts over the same source
     val alerts = NozzlePipeline.startAlerts(
@@ -99,23 +109,31 @@ object NozzleApp {
 }
 
 object NozzleMain {
-  /** args: <config.toml> [checkpointDir] [dlqPath] | -version
+  /** The full reference flag surface (cli.go:92-116) via [[NozzleCli]]:
+    * -config -subscription -username -password -log-level -worker
+    * -stats-interval -server -debug -version, plus the historical
+    * positional form `<config.toml> [checkpointDir] [dlqPath]`.
     *
     * `-version`/`--version` prints "<name> version <version>" to
     * stderr and exits 0, before any config/Spark work — reference
     * cli.go:107,129-131. */
-  def main(args: Array[String]): Unit = {
-    if (args.exists(a => a == "-version" || a == "--version")) {
-      System.err.println(BuildInfo.versionLine)
-      return
+  def main(args: Array[String]): Unit =
+    NozzleCli.parse(args.toIndexedSeq) match {
+      case Left(err) =>
+        System.err.println(s"[nozzle] $err"); sys.exit(1)
+      case Right(o) if o.version =>
+        System.err.println(BuildInfo.versionLine)
+      case Right(o) => run(o)
     }
-    val configPath = args.headOption.getOrElse("fixtures/basic.toml")
-    val checkpoint = args.lift(1).getOrElse("/tmp/graft-nozzle/checkpoint")
-    val dlqPath = args.lift(2).getOrElse("/tmp/graft-nozzle/dlq")
-    val cfg = GraftConfig.load(configPath) match {
+
+  private def run(o: NozzleCli.CliOptions): Unit = {
+    val cfg0 = GraftConfig.load(o.configPath) match {
       case Right(c) => c
       case Left(err) => System.err.println(s"[nozzle] config: $err"); sys.exit(1)
     }
+    // flag > config > default (cli.go:157-179) — resolve() treats ""
+    // as "flag unset", exactly like the reference's empty-string tests
+    val cfg = GraftConfig.resolve(cfg0, o.subscriptionID, o.username, o.password)
     val spark = GraftSession.local()
     GraftSession(spark)
     // Production state store: RocksDB keeps streaming state (dedup
@@ -123,11 +141,18 @@ object NozzleMain {
     // required posture for watermark-bounded state at 100 TB.
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val log = NozzleCli.levelLog(o.logLevel, s => System.err.println(s"[nozzle] $s"))
     val source = spark.readStream.format("graft-firehose")
       .option("rowsPerBatch", 5000)
+      .option("partitions", o.worker) // -worker → O11 fan-out, cli.go:103
       .load()
-    val running = NozzleApp.start(spark, cfg, source, checkpoint, dlqPath,
-      publisher = None, statsPort = Some(8080))
+    val running = NozzleApp.start(spark, cfg, source,
+      o.checkpointDir, o.dlqPath,
+      publisher = None,
+      statsPort = if (o.server) Some(8080) else None, // cli.go:186-193
+      statsIntervalMs = o.statsIntervalMs,
+      kafkaSink = !o.debug, // cli.go:224-235: debug → log producer
+      log = log)
     sys.addShutdownHook(running.shutdown()) // O20: SIGINT → graceful stop
     running.awaitTermination()
   }

@@ -41,7 +41,10 @@ import graft.streaming.{Connector, NozzleReader}
   * or `ws` (RFC-6455 frames via [[NozzleReader.runWs]], the
   * reference's real transport; a 1008 close bumps the process-wide
   * [[FirehoseSocketSource.slowConsumerAlerts]] counter — the O4 side
-  * channel, go-nozzle detector.go:70-90 — and re-dials).
+  * channel, go-nozzle detector.go:70-90 — and re-dials), `filterType`
+  * — `logs` or `metrics` appends `?filter-type=...` to the ws dial
+  * path for server-side filtering (noaa consumer/filter.go:3-20,
+  * firehose.go:42-44; unset = all envelopes, no query string).
   */
 class FirehoseSocketSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-firehose-socket"
@@ -87,7 +90,8 @@ private class FirehoseSocketTable extends Table with SupportsRead {
           protocol = options.getOrDefault("protocol", "lines"),
           // reference default: cli.go:44-46 DefaultSubscriptionID
           subscriptionId = options.getOrDefault("subscriptionId",
-            "debug-kafka-firehose-nozzle"))
+            "debug-kafka-firehose-nozzle"),
+          filterType = options.getOrDefault("filterType", ""))
     }
 }
 
@@ -96,11 +100,15 @@ private class FirehoseSocketMicroBatchStream(
     backoffMinMs: Long, backoffMaxMs: Long, maxRetries: Long,
     uaaAddr: String, username: String, password: String,
     protocol: String = "lines",
-    subscriptionId: String = "debug-kafka-firehose-nozzle")
+    subscriptionId: String = "debug-kafka-firehose-nozzle",
+    filterType: String = "")
     extends MicroBatchStream with SupportsAdmissionControl {
 
   require(protocol == "lines" || protocol == "ws",
     s"option 'protocol' must be 'lines' or 'ws', got '$protocol'")
+  // noaa's EnvelopeFilter enum: LogMessages | Metrics | allEnvelopes
+  require(filterType == "" || filterType == "logs" || filterType == "metrics",
+    s"option 'filterType' must be 'logs' or 'metrics', got '$filterType'")
 
   // Driver-side frame buffer. `base` is the global offset of
   // frames(0): committed batches are trimmed in commit(), so resident
@@ -152,8 +160,10 @@ private class FirehoseSocketMicroBatchStream(
                 _ => { FirehoseSocketSource.slowConsumerAlerts.incrementAndGet(); () },
                 () => stopped,
                 s => liveSocket.set(s),
-                // the reference's stream path: firehose.go:42-44
-                path = s"/firehose/$subscriptionId")
+                // the reference's stream path (firehose.go:42-44) +
+                // optional server-side filter (filter.go:10-20)
+                path = s"/firehose/$subscriptionId" +
+                  (if (filterType.nonEmpty) s"?filter-type=$filterType" else ""))
             else
               NozzleReader.run(host, port, fetcher, backoff, idleTimeoutMs,
                 Long.MaxValue,

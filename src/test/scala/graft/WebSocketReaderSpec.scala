@@ -201,6 +201,7 @@ class WebSocketReaderSpec extends AnyFunSuite {
       .option("port", server.getLocalPort)
       .option("protocol", "ws")
       .option("subscriptionId", "graft-sub-7")
+      .option("filterType", "metrics")
       .option("idleTimeoutMs", 60000)
       .option("backoffMinMs", 10)
       .option("backoffMaxMs", 50)
@@ -223,7 +224,8 @@ class WebSocketReaderSpec extends AnyFunSuite {
       // the 1008 close crossed the reconnect AND surfaced as an alert
       assert(graft.sources.FirehoseSocketSource.slowConsumerAlerts.get() === baseline + 1)
       // the stream path carries the subscription id (firehose.go:42-44)
-      assert(paths.get(0) === "/firehose/graft-sub-7", paths)
+      // and the server-side filter query param (filter.go:10-20)
+      assert(paths.get(0) === "/firehose/graft-sub-7?filter-type=metrics", paths)
     } finally {
       q.stop()
       server.close()
