@@ -29,6 +29,36 @@ object MultimodalQueries {
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
       Multimodal.sampleFrames(s, media, frameSize = 256)
         .orderBy("media_id", "frame_id")
+    }),
+
+    // Multimodal → ANN composition: media similarity as a first-class
+    // citizen of the integer-ANN stack, not a parallel track. The
+    // codec's feature histogram (16 longs) is int8-quantized
+    // (vec_quant8 — normalizes away media size), bucketed by a coarse
+    // 4-bit shape signature (bins 2/4/6/7 = punct/upper/lower bands,
+    // bit set iff the bin clears half of max), and ranked with q49's
+    // exact integer kernel inside the query's bucket. Scale shape =
+    // q49's: map-only encode, broadcast 1-row query, bucket gate
+    // before any scoring, TakeOrderedAndProject.
+    "q82_media_ann" -> ((s, d) => {
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+      val feats = Multimodal.extractFeatures(s, media)
+      val bins = Seq(2, 4, 6, 7)
+      val qemb = graft.ops.Barrier(feats
+        .select(col("media_id"),
+          graft.Functions.vec_quant8(col("features").cast("array<double>")).as("q8"))
+        .withColumn("bucket", bins.zipWithIndex.map { case (b, k) =>
+          when(element_at(col("q8"), b + 1) > 63, lit(1L << k)).otherwise(lit(0L))
+        }.reduce(_ + _)))
+      val q = qemb.filter(col("media_id") === 0)
+        .select(col("q8").as("qq"), col("bucket").as("qbucket"))
+      qemb.filter(col("media_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .filter(col("bucket") === col("qbucket"))
+        .select(col("media_id"),
+          graft.Functions.vec_dot_int(col("q8"), col("qq")).as("qsim"))
+        .orderBy(col("qsim").desc, col("media_id"))
+        .limit(10)
     })
   )
 
@@ -46,6 +76,37 @@ object MultimodalQueries {
          FROM documents,
               unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT))) t(f)
          WHERE doc_id % 3 = 2
-         ORDER BY media_id, frame_id"""
+         ORDER BY media_id, frame_id""",
+    "q82_media_ann" ->
+      """WITH f AS (
+           SELECT doc_id AS media_id,
+                  list_transform(range(0, 16), b ->
+                    CAST(len(list_filter(list_transform(range(1, length(text)+1), i -> ascii(text[i:i]) // 16),
+                                         x -> x = b)) AS BIGINT)) feats
+           FROM documents),
+         m AS (
+           SELECT media_id, feats,
+                  list_max(list_transform(feats, x -> abs(CAST(x AS DOUBLE)))) maxabs
+           FROM f),
+         v AS (
+           SELECT media_id,
+                  CASE WHEN maxabs > 0
+                       THEN list_transform(feats, x -> greatest(CAST(-127 AS BIGINT),
+                              least(CAST(127 AS BIGINT),
+                                CAST(floor(CAST(x AS DOUBLE) * 127 / maxabs) AS BIGINT))))
+                       ELSE list_transform(feats, x -> CAST(0 AS BIGINT)) END q8
+           FROM m),
+         b AS (
+           SELECT media_id, q8,
+                  CAST((CASE WHEN q8[3] > 63 THEN 1 ELSE 0 END)
+                     + (CASE WHEN q8[5] > 63 THEN 2 ELSE 0 END)
+                     + (CASE WHEN q8[7] > 63 THEN 4 ELSE 0 END)
+                     + (CASE WHEN q8[8] > 63 THEN 8 ELSE 0 END) AS BIGINT) bucket
+           FROM v),
+         q AS (SELECT q8 qq, bucket qbucket FROM b WHERE media_id = 0)
+         SELECT b.media_id,
+                CAST(list_sum(list_transform(range(1, 17), i -> b.q8[i] * qq[i])) AS BIGINT) AS qsim
+         FROM b, q WHERE b.media_id <> 0 AND b.bucket = qbucket
+         ORDER BY qsim DESC, b.media_id LIMIT 10"""
   )
 }

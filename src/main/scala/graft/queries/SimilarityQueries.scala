@@ -768,6 +768,56 @@ object SimilarityQueries {
         .orderBy("qid", "vec_id")
     }),
 
+    // Batched recall audit — the production index gate: every real
+    // ANN deploy evals over a query SET, not one vector. Composes
+    // q78's serving shape (broadcast query table, bucket join,
+    // WindowGroupLimit per-query top-k) with q77's left-semi
+    // intersection, once per query: per-qid recall@10 rows plus the
+    // aggregate rate as the ROLLUP total (qid = NULL). Everything
+    // after the two top-k passes is O(queries × k) — the semi-join,
+    // the per-query counts, and the rollup all ride k-sized frames,
+    // so the audit costs two scans regardless of corpus size (and at
+    // 100 TB runs over a query sample exactly like q77).
+    "q81_batch_recall" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // Each arm gets its OWN scan (fresh exprIds): combining two
+      // corpus × qs joins that share one lineage into a single plan
+      // trips DetectAmbiguousSelfJoin regardless of aliasing.
+      def arm(bucketGated: Boolean): DataFrame = {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"), bucketCol.as("bucket"))
+        val qs = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            col("bucket").as("qbucket"))
+        val corpus = emb.filter(col("vec_id") >= 5)
+        val joined =
+          if (bucketGated) corpus.join(broadcast(qs), col("bucket") === col("qbucket"))
+          else corpus.crossJoin(broadcast(qs))
+        val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+        joined
+          .select(col("qid"), col("vec_id"), cosine("embedding", "qv").as("sim"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+          .select("qid", "vec_id")
+      }
+      // The intersection is computed join-free: tag each arm (1 | 2),
+      // group on (qid, vec_id) — a sum of 3 means "in both top-10s".
+      // The exact arm always emits rows for every qid, so zero-recall
+      // queries still report hits = 0 with no join back to the query
+      // table.
+      val pairs = arm(bucketGated = false).withColumn("t", lit(1L))
+        .unionByName(arm(bucketGated = true).withColumn("t", lit(2L)))
+      val per = pairs.groupBy("qid", "vec_id").agg(sum("t").as("ts"))
+        .groupBy("qid")
+        .agg(sum(when(col("ts") === 3, 1L).otherwise(0L)).as("hits"))
+      // rollup(col(...)), not rollup("qid"): the String overload
+      // resolves through Dataset.col, whose dataset-id tag trips
+      // DetectAmbiguousSelfJoin over the two-arm union below
+      per.rollup(col("qid"))
+        .agg(sum("hits").as("hits"), (lit(10L) * count(lit(1))).as("k"))
+        .withColumn("recall", col("hits") / col("k"))
+        .orderBy("qid")
+    }),
+
     // Embedding-cosine near-dup pairs via bucket-equality self-join.
     // Norms are computed once per VECTOR before the join (n rows), not
     // once per PAIR (≈ n²/buckets rows); the per-pair work is a single
@@ -955,6 +1005,37 @@ object SimilarityQueries {
             ORDER BY sim DESC, e.vec_id LIMIT 10)
           SELECT CAST(count(*) AS BIGINT) AS hits, CAST(10 AS BIGINT) AS k
           FROM exact WHERE vec_id IN (SELECT vec_id FROM ann)""",
+    "q81_batch_recall" ->
+      s"""WITH b AS (
+            SELECT vec_id, embedding, $bucketSqlDuck bucket FROM embeddings),
+          q AS (SELECT vec_id qid, embedding qv, bucket qbucket FROM b WHERE vec_id < 5),
+          candx AS (
+            SELECT q.qid, e.vec_id, ${dCos("e.embedding", "q.qv")} AS sim
+            FROM b e, q WHERE e.vec_id >= 5),
+          exact AS (
+            SELECT qid, vec_id FROM (
+              SELECT qid, vec_id,
+                     row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn
+              FROM candx) WHERE rn <= 10),
+          canda AS (
+            SELECT q.qid, e.vec_id, ${dCos("e.embedding", "q.qv")} AS sim
+            FROM b e JOIN q ON e.bucket = q.qbucket WHERE e.vec_id >= 5),
+          ann AS (
+            SELECT qid, vec_id FROM (
+              SELECT qid, vec_id,
+                     row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn
+              FROM canda) WHERE rn <= 10),
+          h AS (
+            SELECT e.qid, count(*) n FROM exact e
+            JOIN ann a ON e.qid = a.qid AND e.vec_id = a.vec_id
+            GROUP BY e.qid),
+          per AS (
+            SELECT q.qid, coalesce(h.n, 0) hits
+            FROM q LEFT JOIN h ON q.qid = h.qid)
+          SELECT qid, CAST(sum(hits) AS BIGINT) AS hits,
+                 CAST(10 * count(*) AS BIGINT) AS k,
+                 CAST(sum(hits) AS BIGINT) / CAST(10 * count(*) AS BIGINT) AS recall
+          FROM per GROUP BY ROLLUP(qid) ORDER BY qid""",
     "q78_batch_ann" ->
       s"""WITH b AS (
             SELECT vec_id, embedding, $bucketSqlDuck bucket FROM embeddings),

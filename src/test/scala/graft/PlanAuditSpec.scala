@@ -53,7 +53,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // 8-row codebook + 1-row query in q40) are the intended shapes
     val allowedBnlj = Set(
       "q16_topk", "q22_ann", "q40_ivf", "q49_qann", "q58_fann", "q69_pqann",
-      "q70_ivfpq", "q72_ivf_trained", "q75_knn", "q77_recall")
+      "q70_ivfpq", "q72_ivf_trained", "q75_knn", "q77_recall",
+      "q81_batch_recall", // exact arm = corpus × broadcast 5-row query table
+      "q82_media_ann") // broadcast 1-row media query vector
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
@@ -193,6 +195,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus got shuffle-joined:\n$p")
     assert(p.contains("WindowGroupLimit"),
       s"rn<=3 not pushed below the rank exchange:\n$p")
+  }
+
+  test("q81 batched recall keeps both top-k arms group-limited and the audit k-sized") {
+    val p = plan("q81_batch_recall")
+    // both the brute-force and ANN arms push the per-query limit below
+    // their rank exchange — the shuffle carries O(queries × k)
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"a top-k arm lost its WindowGroupLimit:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"query table not broadcast on the ANN arm:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus got shuffle-joined:\n$p")
   }
 
   test("q73 trained-PQ search is join-free: codes + ADC table lookups + top-k") {
