@@ -141,6 +141,26 @@ object KMeans {
   def applyStep(state: Seq[Centroid], step: Map[Long, Centroid]): Seq[Centroid] =
     state.map(old => step.getOrElse(old.cid, old))
 
+  /** Exact retrain trigger for the streaming decision loop: does the
+    * candidate model move any centroid mean by more than
+    * tauNum/tauDen in ANY coordinate? Decided entirely in integers by
+    * cross-multiplication — |So_j·cn − Sn_j·co| · tauDen >
+    * tauNum · co · cn — over BigInt (driver-side on k·d values, so
+    * arbitrary precision is free). No float epsilon: the same stream
+    * always swaps at the same micro-batch, on any cluster layout. */
+  def driftExceeds(old: Seq[Centroid], candidate: Seq[Centroid],
+      tauNum: Long, tauDen: Long): Boolean = {
+    require(tauNum >= 0 && tauDen > 0, s"kmeans: bad tau $tauNum/$tauDen")
+    require(old.map(_.cid) == candidate.map(_.cid),
+      "kmeans: drift test requires aligned centroid ids")
+    old.zip(candidate).exists { case (o, n) =>
+      o.sums.indices.exists { j =>
+        (BigInt(o.sums(j)) * n.count - BigInt(n.sums(j)) * o.count).abs * tauDen >
+          BigInt(tauNum) * o.count * n.count
+      }
+    }
+  }
+
   /** All-subspace variant of [[aggregateStep]] for PQ training: ONE
     * scan computes every (subspace, cluster) sum+count. Each row
     * assigns all M subspaces map-side, then fans out M (m, cid)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.ops.Bucketing
 
 /** Deduplication operators over the `documents` table — the LLM-data-
   * pipeline extensions (builder brief; VERDICT round-1 item 3).
@@ -140,11 +141,12 @@ object DedupQueries {
     // machinery with a cross-set pair predicate (hist × batch bands
     // only) — history never re-pairs with itself, so the incremental
     // cost is O(batch signatures + collisions), not O(corpus²). At
-    // 100 TB the history side is a PERSISTED signature/band table
-    // (bucketed by (band, sig) — graft.ops.Bucketing): each daily
-    // batch computes its own signatures and band-joins the stored
-    // table exchange-free; recomputing history here is testdata
-    // convenience, not the shape.
+    // 100 TB the history side is a PERSISTED band table bucketed on
+    // the fused band key — [[writeNearDupHistory]] writes it and
+    // [[incNearDupsAgainstHistory]] probes it with no Exchange on
+    // the history side (DedupHistorySpec pins plan + q64 parity);
+    // recomputing history here is testdata convenience, not the
+    // shape.
     "q64_incneardup" -> ((s, d) => {
       val scored = graft.ops.Barrier(minhashScored(s, d,
         (a, b) => a % 10 < 8 && b % 10 >= 8))
@@ -373,6 +375,13 @@ object DedupQueries {
           && pairPred(col("a.doc_id"), col("b.doc_id")))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
+    scorePairs(m, cand)
+  }
+
+  /** Exact-confirm tail shared by the self-join and history-probe
+    * paths: join candidate (da, db) pairs back to the shingle sets
+    * and compute the exact intersection. */
+  private def scorePairs(m: DataFrame, cand: DataFrame): DataFrame = {
     // merge hint: same computed-array size underestimate as q21 —
     // don't let the fat shingle-set relation get broadcast.
     // (ssets were sorted once at the source for the merge-walk.)
@@ -384,6 +393,55 @@ object DedupQueries {
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         graft.Functions.sorted_intersect_count(col("sa"), col("sb")).as("inter"),
         col("na"), col("nb"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Persisted incremental near-dup history (q64's 100 TB contract)
+  // ---------------------------------------------------------------------
+
+  /** Banded LSH (doc_id, bkey) rows for the docs passing `pred`.
+    * bkey is the FUSED "j:sig" string key (sig < P² ≈ 4.6e18 leaves
+    * no headroom to pack the band index arithmetically into a long),
+    * so the band table buckets and joins on ONE column. */
+  private def bandKeys(s: SparkSession, d: String, pred: Column): DataFrame =
+    shingleSets(s, d).filter(pred)
+      .select(col("doc_id"), graft.Functions.minhash_array(col("sset")).as("mh"))
+      .select(col("doc_id"),
+        expr(s"""explode(transform(sequence(0, 5), j ->
+                   concat(j, ':', element_at(mh, 2*j+1) * ${P}L + element_at(mh, 2*j+2))))""")
+          .as("bkey"))
+
+  /** Persist the incremental-dedup HISTORY as a band table bucketed
+    * (and per-bucket sorted) on bkey — the q64 scale contract in
+    * code: the write pays one hash-distribution pass, after which
+    * every batch probe reads history buckets directly with NO
+    * Exchange on the history side (DedupHistorySpec pins the plan).
+    * At 100 TB the history never moves again; only the (small) new
+    * batch hashes to the bucket layout. */
+  def writeNearDupHistory(s: SparkSession, d: String, table: String,
+      buckets: Int = 8): Unit =
+    Bucketing.writeBucketed(bandKeys(s, d, col("doc_id") % 10 < 8),
+      table, "bkey", buckets)
+
+  /** Probe a new batch (doc_id % 10 >= 8, q64's split) against the
+    * persisted history band table: bucket-local candidate join →
+    * distinct pairs → exact confirm — same semantics and output as
+    * q64_incneardup, minus the history-side shuffle. */
+  def incNearDupsAgainstHistory(s: SparkSession, d: String,
+      table: String): DataFrame = {
+    val hist = s.table(table)
+    val batch = bandKeys(s, d, col("doc_id") % 10 >= 8)
+    val cand = batch.as("b").join(hist.as("h"), col("b.bkey") === col("h.bkey"))
+      .select(col("h.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val m = graft.ops.Barrier(shingleSets(s, d)
+      .select(col("doc_id"), col("sset"),
+        size(col("sset")).cast(LongType).as("nset")))
+    scorePairs(m, cand)
+      .select(col("doc_a").as("hist_doc"), col("doc_b").as("new_doc"),
+        col("inter"), (col("na") + col("nb") - col("inter")).as("uni"))
+      .filter(col("inter") * 5 >= col("uni") * 3)
+      .orderBy("new_doc", "hist_doc")
   }
 
   // ---------------------------------------------------------------------

@@ -75,4 +75,67 @@ class StreamingKMeansSpec extends AnyFunSuite {
     val batch1 = KMeans.train(df(data), "id", "v", dim, model, maxIter = 1)
     assert(streamed.zip(batch1).forall { case (a, b) => a.sameAs(b) })
   }
+
+  test("retrain loop e2e: accumulate, trip the exact drift threshold, swap mid-stream") {
+    val s2 = spark
+    import s2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // two tight clusters; the A-side batches walk away from the seed
+    // so drift grows deterministically batch over batch
+    def pt(v: Long): Seq[Long] = Seq(v, v, v, v)
+    val seedRows = Seq(1L -> pt(10), 2L -> pt(100))
+    val batches: Seq[Seq[(Long, Seq[Long])]] = Seq(
+      (10L to 19L).map(i => i -> pt(10)),  // on the seed: no drift
+      (20L to 29L).map(i => i -> pt(12)),  // mean → 230/21 ≈ 10.95: drift > 1/2 → swap
+      (30L to 39L).map(i => i -> pt(14)))  // under model', drifts again → second swap
+    val initial = KMeans.seedsFromIds(df(seedRows), "id", "v", Seq(1L, 2L))
+
+    // the decision loop: accumulate per micro-batch under the FROZEN
+    // serving model; when the folded candidate drifts past tau = 1/2,
+    // swap it in and reset the accumulator
+    val model = new java.util.concurrent.atomic.AtomicReference(initial)
+    val acc = new java.util.concurrent.atomic.AtomicReference(
+      Map.empty[Long, KMeans.Centroid])
+    val swaps = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+
+    val input = MemoryStream[(Long, Seq[Long])]
+    val q = input.toDF().toDF("id", "v")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val m = model.get()
+        val merged = acc.updateAndGet(prev =>
+          KMeans.mergeSteps(prev, KMeans.aggregateStep(batch, "v", dim, m)))
+        val candidate = KMeans.applyStep(m, merged)
+        if (KMeans.driftExceeds(m, candidate, tauNum = 1, tauDen = 2)) {
+          model.set(candidate)
+          acc.set(Map.empty)
+          swaps.add(id)
+          ()
+        }
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+
+    // the threshold tripped exactly where the arithmetic says: batch 1
+    // (0-indexed) and again at batch 2 under the swapped model
+    assert(swaps.toArray.toSeq === Seq(1L, 2L), s"swap batches: $swaps")
+
+    // first swap == the batch retrain over everything the stream had
+    // seen, bit-for-bit (one Lloyd round under the initial model)
+    val retrain1 = KMeans.train(df(batches(0) ++ batches(1)), "id", "v", dim,
+      initial, maxIter = 1)
+    // second swap == one Lloyd round over batch 2 under the first
+    // swapped model (the accumulator was reset at the swap)
+    val retrain2 = KMeans.train(df(batches(2)), "id", "v", dim,
+      retrain1, maxIter = 1)
+    assert(model.get().zip(retrain2).forall { case (a, b) => a.sameAs(b) },
+      "mid-stream swapped model diverged from the batch retrain")
+    // and the untouched B cluster kept its state through both swaps
+    assert(model.get().find(_.cid == 2L).get.sameAs(initial.find(_.cid == 2L).get))
+  }
 }
