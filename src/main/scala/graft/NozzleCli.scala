@@ -163,6 +163,29 @@ object NozzleCli {
     }
   }
 
+  /** Usage text printed on flag errors — the reference's `helpText`
+    * (cli.go:96-98,405-431), adapted to this engine's surface. */
+  val helpText: String =
+    """graft-nozzle forwards envelope streams through the Spark engine.
+      |
+      |Usage:
+      |
+      |    graft-nozzle [options] [<config.toml> [checkpointDir] [dlqPath]]
+      |
+      |Available options:
+      |
+      |    -config PATH          Path to configuration file
+      |    -subscription ID      Subscription ID for the firehose stream
+      |    -username NAME        username to grant access token to connect firehose
+      |    -password PASS        password to grant access token (default $UAA_PASSWORD)
+      |    -worker NUM           Source fan-out partitions. Default is number of CPU cores
+      |    -stats-interval TIME  How often to report stats (Go duration, e.g. 10s)
+      |    -server               Start the stats HTTP server
+      |    -debug                Route events to the debug sink instead of Kafka
+      |    -log-level LEVEL      Log level. Default level is INFO (DEBUG|INFO|ERROR)
+      |    -version              Print version and exit
+      |""".stripMargin
+
   /** logutils.LevelFilter analogue (cli.go:136-143): lines tagged
     * [DEBUG]/[INFO]/[ERROR] pass iff at or above minLevel; untagged
     * lines count as INFO. */

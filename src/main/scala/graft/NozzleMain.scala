@@ -120,7 +120,11 @@ object NozzleMain {
   def main(args: Array[String]): Unit =
     NozzleCli.parse(args.toIndexedSeq) match {
       case Left(err) =>
-        System.err.println(s"[nozzle] $err"); sys.exit(1)
+        // flag errors print the usage text, like the reference's
+        // flags.Usage (cli.go:96-98)
+        System.err.println(s"[nozzle] $err")
+        System.err.println(NozzleCli.helpText)
+        sys.exit(1)
       case Right(o) if o.version =>
         System.err.println(BuildInfo.versionLine)
       case Right(o) => run(o)

@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [queryName ...] — trailing names restrict
+    // the run to those queries (debug convenience; the driver passes 2)
+    require(args.length >= 2, s"usage: Verify <sfDir> <outDir> [query ...]")
+    val (sfDir, outDir) = (args(0), args(1))
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.tune(
       SparkSession.builder()
@@ -16,7 +20,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     GraftSession(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       // repartition(1), not coalesce(1): coalesce narrows the UPSTREAM
       // computation to one task; repartition keeps the query parallel
       // and only funnels the (small) result for the single-file write.

@@ -142,6 +142,34 @@ object TextQueries {
     // lang, deterministic under any partitioning.
     "q80_packing_sharded" -> ((s, d) => packBins(Tables.documents(s, d), 4096L, 8)),
 
+    // Pack ASSEMBLY — the step after q79/q80: turn pack assignments
+    // into the actual concatenated training sequences (newline-joined,
+    // in packing order). The only data movement is each document
+    // riding ONE shuffle keyed by its pack — collect_list keeps
+    // map-side partial aggregation, and a pack is ≤ binChars + one
+    // document by construction, so per-group state is bounded. Output
+    // pins the assembled bytes by md5 + length (the comparator hashes
+    // scalars; the sequences themselves would be the written output).
+    "q83_pack_assembly" -> ((s, d) => {
+      val packs = packBins(Tables.documents(s, d), 4096L, 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("pack_id"))
+      val texts = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val assembled = array_join(
+        transform(
+          array_sort(collect_list(struct(
+            (-col("n_chars")).as("k1"), col("doc_id").as("k2"),
+            col("text").as("t")))),
+          x => x.getField("t")),
+        "\n")
+      packs.join(texts, "doc_id")
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          md5(assembled).as("pack_md5"), length(assembled).as("pack_len"))
+        .select(col("lang"), col("pack_id"), col("n_docs"), col("sum_chars"),
+          col("pack_md5"), col("pack_len").cast(LongType).as("pack_len"))
+        .orderBy("lang", "pack_id")
+    }),
+
     "q17_text" -> ((s, d) => {
       withWords(s, d)
         .select(col("doc_id"), graft.Functions.text_stats(col("t")).as("st"))
@@ -528,6 +556,22 @@ object TextQueries {
                   // 4096 * 8 + shard AS pack_id
          FROM s
          ORDER BY lang, pack_id, doc_id""",
+    "q83_pack_assembly" ->
+      """WITH p AS (
+           SELECT doc_id, lang, n_chars,
+                  (greatest(CAST(sum(n_chars) OVER (PARTITION BY lang
+                     ORDER BY n_chars DESC, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT), 1) - 1)
+                    // 4096 AS pack_id
+           FROM documents)
+         SELECT p.lang, p.pack_id,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(p.n_chars) AS BIGINT) AS sum_chars,
+                md5(string_agg(d.text, chr(10) ORDER BY p.n_chars DESC, p.doc_id)) AS pack_md5,
+                CAST(length(string_agg(d.text, chr(10) ORDER BY p.n_chars DESC, p.doc_id)) AS BIGINT) AS pack_len
+         FROM p JOIN (SELECT doc_id, text FROM documents) d USING (doc_id)
+         GROUP BY 1, 2
+         ORDER BY lang, pack_id""",
     "q17_text" ->
       s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
           w AS (SELECT doc_id, t, string_split(t, ' ') words FROM n)
