@@ -79,6 +79,19 @@ object TextQueries {
     s"""len(list_filter(list_transform(words, w -> w[1:2]),
           b -> b in (${inSet(grams)})))"""
 
+  /** Deterministic 64-bucket hashed-unigram weight vector for the
+    * q84 model gate: md5-derived uniforms in [-0.5, 0.5) — the same
+    * trick as the LSH planes, so the oracle re-derives bit-identical
+    * doubles. Stands in for trained classifier weights. */
+  private val qmWeights: Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 64).map { k =>
+      val hex = md.digest(s"w,$k".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 6), 16) / 16777216.0d - 0.5d
+    }
+  }
+
   /** Sequence packing into fixed-size concatenation bins, the
     * pretraining batch-assembly step. pack_id = (greatest(cum,1) − 1)
     * div binChars over the (n_chars DESC, doc_id) longest-first order
@@ -218,6 +231,30 @@ object TextQueries {
             + when(col("n_stop") * 10 <= col("n_tokens"), 1L).otherwise(0L)
             + when(expr("(n_wordchars * 100) div n_tokens").between(300, 800), 1L)
               .otherwise(0L)).as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    // Model-based quality scoring — the fastText-style hashed linear
+    // classifier a curation stack runs AFTER the heuristic gates
+    // (q25): score = Σ_word weight[md5-bucket(word)] over hashed
+    // unigram features, keep iff score > 0. Hashed features mean NO
+    // vocabulary table and no shuffle — the whole model is 64 doubles
+    // riding the plan as a literal (a production model is ~2M floats:
+    // still a broadcast, same shape). Map-only; the left-to-right
+    // aggregate keeps the float sum order engine-portable (the q16
+    // pattern). Weights here are md5-derived stand-ins: deterministic
+    // and re-derivable in the oracle, exactly like the LSH planes.
+    "q84_quality_model" -> ((s, d) => {
+      val wlit = typedLit(qmWeights)
+      val bucket: Column => Column = w =>
+        (pmod(conv(substring(md5(w), 1, 15), 16, 10).cast(LongType), lit(64L))
+          + lit(1L)).cast(IntegerType)
+      withWords(s, d)
+        .select(col("doc_id"), size(col("words")).cast(LongType).as("n_tokens"),
+          aggregate(transform(col("words"), w => element_at(wlit, bucket(w))),
+            lit(0.0), (acc, x) => acc + x).as("score"))
+        .select(col("doc_id"), col("n_tokens"), col("score"),
+          (col("score") > 0).as("kept"))
         .orderBy("doc_id")
     }),
 
@@ -556,6 +593,19 @@ object TextQueries {
                   // 4096 * 8 + shard AS pack_id
          FROM s
          ORDER BY lang, pack_id, doc_id""",
+    "q84_quality_model" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+          w AS (SELECT doc_id, string_split(t, ' ') words FROM n),
+          wt AS (SELECT list_transform(range(0, 64), k ->
+                   CAST(concat('0x', substr(md5('w,'||CAST(k AS VARCHAR)), 1, 6)) AS BIGINT)
+                     / CAST(16777216 AS DOUBLE) - CAST(0.5 AS DOUBLE)) ws),
+          scored AS (
+            SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+                   list_sum(list_transform(words, x ->
+                     ws[CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 64 + 1])) AS score
+            FROM w, wt)
+          SELECT doc_id, n_tokens, score, score > 0 AS kept
+          FROM scored ORDER BY doc_id""",
     "q83_pack_assembly" ->
       """WITH p AS (
            SELECT doc_id, lang, n_chars,
