@@ -258,6 +258,29 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // BPE tokenizer training, step 1 — corpus-wide adjacent
+    // character-pair frequencies (the argmax of this table IS the
+    // next BPE merge). Collapse to the DISTINCT vocabulary first:
+    // the big shuffle carries (word, freq) — vocab-sized, not
+    // corpus-sized — pair generation then explodes over the vocab
+    // only, and the pair aggregate + top-k ride tiny frames
+    // (TakeOrderedAndProject). At 100 TB this is the only sane shape:
+    // pair work scales with |vocab|, not tokens.
+    "q85_bpe_pairs" -> ((s, d) => {
+      val vocab = withWords(s, d)
+        .select(explode(col("words")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      vocab
+        .filter(length(col("w")) >= 2)
+        .select(col("freq"),
+          explode(expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+            .as("pair"))
+        .groupBy("pair").agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    }),
+
     // Document fingerprint: 31-polynomial rolling hash of the
     // normalized text mod 2^31-1 (full doc + 64-char prefix), via the
     // native codegen expression (the HOF-per-char formulation is
@@ -593,6 +616,16 @@ object TextQueries {
                   // 4096 * 8 + shard AS pack_id
          FROM s
          ORDER BY lang, pack_id, doc_id""",
+    "q85_bpe_pairs" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+          w AS (SELECT doc_id, string_split(t, ' ') words FROM n),
+          v AS (SELECT u AS w, count(*) freq
+                FROM (SELECT unnest(words) u FROM w) GROUP BY 1),
+          p AS (SELECT freq, unnest(list_transform(range(1, length(w)), i -> w[i:i+1])) pair
+                FROM v WHERE length(w) >= 2)
+          SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+          FROM p GROUP BY 1
+          ORDER BY n DESC, pair LIMIT 20""",
     "q84_quality_model" ->
       s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
           w AS (SELECT doc_id, string_split(t, ' ') words FROM n),

@@ -263,6 +263,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"sharded packing should shuffle exactly once:\n$p")
   }
 
+  test("q85 BPE pair counts stay vocab-sized: partial aggs + top-k") {
+    val p = plan("q85_bpe_pairs")
+    // both aggregations (word → freq, pair → n) must map-side combine so
+    // the shuffles carry the distinct vocabulary / pair tables, never
+    // corpus-sized rows
+    assert(p.contains("partial_count"), s"vocab count lost partial agg:\n$p")
+    assert(p.contains("partial_sum"), s"pair sum lost partial agg:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 does a full sort:\n$p")
+  }
+
   test("q66 moving window aggregates daily totals with map-side combine") {
     assert(plan("q66_moving").contains("partial_sum"),
       "daily totals lost partial aggregation under the window")
