@@ -132,6 +132,53 @@ object TextQueries {
       .orderBy("lang", "pack_id", "doc_id")
   }
 
+  /** Merge rounds for the trained-BPE queries (q86/q87). Small enough
+    * to unroll in the oracle, large enough that multi-character
+    * symbols re-merge (real BPE dynamics). */
+  private val bpeRounds = 6
+
+  /** DuckDB replay of `graft.ops.Bpe.train(vocab, rounds)`: the
+    * vocab + initial symbol table prefix, then per round — pair
+    * counts (m/pc), argmax (b$k, exact-integer (n DESC, lhs, rhs)
+    * tie-break as a scalar subquery), and the leftmost-greedy merge
+    * (c/r/g/e/f → s${k+1}) — the IDENTICAL window algebra as
+    * `Bpe.applyMerge`, so every round is bit-equal in both engines.
+    * Leaves b0..b${rounds-1} (the merge rules) and s$rounds (the
+    * tokenized vocabulary) bound. */
+  private def bpeCtes(rounds: Int): String = {
+    val prefix =
+      s"""n AS (SELECT doc_id, $normDuck t FROM documents),
+          wd AS (SELECT string_split(t, ' ') words FROM n),
+          v AS (SELECT u AS w, count(*) freq
+                FROM (SELECT unnest(words) u FROM wd) GROUP BY 1),
+          sp AS (SELECT w, freq, unnest(range(1, length(w) + 1)) pos FROM v),
+          s0 AS (SELECT w, freq, pos, w[pos:pos] sym FROM sp)"""
+    val rs = (0 until rounds).map { k =>
+      s"""m$k AS (SELECT w, freq, pos, sym,
+                 lead(sym) OVER (PARTITION BY w ORDER BY pos) nxt FROM s$k),
+          pc$k AS (SELECT sym lhs, nxt rhs, sum(freq) n FROM m$k
+                   WHERE nxt IS NOT NULL GROUP BY 1, 2),
+          b$k AS (SELECT lhs, rhs, CAST(n AS BIGINT) n FROM pc$k
+                  ORDER BY n DESC, lhs, rhs LIMIT 1),
+          c$k AS (SELECT *, (sym = (SELECT lhs FROM b$k)
+                         AND nxt = (SELECT rhs FROM b$k)) cand FROM m$k),
+          r$k AS (SELECT *, CASE WHEN cand AND NOT coalesce(
+                    lag(cand) OVER (PARTITION BY w ORDER BY pos), false)
+                    THEN pos END st FROM c$k),
+          g$k AS (SELECT *, max(st) OVER (PARTITION BY w ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) runstart
+                  FROM r$k),
+          e$k AS (SELECT *, (cand AND (pos - runstart) % 2 = 0) selhere FROM g$k),
+          f$k AS (SELECT *, coalesce(lag(selhere) OVER
+                    (PARTITION BY w ORDER BY pos), false) selprev FROM e$k),
+          s${k + 1} AS (SELECT w, freq,
+                   row_number() OVER (PARTITION BY w ORDER BY pos) pos,
+                   CASE WHEN selhere THEN sym || nxt ELSE sym END sym
+                 FROM f$k WHERE NOT selprev)"""
+    }.mkString(",\n          ")
+    s"$prefix,\n          $rs"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting + length stats: whitespace tokens, a BPE-ish
     // tokenization (letter runs + single digits — the subword-style
@@ -279,6 +326,39 @@ object TextQueries {
         .groupBy("pair").agg(sum("freq").as("n"))
         .orderBy(col("n").desc, col("pair"))
         .limit(20)
+    }),
+
+    // TRAINED BPE merges — q85's pair statistic iterated into actual
+    // merge rules (graft.ops.Bpe): 6 rounds of exact-integer pair
+    // argmax + leftmost-greedy non-overlapping merge over the
+    // DISTINCT vocabulary's symbol table. The corpus collapses to
+    // (word, freq) once; every round after that is vocab-sized window
+    // algebra plus a 1-row argmax collect (the Lloyd's-loop shape).
+    // Deterministic under any partitioning, so the oracle replays all
+    // 6 rounds verbatim as unrolled CTEs. Output = the merge-rule
+    // table itself.
+    "q86_bpe_train" -> ((s, d) => {
+      val vocab = withWords(s, d)
+        .select(explode(col("words")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      val (merges, _) = graft.ops.Bpe.train(vocab, bpeRounds)
+      s.createDataFrame(merges).orderBy("step")
+    }),
+
+    // BPE tokenization under the trained merges — the corpus token
+    // table a tokenizer deploy actually produces. Tokenize the VOCAB
+    // (the word-level cache every fast tokenizer uses: |vocab| words,
+    // not |corpus| tokens), then corpus token frequencies fall out of
+    // the freq weights already riding each word — no join back to the
+    // corpus at all. Top-30 tokens, exact integer counts.
+    "q87_bpe_tokens" -> ((s, d) => {
+      val vocab = withWords(s, d)
+        .select(explode(col("words")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      val (_, toks) = graft.ops.Bpe.train(vocab, bpeRounds)
+      toks.groupBy(col("sym").as("token")).agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(30)
     }),
 
     // Document fingerprint: 31-polynomial rolling hash of the
@@ -626,6 +706,20 @@ object TextQueries {
           SELECT pair, CAST(sum(freq) AS BIGINT) AS n
           FROM p GROUP BY 1
           ORDER BY n DESC, pair LIMIT 20""",
+    "q86_bpe_train" -> {
+      val union = (0 until bpeRounds)
+        .map(k => s"SELECT CAST(${k + 1} AS BIGINT) step, * FROM b$k")
+        .mkString("\n          UNION ALL ")
+      s"""WITH ${bpeCtes(bpeRounds)}
+          SELECT step, lhs, rhs, n FROM (
+          $union)
+          ORDER BY step"""
+    },
+    "q87_bpe_tokens" ->
+      s"""WITH ${bpeCtes(bpeRounds)}
+          SELECT sym AS token, CAST(sum(freq) AS BIGINT) n
+          FROM s$bpeRounds GROUP BY 1
+          ORDER BY n DESC, token LIMIT 30""",
     "q84_quality_model" ->
       s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
           w AS (SELECT doc_id, string_split(t, ' ') words FROM n),

@@ -263,6 +263,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"sharded packing should shuffle exactly once:\n$p")
   }
 
+  test("q87 trained-BPE token counts: partial agg + top-k off the vocab barrier") {
+    val p = plan("q87_bpe_tokens")
+    // token frequencies aggregate the Barrier-materialized vocab symbol
+    // table: map-side combine + TakeOrderedAndProject, never a full sort
+    assert(p.contains("partial_sum"), s"token count lost partial agg:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-30 does a full sort:\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"vocab not Barrier-materialized:\n$p")
+  }
+
   test("q85 BPE pair counts stay vocab-sized: partial aggs + top-k") {
     val p = plan("q85_bpe_pairs")
     // both aggregations (word → freq, pair → n) must map-side combine so
