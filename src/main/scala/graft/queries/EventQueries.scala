@@ -311,6 +311,39 @@ object EventQueries {
         .orderBy("w_s").limit(500)
     }),
 
+    // Gap-based sessionization — the classic clickstream reshape
+    // (and the batch mirror of streaming session windows): a user's
+    // events belong to one session until a silence longer than the
+    // gap threshold (6h here; the testdata's median per-user gap is
+    // ~7.3h, so sessions genuinely split AND merge). session_id =
+    // running count of gap breaks per user, all exact nanosecond
+    // integers. Scale shape: the window partitions by user_id —
+    // millions of bounded partitions, never a global funnel — and
+    // the session aggregate reuses the same (user) exchange. Tied
+    // timestamps can't flip results: a zero gap is never a break, so
+    // tie order affects neither session ids nor the aggregates.
+    "q88_sessions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val gapNs = 6L * 3600L * 1000000000L
+      val w = Window.partitionBy("user_id").orderBy("ts_ns")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        // micro-truncated like q39/q14: DuckDB reads the parquet
+        // TIMESTAMP(NANOS) at microsecond precision
+        .select(col("user_id"), expr("(ts_ns div 1000) * 1000").as("ts_ns"))
+        .withColumn("brk",
+          when(lag(col("ts_ns"), 1).over(w).isNull
+            || col("ts_ns") - lag(col("ts_ns"), 1).over(w) > gapNs, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("brk")).over(run))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_ns")).as("start_ns"),
+          max(col("ts_ns")).as("end_ns"))
+        .withColumn("dur_ns", col("end_ns") - col("start_ns"))
+        .orderBy("user_id", "session_id")
+    }),
+
     // Semi-structured extraction — the JSON-path surface over the
     // props payload column (`get_json_object`, Jackson-backed and
     // codegen-friendly): extract a typed field from per-event JSON
@@ -479,6 +512,23 @@ object EventQueries {
          SELECT a.w_s, a.n, a.n - b.n AS rate
          FROM per a LEFT JOIN per b ON a.w_s = b.w_s + 1
          ORDER BY a.w_s LIMIT 500""",
+    "q88_sessions" ->
+      """WITH l AS (SELECT user_id, epoch_ns(ts) ts_ns,
+                 lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) prev
+               FROM events),
+          b AS (SELECT user_id, ts_ns,
+                 CASE WHEN prev IS NULL OR ts_ns - prev > 21600000000000 THEN 1 ELSE 0 END brk
+               FROM l),
+          s AS (SELECT user_id, ts_ns,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ns
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) session_id
+               FROM b)
+         SELECT user_id, CAST(session_id AS BIGINT) session_id,
+                CAST(count(*) AS BIGINT) n_events,
+                min(ts_ns) start_ns, max(ts_ns) end_ns,
+                max(ts_ns) - min(ts_ns) dur_ns
+         FROM s GROUP BY 1, 2
+         ORDER BY user_id, session_id""",
     "q68_json" ->
       """SELECT event_type, count(*) AS n,
                 CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

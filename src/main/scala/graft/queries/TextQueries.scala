@@ -448,6 +448,50 @@ object TextQueries {
         .limit(20)
     }),
 
+    // Boilerplate SCRUB — q47's census applied as sub-document
+    // dedup (the C4/RefinedWeb "remove repeated spans" op): any word
+    // covered by a 3-word span that ≥5 distinct docs share is
+    // removed, and the scrubbed text is pinned by md5. Two corpus
+    // passes, the optimum for a learned dictionary: (1) the q47
+    // census (span → doc count, map-side combined, vocab-of-spans
+    // sized); (2) a MAP-ONLY scrub — the frequent-span set is
+    // driver-collected (boilerplate dictionaries are small by
+    // definition; loud guard) and rides the plan as an IN-set
+    // (hashed InSet, codegen), so coverage is computed per row with
+    // no join at all. A huge dictionary would graduate to the q57
+    // note's Aho-Corasick kernel — same shape, still map-only.
+    "q89_boiler_scrub" -> ((s, d) => {
+      val freq = withWords(s, d)
+        .select(col("doc_id"),
+          explode(graft.Functions.word_shingles3(col("t"))).as("span"))
+        .groupBy("span").agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 5)
+        .select("span").collect().map(_.getString(0)).sorted
+      require(freq.length <= 10000,
+        s"boilerplate dictionary unexpectedly large (${freq.length}); " +
+          "use the Aho-Corasick kernel path instead of an IN-set literal")
+      // word at 0-based p is covered iff some frequent span starts at
+      // i ∈ [p-2, p] (and fits): the exists window is 3 wide, so the
+      // probe cost is O(1) per word regardless of document length
+      val covered =
+        if (freq.isEmpty) "false"
+        else {
+          val inList = freq.map(sp => s"'$sp'").mkString(",")
+          s"""exists(sequence(greatest(p - 2, 0), p), i ->
+              i + 3 <= size(words) AND concat_ws(' ',
+                element_at(words, i + 1), element_at(words, i + 2),
+                element_at(words, i + 3)) IN ($inList))"""
+        }
+      withWords(s, d)
+        .select(col("doc_id"), col("words"))
+        .withColumn("clean", expr(s"filter(words, (x, p) -> NOT ($covered))"))
+        .select(col("doc_id"),
+          size(col("words")).cast(LongType).as("n_words"),
+          (size(col("words")) - size(col("clean"))).cast(LongType).as("n_removed"),
+          md5(expr("array_join(clean, ' ')").cast(BinaryType)).as("scrub_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Document chunking — the sequence-windowing step before
     // tokenizer packing (pretraining) or embedding (RAG): 100-token
     // windows at stride 80 (20-token overlap), last window clipped.
@@ -902,6 +946,33 @@ object TextQueries {
                  (keep_exact AND not_eval AND decontam_ok
                    AND quality_ok AND rep_ok) AS kept
           FROM g ORDER BY doc_id""",
+    "q89_boiler_scrub" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+          w AS (SELECT doc_id, string_split(t, ' ') words FROM n),
+          sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words)-1),
+                   i -> array_to_string(words[i:i+2], ' '))) spans
+                 FROM w WHERE len(words) >= 3),
+          sx AS (SELECT doc_id, unnest(spans) span FROM sh),
+          f AS (SELECT span FROM sx GROUP BY span HAVING count(*) >= 5),
+          st AS (SELECT s.doc_id, s.i FROM
+                   (SELECT doc_id, words, unnest(range(1, len(words) - 1)) i FROM w) s
+                 WHERE array_to_string(s.words[s.i:s.i+2], ' ') IN (SELECT span FROM f)),
+          cov AS (SELECT DISTINCT st.doc_id, st.i + x.j p
+                  FROM st CROSS JOIN (VALUES (0), (1), (2)) x(j)),
+          wp AS (SELECT doc_id, unnest(list_transform(range(1, len(words) + 1),
+                   i -> {'p': i, 'w': words[i]})) pw FROM w),
+          wp2 AS (SELECT doc_id, pw.p p, pw.w w FROM wp),
+          kept AS (SELECT wp2.doc_id, wp2.p, wp2.w
+                   FROM wp2 LEFT JOIN cov ON cov.doc_id = wp2.doc_id AND cov.p = wp2.p
+                   WHERE cov.p IS NULL),
+          k AS (SELECT doc_id, count(*) n_kept,
+                  md5(string_agg(w, ' ' ORDER BY p)) s_md5 FROM kept GROUP BY 1),
+          base AS (SELECT doc_id, len(words) n_words FROM w)
+          SELECT b.doc_id, CAST(b.n_words AS BIGINT) n_words,
+                 CAST(b.n_words - coalesce(k.n_kept, 0) AS BIGINT) n_removed,
+                 coalesce(k.s_md5, md5('')) scrub_md5
+          FROM base b LEFT JOIN k USING (doc_id)
+          ORDER BY doc_id""",
     "q57_scrub" ->
       s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
           w AS (SELECT doc_id, string_split(t, ' ') words FROM n)

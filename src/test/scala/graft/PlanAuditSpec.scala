@@ -263,6 +263,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"sharded packing should shuffle exactly once:\n$p")
   }
 
+  test("q88 sessionization windows partition by user and reuse one exchange") {
+    val p = plan("q88_sessions")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"session window lost its user partitioning:\n$p")
+    // lag/brk/running-sum windows AND the session aggregate all key on
+    // user_id: one hash exchange serves the whole query
+    assert("Exchange hashpartitioning\\(user_id".r.findFirstIn(p).isDefined,
+      s"window exchange should key on user_id:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"sessionization should shuffle exactly once:\n$p")
+  }
+
+  test("q89 boilerplate scrub stays map-only with the dictionary as an IN-set") {
+    val p = plan("q89_boiler_scrub")
+    // census runs at construction; the returned plan is the scrub pass:
+    // no join, no shuffle — the learned dictionary rides the plan
+    assert(!p.contains("Join"), s"scrub pass joins instead of probing a literal:\n$p")
+    assert(!p.contains("hashpartitioning"), s"scrub plan shuffles:\n$p")
+  }
+
   test("q87 trained-BPE token counts: partial agg + top-k off the vocab barrier") {
     val p = plan("q87_bpe_tokens")
     // token frequencies aggregate the Barrier-materialized vocab symbol
