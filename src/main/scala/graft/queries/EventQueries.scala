@@ -344,6 +344,60 @@ object EventQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    // Ordered-step funnel — the conversion query every event store
+    // ships: of all users, how many ever VIEWed; of those, how many
+    // CLICKed strictly after their first view; of those, how many
+    // PURCHASEd strictly after that click. t2 depends on t1 (and t3
+    // on t2), so the steps are three stacked whole-partition window
+    // minima — all keyed on user_id, so the three Window operators
+    // AND the per-user collapse share ONE hash exchange (PlanAudit
+    // pin). Strictly-after uses exact (micro-truncated) integer
+    // nanoseconds: both engines compare identical values, so tie
+    // behavior is identical by construction. Scale: millions of
+    // small user partitions; the final count is a 1-row aggregate.
+    "q90_funnel" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("(ts_ns div 1000) * 1000").as("ts_ns"))
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts_ns"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts_ns") > col("t1"),
+            col("ts_ns"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("ts_ns") > col("t2"),
+            col("ts_ns"))).over(w))
+        .groupBy("user_id")
+        .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+          max(col("t3")).as("t3"))
+        .agg(count(lit(1)).as("n_users"),
+          count(col("t1")).as("n_view"),
+          count(col("t2")).as("n_click_after"),
+          count(col("t3")).as("n_purchase_after"))
+    }),
+
+    // Retention cohorts — the other canonical event-store reshape:
+    // users grouped by first-active day, counted on each later active
+    // day. Two exchanges, both narrow: (1) groupBy(user) with
+    // map-side-combined min + collect_set — the per-user day set is
+    // bounded by CALENDAR DAYS, not events, so state stays tiny at
+    // any corpus size; (2) the (cohort, offset) count, whose key
+    // space is days². Because (user, day) is distinct after pass 1,
+    // count(*) IS distinct users — no countDistinct expansion.
+    "q91_retention" -> ((s, d) => {
+      val usDay = 86400000000L // microseconds per day
+      Tables.events(s, d)
+        .select(col("user_id"), expr(s"(ts_ns div 1000) div $usDay").as("day"))
+        .groupBy("user_id")
+        .agg(min(col("day")).as("cohort"), collect_set(col("day")).as("days"))
+        .select(col("cohort"), explode(col("days")).as("day"))
+        .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_off"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort", "day_off")
+    }),
+
     // Semi-structured extraction — the JSON-path surface over the
     // props payload column (`get_json_object`, Jackson-backed and
     // codegen-friendly): extract a typed field from per-event JSON
@@ -529,6 +583,32 @@ object EventQueries {
                 max(ts_ns) - min(ts_ns) dur_ns
          FROM s GROUP BY 1, 2
          ORDER BY user_id, session_id""",
+    "q90_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) ts_ns FROM events),
+          s1 AS (SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts_ns END) t1
+                 FROM e GROUP BY 1),
+          s2 AS (SELECT e.user_id,
+                   min(CASE WHEN event_type = 'click' AND ts_ns > t1
+                       THEN ts_ns END) t2
+                 FROM e JOIN s1 USING (user_id) GROUP BY 1),
+          s3 AS (SELECT e.user_id,
+                   min(CASE WHEN event_type = 'purchase' AND ts_ns > t2
+                       THEN ts_ns END) t3
+                 FROM e JOIN s2 USING (user_id) GROUP BY 1)
+         SELECT CAST(count(*) AS BIGINT) n_users,
+                CAST(count(t1) AS BIGINT) n_view,
+                CAST(count(t2) AS BIGINT) n_click_after,
+                CAST(count(t3) AS BIGINT) n_purchase_after
+         FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)""",
+    "q91_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+                      epoch_us(ts) // 86400000000 AS day FROM events),
+          c AS (SELECT user_id, min(day) cohort FROM d GROUP BY 1)
+         SELECT c.cohort, d.day - c.cohort AS day_off,
+                CAST(count(*) AS BIGINT) n_users
+         FROM d JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q68_json" ->
       """SELECT event_type, count(*) AS n,
                 CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -275,6 +275,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"sessionization should shuffle exactly once:\n$p")
   }
 
+  test("q90 funnel: three step windows and the user collapse share one exchange") {
+    val p = plan("q90_funnel")
+    assert("Exchange hashpartitioning\\(user_id".r.findFirstIn(p).isDefined,
+      s"funnel windows should key on user_id:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"funnel should hash-shuffle exactly once (t1/t2/t3 windows + " +
+        s"per-user collapse all on user_id):\n$p")
+  }
+
+  test("q91 retention: per-user day sets collapse before the cohort count") {
+    val p = plan("q91_retention")
+    // pass 1 keys on user_id (map-side-combined collect_set), pass 2 on
+    // (cohort, day_off) — two hash exchanges, nothing else
+    assert("Exchange hashpartitioning\\(user_id".r.findFirstIn(p).isDefined,
+      s"retention pass 1 should key on user_id:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
+      s"retention should hash-shuffle exactly twice:\n$p")
+    assert(!p.contains("Join"), s"retention should not join:\n$p")
+  }
+
   test("q89 boilerplate scrub stays map-only with the dictionary as an IN-set") {
     val p = plan("q89_boiler_scrub")
     // census runs at construction; the returned plan is the scrub pass:
