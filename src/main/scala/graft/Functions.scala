@@ -146,6 +146,13 @@ object Functions {
   def word_shingles(t: Column, k: Int): Column =
     Shims.column(graft.functions.WordShinglesK(Shims.expression(t), k))
 
+  /** Mergeable fixed-width histogram sketch (see [[graft.functions.HistAgg]]):
+    * constant nbins-long state per group, the 100 TB path for per-group
+    * distribution stats where exact rank-select (q56) would sort. */
+  def hist_agg(v: Column, lo: Long, hi: Long, nbins: Int): Column =
+    Shims.column(graft.functions.HistAgg(Shims.expression(v), lo, hi, nbins)
+      .toAggregateExpression())
+
   import org.apache.spark.sql.catalyst.expressions.Expression
 
   /** Extract a foldable integer literal argument (k, capacity, bits). */
@@ -153,6 +160,15 @@ object Functions {
     scala.util.Try(e.eval()).toOption match {
       case Some(i: Int) => i
       case Some(l: Long) => l.toInt
+      case _ => throw new IllegalArgumentException(
+        s"$fn $what must be an integer literal, got: $e")
+    }
+
+  /** Extract a foldable long literal argument (histogram bounds). */
+  private def longLit(fn: String, what: String)(e: Expression): Long =
+    scala.util.Try(e.eval()).toOption match {
+      case Some(i: Int) => i.toLong
+      case Some(l: Long) => l
       case _ => throw new IllegalArgumentException(
         s"$fn $what must be an integer literal, got: $e")
     }
@@ -205,7 +221,13 @@ object Functions {
     // misra_gries(w, 4000): capacity must be a foldable integer literal
     "misra_gries" -> (exprs =>
       graft.functions.MisraGries(exprs(0),
-        intLit("misra_gries", "capacity")(exprs(1))).toAggregateExpression())
+        intLit("misra_gries", "capacity")(exprs(1))).toAggregateExpression()),
+    // hist_agg(v, lo, hi, nbins): bounds/bins must be integer literals
+    "hist_agg" -> (exprs =>
+      graft.functions.HistAgg(exprs(0),
+        longLit("hist_agg", "lo")(exprs(1)),
+        longLit("hist_agg", "hi")(exprs(2)),
+        intLit("hist_agg", "nbins")(exprs(3))).toAggregateExpression())
   )
 
   def register(spark: SparkSession): Unit = {

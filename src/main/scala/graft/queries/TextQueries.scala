@@ -694,6 +694,37 @@ object TextQueries {
     // shuffle except the presentation ORDER BY); at 100 TB the rates
     // come from a broadcast mixing table keyed by (lang, source,
     // quality bucket) instead of a CASE.
+    // Distribution sketch — per-lang length quantiles off the
+    // `hist_agg` mergeable fixed-width histogram (64 buckets × 16
+    // chars over [0, 1024)). This is q56's 100 TB alternative: exact
+    // rank-select sorts every stratum; the sketch reduces each group
+    // to 64 longs of ASSOCIATIVE integer state (map-side combined,
+    // partition-order independent — bit-identical by construction),
+    // and quantiles read the cumulative histogram with bucket-width
+    // error: smallest bucket whose running count reaches ceil(q·N),
+    // quoted at the bucket's upper bound. All integer arithmetic,
+    // replayed exactly by the oracle's width-bucket GROUP BY + running
+    // sum; the full histogram rides the row as an md5 pin.
+    "q92_hist" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(graft.Functions.hist_agg(col("n_chars"), 0L, 1024L, 64).as("hist"))
+        .withColumn("n", expr("aggregate(hist, 0L, (a, x) -> a + x)"))
+        .withColumn("b50", expr(
+          """array_min(filter(sequence(0, 63), b ->
+             aggregate(slice(hist, 1, b + 1), 0L, (a, x) -> a + x)
+               >= (n + 1) div 2))"""))
+        .withColumn("b90", expr(
+          """array_min(filter(sequence(0, 63), b ->
+             aggregate(slice(hist, 1, b + 1), 0L, (a, x) -> a + x)
+               >= (9 * n + 9) div 10))"""))
+        .select(col("lang"), col("n"),
+          ((col("b50") + 1) * 16).cast(LongType).as("est_p50"),
+          ((col("b90") + 1) * 16).cast(LongType).as("est_p90"),
+          md5(expr("array_join(hist, ',')").cast(BinaryType)).as("hist_md5"))
+        .orderBy("lang")
+    }),
+
     "q41_sample" -> ((s, d) => {
       val gate = expr(
         "pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint), 100)")
@@ -989,6 +1020,31 @@ object TextQueries {
              FROM documents)
          SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
          FROM r WHERE rk <= 20 ORDER BY doc_id""",
+    "q92_hist" ->
+      """WITH h AS (SELECT lang,
+                      least(greatest(n_chars, 0) // 16, 63) AS b
+                    FROM documents),
+          cnt AS (SELECT lang, b, count(*) n FROM h GROUP BY 1, 2),
+          grid AS (SELECT l.lang, r.range AS b
+                   FROM (SELECT DISTINCT lang FROM documents) l
+                   CROSS JOIN range(0, 64) r),
+          f AS (SELECT g.lang, g.b, coalesce(c.n, 0) AS n
+                FROM grid g LEFT JOIN cnt c ON c.lang = g.lang AND c.b = g.b),
+          cum AS (SELECT lang, b, n,
+                    sum(n) OVER (PARTITION BY lang ORDER BY b) cumn,
+                    sum(n) OVER (PARTITION BY lang) tot
+                  FROM f),
+          q AS (SELECT lang,
+                  min(CASE WHEN cumn >= (tot + 1) // 2 THEN b END) b50,
+                  min(CASE WHEN cumn >= (9 * tot + 9) // 10 THEN b END) b90,
+                  max(tot) tot_n,
+                  md5(string_agg(CAST(n AS VARCHAR), ',' ORDER BY b)) hist_md5
+                FROM cum GROUP BY 1)
+         SELECT lang, CAST(tot_n AS BIGINT) n,
+                CAST((b50 + 1) * 16 AS BIGINT) est_p50,
+                CAST((b90 + 1) * 16 AS BIGINT) est_p90,
+                hist_md5
+         FROM q ORDER BY lang""",
     "q41_sample" ->
       """SELECT doc_id, lang,
                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS hb

@@ -275,6 +275,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"sessionization should shuffle exactly once:\n$p")
   }
 
+  test("q92 histogram sketch: one lang exchange with map-side partial sketches") {
+    val p = plan("q92_hist")
+    // hist_agg is a TypedImperativeAggregate: partial sketches build
+    // map-side (ObjectHashAggregate x2 around one lang exchange), so
+    // the shuffle carries 64-long states, never rows
+    assert(p.contains("ObjectHashAggregate"),
+      s"hist_agg should plan as an object hash aggregate:\n$p")
+    assert("Exchange hashpartitioning\\(lang".r.findFirstIn(p).isDefined,
+      s"sketch exchange should key on lang:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"histogram sketch should shuffle exactly once:\n$p")
+    assert(!p.contains("Join"), s"sketch quantiles should not join:\n$p")
+  }
+
   test("q90 funnel: three step windows and the user collapse share one exchange") {
     val p = plan("q90_funnel")
     assert("Exchange hashpartitioning\\(user_id".r.findFirstIn(p).isDefined,
