@@ -146,6 +146,12 @@ object Functions {
   def word_shingles(t: Column, k: Int): Column =
     Shims.column(graft.functions.WordShinglesK(Shims.expression(t), k))
 
+  /** Morton (Z-order) clustering key (see [[graft.functions.ZOrder2]]):
+    * sort or repartitionByRange by this before a parquet write to get
+    * min/max page pruning on BOTH dimensions. */
+  def zorder2(a: Column, b: Column): Column =
+    Shims.column(graft.functions.ZOrder2(Shims.expression(a), Shims.expression(b)))
+
   /** Mergeable fixed-width histogram sketch (see [[graft.functions.HistAgg]]):
     * constant nbins-long state per group, the 100 TB path for per-group
     * distribution stats where exact rank-select (q56) would sort. */
@@ -222,6 +228,7 @@ object Functions {
     "misra_gries" -> (exprs =>
       graft.functions.MisraGries(exprs(0),
         intLit("misra_gries", "capacity")(exprs(1))).toAggregateExpression()),
+    "zorder2" -> (exprs => graft.functions.ZOrder2(exprs(0), exprs(1))),
     // hist_agg(v, lo, hi, nbins): bounds/bins must be integer literals
     "hist_agg" -> (exprs =>
       graft.functions.HistAgg(exprs(0),

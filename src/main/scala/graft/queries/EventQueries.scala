@@ -398,6 +398,28 @@ object EventQueries {
         .orderBy("cohort", "day_off")
     }),
 
+    // Z-order layout audit — the data-layout operator for 100 TB
+    // scans: `zorder2` interleaves (user bucket, day) into a Morton
+    // key, and sorting the write by it co-locates rows close in BOTH
+    // dimensions, so parquet min/max page stats prune predicates on
+    // either column (a lexicographic sort serves only its leading
+    // column). The audit groups by 8×8 z-tile (zkey div 64 — the low
+    // 6 bits encode x%8, y%8) and emits each tile's bounding box:
+    // every box is provably ≤ 8×8, the locality the layout buys.
+    // Map-only key computation (native codegen expression), one
+    // tile-keyed aggregate exchange.
+    "q93_zorder" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(expr("pmod(user_id, 1024)").as("x"),
+          expr("((ts_ns div 1000) div 86400000000) % 1024").as("y"))
+        .withColumn("zkey", graft.Functions.zorder2(col("x"), col("y")))
+        .groupBy(expr("zkey div 64").as("tile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy("tile")
+    }),
+
     // Semi-structured extraction — the JSON-path surface over the
     // props payload column (`get_json_object`, Jackson-backed and
     // codegen-friendly): extract a typed field from per-event JSON
@@ -609,6 +631,20 @@ object EventQueries {
                 CAST(count(*) AS BIGINT) n_users
          FROM d JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q93_zorder" ->
+      """WITH e AS (SELECT user_id % 1024 AS x,
+                      (epoch_us(ts) // 86400000000) % 1024 AS y
+                    FROM events),
+          z AS (SELECT x, y,
+                  CAST(list_sum(list_transform(range(0, 31), i ->
+                    ((x >> i) & 1) * (1::BIGINT << (2 * i))
+                    + ((y >> i) & 1) * (1::BIGINT << (2 * i + 1))))
+                  AS BIGINT) AS zkey
+                FROM e)
+         SELECT zkey // 64 AS tile, CAST(count(*) AS BIGINT) n,
+                min(x) AS min_x, max(x) AS max_x,
+                min(y) AS min_y, max(y) AS max_y
+         FROM z GROUP BY 1 ORDER BY 1""",
     "q68_json" ->
       """SELECT event_type, count(*) AS n,
                 CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

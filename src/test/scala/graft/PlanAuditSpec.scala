@@ -289,6 +289,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"sketch quantiles should not join:\n$p")
   }
 
+  test("q93 z-order key computes map-side before the tile exchange") {
+    val p = plan("q93_zorder")
+    // the key is a Project below the partial aggregate: computed at the
+    // scan, codegen-capable (ZOrder2 defines doGenCode), never shuffled raw
+    assert(p.contains("zorder2("), s"native zorder2 missing from plan:\n$p")
+    assert(p.indexOf("zorder2(") > p.indexOf("partial_count"),
+      s"zorder2 should sit below the partial aggregate (map-side):\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"tile audit should shuffle exactly once (pre-aggregated tiles):\n$p")
+    assert(!p.contains("Join"), s"tile audit should not join:\n$p")
+  }
+
   test("q90 funnel: three step windows and the user collapse share one exchange") {
     val p = plan("q90_funnel")
     assert("Exchange hashpartitioning\\(user_id".r.findFirstIn(p).isDefined,
