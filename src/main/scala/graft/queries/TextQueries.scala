@@ -694,6 +694,29 @@ object TextQueries {
     // shuffle except the presentation ORDER BY); at 100 TB the rates
     // come from a broadcast mixing table keyed by (lang, source,
     // quality bucket) instead of a CASE.
+    // Inverted index — the retrieval-side build every search/RAG
+    // stack needs: term → sorted posting list of documents. The big
+    // shuffle is (term, doc_id) pairs — term-partitioned, which IS
+    // the posting layout at scale (each reducer owns a term range =
+    // an index segment; `Bucketing.writeBucketed` on term persists it
+    // exchange-free for lookups). Stopword-scale terms are excluded
+    // by a df window (capped at 500 here), which also bounds every posting
+    // list the query materializes; a full-scale build caps or
+    // block-compresses postings the same way. Posting lists are
+    // pinned by md5 of the ascending doc-id join, not just counted.
+    "q94_index" -> ((s, d) => {
+      withWords(s, d)
+        .select(col("doc_id"), explode(array_distinct(col("words"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          md5(expr("array_join(array_sort(collect_list(doc_id)), ',')")
+            .cast(BinaryType)).as("postings_md5"))
+        .filter(col("df").between(5, 500))
+        .orderBy(desc("df"), col("term"))
+        .limit(30)
+    }),
+
     // Distribution sketch — per-lang length quantiles off the
     // `hist_agg` mergeable fixed-width histogram (64 buckets × 16
     // chars over [0, 1024)). This is q56's 100 TB alternative: exact
@@ -1020,6 +1043,18 @@ object TextQueries {
              FROM documents)
          SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
          FROM r WHERE rk <= 20 ORDER BY doc_id""",
+    "q94_index" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+          w AS (SELECT doc_id,
+                  unnest(list_distinct(string_split(t, ' '))) AS term
+                FROM n),
+          p AS (SELECT term, count(*) df,
+                  md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                    ORDER BY doc_id)) postings_md5
+                FROM w WHERE term <> '' GROUP BY 1)
+         SELECT term, CAST(df AS BIGINT) df, postings_md5
+         FROM p WHERE df BETWEEN 5 AND 500
+         ORDER BY df DESC, term LIMIT 30""",
     "q92_hist" ->
       """WITH h AS (SELECT lang,
                       least(greatest(n_chars, 0) // 16, 63) AS b

@@ -275,6 +275,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"sessionization should shuffle exactly once:\n$p")
   }
 
+  test("q94 inverted index: one term-partitioned exchange, top-k without a global sort") {
+    val p = plan("q94_index")
+    assert("Exchange hashpartitioning\\(term".r.findFirstIn(p).isDefined,
+      s"posting build should partition by term:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"posting build should shuffle exactly once:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"df top-30 should be a take-ordered, not a global sort:\n$p")
+    assert(!p.contains("Join"), s"index build should not join:\n$p")
+  }
+
   test("q92 histogram sketch: one lang exchange with map-side partial sketches") {
     val p = plan("q92_hist")
     // hist_agg is a TypedImperativeAggregate: partial sketches build
