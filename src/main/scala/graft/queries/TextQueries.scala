@@ -694,6 +694,39 @@ object TextQueries {
     // shuffle except the presentation ORDER BY); at 100 TB the rates
     // come from a broadcast mixing table keyed by (lang, source,
     // quality bucket) instead of a CASE.
+    // Temperature mixture sampling — the multilingual rebalancing
+    // step (XLM-R style): target share ∝ n_l^α with α = 0.5, achieved
+    // by DOWNsampling via rate_l = sqrt(n_min / n_l) (the smallest
+    // language keeps everything; dominant languages shrink toward
+    // balance). Unlike q41's fixed mixing table, the rates are
+    // COMPUTED from corpus statistics: pass 1 is a languages-sized
+    // aggregate, the rate table broadcasts, and the gate is the
+    // md5-ppm hash — deterministic, so the oracle replays the exact
+    // keep set. Float surface is one IEEE divide + sqrt + floor per
+    // LANGUAGE (not per row) — engine-identical by IEEE semantics.
+    "q95_temp_sample" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .groupBy("lang").agg(count(lit(1)).as("n_l"))
+      val nmin = Tables.documents(s, d)
+        .groupBy("lang").agg(count(lit(1)).as("nl2"))
+        .agg(min(col("nl2")).as("n_min"))
+      val rates = counts.crossJoin(broadcast(nmin))
+        .withColumn("ppm",
+          floor(lit(1e6) * sqrt(col("n_min").cast(DoubleType) / col("n_l")))
+            .cast(LongType))
+        .select(col("lang"), col("n_l"), col("ppm"))
+      val gate = expr("pmod(cast(conv(substring(md5(cast(doc_id as string)), " +
+        "1, 15), 16, 10) as bigint), 1000000)")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"))
+        .join(broadcast(rates), Seq("lang"))
+        .withColumn("hb", gate)
+        .groupBy("lang")
+        .agg(max(col("n_l")).as("n_total"), max(col("ppm")).as("rate_ppm"),
+          sum(when(col("hb") < col("ppm"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("lang")
+    }),
+
     // Inverted index — the retrieval-side build every search/RAG
     // stack needs: term → sorted posting list of documents. The big
     // shuffle is (term, doc_id) pairs — term-partitioned, which IS
@@ -1043,6 +1076,22 @@ object TextQueries {
              FROM documents)
          SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
          FROM r WHERE rk <= 20 ORDER BY doc_id""",
+    "q95_temp_sample" ->
+      """WITH c AS (SELECT lang, count(*) n_l FROM documents GROUP BY 1),
+          r AS (SELECT lang, n_l,
+                  CAST(floor(1e6 * sqrt(
+                    CAST((SELECT min(n_l) FROM c) AS DOUBLE) / n_l))
+                  AS BIGINT) ppm
+                FROM c),
+          k AS (SELECT d.lang, count(*) n_kept
+                FROM documents d JOIN r ON d.lang = r.lang
+                WHERE CAST(concat('0x',
+                    substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % 1000000 < r.ppm
+                GROUP BY 1)
+         SELECT r.lang, CAST(r.n_l AS BIGINT) n_total, r.ppm AS rate_ppm,
+                CAST(coalesce(k.n_kept, 0) AS BIGINT) n_kept
+         FROM r LEFT JOIN k USING (lang) ORDER BY r.lang""",
     "q94_index" ->
       s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
           w AS (SELECT doc_id,

@@ -275,6 +275,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"sessionization should shuffle exactly once:\n$p")
   }
 
+  test("q95 temperature sampling: rate table broadcasts, corpus never sort-merges") {
+    val p = plan("q95_temp_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the languages-sized rate table should broadcast onto the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the rate join:\n$p")
+  }
+
   test("q94 inverted index: one term-partitioned exchange, top-k without a global sort") {
     val p = plan("q94_index")
     assert("Exchange hashpartitioning\\(term".r.findFirstIn(p).isDefined,
