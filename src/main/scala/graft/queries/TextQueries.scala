@@ -694,6 +694,48 @@ object TextQueries {
     // shuffle except the presentation ORDER BY); at 100 TB the rates
     // come from a broadcast mixing table keyed by (lang, source,
     // quality bucket) instead of a CASE.
+    // BM25 retrieval scoring — the ranking half of the q94 index
+    // story: Okapi BM25 (k1 = 1.2, b = 0.75) for the query
+    // {vector, scan, dup} over the corpus. The idf uses Robertson's
+    // RAW RATIO (N − df + 0.5)/(df + 0.5) rather than its log: every
+    // arithmetic op in the score is then IEEE-exact (+,−,×,÷ are
+    // correctly rounded; ln is not), so scores are bit-identical
+    // across engines with a FIXED fold order ((s1 + s2) + s3) —
+    // the q84 float-determinism discipline. Corpus stats (N, Σdl,
+    // per-term df) come from ONE auxiliary aggregate that broadcasts
+    // as a single row; scoring is map-only over the scan and top-20
+    // is a TakeOrderedAndProject. At 100 TB the stats row is a
+    // pre-computed index artifact and scoring composes with q94's
+    // postings to visit only matching docs.
+    "q96_bm25" -> ((s, d) => {
+      val terms = Seq("vector", "scan", "dup")
+      def tfOf(t: String) = s"size(filter(words, w -> w = '$t'))"
+      val statsAgg = withWords(s, d)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("words"))).as("sum_dl") +:
+            terms.zipWithIndex.map { case (t, i) =>
+              sum(when(expr(tfOf(t)) > 0, 1L).otherwise(0L)).as(s"df$i")
+            }: _*)
+      val scored = withWords(s, d)
+        .select(col("doc_id"), col("words"))
+        .crossJoin(broadcast(statsAgg))
+        .withColumn("dl", size(col("words")))
+        .withColumn("avgdl", expr("cast(sum_dl as double) / n_docs"))
+      val withScores = terms.zipWithIndex.foldLeft(scored) { case (df, (t, i)) =>
+        df.withColumn(s"s$i", expr(
+          s"""(((n_docs - df$i) + 0.5d) / (df$i + 0.5d))
+              * ((${tfOf(t)} * 2.2d)
+                 / (${tfOf(t)} + 1.2d * (0.25d + 0.75d
+                    * (cast(dl as double) / avgdl))))"""))
+      }
+      withScores
+        .select(col("doc_id"),
+          expr("(s0 + s1) + s2").as("score"))
+        .filter(col("score") > 0d)
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(20)
+    }),
+
     // Temperature mixture sampling — the multilingual rebalancing
     // step (XLM-R style): target share ∝ n_l^α with α = 0.5, achieved
     // by DOWNsampling via rate_l = sqrt(n_min / n_l) (the smallest
@@ -1076,6 +1118,33 @@ object TextQueries {
              FROM documents)
          SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
          FROM r WHERE rk <= 20 ORDER BY doc_id""",
+    "q96_bm25" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+          w AS (SELECT doc_id, string_split(t, ' ') words FROM n),
+          tf AS (SELECT doc_id, len(words) dl,
+                   len(list_filter(words, x -> x = 'vector')) tf0,
+                   len(list_filter(words, x -> x = 'scan')) tf1,
+                   len(list_filter(words, x -> x = 'dup')) tf2
+                 FROM w),
+          st AS (SELECT count(*) n_docs, sum(dl) sum_dl,
+                   sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) df0,
+                   sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) df1,
+                   sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) df2
+                 FROM tf),
+          sc AS (SELECT doc_id,
+                   (((n_docs - df0) + 0.5) / (df0 + 0.5))
+                     * ((tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75
+                        * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))) s0,
+                   (((n_docs - df1) + 0.5) / (df1 + 0.5))
+                     * ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75
+                        * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))) s1,
+                   (((n_docs - df2) + 0.5) / (df2 + 0.5))
+                     * ((tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75
+                        * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))) s2
+                 FROM tf CROSS JOIN st)
+         SELECT doc_id, (s0 + s1) + s2 AS score
+         FROM sc WHERE (s0 + s1) + s2 > 0
+         ORDER BY score DESC, doc_id LIMIT 20""",
     "q95_temp_sample" ->
       """WITH c AS (SELECT lang, count(*) n_l FROM documents GROUP BY 1),
           r AS (SELECT lang, n_l,

@@ -55,7 +55,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q16_topk", "q22_ann", "q40_ivf", "q49_qann", "q58_fann", "q69_pqann",
       "q70_ivfpq", "q72_ivf_trained", "q75_knn", "q77_recall",
       "q81_batch_recall", // exact arm = corpus × broadcast 5-row query table
-      "q82_media_ann") // broadcast 1-row media query vector
+      "q82_media_ann", // broadcast 1-row media query vector
+      "q95_temp_sample", // languages-sized counts × broadcast 1-row n_min
+      "q96_bm25") // broadcast 1-row corpus-stats frame (N, Σdl, dfs)
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
@@ -273,6 +275,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"window exchange should key on user_id:\n$p")
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
       s"sessionization should shuffle exactly once:\n$p")
+  }
+
+  test("q96 BM25: stats broadcast once, scoring map-only, top-k take-ordered") {
+    val p = plan("q96_bm25")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"1-row stats frame should broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 should be a take-ordered, not a global sort:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("hashpartitioning"),
+      s"scoring must not shuffle the corpus:\n$p")
   }
 
   test("q95 temperature sampling: rate table broadcasts, corpus never sort-merges") {
