@@ -398,6 +398,48 @@ object EventQueries {
         .orderBy("cohort", "day_off")
     }),
 
+    // PageRank centrality — iterative graph compute beyond connected
+    // components (q51), over the user–day bipartite activity graph
+    // (the user-item shape recsys curation ranks): node = user or
+    // day (+2e6 offset), edge = "user active that day". EXACT
+    // INTEGER iteration in the KMeans/Bpe discipline: ranks are ppm
+    // longs, contribution = r div deg (integer floor), update =
+    // 150000 + (850·Σ) div 1000 — sums of longs are commutative, so
+    // the fixpoint is bit-identical under any partitioning and the
+    // oracle replays all 3 rounds as unrolled CTEs. Scale shape:
+    // shuffles carry only (long, long) pairs; each round is one
+    // join + one partial-agg'd sum keyed on node id; Barrier
+    // truncates lineage per round (the q51 pattern). Isolated nodes
+    // never arise (every node in the graph has degree ≥ 1).
+    "q97_pagerank" -> ((s, d) => {
+      val dpairs = Tables.events(s, d)
+        .select(col("user_id").as("u"),
+          (expr("(ts_ns div 1000) div 86400000000") + 2000000L).as("v"))
+        .distinct()
+      val edges = graft.ops.Barrier(
+        dpairs.select(col("u").as("a"), col("v").as("b"))
+          .union(dpairs.select(col("v").as("a"), col("u").as("b"))))
+      val deg = graft.ops.Barrier(
+        edges.groupBy("a").agg(count(lit(1)).as("dg")))
+      var r = deg.select(col("a").as("node"), lit(1000000L).as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(r.withColumnRenamed("node", "a"), Seq("a"))
+          .join(deg, Seq("a"))
+          .select(col("b"), expr("r div dg").as("c"))
+          .groupBy("b").agg(sum(col("c")).as("s"))
+        r = graft.ops.Barrier(
+          deg.select(col("a").as("node"))
+            .join(contrib.withColumnRenamed("b", "node"), Seq("node"), "left")
+            .select(col("node"),
+              (lit(150000L) + expr("(850 * coalesce(s, 0L)) div 1000")).as("r")))
+      }
+      r.select(col("node"),
+          when(col("node") < 2000000L, "user").otherwise("day").as("kind"),
+          col("r").as("rank_ppm"))
+        .orderBy(desc("rank_ppm"), col("node")).limit(20)
+    }),
+
     // Z-order layout audit — the data-layout operator for 100 TB
     // scans: `zorder2` interleaves (user bucket, day) into a Morton
     // key, and sorting the write by it co-locates rows close in BOTH
@@ -631,6 +673,36 @@ object EventQueries {
                 CAST(count(*) AS BIGINT) n_users
          FROM d JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q97_pagerank" ->
+      """WITH d AS (SELECT DISTINCT user_id AS u,
+                      (epoch_us(ts) // 86400000000) + 2000000 AS v
+                    FROM events),
+          e AS (SELECT u AS a, v AS b FROM d
+                UNION ALL SELECT v, u FROM d),
+          deg AS (SELECT a, count(*) dg FROM e GROUP BY 1),
+          r0 AS (SELECT a AS node, CAST(1000000 AS BIGINT) r FROM deg),
+          c1 AS (SELECT e.b AS node, sum(r0.r // deg.dg) s
+                 FROM e JOIN r0 ON e.a = r0.node JOIN deg ON e.a = deg.a
+                 GROUP BY 1),
+          r1 AS (SELECT deg.a AS node,
+                   CAST(150000 + (850 * coalesce(c1.s, 0)) // 1000 AS BIGINT) r
+                 FROM deg LEFT JOIN c1 ON deg.a = c1.node),
+          c2 AS (SELECT e.b AS node, sum(r1.r // deg.dg) s
+                 FROM e JOIN r1 ON e.a = r1.node JOIN deg ON e.a = deg.a
+                 GROUP BY 1),
+          r2 AS (SELECT deg.a AS node,
+                   CAST(150000 + (850 * coalesce(c2.s, 0)) // 1000 AS BIGINT) r
+                 FROM deg LEFT JOIN c2 ON deg.a = c2.node),
+          c3 AS (SELECT e.b AS node, sum(r2.r // deg.dg) s
+                 FROM e JOIN r2 ON e.a = r2.node JOIN deg ON e.a = deg.a
+                 GROUP BY 1),
+          r3 AS (SELECT deg.a AS node,
+                   CAST(150000 + (850 * coalesce(c3.s, 0)) // 1000 AS BIGINT) r
+                 FROM deg LEFT JOIN c3 ON deg.a = c3.node)
+         SELECT node,
+                CASE WHEN node < 2000000 THEN 'user' ELSE 'day' END AS kind,
+                r AS rank_ppm
+         FROM r3 ORDER BY rank_ppm DESC, node LIMIT 20""",
     "q93_zorder" ->
       """WITH e AS (SELECT user_id % 1024 AS x,
                       (epoch_us(ts) // 86400000000) % 1024 AS y

@@ -277,6 +277,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"sessionization should shuffle exactly once:\n$p")
   }
 
+  test("q97 PageRank: rounds are Barrier-materialized, final top-k take-ordered") {
+    val p = plan("q97_pagerank")
+    // each round ends in a Barrier (localCheckpoint), so the returned
+    // plan reads the round-3 ranks from checkpointed blocks — the q51
+    // iterative shape — and ranks with a take-ordered, no global sort
+    assert(p.contains("TakeOrderedAndProject"),
+      s"rank top-20 should be a take-ordered:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      s"round-3 ranks should come from the materialization barrier:\n$p")
+  }
+
   test("q96 BM25: stats broadcast once, scoring map-only, top-k take-ordered") {
     val p = plan("q96_bm25")
     assert(p.contains("BroadcastNestedLoopJoin"),
