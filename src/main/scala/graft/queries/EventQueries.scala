@@ -398,6 +398,37 @@ object EventQueries {
         .orderBy("cohort", "day_off")
     }),
 
+    // Volume anomaly detection — the monitoring gate the reference's
+    // slow-consumer detector (O4) generalizes to: flag days whose
+    // event count deviates more than 2σ from the mean. The z-score
+    // test runs EXACTLY: (x − μ)² > k²σ² cross-multiplies to
+    // (m·x − S1)² > k²·(m·S2 − S1²) — pure integer algebra, no float
+    // σ. Operands are cast to DECIMAL(38,0) BEFORE multiplying (the
+    // squares overflow Long at 100 TB daily volumes: (365·1e12)² ≈
+    // 1e29; DECIMAL(38,0) and the oracle's HUGEINT both hold it).
+    // Stats are a days-sized aggregate broadcast as one row; the flag
+    // is map-only over the daily rollup.
+    "q98_anomaly" -> ((s, d) => {
+      def daily = Tables.events(s, d)
+        .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val stats = Tables.events(s, d)
+        .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("m"), sum(col("n")).as("s1"),
+          sum(col("n") * col("n")).as("s2"))
+      daily.crossJoin(broadcast(stats))
+        .withColumn("dev", expr(
+          "cast(m as decimal(38,0)) * cast(n as decimal(38,0)) " +
+            "- cast(s1 as decimal(38,0))"))
+        .withColumn("var_m2", expr(
+          "cast(m as decimal(38,0)) * cast(s2 as decimal(38,0)) " +
+            "- cast(s1 as decimal(38,0)) * cast(s1 as decimal(38,0))"))
+        .select(col("day"), col("n").as("n_events"),
+          (col("dev") * col("dev") > lit(4) * col("var_m2")).as("is_anom"))
+        .orderBy("day")
+    }),
+
     // PageRank centrality — iterative graph compute beyond connected
     // components (q51), over the user–day bipartite activity graph
     // (the user-item shape recsys curation ranks): node = user or
@@ -673,6 +704,15 @@ object EventQueries {
                 CAST(count(*) AS BIGINT) n_users
          FROM d JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q98_anomaly" ->
+      """WITH daily AS (SELECT (epoch_us(ts) // 86400000000) AS day, count(*) n
+                        FROM events GROUP BY 1),
+          st AS (SELECT count(*) m, sum(n) s1, sum(n * n) s2 FROM daily)
+         SELECT day, CAST(n AS BIGINT) n_events,
+                (CAST(m AS HUGEINT) * n - s1) * (CAST(m AS HUGEINT) * n - s1)
+                  > 4 * (CAST(m AS HUGEINT) * s2
+                         - CAST(s1 AS HUGEINT) * s1) AS is_anom
+         FROM daily CROSS JOIN st ORDER BY day""",
     "q97_pagerank" ->
       """WITH d AS (SELECT DISTINCT user_id AS u,
                       (epoch_us(ts) // 86400000000) + 2000000 AS v

@@ -57,7 +57,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q81_batch_recall", // exact arm = corpus × broadcast 5-row query table
       "q82_media_ann", // broadcast 1-row media query vector
       "q95_temp_sample", // languages-sized counts × broadcast 1-row n_min
-      "q96_bm25") // broadcast 1-row corpus-stats frame (N, Σdl, dfs)
+      "q96_bm25", // broadcast 1-row corpus-stats frame (N, Σdl, dfs)
+      "q98_anomaly") // days-sized rollup × broadcast 1-row (m, S1, S2)
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
@@ -275,6 +276,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"window exchange should key on user_id:\n$p")
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
       s"sessionization should shuffle exactly once:\n$p")
+  }
+
+  test("q98 anomaly gate: stats broadcast, flag map-only over the daily rollup") {
+    val p = plan("q98_anomaly")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"1-row stats frame should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"daily rollup must not shuffle for the stats join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"only the two day rollups should shuffle:\n$p")
   }
 
   test("q97 PageRank: rounds are Barrier-materialized, final top-k take-ordered") {
