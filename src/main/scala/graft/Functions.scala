@@ -146,6 +146,13 @@ object Functions {
   def word_shingles(t: Column, k: Int): Column =
     Shims.column(graft.functions.WordShinglesK(Shims.expression(t), k))
 
+  /** One-pass multi-pattern occurrence count over a compiled
+    * Aho-Corasick automaton (see [[graft.functions.AcCount]]): the
+    * dictionary-size-independent scan the q57/q89 IN-set probes
+    * graduate to. */
+  def ac_count(t: Column, patterns: Seq[String]): Column =
+    Shims.column(graft.functions.AcCount(Shims.expression(t), patterns))
+
   /** Morton (Z-order) clustering key (see [[graft.functions.ZOrder2]]):
     * sort or repartitionByRange by this before a parquet write to get
     * min/max page pruning on BOTH dimensions. */
@@ -168,6 +175,18 @@ object Functions {
       case Some(l: Long) => l.toInt
       case _ => throw new IllegalArgumentException(
         s"$fn $what must be an integer literal, got: $e")
+    }
+
+  /** Extract a foldable array-of-strings literal argument (pattern
+    * dictionaries). */
+  private def strsLit(fn: String, what: String)(e: Expression): Seq[String] =
+    scala.util.Try(e.eval()).toOption match {
+      case Some(a: org.apache.spark.sql.catalyst.util.ArrayData) =>
+        a.toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+          .toSeq
+      case _ => throw new IllegalArgumentException(
+        s"$fn $what must be an array-of-strings literal, got: $e")
     }
 
   /** Extract a foldable long literal argument (histogram bounds). */
@@ -229,6 +248,9 @@ object Functions {
       graft.functions.MisraGries(exprs(0),
         intLit("misra_gries", "capacity")(exprs(1))).toAggregateExpression()),
     "zorder2" -> (exprs => graft.functions.ZOrder2(exprs(0), exprs(1))),
+    // ac_count(t, array('p1', …)): dictionary must be a foldable literal
+    "ac_count" -> (exprs => graft.functions.AcCount(exprs(0),
+      strsLit("ac_count", "patterns")(exprs(1)))),
     // hist_agg(v, lo, hi, nbins): bounds/bins must be integer literals
     "hist_agg" -> (exprs =>
       graft.functions.HistAgg(exprs(0),

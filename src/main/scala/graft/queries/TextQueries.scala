@@ -458,8 +458,9 @@ object TextQueries {
     // driver-collected (boilerplate dictionaries are small by
     // definition; loud guard) and rides the plan as an IN-set
     // (hashed InSet, codegen), so coverage is computed per row with
-    // no join at all. A huge dictionary would graduate to the q57
-    // note's Aho-Corasick kernel — same shape, still map-only.
+    // no join at all. A huge dictionary graduates to the real
+    // Aho-Corasick kernel (`Functions.ac_count`, q99) — same shape,
+    // still map-only, scan cost independent of dictionary size.
     "q89_boiler_scrub" -> ((s, d) => {
       val freq = withWords(s, d)
         .select(col("doc_id"),
@@ -652,7 +653,8 @@ object TextQueries {
     // presentation ORDER BY. Word-set matching instead of regex keeps
     // the oracle surface engine-exact (Java regex vs RE2 word
     // boundaries diverge); a production denylist of thousands of
-    // terms compiles the same shape to an Aho-Corasick native kernel.
+    // terms compiles the same shape to the Aho-Corasick native
+    // kernel (`Functions.ac_count`, exercised by q99).
     "q57_scrub" -> ((s, d) => {
       val inList = "'customer','supplier','key'"
       withWords(s, d)
@@ -694,6 +696,26 @@ object TextQueries {
     // shuffle except the presentation ORDER BY); at 100 TB the rates
     // come from a broadcast mixing table keyed by (lang, source,
     // quality bucket) instead of a CASE.
+    // Multi-pattern substring audit — the Aho-Corasick kernel both
+    // IN-set probes (q57 word scrub, q89 span scrub) name as their
+    // big-dictionary graduation, made real: ONE pass per document
+    // counts occurrences of every dictionary pattern at every start
+    // position (overlaps included), O(|text| + matches) independent
+    // of dictionary size. Substring semantics are strictly stronger
+    // than the word-set probes (patterns span word boundaries).
+    // Map-only; the oracle replays each pattern as a positional
+    // window scan — O(|text|·|dict|), exactly the cost the automaton
+    // removes. Patterns deliberately overlap each other ("scan" ⊃
+    // "an", "ca") so the count exercises the fail-chain fold.
+    "q99_ac_audit" -> ((s, d) => {
+      val dict = Seq("scan", "an", "ca", "vector join", "dup")
+      withWords(s, d)
+        .select(col("doc_id"),
+          graft.Functions.ac_count(col("t"), dict).as("n_hits"))
+        .filter(col("n_hits") > 0)
+        .orderBy("doc_id")
+    }),
+
     // BM25 retrieval scoring — the ranking half of the q94 index
     // story: Okapi BM25 (k1 = 1.2, b = 0.75) for the query
     // {vector, scan, dup} over the corpus. The idf uses Robertson's
@@ -1118,6 +1140,22 @@ object TextQueries {
              FROM documents)
          SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
          FROM r WHERE rk <= 20 ORDER BY doc_id""",
+    "q99_ac_audit" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+          h AS (SELECT doc_id,
+                  len(list_filter(range(1, len(t) + 1),
+                    i -> t[i:i+3] = 'scan'))
+                + len(list_filter(range(1, len(t) + 1),
+                    i -> t[i:i+1] = 'an'))
+                + len(list_filter(range(1, len(t) + 1),
+                    i -> t[i:i+1] = 'ca'))
+                + len(list_filter(range(1, len(t) + 1),
+                    i -> t[i:i+10] = 'vector join'))
+                + len(list_filter(range(1, len(t) + 1),
+                    i -> t[i:i+2] = 'dup')) AS n_hits
+                FROM n)
+         SELECT doc_id, CAST(n_hits AS BIGINT) n_hits
+         FROM h WHERE n_hits > 0 ORDER BY doc_id""",
     "q96_bm25" ->
       s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
           w AS (SELECT doc_id, string_split(t, ' ') words FROM n),

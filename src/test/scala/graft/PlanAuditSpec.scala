@@ -299,6 +299,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"round-3 ranks should come from the materialization barrier:\n$p")
   }
 
+  test("q99 Aho-Corasick audit is map-only with the automaton in the plan") {
+    val p = plan("q99_ac_audit")
+    assert(p.contains("ac_count("), s"native ac_count missing from plan:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"multi-pattern audit should not hash-shuffle:\n$p")
+    assert(!p.contains("Join"), s"audit should not join:\n$p")
+  }
+
   test("q96 BM25: stats broadcast once, scoring map-only, top-k take-ordered") {
     val p = plan("q96_bm25")
     assert(p.contains("BroadcastNestedLoopJoin"),
