@@ -836,6 +836,49 @@ object SimilarityQueries {
           (dot(col("a.embedding"), col("b.embedding"))
             / (sqrt(col("a.nrm")) * sqrt(col("b.nrm")))).as("sim")))
       scored.filter(col("sim") >= 0.4).orderBy("vec_a", "vec_b")
+    }),
+
+    // Semantic dedup (the SemDeDup pipeline shape: cluster, then dedup
+    // WITHIN clusters only): coarse-cluster the corpus with the TRAINED
+    // k-means codebook (q71's model), generate candidate pairs only
+    // inside a cluster, and mark every vector that has a lower-id
+    // cluster-mate above the cosine threshold as a semantic duplicate.
+    // The keep-lowest-id rule is the deterministic greedy equivalent of
+    // "keep one representative per ε-ball" — oracle-replayable, no
+    // iteration. The cosine gate is EXACT integers on the int8-quantized
+    // vectors: cos ≥ 1/2 ⇔ dot > 0 ∧ 4·dot² ≥ na·nb (dot ≤ 127²·64 ≈
+    // 2^20, so 4·dot² ≤ 2^42 — no overflow, no floats, engines can't
+    // diverge). At 100 TB: the pair join shuffles on cid (cluster-local,
+    // never all-pairs); k grows with the corpus so E[cluster size] stays
+    // bounded (the same pair-budget invariant as the LSH buckets), and a
+    // cluster over budget sub-buckets on an annBucket bit before
+    // pairing. Production τ is ~0.95; 1/2 here so the tiny test corpus
+    // exercises the drop path.
+    "q100_semdedup" -> ((s, d) => {
+      import graft.ops.KMeans
+      val qemb = graft.ops.Barrier(Tables.embeddings(s, d)
+        .filter(!exists(col("embedding"), _.isNull)) // see q48 note
+        .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8")))
+      val seeds = KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
+      val model = KMeans.train(qemb, "vec_id", "q8", 64, seeds, maxIter = 2)
+      // Barrier: the assignment feeds both pair arms and the final
+      // projection — materialize once (norms ride the row: computed per
+      // VECTOR here, not per PAIR inside the join)
+      val asg = graft.ops.Barrier(qemb.select(col("vec_id"), col("q8"),
+        KMeans.assignExpr(col("q8"), model).as("cid"),
+        graft.Functions.vec_dot_int(col("q8"), col("q8")).as("nrm")))
+      val dup = asg.as("a")
+        .join(asg.as("b"),
+          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("b.vec_id").as("vec_id"),
+          graft.Functions.vec_dot_int(col("a.q8"), col("b.q8")).as("dp"),
+          (col("a.nrm") * col("b.nrm")).as("nn"))
+        .filter(col("dp") > 0 && col("dp") * col("dp") * 4 >= col("nn"))
+        .select("vec_id").distinct()
+      asg.join(dup.withColumn("dupe", lit(true)), Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), col("cid"),
+          coalesce(col("dupe"), lit(false)).as("is_dup"))
+        .orderBy("vec_id")
     })
   )
 
@@ -1064,6 +1107,22 @@ object SimilarityQueries {
                  ${dCos("x.embedding", "y.embedding")} AS sim
           FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
           WHERE ${dCos("x.embedding", "y.embedding")} >= 0.4
-          ORDER BY vec_a, vec_b"""
+          ORDER BY vec_a, vec_b""",
+    "q100_semdedup" ->
+      s"""WITH ${kmeansCtes(2)},
+          ${kmAssign("afin", "s2")},
+          n AS (SELECT v.vec_id, a.cid, v.q8,
+                  CAST(list_sum(list_transform(range(1, 65), i ->
+                    v.q8[i] * v.q8[i])) AS BIGINT) nrm
+                FROM v JOIN afin a USING (vec_id)),
+          p AS (SELECT b.vec_id,
+                  CAST(list_sum(list_transform(range(1, 65), i ->
+                    a.q8[i] * b.q8[i])) AS BIGINT) dp,
+                  a.nrm * b.nrm nn
+                FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+          dup AS (SELECT DISTINCT vec_id FROM p WHERE dp > 0 AND 4 * dp * dp >= nn)
+          SELECT n.vec_id, n.cid, dup.vec_id IS NOT NULL AS is_dup
+          FROM n LEFT JOIN dup ON n.vec_id = dup.vec_id
+          ORDER BY n.vec_id"""
   )
 }
