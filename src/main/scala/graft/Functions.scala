@@ -153,6 +153,12 @@ object Functions {
   def ac_count(t: Column, patterns: Seq[String]): Column =
     Shims.column(graft.functions.AcCount(Shims.expression(t), patterns))
 
+  /** winnow(t, k, w): the MOSS winnowing fingerprint set (see
+    * [[graft.functions.Winnow]]) — per-window minima over rolling
+    * k-gram hashes, packed (hash, position), map-only. */
+  def winnow(t: Column, k: Int, w: Int): Column =
+    Shims.column(graft.functions.Winnow(Shims.expression(t), k, w))
+
   /** Morton (Z-order) clustering key (see [[graft.functions.ZOrder2]]):
     * sort or repartitionByRange by this before a parquet write to get
     * min/max page pruning on BOTH dimensions. */
@@ -248,6 +254,9 @@ object Functions {
       graft.functions.MisraGries(exprs(0),
         intLit("misra_gries", "capacity")(exprs(1))).toAggregateExpression()),
     "zorder2" -> (exprs => graft.functions.ZOrder2(exprs(0), exprs(1))),
+    // winnow(t, 8, 4): k and w must be foldable integer literals
+    "winnow" -> (exprs => graft.functions.Winnow(exprs(0),
+      intLit("winnow", "k")(exprs(1)), intLit("winnow", "w")(exprs(2)))),
     // ac_count(t, array('p1', …)): dictionary must be a foldable literal
     "ac_count" -> (exprs => graft.functions.AcCount(exprs(0),
       strsLit("ac_count", "patterns")(exprs(1)))),

@@ -196,7 +196,45 @@ object DedupQueries {
     // all-pairs — see [[ngramNearDups]]. Threshold 0.5 (2*inter >=
     // uni). At this SF every block is under the guard, so the oracle
     // is the exact all-pairs formulation.
-    "q21_ngram" -> ((s, d) => ngramNearDups(Tables.documents(s, d)))
+    "q21_ngram" -> ((s, d) => ngramNearDups(Tables.documents(s, d))),
+
+    // Winnowing shared-fingerprint audit (the MOSS shape: winnow, then
+    // count shared selected fingerprints per doc pair). The native
+    // `winnow(t, 8, 4)` kernel (graft.functions.Winnow) selects
+    // per-window minima over rolling char-8-gram hashes MAP-ONLY — the
+    // fingerprint set rides the document row at ~2/(w+1) of the k-gram
+    // density, and the winnowing guarantee (any shared run ≥ k+w−1
+    // chars shares a fingerprint) is what `hash % p = 0` sampling
+    // can't give. Only the ~(doc_id, h) sample pairs shuffle. The
+    // df ≤ 20 gate drops corpus-boilerplate fingerprints BEFORE
+    // pairing — simultaneously the pair-budget bound (per-fingerprint
+    // join fan-out ≤ df²) and the quality fix MOSS itself applies; at
+    // 100 TB the over-df list is tiny and broadcasts as an anti-join,
+    // and hot fingerprints below the cap split under AQE skew-join.
+    "q101_winnow" -> ((s, d) => {
+      // Barrier: `sel` feeds the df gate AND both pair arms — and the
+      // re-aggregated df table must not share attribute lineage with
+      // the probe side (ambiguous-self-join trap), so the gate key is
+      // renamed and probed as a left anti join.
+      val sel = graft.ops.Barrier(Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.Functions.winnow(
+            trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), 8, 4))
+            .as("fp"))
+        .select(col("doc_id"), expr("fp div 2097152").as("h"))
+        .distinct())
+      val boilerplate = sel.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 20).select(col("h").as("bad_h"))
+      val gated = sel.join(broadcast(boilerplate),
+        col("h") === col("bad_h"), "left_anti")
+      gated.as("a")
+        .join(gated.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 10)
+        .orderBy("doc_a", "doc_b")
+    })
   )
 
   /** doc_id, lang, source, sorted distinct char-4-gram set + size.
@@ -709,6 +747,35 @@ object DedupQueries {
                 len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)) AS uni
          FROM g a JOIN g b ON a.lang=b.lang AND a.source=b.source AND a.doc_id<b.doc_id
          WHERE 2*len(list_intersect(a.gs, b.gs)) >= len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))
+         ORDER BY doc_a, doc_b""",
+    // winnowing replay: O(n·k) per-position hash recompute (the native
+    // kernel rolls in O(n)); the packing h·2^21 + (2^20 − p) makes the
+    // per-window argmin a plain min() — no tie rules to mirror
+    "q101_winnow" ->
+      """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) t
+                    FROM documents),
+         g AS (SELECT doc_id, t, length(t) - 7 AS m FROM n WHERE length(t) >= 8),
+         kh AS (SELECT doc_id, i - 1 AS p,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(i, i + 8), j -> CAST(ascii(t[j:j]) AS BIGINT))),
+                    (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+                FROM g, unnest(range(1, m + 1)) u(i)),
+         c AS (SELECT doc_id, p, h * 2097152 + (1048575 - p) AS c FROM kh),
+         wm AS (SELECT doc_id, p,
+                  min(c) OVER (PARTITION BY doc_id ORDER BY p
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s,
+                  max(p) OVER (PARTITION BY doc_id) AS mp
+                FROM c),
+         sel AS (SELECT DISTINCT doc_id, s // 2097152 AS h
+                 FROM wm WHERE p <= greatest(mp - 3, 0)),
+         keeph AS (SELECT h FROM (SELECT h, count(*) df FROM sel GROUP BY h)
+                   WHERE df <= 20),
+         gated AS (SELECT sel.doc_id, sel.h FROM sel JOIN keeph USING (h))
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(count(*) AS BIGINT) AS n_shared
+         FROM gated a JOIN gated b ON a.h = b.h AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id
+         HAVING count(*) >= 10
          ORDER BY doc_a, doc_b"""
   )
 }
