@@ -172,6 +172,14 @@ object Functions {
     Shims.column(graft.functions.HistAgg(Shims.expression(v), lo, hi, nbins)
       .toAggregateExpression())
 
+  /** hll_agg(h, b): HyperLogLog registers over the 60-bit md5-prefix
+    * hash domain, 2^b-byte mergeable state; returns the exact-integer
+    * register sum S (see [[graft.functions.HllAgg]] — the estimate is
+    * a pure function of S). */
+  def hll_agg(h: Column, b: Int): Column =
+    Shims.column(graft.functions.HllAgg(Shims.expression(h), b)
+      .toAggregateExpression())
+
   import org.apache.spark.sql.catalyst.expressions.Expression
 
   /** Extract a foldable integer literal argument (k, capacity, bits). */
@@ -257,6 +265,9 @@ object Functions {
     // winnow(t, 8, 4): k and w must be foldable integer literals
     "winnow" -> (exprs => graft.functions.Winnow(exprs(0),
       intLit("winnow", "k")(exprs(1)), intLit("winnow", "w")(exprs(2)))),
+    // hll_agg(h, 6): register-count exponent must be an integer literal
+    "hll_agg" -> (exprs => graft.functions.HllAgg(exprs(0),
+      intLit("hll_agg", "b")(exprs(1))).toAggregateExpression()),
     // ac_count(t, array('p1', …)): dictionary must be a foldable literal
     "ac_count" -> (exprs => graft.functions.AcCount(exprs(0),
       strsLit("ac_count", "patterns")(exprs(1)))),

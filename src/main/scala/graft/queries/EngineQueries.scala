@@ -89,6 +89,33 @@ object EngineQueries {
         .orderBy("event_type")
     }),
 
+    // HyperLogLog distinct-count sketch — KMV's constant-state sibling
+    // (graft.functions.HllAgg): 64 one-byte registers per group vs
+    // KMV's k longs, mergeable map-side, and the shuffle payload never
+    // grows with cardinality. Oracle-EXACT like q38: the sketch result
+    // is the integer register sum S = Σ 2^(55−r_j) (a sum of 64 powers
+    // of two — no float accumulation), replayed by the oracle's
+    // GROUP BY j / max(rho) over the same md5-prefix hashes; the
+    // estimate α·m²·2^55/S is ONE double division of exact integers.
+    // At 100 TB this is the per-group distinct-users/tokens shape:
+    // partial registers combine map-side, 64 bytes per group cross the
+    // wire, groups never expand. (b=6 keeps σ ≈ 1.04/√64 = 13%; the
+    // exact column rides along to show the error envelope.)
+    "q102_hll" -> ((s, d) => {
+      val h = expr(
+        "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)")
+      Tables.events(s, d)
+        .select(col("event_type"), h.as("h"))
+        .groupBy("event_type")
+        .agg(graft.Functions.hll_agg(col("h"), 6).as("hll_s"),
+          countDistinct(col("h")).as("exact"))
+        .select(col("event_type"), col("hll_s"),
+          (lit(0.709d) * lit(4096.0d) * lit(3.6028797018963968e16d)
+            / col("hll_s").cast("double")).as("est"),
+          col("exact"))
+        .orderBy("event_type")
+    }),
+
     // Range (interval) join: events whose value falls inside each
     // customer's [acctbal-5, acctbal+5] band. Spark-first SCALABLE
     // shape: a naive theta-join is a nested-loop over every pair —
@@ -199,6 +226,32 @@ object EngineQueries {
                 7.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(h AS DOUBLE) AS est,
                 n AS exact
          FROM r WHERE rn = 8
+         ORDER BY event_type""",
+    // HLL replay: registers from GROUP BY bucket / max(rho) over the
+    // same distinct hash set; S is exact-integer (powers of two), the
+    // estimate one double division — see the q102 builder note
+    "q102_hll" ->
+      """WITH h AS (
+           SELECT DISTINCT event_type,
+                  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) h
+           FROM events),
+         regs AS (
+           SELECT event_type, h % 64 AS j,
+                  max(CASE WHEN h // 64 = 0 THEN 55
+                           ELSE 55 - length(bin(h // 64)) END) AS r
+           FROM h GROUP BY event_type, j),
+         s AS (
+           SELECT event_type,
+                  CAST(sum(CAST(1 AS BIGINT) << (55 - r)) +
+                       (64 - count(*)) * (CAST(1 AS BIGINT) << 55) AS BIGINT) AS hll_s
+           FROM regs GROUP BY event_type),
+         ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS exact
+                FROM h GROUP BY event_type)
+         SELECT s.event_type, s.hll_s,
+                0.709 * 4096.0 * CAST(36028797018963968 AS DOUBLE)
+                  / CAST(s.hll_s AS DOUBLE) AS est,
+                ex.exact
+         FROM s JOIN ex USING (event_type)
          ORDER BY event_type""",
     "q43_range" ->
       """SELECT count(*) AS n_pairs,

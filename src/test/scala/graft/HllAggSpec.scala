@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HLL sketch properties: partition-invariance (the mergeable-state
+  * contract — same S under any partitioning), estimate accuracy within
+  * the published 1.04/√m envelope across cardinalities, duplicate
+  * insensitivity, and the loud hash-domain guard. */
+class HllAggSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def hashed(n: Int) = {
+    import spark.implicits._
+    (1 to n).toDF("x").select(
+      expr("cast(conv(substring(md5(cast(x as string)), 1, 15), 16, 10) as bigint)")
+        .as("h"))
+  }
+
+  private def sOf(df: org.apache.spark.sql.DataFrame): Long =
+    df.agg(graft.Functions.hll_agg(col("h"), 6).as("s")).head().getLong(0)
+
+  test("partition-invariant: 1, 7, and 32 partitions give the same S") {
+    val base = hashed(5000).cache()
+    try {
+      val s1 = sOf(base.coalesce(1))
+      val s7 = sOf(base.repartition(7))
+      val s32 = sOf(base.repartition(32))
+      assert(s1 === s7)
+      assert(s1 === s32)
+    } finally { base.unpersist(); () }
+  }
+
+  test("duplicate-insensitive: 10x-replicated input gives the same S") {
+    import spark.implicits._
+    val once = sOf(hashed(2000))
+    val many = sOf(hashed(2000).crossJoin((1 to 10).toDF("r")).select("h"))
+    assert(once === many)
+  }
+
+  test("estimate within the 1.04/sqrt(64) envelope across cardinalities") {
+    Seq(500, 5000, 50000).foreach { n =>
+      val s = sOf(hashed(n))
+      val est = 0.709d * 4096.0d * 3.6028797018963968e16d / s.toDouble
+      // 3 sigma = 3 * 1.04 / 8 = 39%
+      assert(math.abs(est - n) < 0.39 * n, s"n=$n est=$est")
+    }
+  }
+
+  test("rejects hashes outside [0, 2^60) loudly") {
+    import spark.implicits._
+    val bad = Seq(-1L).toDF("h")
+    val e = intercept[Exception] {
+      bad.agg(graft.Functions.hll_agg(col("h"), 6)).head()
+    }
+    assert(e.getMessage.contains("md5-prefix") ||
+      e.getCause != null && e.getCause.getMessage.contains("md5-prefix"))
+  }
+}
