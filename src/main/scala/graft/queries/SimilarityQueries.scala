@@ -768,6 +768,37 @@ object SimilarityQueries {
         .orderBy("qid", "vec_id")
     }),
 
+    // Hard-negative mining — the contrastive-training consumer of
+    // similarity search: for each anchor in a training batch, the top-3
+    // highest-cosine vectors with a DIFFERENT label (the negatives that
+    // actually move an embedding model; random negatives are mostly
+    // zero-gradient). Shape: the anchor batch broadcasts (a training
+    // batch is broadcast-sized by construction); per-anchor ranking is
+    // WindowGroupLimit — partial top-k map-side, the qid shuffle
+    // carries O(anchors·k) rows, never the corpus. The exact scan here
+    // is the candidate source at THIS corpus size; at 100 TB the
+    // candidates come from any ANN path (q22/q72/q74 — same plumbing
+    // as q78's bucket gate) and the label test rides the candidate
+    // row, so mining stays one pass either way.
+    "q103_hardneg" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          col("label").cast(org.apache.spark.sql.types.LongType).as("label"))
+      val anchors = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      val ranked = emb.filter(col("vec_id") >= 5)
+        .join(broadcast(anchors), col("label") =!= col("qlabel"))
+        .select(col("qid"), col("vec_id"), col("label"),
+          cosine("embedding", "qv").as("sim"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))))
+      ranked.filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id"), col("label"), col("sim"))
+        .orderBy("qid", "vec_id")
+    }),
+
     // Batched recall audit — the production index gate: every real
     // ANN deploy evals over a query SET, not one vector. Composes
     // q78's serving shape (broadcast query table, bucket join,
@@ -1091,6 +1122,20 @@ object SimilarityQueries {
                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn
                 FROM cand)
           SELECT qid, vec_id, sim FROM r WHERE rn <= 3
+          ORDER BY qid, vec_id""",
+    "q103_hardneg" ->
+      s"""WITH a AS (
+            SELECT vec_id qid, embedding qv, CAST(label AS BIGINT) AS qlabel
+            FROM embeddings WHERE vec_id < 5),
+          c AS (
+            SELECT a.qid, e.vec_id, CAST(e.label AS BIGINT) AS label,
+                   ${dCos("e.embedding", "a.qv")} AS sim
+            FROM embeddings e JOIN a ON CAST(e.label AS BIGINT) <> a.qlabel
+            WHERE e.vec_id >= 5),
+          r AS (SELECT qid, vec_id, label, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn
+                FROM c)
+          SELECT qid, vec_id, label, sim FROM r WHERE rn <= 3
           ORDER BY qid, vec_id""",
     "q76_purity" ->
       s"""WITH ${kmeansCtes(2)},
