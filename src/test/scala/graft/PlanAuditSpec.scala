@@ -58,7 +58,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q82_media_ann", // broadcast 1-row media query vector
       "q95_temp_sample", // languages-sized counts × broadcast 1-row n_min
       "q96_bm25", // broadcast 1-row corpus-stats frame (N, Σdl, dfs)
-      "q98_anomaly") // days-sized rollup × broadcast 1-row (m, S1, S2)
+      "q98_anomaly", // days-sized rollup × broadcast 1-row (m, S1, S2)
+      "q103_hardneg") // corpus × broadcast anchor batch, label-inequality pred
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
@@ -350,13 +351,52 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"sketch quantiles should not join:\n$p")
   }
 
+  test("q100 semdedup pairs form an equi-join on cid, never all-pairs") {
+    // force the no-broadcast path: at test SF the pair join's build side
+    // fits a broadcast, which would hide the at-scale join distribution
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q100_semdedup")
+      // the cluster-local pair generation must be a cid-keyed EQUI join
+      // (hash/sort-merge over the cid shuffle) — a cartesian/BNLJ here is
+      // the all-pairs quadratic failure the clustering exists to prevent
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"semdedup pair join is not an equi-join:\n$p")
+      assert("hashpartitioning\\(cid".r.findFirstIn(p).isDefined,
+        s"pair join does not shuffle on cid:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q101 winnow boilerplate gate broadcasts as a left anti join") {
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val root = SparkEntry.queries("q101_winnow")(spark, sf).queryExecution.executedPlan
+    val antis = walk(root).collect {
+      case j: BaseJoinExec if j.joinType == LeftAnti => j }
+    assert(antis.nonEmpty, s"no LeftAnti df-gate in the plan:\n$root")
+    assert(antis.forall(_.getClass.getSimpleName.startsWith("BroadcastHashJoin")),
+      s"boilerplate gate should broadcast (the over-df list is tiny):\n$root")
+  }
+
   test("q93 z-order key computes map-side before the tile exchange") {
-    val p = plan("q93_zorder")
-    // the key is a Project below the partial aggregate: computed at the
-    // scan, codegen-capable (ZOrder2 defines doGenCode), never shuffled raw
-    assert(p.contains("zorder2("), s"native zorder2 missing from plan:\n$p")
-    assert(p.indexOf("zorder2(") > p.indexOf("partial_count"),
-      s"zorder2 should sit below the partial aggregate (map-side):\n$p")
+    // STRUCTURAL (the q63 tree-walk pattern, not string offsets): the
+    // native zorder2 projection must sit INSIDE the partial aggregate's
+    // subtree — computed at the scan, map-side, never shuffled raw
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Partial}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val root = SparkEntry.queries("q93_zorder")(spark, sf).queryExecution.executedPlan
+    val partials = walk(root).collect {
+      case h: BaseAggregateExec if h.aggregateExpressions.exists {
+        case ae: AggregateExpression => ae.mode == Partial
+        case _ => false
+      } => h
+    }
+    assert(partials.nonEmpty, s"no partial aggregate in the plan:\n$root")
+    assert(partials.exists(pa => walk(pa).exists(_.expressions.exists(
+        _.find(_.isInstanceOf[graft.functions.ZOrder2]).isDefined))),
+      s"zorder2 is not below a partial aggregate (map-side):\n$root")
+    val p = root.toString
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
       s"tile audit should shuffle exactly once (pre-aggregated tiles):\n$p")
     assert(!p.contains("Join"), s"tile audit should not join:\n$p")
