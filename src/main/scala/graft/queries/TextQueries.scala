@@ -729,33 +729,47 @@ object TextQueries {
     // is a TakeOrderedAndProject. At 100 TB the stats row is a
     // pre-computed index artifact and scoring composes with q94's
     // postings to visit only matching docs.
-    "q96_bm25" -> ((s, d) => {
-      val terms = Seq("vector", "scan", "dup")
-      def tfOf(t: String) = s"size(filter(words, w -> w = '$t'))"
-      val statsAgg = withWords(s, d)
-        .agg(count(lit(1)).as("n_docs"),
-          sum(size(col("words"))).as("sum_dl") +:
-            terms.zipWithIndex.map { case (t, i) =>
-              sum(when(expr(tfOf(t)) > 0, 1L).otherwise(0L)).as(s"df$i")
-            }: _*)
-      val scored = withWords(s, d)
-        .select(col("doc_id"), col("words"))
-        .crossJoin(broadcast(statsAgg))
-        .withColumn("dl", size(col("words")))
-        .withColumn("avgdl", expr("cast(sum_dl as double) / n_docs"))
-      val withScores = terms.zipWithIndex.foldLeft(scored) { case (df, (t, i)) =>
-        df.withColumn(s"s$i", expr(
-          s"""(((n_docs - df$i) + 0.5d) / (df$i + 0.5d))
-              * ((${tfOf(t)} * 2.2d)
-                 / (${tfOf(t)} + 1.2d * (0.25d + 0.75d
-                    * (cast(dl as double) / avgdl))))"""))
-      }
-      withScores
-        .select(col("doc_id"),
-          expr("(s0 + s1) + s2").as("score"))
-        .filter(col("score") > 0d)
-        .orderBy(desc("score"), col("doc_id"))
-        .limit(20)
+    "q96_bm25" -> ((s, d) => bm25Top20(s, d)),
+
+    // Hybrid retrieval fusion — reciprocal-rank fusion (RRF, the
+    // standard hybrid-search combiner) of the SPARSE arm (q96's BM25
+    // top-20 over documents) and the DENSE arm (q16's exact-cosine
+    // top-20 over embeddings, doc_id ≡ vec_id in the testdata):
+    // rrf = Σ_arms 1/(60 + rank), missing-from-arm contributes 0.
+    // Ranks are integers from deterministic (score DESC, id)
+    // orderings, so the only float work is two IEEE divisions and one
+    // add per fused row — engine-identical. Shape: each arm is a
+    // distributed top-k (TakeOrderedAndProject); ranking and fusion
+    // touch ≤ 2k rows, so the windows and the full-outer join are
+    // driver-trivial at ANY corpus size — the corpus-sized work stays
+    // in the arms, which scale independently (q94 postings, q72/q74
+    // ANN).
+    "q104_hybrid" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sparse = bm25Top20(s, d)
+        .withColumn("r_bm25", row_number()
+          .over(Window.orderBy(desc("score"), col("doc_id"))).cast(LongType))
+        .select(col("doc_id").as("id"), col("r_bm25"))
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val dense = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          (graft.Functions.vec_dot(col("embedding"), col("qv"))
+            / (sqrt(graft.Functions.vec_dot(col("embedding"), col("embedding")))
+              * sqrt(graft.Functions.vec_dot(col("qv"), col("qv"))))).as("sim"))
+        .orderBy(desc("sim"), col("vec_id")).limit(20)
+        .withColumn("r_dense", row_number()
+          .over(Window.orderBy(desc("sim"), col("vec_id"))).cast(LongType))
+        .select(col("vec_id").as("id"), col("r_dense"))
+      sparse.join(dense, Seq("id"), "full_outer")
+        .select(col("id"), col("r_bm25"), col("r_dense"),
+          (coalesce(lit(1.0d) / (lit(60L) + col("r_bm25")).cast(DoubleType),
+              lit(0.0d))
+            + coalesce(lit(1.0d) / (lit(60L) + col("r_dense")).cast(DoubleType),
+              lit(0.0d))).as("rrf"))
+        .orderBy(desc("rrf"), col("id"))
+        .limit(10)
     }),
 
     // Temperature mixture sampling — the multilingual rebalancing
@@ -857,8 +871,67 @@ object TextQueries {
     })
   )
 
+  /** q96's BM25 scoring (query {vector, scan, dup}, k1 = 1.2,
+    * b = 0.75, raw-ratio idf), shared with the q104 hybrid fusion. */
+  private def bm25Top20(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("vector", "scan", "dup")
+    def tfOf(t: String) = s"size(filter(words, w -> w = '$t'))"
+    val statsAgg = withWords(s, d)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("words"))).as("sum_dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            sum(when(expr(tfOf(t)) > 0, 1L).otherwise(0L)).as(s"df$i")
+          }: _*)
+    val scored = withWords(s, d)
+      .select(col("doc_id"), col("words"))
+      .crossJoin(broadcast(statsAgg))
+      .withColumn("dl", size(col("words")))
+      .withColumn("avgdl", expr("cast(sum_dl as double) / n_docs"))
+    val withScores = terms.zipWithIndex.foldLeft(scored) { case (df, (t, i)) =>
+      df.withColumn(s"s$i", expr(
+        s"""(((n_docs - df$i) + 0.5d) / (df$i + 0.5d))
+            * ((${tfOf(t)} * 2.2d)
+               / (${tfOf(t)} + 1.2d * (0.25d + 0.75d
+                  * (cast(dl as double) / avgdl))))"""))
+    }
+    withScores
+      .select(col("doc_id"),
+        expr("(s0 + s1) + s2").as("score"))
+      .filter(col("score") > 0d)
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(20)
+  }
+
   private val normDuck =
     "trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g'))"
+
+  /** The q96 BM25 scoring CTEs (binds `sc` with per-term scores) —
+    * shared by the q96 and q104 oracles, in lockstep with
+    * [[bm25Top20]]. */
+  private lazy val bm25Duck =
+    s"""n AS (SELECT doc_id, $normDuck t FROM documents),
+          w AS (SELECT doc_id, string_split(t, ' ') words FROM n),
+          tf AS (SELECT doc_id, len(words) dl,
+                   len(list_filter(words, x -> x = 'vector')) tf0,
+                   len(list_filter(words, x -> x = 'scan')) tf1,
+                   len(list_filter(words, x -> x = 'dup')) tf2
+                 FROM w),
+          st AS (SELECT count(*) n_docs, sum(dl) sum_dl,
+                   sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) df0,
+                   sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) df1,
+                   sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) df2
+                 FROM tf),
+          sc AS (SELECT doc_id,
+                   (((n_docs - df0) + 0.5) / (df0 + 0.5))
+                     * ((tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75
+                        * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))) s0,
+                   (((n_docs - df1) + 0.5) / (df1 + 0.5))
+                     * ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75
+                        * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))) s1,
+                   (((n_docs - df2) + 0.5) / (df2 + 0.5))
+                     * ((tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75
+                        * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))) s2
+                 FROM tf CROSS JOIN st)"""
 
   val oracleSql: Map[String, String] = Map(
     // exact heavy hitters — the sketch is invisible to the result
@@ -1157,32 +1230,39 @@ object TextQueries {
          SELECT doc_id, CAST(n_hits AS BIGINT) n_hits
          FROM h WHERE n_hits > 0 ORDER BY doc_id""",
     "q96_bm25" ->
-      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
-          w AS (SELECT doc_id, string_split(t, ' ') words FROM n),
-          tf AS (SELECT doc_id, len(words) dl,
-                   len(list_filter(words, x -> x = 'vector')) tf0,
-                   len(list_filter(words, x -> x = 'scan')) tf1,
-                   len(list_filter(words, x -> x = 'dup')) tf2
-                 FROM w),
-          st AS (SELECT count(*) n_docs, sum(dl) sum_dl,
-                   sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) df0,
-                   sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) df1,
-                   sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) df2
-                 FROM tf),
-          sc AS (SELECT doc_id,
-                   (((n_docs - df0) + 0.5) / (df0 + 0.5))
-                     * ((tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75
-                        * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))) s0,
-                   (((n_docs - df1) + 0.5) / (df1 + 0.5))
-                     * ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75
-                        * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))) s1,
-                   (((n_docs - df2) + 0.5) / (df2 + 0.5))
-                     * ((tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75
-                        * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))) s2
-                 FROM tf CROSS JOIN st)
+      s"""WITH $bm25Duck
          SELECT doc_id, (s0 + s1) + s2 AS score
          FROM sc WHERE (s0 + s1) + s2 > 0
          ORDER BY score DESC, doc_id LIMIT 20""",
+    "q104_hybrid" -> {
+      val dot =
+        "list_sum(list_transform(range(1, len(%A)+1), i -> CAST(%A[i] AS DOUBLE) * CAST(%B[i] AS DOUBLE)))"
+      def dd(a: String, b: String) = dot.replace("%A", a).replace("%B", b)
+      def cos(a: String, b: String) =
+        s"${dd(a, b)} / (sqrt(${dd(a, a)}) * sqrt(${dd(b, b)}))"
+      s"""WITH $bm25Duck,
+          sp0 AS (SELECT doc_id, (s0 + s1) + s2 AS score
+                  FROM sc WHERE (s0 + s1) + s2 > 0
+                  ORDER BY score DESC, doc_id LIMIT 20),
+          sp AS (SELECT doc_id AS id,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) r_bm25
+                 FROM sp0),
+          de0 AS (SELECT e.vec_id, ${cos("e.embedding", "q.qv")} AS sim
+                  FROM embeddings e,
+                       (SELECT embedding qv FROM embeddings WHERE vec_id = 0) q
+                  WHERE e.vec_id <> 0
+                  ORDER BY sim DESC, e.vec_id LIMIT 20),
+          de AS (SELECT vec_id AS id,
+                   CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) r_dense
+                 FROM de0)
+         SELECT coalesce(sp.id, de.id) AS id, sp.r_bm25, de.r_dense,
+                coalesce(CAST(1 AS DOUBLE) / CAST(60 + sp.r_bm25 AS DOUBLE),
+                         CAST(0 AS DOUBLE))
+                  + coalesce(CAST(1 AS DOUBLE) / CAST(60 + de.r_dense AS DOUBLE),
+                             CAST(0 AS DOUBLE)) AS rrf
+         FROM sp FULL JOIN de ON sp.id = de.id
+         ORDER BY rrf DESC, id LIMIT 10"""
+    },
     "q95_temp_sample" ->
       """WITH c AS (SELECT lang, count(*) n_l FROM documents GROUP BY 1),
           r AS (SELECT lang, n_l,
