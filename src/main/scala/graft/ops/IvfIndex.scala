@@ -25,6 +25,17 @@ object IvfIndex {
         KMeans.assignExpr(col("q8"), model).as("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(path)
 
+  /** Incremental index maintenance: assign a NEW batch with the same
+    * frozen model and append it into the existing partition layout —
+    * each batch row lands in its cid directory, probes see old + new
+    * rows with no rebuild. (Model drift is the retrain trigger's job:
+    * [[KMeans.aggregateStep]]'s streaming accumulation decides WHEN to
+    * retrain; a retrain rewrites the index once, not per batch.) */
+  def append(batch: DataFrame, model: Seq[KMeans.Centroid], path: String): Unit =
+    batch.select(col("vec_id"), col("q8"),
+        KMeans.assignExpr(col("q8"), model).as("cid"))
+      .write.mode("append").partitionBy("cid").parquet(path)
+
   /** Probe scan: only the `probes` partitions are listed and read.
     * (The filter binds to the raw partition column BEFORE the cast so
     * it stays a PartitionFilter; directory-name inference types the

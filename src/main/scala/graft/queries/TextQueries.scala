@@ -305,6 +305,33 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Quality-weighted sampling — soft quality filtering (the
+    // FineWeb/Gopher practice: DOWNSAMPLE low-quality strata instead
+    // of dropping them, preserving diversity): q84's hashed-linear
+    // score tiers each document (>0.5 → keep 100%, >0 → 50%, else
+    // 10%), and the q41/q95 deterministic md5 hash gate applies the
+    // tier's rate — reproducible, oracle-replayable, map-only
+    // end-to-end (the model rides the plan as 64 literal doubles; the
+    // gate needs no shuffle, no RNG state). Tier thresholds compare
+    // IEEE-identical scores, so tiering is engine-exact.
+    "q105_quality_sample" -> ((s, d) => {
+      val wlit = typedLit(qmWeights)
+      val bucket: Column => Column = w =>
+        (pmod(conv(substring(md5(w), 1, 15), 16, 10).cast(LongType), lit(64L))
+          + lit(1L)).cast(IntegerType)
+      withWords(s, d)
+        .select(col("doc_id"),
+          aggregate(transform(col("words"), w => element_at(wlit, bucket(w))),
+            lit(0.0), (acc, x) => acc + x).as("score"))
+        .select(col("doc_id"), col("score"),
+          when(col("score") > 0.5d, 100L).when(col("score") > 0.0d, 50L)
+            .otherwise(10L).as("keep_pct"))
+        .withColumn("kept",
+          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast(LongType), lit(100L)) < col("keep_pct"))
+        .orderBy("doc_id")
+    }),
+
     // BPE tokenizer training, step 1 — corpus-wide adjacent
     // character-pair frequencies (the argmax of this table IS the
     // next BPE merge). Collapse to the DISTINCT vocabulary first:
@@ -1001,6 +1028,27 @@ object TextQueries {
             FROM w, wt)
           SELECT doc_id, n_tokens, score, score > 0 AS kept
           FROM scored ORDER BY doc_id""",
+    "q105_quality_sample" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+          w AS (SELECT doc_id, string_split(t, ' ') words FROM n),
+          wt AS (SELECT list_transform(range(0, 64), k ->
+                   CAST(concat('0x', substr(md5('w,'||CAST(k AS VARCHAR)), 1, 6)) AS BIGINT)
+                     / CAST(16777216 AS DOUBLE) - CAST(0.5 AS DOUBLE)) ws),
+          scored AS (
+            SELECT doc_id,
+                   list_sum(list_transform(words, x ->
+                     ws[CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 64 + 1])) AS score
+            FROM w, wt),
+          tiered AS (
+            SELECT doc_id, score,
+                   CASE WHEN score > 0.5 THEN 100
+                        WHEN score > 0.0 THEN 50
+                        ELSE 10 END AS keep_pct
+            FROM scored)
+          SELECT doc_id, score, CAST(keep_pct AS BIGINT) AS keep_pct,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % 100 < keep_pct AS kept
+          FROM tiered ORDER BY doc_id""",
     "q83_pack_assembly" ->
       """WITH p AS (
            SELECT doc_id, lang, n_chars,

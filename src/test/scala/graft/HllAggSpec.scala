@@ -47,6 +47,45 @@ class HllAggSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming micro-batch sketch equals the batch sketch exactly") {
+    // the mergeable-state contract extended across micro-batches: a
+    // complete-mode streaming groupBy with hll_agg over N files must
+    // produce the SAME integer S as one batch pass — register merge is
+    // associative/commutative, so batch boundaries are invisible
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.streaming.Trigger
+    val sf = "/root/testdata/sf0.001"
+    val srcDir = Files.createTempDirectory("hll-src").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$srcDir/part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$srcDir/part-1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val hashCol = expr(
+      "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)")
+    val stream = spark.readStream
+      .schema(Tables.events(spark, sf).schema)
+      .option("maxFilesPerTrigger", 1) // force ≥2 micro-batches
+      .parquet(srcDir)
+      .select(col("event_type"), hashCol.as("h"))
+      .groupBy("event_type")
+      .agg(graft.Functions.hll_agg(col("h"), 6).as("s"))
+    val q = stream.writeStream
+      .format("memory").queryName("hllstream").outputMode("complete")
+      .option("checkpointLocation",
+        Files.createTempDirectory("hll-ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("hllstream")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Tables.events(spark, sf)
+      .select(col("event_type"), hashCol.as("h"))
+      .groupBy("event_type")
+      .agg(graft.Functions.hll_agg(col("h"), 6).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+  }
+
   test("rejects hashes outside [0, 2^60) loudly") {
     import spark.implicits._
     val bad = Seq(-1L).toDF("h")

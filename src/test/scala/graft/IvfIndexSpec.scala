@@ -58,4 +58,31 @@ class IvfIndexSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("append merges a new batch into the partition layout without rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfappend").toString
+    try {
+      val qemb = Tables.embeddings(spark, sf)
+        .filter(!exists(col("embedding"), _.isNull))
+        .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8"))
+      val seeds = KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
+      val model = KMeans.train(qemb, "vec_id", "q8", 64, seeds, maxIter = 2)
+      val base = qemb.filter(col("vec_id") % 2 === 0)
+      val batch = qemb.filter(col("vec_id") % 2 === 1)
+      IvfIndex.write(base, model, dir)
+      IvfIndex.append(batch, model, dir)
+      val probes = Seq(1L, 3L)
+      val got = IvfIndex.probe(spark, dir, probes)
+        .select("vec_id", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = qemb.select(col("vec_id"),
+          KMeans.assignExpr(col("q8"), model).as("cid"))
+        .filter(col("cid").isin(probes: _*))
+        .select("vec_id", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

@@ -59,7 +59,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q95_temp_sample", // languages-sized counts × broadcast 1-row n_min
       "q96_bm25", // broadcast 1-row corpus-stats frame (N, Σdl, dfs)
       "q98_anomaly", // days-sized rollup × broadcast 1-row (m, S1, S2)
-      "q103_hardneg") // corpus × broadcast anchor batch, label-inequality pred
+      "q103_hardneg", // corpus × broadcast anchor batch, label-inequality pred
+      "q104_hybrid") // dense arm = corpus × broadcast 1-row query vector
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
