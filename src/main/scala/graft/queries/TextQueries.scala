@@ -332,6 +332,70 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Unigram-LM surprisal filter — the CCNet/RedPajama "perplexity
+    // bucket" gate with an exact-integer surface: the LM is the
+    // corpus's own unigram counts, surprisal(w) = floor(log2 T) −
+    // floor(log2 cnt(w)) computed as length(bin(x)) differences —
+    // bin() renders identically in Spark and DuckDB, so the integer
+    // log2 quantization is engine-portable with NO float log. kept =
+    // doc's mean surprisal below the corpus mean, cross-multiplied
+    // (surp·T < G·n) in DECIMAL(38,0)/HUGEINT so the products pass
+    // Long at 100 TB token counts (q98's discipline). Scale shape:
+    // ONE corpus explode feeds both the vocab count and the scoring
+    // join (Barrier); the count shuffle is vocab-sized with map-side
+    // combine; per-term surprisal is computed once per TERM (vocab
+    // rows), not per token; global (G, T) is a broadcast 1-row frame.
+    "q106_lm_filter" -> ((s, d) => {
+      val wx = graft.ops.Barrier(withWords(s, d)
+        .select(col("doc_id"), explode(col("words")).as("term")))
+      val cnts = graft.ops.Barrier(
+        wx.groupBy("term").agg(count(lit(1)).as("cnt")))
+      val tot = cnts.agg(sum(col("cnt")).as("tt"))
+      val surpT = cnts.crossJoin(broadcast(tot))
+        .select(col("term"),
+          (length(bin(col("tt"))) - length(bin(col("cnt"))))
+            .cast(LongType).as("surp"))
+      val perDoc = graft.ops.Barrier(wx.join(surpT, "term")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("surp")).as("surp")))
+      val glob = perDoc.agg(sum(col("surp")).as("gs"),
+        sum(col("n_tokens")).as("gn"))
+      val dec = DecimalType(38, 0)
+      perDoc.crossJoin(broadcast(glob))
+        .select(col("doc_id"), col("n_tokens"), col("surp"),
+          (col("surp").cast(dec) * col("gn").cast(dec)
+            < col("gs").cast(dec) * col("n_tokens").cast(dec)).as("kept"))
+        .orderBy("doc_id")
+    }),
+
+    // Hashed bag-of-words retrieval (MIPS) — sparse-to-dense
+    // featurization feeding the integer similarity stack WITHOUT an
+    // embedding model: each document becomes a 16-long vector of
+    // md5-hashed term-bucket counts (the q84 hashing trick, so no
+    // vocabulary table and no shuffle to featurize), and retrieval is
+    // maximum-inner-product over exact integer dot products against a
+    // broadcast 1-row query vector (q49's ranking kernel). Map-only
+    // featurize + TakeOrderedAndProject top-k; at scale the vectors
+    // feed the q82 shape-signature buckets or vec_quant8 → IVF so the
+    // scan visits candidate buckets only.
+    "q107_bow_mips" -> ((s, d) => {
+      val bucket: Column => Column = w =>
+        pmod(conv(substring(md5(w), 1, 15), 16, 10).cast(LongType), lit(16L))
+      val vecs = graft.ops.Barrier(withWords(s, d)
+        .select(col("doc_id"),
+          transform(sequence(lit(0L), lit(15L)), k =>
+            size(filter(col("words"), w => bucket(w) === k)).cast(LongType))
+            .as("v")))
+      val q = vecs.filter(col("doc_id") === 0).select(col("v").as("qv"))
+      vecs.filter(col("doc_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("doc_id"),
+          aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y),
+            lit(0L), (acc, x) => acc + x).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // BPE tokenizer training, step 1 — corpus-wide adjacent
     // character-pair frequencies (the argmax of this table IS the
     // next BPE merge). Collapse to the DISTINCT vocabulary first:
@@ -1049,6 +1113,39 @@ object TextQueries {
                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                    % 100 < keep_pct AS kept
           FROM tiered ORDER BY doc_id""",
+    "q106_lm_filter" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+          w AS (SELECT doc_id, string_split(t, ' ') words FROM n),
+          wx AS (SELECT doc_id, unnest(words) term FROM w),
+          c AS (SELECT term, count(*) cnt FROM wx GROUP BY term),
+          tot AS (SELECT CAST(sum(cnt) AS BIGINT) tt FROM c),
+          sp AS (SELECT term,
+                   CAST(length(bin(tt)) - length(bin(cnt)) AS BIGINT) surp
+                 FROM c, tot),
+          pd AS (SELECT doc_id, count(*) n_tokens,
+                   CAST(sum(surp) AS BIGINT) surp
+                 FROM wx JOIN sp USING (term) GROUP BY doc_id),
+          g AS (SELECT CAST(sum(surp) AS HUGEINT) gs,
+                  CAST(sum(n_tokens) AS HUGEINT) gn FROM pd)
+          SELECT doc_id, n_tokens, surp,
+                 CAST(surp AS HUGEINT) * gn < gs * CAST(n_tokens AS HUGEINT)
+                   AS kept
+          FROM pd, g ORDER BY doc_id""",
+    "q107_bow_mips" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+          w AS (SELECT doc_id, string_split(t, ' ') words FROM n),
+          v AS (SELECT doc_id,
+                  list_transform(range(0, 16), k ->
+                    CAST(len(list_filter(words, x ->
+                      CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 16
+                        = k)) AS BIGINT)) v
+                FROM w),
+          q AS (SELECT v qv FROM v WHERE doc_id = 0)
+          SELECT v.doc_id,
+                 CAST(list_sum(list_transform(range(1, 17),
+                   i -> v.v[i] * qv[i])) AS BIGINT) AS score
+          FROM v, q WHERE v.doc_id <> 0
+          ORDER BY score DESC, doc_id LIMIT 10""",
     "q83_pack_assembly" ->
       """WITH p AS (
            SELECT doc_id, lang, n_chars,

@@ -60,7 +60,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q96_bm25", // broadcast 1-row corpus-stats frame (N, Σdl, dfs)
       "q98_anomaly", // days-sized rollup × broadcast 1-row (m, S1, S2)
       "q103_hardneg", // corpus × broadcast anchor batch, label-inequality pred
-      "q104_hybrid") // dense arm = corpus × broadcast 1-row query vector
+      "q104_hybrid", // dense arm = corpus × broadcast 1-row query vector
+      "q106_lm_filter", // vocab × broadcast 1-row T; docs × 1-row (G, T)
+      "q107_bow_mips") // corpus × broadcast 1-row query count-vector
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
