@@ -542,41 +542,45 @@ object TextQueries {
     // Boilerplate SCRUB — q47's census applied as sub-document
     // dedup (the C4/RefinedWeb "remove repeated spans" op): any word
     // covered by a 3-word span that ≥5 distinct docs share is
-    // removed, and the scrubbed text is pinned by md5. Two corpus
-    // passes, the optimum for a learned dictionary: (1) the q47
+    // removed, and the scrubbed text is pinned by md5. Fully
+    // DISTRIBUTED — no driver collect anywhere (an earlier IN-set
+    // literal formulation capped the dictionary at 10k spans and
+    // fell over when a corpus regen produced 25k): (1) the q47
     // census (span → doc count, map-side combined, vocab-of-spans
-    // sized); (2) a MAP-ONLY scrub — the frequent-span set is
-    // driver-collected (boilerplate dictionaries are small by
-    // definition; loud guard) and rides the plan as an IN-set
-    // (hashed InSet, codegen), so coverage is computed per row with
-    // no join at all. A huge dictionary graduates to the real
-    // Aho-Corasick kernel (`Functions.ac_count`, q99) — same shape,
-    // still map-only, scan cost independent of dictionary size.
+    // sized); (2) positional spans from each doc joined against the
+    // broadcast frequent-span table — matches explode to the ≤3
+    // covered word positions and collapse to one position-set per
+    // doc (bounded by doc length); (3) a map-side scrub probing
+    // that set. Shuffles: the census (span-keyed), the match
+    // collapse + rejoin (doc_id-keyed). At dictionary sizes beyond
+    // broadcast, drop the hint — same plan with a shuffle join on
+    // span; scan cost never depends on dictionary size.
     "q89_boiler_scrub" -> ((s, d) => {
       val freq = withWords(s, d)
         .select(col("doc_id"),
           explode(graft.Functions.word_shingles3(col("t"))).as("span"))
         .groupBy("span").agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") >= 5)
-        .select("span").collect().map(_.getString(0)).sorted
-      require(freq.length <= 10000,
-        s"boilerplate dictionary unexpectedly large (${freq.length}); " +
-          "use the Aho-Corasick kernel path instead of an IN-set literal")
-      // word at 0-based p is covered iff some frequent span starts at
-      // i ∈ [p-2, p] (and fits): the exists window is 3 wide, so the
-      // probe cost is O(1) per word regardless of document length
-      val covered =
-        if (freq.isEmpty) "false"
-        else {
-          val inList = freq.map(sp => s"'$sp'").mkString(",")
-          s"""exists(sequence(greatest(p - 2, 0), p), i ->
-              i + 3 <= size(words) AND concat_ws(' ',
-                element_at(words, i + 1), element_at(words, i + 2),
-                element_at(words, i + 3)) IN ($inList))"""
-        }
+        .select("span")
+      // positional 3-word spans (start index i covers words i..i+2);
+      // word_shingles3 is the distinct SET (census-side), so the
+      // positional stream comes straight off the words array
+      val cov = withWords(s, d)
+        .select(col("doc_id"), col("words"))
+        .filter(size(col("words")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(words) - 3), i ->
+             struct(i AS i, concat_ws(' ', words[i], words[i+1], words[i+2]) AS span))"""))
+          .as("x"))
+        .select(col("doc_id"), col("x.i").as("i"), col("x.span").as("span"))
+        .join(broadcast(freq), "span")
+        .select(col("doc_id"), explode(sequence(col("i"), col("i") + 2)).as("p"))
+        .groupBy("doc_id").agg(collect_set(col("p")).as("cov"))
       withWords(s, d)
         .select(col("doc_id"), col("words"))
-        .withColumn("clean", expr(s"filter(words, (x, p) -> NOT ($covered))"))
+        .join(cov, Seq("doc_id"), "left")
+        .withColumn("clean",
+          expr("filter(words, (x, p) -> cov IS NULL OR NOT array_contains(cov, p))"))
         .select(col("doc_id"),
           size(col("words")).cast(LongType).as("n_words"),
           (size(col("words")) - size(col("clean"))).cast(LongType).as("n_removed"),

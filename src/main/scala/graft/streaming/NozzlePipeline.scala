@@ -62,13 +62,29 @@ object NozzlePipeline {
     StructField("props", StringType)))
 
   /** File-replay streaming source over events parquet (O1/O2). One
-    * file per micro-batch keeps replays deterministic in tests. */
-  def source(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
+    * file per micro-batch keeps replays deterministic in tests.
+    *
+    * Streaming reads need a declared schema, and the driver has
+    * shipped `ts` both as TIMESTAMP(NANOS) (→ long ns via
+    * `nanosAsLong`) and as plain µs timestamps across testdata
+    * generations — so the schema is sniffed from a one-time static
+    * footer read (driver-side metadata only, no data scan) and `ts`
+    * is normalized to the `ts_ns` long every stage downstream keys
+    * on (the Tables.events contract). */
+  def source(spark: SparkSession, dir: String): DataFrame = {
+    val sniffed =
+      try spark.read.parquet(dir).schema
+      catch { case _: Throwable => eventsSchema } // empty dir: replay layout
+    val raw = spark.readStream
+      .schema(sniffed)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
+    sniffed("ts").dataType match {
+      case LongType => raw.withColumnRenamed("ts", "ts_ns")
+      case _ => raw.withColumn("ts_ns",
+        expr("unix_micros(cast(ts as timestamp)) * 1000L")).drop("ts")
+    }
+  }
 
   private def nullOf(t: DataType): Column = lit(null).cast(t)
 

@@ -425,12 +425,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"retention should not join:\n$p")
   }
 
-  test("q89 boilerplate scrub stays map-only with the dictionary as an IN-set") {
+  test("q89 boilerplate scrub: broadcast dictionary join, doc-keyed coverage") {
     val p = plan("q89_boiler_scrub")
-    // census runs at construction; the returned plan is the scrub pass:
-    // no join, no shuffle — the learned dictionary rides the plan
-    assert(!p.contains("Join"), s"scrub pass joins instead of probing a literal:\n$p")
-    assert(!p.contains("hashpartitioning"), s"scrub plan shuffles:\n$p")
+    // fully distributed (no driver-collected dictionary): the frequent-
+    // span table joins BROADCAST against the positional span stream, and
+    // the per-doc coverage set rejoins broadcast on doc_id — the corpus
+    // text itself is never shuffled (the only hashpartitioning exchange
+    // carries (doc_id, position) ints for the collect_set collapse)
+    assert(p.contains("BroadcastHashJoin"),
+      s"dictionary/coverage joins are not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"scrub sort-merges (text would shuffle at scale):\n$p")
+    val textShuffled = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text#"))
+    assert(!textShuffled, s"document text crosses an exchange:\n$p")
   }
 
   test("q87 trained-BPE token counts: partial agg + top-k off the vocab barrier") {
