@@ -105,6 +105,52 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Canonical-document selection — the DECISION step that turns
+    // near-dup clusters into a training corpus: within each q51
+    // cluster keep exactly one representative, chosen by content
+    // richness (max n_chars, ties to the smaller doc_id) rather than
+    // q51's structural min-id convention — the real pipelines keep
+    // the best copy, not an arbitrary one. Scale shape: the cluster
+    // labels ride the (long, long) CC output; the argmax is one
+    // row_number window over cluster_id — clusters are tiny by
+    // construction (near-dup groups), singletons dominate, so the
+    // window state per partition is bounded by the largest dup
+    // cluster, never the corpus.
+    "q108_canonical" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = minhashNearDupPairs(s, d).select("doc_a", "doc_b")
+      val labels = graft.ops.ConnectedComponents(pairs)
+        .withColumnRenamed("node", "doc_id")
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(desc("n_chars"), col("doc_id"))
+      Tables.documents(s, d).select("doc_id", "n_chars")
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        .withColumn("keep", (row_number().over(w) === 1).cast(LongType))
+        .orderBy("doc_id")
+    }),
+
+    // Containment scoring — the ASYMMETRIC near-dup measure Jaccard
+    // resemblance can't express: C(A,B) = |S_A ∩ S_B| / min(|S_A|,
+    // |S_B|) flags a short document embedded in a longer one (quotes,
+    // excerpts, boilerplate-wrapped reposts) even when the size gap
+    // keeps Jaccard below any dedup threshold. Candidates come from
+    // the same 6×2 MinHash band join as q18 (LSH on resemblance —
+    // documented recall limit for extreme-size-ratio pairs; the
+    // production fix is a second index on the smaller side's bands),
+    // exact intersections confirm, and the emitted score is an exact
+    // integer ppm. Same shuffle posture as q18: signatures and id
+    // pairs only, shingle sets re-joined per candidate.
+    "q109_containment" -> ((s, d) => {
+      graft.ops.Barrier(minhashScored(s, d))
+        .withColumn("n_small", least(col("na"), col("nb")))
+        .filter(col("inter") * 10 >= col("n_small") * 9)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("n_small"),
+          expr("(inter * 1000000) div n_small").as("cont_ppm"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Incremental dedup — the production mode of a corpus that grows
     // daily: dedup the NEW batch (the doc_id % 10 ∈ {8,9} slice, so
     // the 80/20 history/batch ratio holds at every SF) against the
@@ -633,6 +679,90 @@ object DedupQueries {
                 x.nset + y.nset - len(list_intersect(x.sset, y.sset)) AS uni
          FROM cand JOIN hsv x ON da=x.doc_id JOIN hsv y ON db=y.doc_id
          WHERE 5*len(list_intersect(x.sset, y.sset)) >= 3*(x.nset + y.nset - len(list_intersect(x.sset, y.sset)))
+         ORDER BY doc_a, doc_b""",
+    // q51's recursive-closure labels + the keep-best argmax window.
+    "q108_canonical" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2],' ')) shingles
+           FROM w WHERE len(words) >= 3),
+         ss AS (
+           SELECT doc_id, list_distinct(shingles) sset FROM sh),
+         hsv AS (
+           SELECT doc_id, sset, len(sset) nset,
+                  list_transform(sset, x -> CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) % 2147483647) hs
+           FROM ss),
+         m AS (
+           SELECT doc_id, sset, nset,
+             [list_aggregate(list_transform(hs, hm ->
+                ((CAST(1103515245 AS BIGINT) * (k+1) + 12345) % 2147483647 * hm + 977 * (k+1)) % 2147483647), 'min')
+              for k in range(0,12)] mh
+           FROM hsv),
+         bands AS (
+           SELECT doc_id, j, mh[2*j+1] * 2147483647 + mh[2*j+2] sig
+           FROM m, unnest(range(0,6)) t(j)),
+         cand AS (
+           SELECT DISTINCT a.doc_id da, b.doc_id db
+           FROM bands a JOIN bands b ON a.j=b.j AND a.sig=b.sig AND a.doc_id < b.doc_id),
+         pairs AS (
+           SELECT da, db
+           FROM cand JOIN hsv x ON da=x.doc_id JOIN hsv y ON db=y.doc_id
+           WHERE 5*len(list_intersect(x.sset, y.sset)) >= 3*(x.nset + y.nset - len(list_intersect(x.sset, y.sset)))),
+         edges AS (
+           SELECT da AS s, db AS t FROM pairs UNION SELECT db, da FROM pairs),
+         reach(node, r) AS (
+           SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+           UNION
+           SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.node),
+         labels AS (
+           SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+         sel AS (
+           SELECT d.doc_id, d.n_chars,
+                  coalesce(l.cluster_id, d.doc_id) AS cluster_id
+           FROM documents d LEFT JOIN labels l ON d.doc_id = l.node)
+         SELECT doc_id, n_chars, cluster_id,
+                CAST(CASE WHEN row_number() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY n_chars DESC, doc_id) = 1
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM sel ORDER BY doc_id""",
+    // q18's candidate chain scored by asymmetric containment of the
+    // smaller shingle set, exact-integer ppm.
+    "q109_containment" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2],' ')) shingles
+           FROM w WHERE len(words) >= 3),
+         ss AS (
+           SELECT doc_id, list_distinct(shingles) sset FROM sh),
+         hsv AS (
+           SELECT doc_id, sset, len(sset) nset,
+                  list_transform(sset, x -> CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) % 2147483647) hs
+           FROM ss),
+         m AS (
+           SELECT doc_id, sset, nset,
+             [list_aggregate(list_transform(hs, hm ->
+                ((CAST(1103515245 AS BIGINT) * (k+1) + 12345) % 2147483647 * hm + 977 * (k+1)) % 2147483647), 'min')
+              for k in range(0,12)] mh
+           FROM hsv),
+         bands AS (
+           SELECT doc_id, j, mh[2*j+1] * 2147483647 + mh[2*j+2] sig
+           FROM m, unnest(range(0,6)) t(j)),
+         cand AS (
+           SELECT DISTINCT a.doc_id da, b.doc_id db
+           FROM bands a JOIN bands b ON a.j=b.j AND a.sig=b.sig AND a.doc_id < b.doc_id),
+         sc AS (
+           SELECT da AS doc_a, db AS doc_b,
+                  len(list_intersect(x.sset, y.sset)) AS inter,
+                  least(x.nset, y.nset) AS n_small
+           FROM cand JOIN hsv x ON da=x.doc_id JOIN hsv y ON db=y.doc_id)
+         SELECT doc_a, doc_b, inter, n_small,
+                CAST((inter * 1000000) // n_small AS BIGINT) AS cont_ppm
+         FROM sc WHERE inter * 10 >= n_small * 9
          ORDER BY doc_a, doc_b""",
     // q18's pipeline up to the threshold filter, then connected
     // components as a recursive min-reachability closure: r reaches

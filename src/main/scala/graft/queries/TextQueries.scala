@@ -900,6 +900,46 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // Token-budget mixture scheduler — the PLANNING operator behind
+    // every data-mixing recipe (DoReMi/Pile-style static weights):
+    // given target mixture weights per language and a global token
+    // budget (80% of the corpus here), compute each stratum's
+    // allocation with cap-and-redistribute waterfilling — a stratum
+    // whose available tokens can't fill its target share caps at
+    // avail, and the shortfall redistributes over the uncapped
+    // strata proportional to their weights. EXACT integer math
+    // end-to-end (ppm weights, floor divides), so the oracle replays
+    // the schedule bit-for-bit. Scale shape: the only corpus-sized
+    // work is ONE partial-agg'd groupBy(lang) scan; everything after
+    // operates on a languages-sized table with two broadcast scalar
+    // joins — the 100 TB cost is the scan, the decision is free.
+    // sample_ppm is the per-stratum hash-gate rate a q41/q95-style
+    // deterministic sampler then applies row-wise.
+    "q110_mixture" -> ((s, d) => {
+      val w = typedLit(Map(
+        "en" -> 400000L, "zh" -> 200000L, "de" -> 150000L,
+        "fr" -> 150000L, "es" -> 100000L))
+      val strata = Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(sum(expr("n_chars div 4")).as("avail"))
+        .withColumn("w_ppm", coalesce(element_at(w, col("lang")), lit(0L)))
+      val total = strata.agg(sum(col("avail")).as("tot"))
+      val base = strata.crossJoin(broadcast(total))
+        .withColumn("alloc0", expr("(((tot * 4) div 5) * w_ppm) div 1000000"))
+        .withColumn("capped", col("alloc0") > col("avail"))
+      val sums = base.agg(
+        sum(when(col("capped"), col("alloc0") - col("avail")).otherwise(0L))
+          .as("leftover"),
+        sum(when(!col("capped"), col("w_ppm")).otherwise(0L)).as("w_free"))
+      base.crossJoin(broadcast(sums))
+        .withColumn("alloc", least(col("avail"),
+          col("alloc0") + when(col("capped"), 0L)
+            .otherwise(expr("(leftover * w_ppm) div w_free"))))
+        .select(col("lang"), col("avail"), col("w_ppm"), col("alloc"),
+          expr("(alloc * 1000000) div avail").as("sample_ppm"))
+        .orderBy("lang")
+    }),
+
     // Inverted index — the retrieval-side build every search/RAG
     // stack needs: term → sorted posting list of documents. The big
     // shuffle is (term, doc_id) pairs — term-partitioned, which IS
@@ -1428,6 +1468,33 @@ object TextQueries {
          SELECT r.lang, CAST(r.n_l AS BIGINT) n_total, r.ppm AS rate_ppm,
                 CAST(coalesce(k.n_kept, 0) AS BIGINT) n_kept
          FROM r LEFT JOIN k USING (lang) ORDER BY r.lang""",
+    "q110_mixture" ->
+      """WITH s AS (SELECT lang, CAST(sum(n_chars // 4) AS BIGINT) avail
+                    FROM documents GROUP BY 1),
+          wt AS (SELECT * FROM (VALUES
+                   ('en', 400000), ('zh', 200000), ('de', 150000),
+                   ('fr', 150000), ('es', 100000)) t(lang, w_ppm)),
+          b AS (SELECT s.lang, s.avail,
+                  CAST(coalesce(wt.w_ppm, 0) AS BIGINT) w_ppm,
+                  (SELECT CAST(sum(avail) AS BIGINT) FROM s) tot
+                FROM s LEFT JOIN wt USING (lang)),
+          a AS (SELECT lang, avail, w_ppm,
+                  (((tot * 4) // 5) * w_ppm) // 1000000 AS alloc0
+                FROM b),
+          c AS (SELECT *, alloc0 > avail AS capped FROM a),
+          t AS (SELECT CAST(sum(CASE WHEN capped THEN alloc0 - avail
+                                     ELSE 0 END) AS BIGINT) leftover,
+                       CAST(sum(CASE WHEN NOT capped THEN w_ppm
+                                     ELSE 0 END) AS BIGINT) w_free
+                FROM c),
+          f AS (SELECT c.lang, c.avail, c.w_ppm,
+                  least(c.avail, c.alloc0 +
+                    CASE WHEN c.capped THEN 0
+                         ELSE (t.leftover * c.w_ppm) // t.w_free END) AS alloc
+                FROM c CROSS JOIN t)
+         SELECT lang, avail, w_ppm, CAST(alloc AS BIGINT) alloc,
+                CAST((alloc * 1000000) // avail AS BIGINT) sample_ppm
+         FROM f ORDER BY lang""",
     "q94_index" ->
       s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
           w AS (SELECT doc_id,

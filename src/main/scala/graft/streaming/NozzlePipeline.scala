@@ -72,9 +72,15 @@ object NozzlePipeline {
     * is normalized to the `ts_ns` long every stage downstream keys
     * on (the Tables.events contract). */
   def source(spark: SparkSession, dir: String): DataFrame = {
+    // A testdata dir holds EVERY table's parquet — sniff events.parquet
+    // specifically there; a staged replay dir holds only event files.
     val sniffed =
-      try spark.read.parquet(dir).schema
-      catch { case _: Throwable => eventsSchema } // empty dir: replay layout
+      try {
+        val ev = new java.io.File(dir, "events.parquet")
+        val s = spark.read.parquet(
+          if (ev.exists()) ev.getPath else dir).schema
+        if (s.fieldNames.contains("ts")) s else eventsSchema
+      } catch { case _: Throwable => eventsSchema } // empty dir: replay layout
     val raw = spark.readStream
       .schema(sniffed)
       .option("maxFilesPerTrigger", "1")

@@ -62,7 +62,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q103_hardneg", // corpus × broadcast anchor batch, label-inequality pred
       "q104_hybrid", // dense arm = corpus × broadcast 1-row query vector
       "q106_lm_filter", // vocab × broadcast 1-row T; docs × 1-row (G, T)
-      "q107_bow_mips") // corpus × broadcast 1-row query count-vector
+      "q107_bow_mips", // corpus × broadcast 1-row query count-vector
+      "q110_mixture") // languages-sized strata × broadcast 1-row totals ×2
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
@@ -555,5 +556,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"q40 ranks via a window shuffle:\n$p")
     assert(!p.contains("hashpartitioning"),
       s"q40 hash-shuffles the corpus:\n$p")
+  }
+
+  test("q108 canonical selection windows on cluster_id, never unpartitioned") {
+    val p = plan("q108_canonical")
+    // the keep-best argmax must partition by cluster_id (bounded
+    // near-dup groups), not run a global row_number
+    assert(p.contains("windowspecdefinition(cluster_id"),
+      s"canonical argmax lost its cluster partitioning:\n$p")
+  }
+
+  test("q109 containment keeps the q18 candidate shape off the barrier") {
+    val p = plan("q109_containment")
+    // post-Barrier scoring: the plan starts at the checkpoint scan
+    // (signatures + candidate pairs computed once), and the final
+    // filter/score is plain projection work — no window, no extra
+    // aggregation beyond the candidate machinery
+    assert(p.contains("Scan ExistingRDD"),
+      s"containment re-derives the scored pairs instead of the barrier:\n$p")
+    assert(!p.contains("Window"), s"containment plans a window:\n$p")
+  }
+
+  test("q110 mixture: one corpus aggregate, decisions on broadcast scalars") {
+    val p = plan("q110_mixture")
+    // the only corpus-sized work is the partial-agg'd groupBy(lang)
+    // scan; the budget/leftover scalars join back as broadcasts
+    assert(p.contains("partial_sum"),
+      s"stratum aggregate lost map-side combine:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"scalar totals should cross-join broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"mixture plan sort-merges a languages-sized table:\n$p")
   }
 }
