@@ -159,6 +159,12 @@ object Functions {
   def winnow(t: Column, k: Int, w: Int): Column =
     Shims.column(graft.functions.Winnow(Shims.expression(t), k, w))
 
+  /** bow_counts(t, n): hashed bag-of-words count vector over the
+    * md5-prefix bucket domain (see [[graft.functions.BowCounts]]) —
+    * the q107 featurize kernel. */
+  def bow_counts(t: Column, n: Int): Column =
+    Shims.column(graft.functions.BowCounts(Shims.expression(t), n))
+
   /** Morton (Z-order) clustering key (see [[graft.functions.ZOrder2]]):
     * sort or repartitionByRange by this before a parquet write to get
     * min/max page pruning on BOTH dimensions. */
@@ -265,6 +271,9 @@ object Functions {
     // winnow(t, 8, 4): k and w must be foldable integer literals
     "winnow" -> (exprs => graft.functions.Winnow(exprs(0),
       intLit("winnow", "k")(exprs(1)), intLit("winnow", "w")(exprs(2)))),
+    // bow_counts(t, 16): bucket count must be an integer literal
+    "bow_counts" -> (exprs => graft.functions.BowCounts(exprs(0),
+      intLit("bow_counts", "n")(exprs(1)))),
     // hll_agg(h, 6): register-count exponent must be an integer literal
     "hll_agg" -> (exprs => graft.functions.HllAgg(exprs(0),
       intLit("hll_agg", "b")(exprs(1))).toAggregateExpression()),

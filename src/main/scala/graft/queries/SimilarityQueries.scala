@@ -714,6 +714,40 @@ object SimilarityQueries {
         .orderBy("cid", "label")
     }),
 
+    // Embedding-distribution DRIFT monitor — the other post-deploy
+    // audit (q76 checks label quality; this checks INPUT shift): the
+    // corpus splits into a reference window (even vec_ids) and a new
+    // window (odd), both assigned under the same trained codebook,
+    // and each cluster's occupancy share is compared across windows.
+    // The 1% absolute-share gate runs EXACTLY, q98-style: |n_new·R −
+    // n_ref·N|·100 > N·R with operands in DECIMAL(38,0)/HUGEINT (the
+    // products pass Long at corpus scale). Shape: one map-only assign
+    // pass (plan-time centroid literals), one k-sized aggregate, the
+    // totals broadcast as one row — at 100 TB the monitor costs one
+    // scan of the new window and the decision is free. A tripped gate
+    // is what feeds the q71 retrain / streaming-KMeans swap loop.
+    "q111_drift" -> ((s, d) => {
+      import graft.ops.KMeans
+      val qemb = graft.ops.Barrier(Tables.embeddings(s, d)
+        .filter(!exists(col("embedding"), _.isNull)) // see q48 note
+        .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8")))
+      val seeds = KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
+      val model = KMeans.train(qemb, "vec_id", "q8", 64, seeds, maxIter = 2)
+      val counts = KMeans.assign(qemb, "vec_id", "q8", model)
+        .groupBy("cid").agg(
+          sum(when(pmod(col("vec_id"), lit(2)) === 0, 1L).otherwise(0L)).as("n_ref"),
+          sum(when(pmod(col("vec_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n_new"))
+      val tot = counts.agg(sum(col("n_ref")).as("tr"), sum(col("n_new")).as("tn"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("cid"), col("n_ref"), col("n_new"),
+          (expr("(n_new * 1000000) div tn") - expr("(n_ref * 1000000) div tr"))
+            .as("shift_ppm"),
+          expr("abs(cast(n_new as decimal(38,0)) * tr " +
+            "- cast(n_ref as decimal(38,0)) * tn) * 100 " +
+            "> cast(tn as decimal(38,0)) * tr").as("is_drift"))
+        .orderBy("cid")
+    }),
+
     // ANN recall audit — the index-quality eval a production pipeline
     // runs before trusting an approximate path: recall@10 of the
     // LSH-bucketed search (q22) against exact brute force (q16's
@@ -1052,6 +1086,22 @@ object SimilarityQueries {
           WHERE co.vec_id <> 0
           ORDER BY adist ASC, co.vec_id LIMIT 10""",
     "q71_kmeans" -> kmeansOracle(2),
+    // q71's training replay + the final assign, counted per window
+    // half with the cross-multiplied 1% share gate
+    "q111_drift" ->
+      s"""WITH ${kmeansCtes(2)},
+          ${kmAssign("afin", "s2")},
+          c AS (SELECT cid,
+                  sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) n_ref,
+                  sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) n_new
+                FROM afin GROUP BY cid),
+          t AS (SELECT sum(n_ref) tr, sum(n_new) tn FROM c)
+         SELECT cid, CAST(n_ref AS BIGINT) n_ref, CAST(n_new AS BIGINT) n_new,
+                CAST((n_new * 1000000) // tn - (n_ref * 1000000) // tr
+                  AS BIGINT) shift_ppm,
+                abs(CAST(n_new AS HUGEINT) * tr - CAST(n_ref AS HUGEINT) * tn)
+                  * 100 > CAST(tn AS HUGEINT) * tr AS is_drift
+         FROM c CROSS JOIN t ORDER BY cid""",
     "q72_ivf_trained" -> ivfTrainedOracle(2),
     "q73_pq_trained" -> pqTrainedOracle(2),
     "q74_ivfpq_trained" -> ivfPqTrainedOracle(2),

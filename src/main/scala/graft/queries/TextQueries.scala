@@ -379,13 +379,12 @@ object TextQueries {
     // feed the q82 shape-signature buckets or vec_quant8 → IVF so the
     // scan visits candidate buckets only.
     "q107_bow_mips" -> ((s, d) => {
-      val bucket: Column => Column = w =>
-        pmod(conv(substring(md5(w), 1, 15), 16, 10).cast(LongType), lit(16L))
+      // native one-pass featurize (graft.functions.BowCounts): one
+      // digest per word straight off the byte buffer — the HOF chain
+      // it replaces (16 filter lanes × interpreted md5/hex/conv per
+      // word) was the whole 5.4 s q107 wall at sf0.1
       val vecs = graft.ops.Barrier(withWords(s, d)
-        .select(col("doc_id"),
-          transform(sequence(lit(0L), lit(15L)), k =>
-            size(filter(col("words"), w => bucket(w) === k)).cast(LongType))
-            .as("v")))
+        .select(col("doc_id"), graft.Functions.bow_counts(col("t"), 16).as("v")))
       val q = vecs.filter(col("doc_id") === 0).select(col("v").as("qv"))
       vecs.filter(col("doc_id") =!= 0)
         .crossJoin(broadcast(q))
@@ -585,6 +584,44 @@ object TextQueries {
           size(col("words")).cast(LongType).as("n_words"),
           (size(col("words")) - size(col("clean"))).cast(LongType).as("n_removed"),
           md5(expr("array_join(clean, ' ')").cast(BinaryType)).as("scrub_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Repeated long-span audit — exact substring-level dedup signal
+    // (the Lee et al. "Deduplicating Training Data Makes Language
+    // Models Better" measurement, word-granular): every 20-word run
+    // shared VERBATIM by ≥2 documents marks its positions as
+    // duplicated, and each doc reports its duplicated-token fraction
+    // (the decision input for substring-removal or doc-drop
+    // policies; q89 scrubs short high-df boilerplate, this audits
+    // LONG verbatim reuse at df≥2). Scale shape: spans hash to
+    // 32-hex md5 BEFORE any exchange, so the census and the
+    // coverage join shuffle 16-byte keys, never 20-word text; the
+    // position collapse is doc-keyed; the span stream is Barrier-
+    // materialized once for both consumers.
+    "q112_spandup" -> ((s, d) => {
+      val K = 20
+      val spans = graft.ops.Barrier(withWords(s, d)
+        .select(col("doc_id"), col("words"))
+        .filter(size(col("words")) >= K)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(0, size(words) - $K), i -> struct(i AS i,
+              md5(cast(concat_ws(' ', slice(words, i + 1, $K)) as binary)) AS h))"""))
+          .as("x"))
+        .select(col("doc_id"), col("x.i").as("i"), col("x.h").as("h")))
+      val dup = spans.select("doc_id", "h").distinct()
+        .groupBy("h").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select("h")
+      val cov = spans.join(dup, "h")
+        .select(col("doc_id"), explode(sequence(col("i"), col("i") + lit(K - 1))).as("p"))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_cov"))
+      withWords(s, d)
+        .select(col("doc_id"), size(col("words")).cast(LongType).as("n_words"))
+        .join(cov, Seq("doc_id"), "left")
+        .withColumn("n_cov", coalesce(col("n_cov"), lit(0L)))
+        .select(col("doc_id"), col("n_words"), col("n_cov"),
+          expr("(n_cov * 1000000) div n_words").as("dup_ppm"))
         .orderBy("doc_id")
     }),
 
@@ -1495,6 +1532,25 @@ object TextQueries {
          SELECT lang, avail, w_ppm, CAST(alloc AS BIGINT) alloc,
                 CAST((alloc * 1000000) // avail AS BIGINT) sample_ppm
          FROM f ORDER BY lang""",
+    "q112_spandup" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+          w AS (SELECT doc_id, string_split(t, ' ') words FROM n),
+          e AS (SELECT doc_id, unnest(range(0, len(words) - 19)) i, words
+                FROM w WHERE len(words) >= 20),
+          sp AS (SELECT doc_id, i,
+                   md5(array_to_string(words[i+1:i+20], ' ')) h
+                 FROM e),
+          dd AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM sp)
+                 GROUP BY h HAVING count(*) >= 2),
+          cv AS (SELECT DISTINCT sp.doc_id, sp.i + u.p AS p
+                 FROM sp JOIN dd USING (h), unnest(range(0, 20)) u(p)),
+          c AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_cov
+                FROM cv GROUP BY 1)
+         SELECT w.doc_id, CAST(len(words) AS BIGINT) n_words,
+                CAST(coalesce(c.n_cov, 0) AS BIGINT) n_cov,
+                CAST((coalesce(c.n_cov, 0) * 1000000) // len(words)
+                  AS BIGINT) dup_ppm
+         FROM w LEFT JOIN c USING (doc_id) ORDER BY doc_id""",
     "q94_index" ->
       s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
           w AS (SELECT doc_id,

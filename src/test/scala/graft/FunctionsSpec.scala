@@ -253,4 +253,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("integer literal")
       || Option(ex.getCause).exists(_.getMessage.contains("integer literal")))
   }
+
+  test("bow_counts matches the md5-prefix HOF chain (and the SQL name works)") {
+    Functions.register(spark)
+    import org.apache.spark.sql.functions._
+    val s2 = spark
+    import s2.implicits._
+    // random-ish normalized texts incl. the empty string (one empty
+    // token, like split(t, ' ')) and single words
+    val texts = Seq("", "spark", "the quick brown fox", "a a a b",
+      "row scan agg join window filter value part key table batch")
+    val df = texts.toDF("t")
+    val hof = df.select(col("t"), expr(
+      """transform(sequence(0, 15), k -> cast(size(filter(split(t, ' '), w ->
+         pmod(cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint), 16) = k))
+         as bigint)) AS v""")).collect()
+    val native = df.select(col("t"),
+      Functions.bow_counts(col("t"), 16).as("v")).collect()
+    hof.zip(native).foreach { case (h, n) =>
+      assert(h.getSeq[Long](1) === n.getSeq[Long](1),
+        s"bucket counts diverge for '${h.getString(0)}'")
+    }
+    // SQL registration + literal-n validation
+    assert(spark.sql("SELECT bow_counts('a b', 4)").head().getSeq[Long](0).sum === 2L)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT bow_counts('a', cast(rand() * 4 as int))").collect()
+    }
+    assert(ex.getMessage.contains("integer literal")
+      || Option(ex.getCause).exists(_.getMessage.contains("integer literal")))
+  }
 }

@@ -63,7 +63,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q104_hybrid", // dense arm = corpus × broadcast 1-row query vector
       "q106_lm_filter", // vocab × broadcast 1-row T; docs × 1-row (G, T)
       "q107_bow_mips", // corpus × broadcast 1-row query count-vector
-      "q110_mixture") // languages-sized strata × broadcast 1-row totals ×2
+      "q110_mixture", // languages-sized strata × broadcast 1-row totals ×2
+      "q111_drift") // k-sized occupancy counts × broadcast 1-row totals
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
@@ -575,6 +576,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Scan ExistingRDD"),
       s"containment re-derives the scored pairs instead of the barrier:\n$p")
     assert(!p.contains("Window"), s"containment plans a window:\n$p")
+  }
+
+  test("q111 drift monitor: map-only assign, k-sized counts, broadcast totals") {
+    val p = plan("q111_drift")
+    // assignment is plan-time centroid literals over the barrier scan;
+    // the only exchange carries (cid, 2 longs); totals ride a 1-row BNLJ
+    assert(p.contains("Scan ExistingRDD"),
+      s"drift monitor re-derives the quantized corpus:\n$p")
+    assert(p.contains("partial_sum"),
+      s"occupancy counts lost map-side combine:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"totals should cross-join broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"drift monitor sort-merges:\n$p")
+  }
+
+  test("q112 span audit: spans hash before any exchange, text never shuffles") {
+    val p = plan("q112_spandup")
+    val textShuffled = p.linesIterator.exists(l =>
+      l.contains("Exchange") && (l.contains("text#") || l.contains("words#")))
+    assert(!textShuffled,
+      s"document text/words cross an exchange — spans must hash first:\n$p")
+    assert(!p.contains("CartesianProduct"), s"span audit goes all-pairs:\n$p")
   }
 
   test("q110 mixture: one corpus aggregate, decisions on broadcast scalars") {
