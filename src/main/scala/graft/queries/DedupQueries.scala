@@ -483,17 +483,30 @@ object DedupQueries {
   // Persisted incremental near-dup history (q64's 100 TB contract)
   // ---------------------------------------------------------------------
 
-  /** Banded LSH (doc_id, bkey) rows for the docs passing `pred`.
+  /** Shingle sets of an arbitrary (doc_id, text) relation — the
+    * [[shingleSets]] kernel decoupled from the corpus dir so the
+    * incremental/streaming paths can featurize a new batch that
+    * hasn't landed in any table yet. */
+  private def shingleSetsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.Functions.word_shingles3(
+        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("sset"))
+      .filter(size(col("sset")) >= 1)
+
+  /** Banded LSH (doc_id, bkey) rows for a shingle-set relation.
     * bkey is the FUSED "j:sig" string key (sig < P² ≈ 4.6e18 leaves
     * no headroom to pack the band index arithmetically into a long),
     * so the band table buckets and joins on ONE column. */
-  private def bandKeys(s: SparkSession, d: String, pred: Column): DataFrame =
-    shingleSets(s, d).filter(pred)
+  private def bandKeysOf(sets: DataFrame): DataFrame =
+    sets
       .select(col("doc_id"), graft.Functions.minhash_array(col("sset")).as("mh"))
       .select(col("doc_id"),
         expr(s"""explode(transform(sequence(0, 5), j ->
                    concat(j, ':', element_at(mh, 2*j+1) * ${P}L + element_at(mh, 2*j+2))))""")
           .as("bkey"))
+
+  private def bandKeys(s: SparkSession, d: String, pred: Column): DataFrame =
+    bandKeysOf(shingleSets(s, d).filter(pred))
 
   /** Persist the incremental-dedup HISTORY as a band table bucketed
     * (and per-bucket sorted) on bkey — the q64 scale contract in
@@ -512,20 +525,46 @@ object DedupQueries {
     * distinct pairs → exact confirm — same semantics and output as
     * q64_incneardup, minus the history-side shuffle. */
   def incNearDupsAgainstHistory(s: SparkSession, d: String,
-      table: String): DataFrame = {
+      table: String): DataFrame =
+    nearDupsAgainstHistoryOf(s,
+      Tables.documents(s, d).filter(col("doc_id") % 10 >= 8)
+        .select("doc_id", "text"),
+      d, table)
+      .orderBy("new_doc", "hist_doc")
+
+  /** The history probe for an ARBITRARY new (doc_id, text) batch —
+    * the ingest-gate kernel behind both the q64 batch form and the
+    * streaming form (StreamingNearDupSpec drives it per micro-batch
+    * via foreachBatch, the production crawl-ingest pattern): new-side
+    * featurize is map-only (native shingle/minhash kernels), the band
+    * probe joins the persisted bucketed history with no Exchange on
+    * the history side (DedupHistorySpec), and the exact confirm joins
+    * the candidates' shingle sets only — O(batch + collisions) at any
+    * history size. */
+  def nearDupsAgainstHistoryOf(s: SparkSession, newDocs: DataFrame,
+      d: String, table: String): DataFrame = {
     val hist = s.table(table)
-    val batch = bandKeys(s, d, col("doc_id") % 10 >= 8)
-    val cand = batch.as("b").join(hist.as("h"), col("b.bkey") === col("h.bkey"))
-      .select(col("h.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
-    val m = graft.ops.Barrier(shingleSets(s, d)
+    val batchSets = graft.ops.Barrier(shingleSetsOf(newDocs)
       .select(col("doc_id"), col("sset"),
         size(col("sset")).cast(LongType).as("nset")))
-    scorePairs(m, cand)
-      .select(col("doc_a").as("hist_doc"), col("doc_b").as("new_doc"),
-        col("inter"), (col("na") + col("nb") - col("inter")).as("uni"))
+    val cand = bandKeysOf(batchSets).as("b")
+      .join(hist.as("h"), col("b.bkey") === col("h.bkey"))
+      .select(col("h.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val histSets = shingleSets(s, d).filter(col("doc_id") % 10 < 8)
+      .select(col("doc_id").as("da"), col("sset").as("sa"),
+        size(col("sset")).cast(LongType).as("na"))
+      .hint("merge") // see scorePairs: computed-array size underestimate
+    cand
+      .join(histSets, "da")
+      .join(batchSets.select(col("doc_id").as("db"), col("sset").as("sb"),
+        col("nset").as("nb")).hint("merge"), "db")
+      .select(col("da").as("hist_doc"), col("db").as("new_doc"),
+        graft.Functions.sorted_intersect_count(col("sa"), col("sb")).as("inter"),
+        col("na"), col("nb"))
+      .select(col("hist_doc"), col("new_doc"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"))
       .filter(col("inter") * 5 >= col("uni") * 3)
-      .orderBy("new_doc", "hist_doc")
   }
 
   // ---------------------------------------------------------------------
