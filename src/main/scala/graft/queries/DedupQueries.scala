@@ -151,6 +151,27 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Source-overlap provenance matrix — the dedup ANALYTICS view a
+    // corpus team actually reads: which ingest sources share near-dup
+    // content with which (mirror detection, feed-of-a-feed, scraper
+    // overlap). q18's confirmed pairs joined to per-doc source
+    // metadata, counted per unordered source pair. Scale shape: the
+    // pair set is collision-bounded (tiny next to the corpus), so
+    // both metadata joins broadcast the PAIRS side and the final
+    // aggregate is sources²-sized; the corpus itself is read only by
+    // the shared signature pipeline.
+    "q113_overlap" -> ((s, d) => {
+      val pairs = minhashNearDupPairs(s, d).select("doc_a", "doc_b")
+      val meta = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      pairs
+        .join(meta.toDF("doc_a", "src_a"), "doc_a")
+        .join(meta.toDF("doc_b", "src_b"), "doc_b")
+        .select(least(col("src_a"), col("src_b")).as("source_x"),
+          greatest(col("src_a"), col("src_b")).as("source_y"))
+        .groupBy("source_x", "source_y").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_x", "source_y")
+    }),
+
     // Incremental dedup — the production mode of a corpus that grows
     // daily: dedup the NEW batch (the doc_id % 10 ∈ {8,9} slice, so
     // the 80/20 history/batch ratio holds at every SF) against the
@@ -719,6 +740,44 @@ object DedupQueries {
          FROM cand JOIN hsv x ON da=x.doc_id JOIN hsv y ON db=y.doc_id
          WHERE 5*len(list_intersect(x.sset, y.sset)) >= 3*(x.nset + y.nset - len(list_intersect(x.sset, y.sset)))
          ORDER BY doc_a, doc_b""",
+    // q18's candidate chain + the threshold filter, joined to source
+    // metadata and counted per unordered source pair.
+    "q113_overlap" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2],' ')) shingles
+           FROM w WHERE len(words) >= 3),
+         ss AS (
+           SELECT doc_id, list_distinct(shingles) sset FROM sh),
+         hsv AS (
+           SELECT doc_id, sset, len(sset) nset,
+                  list_transform(sset, x -> CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) % 2147483647) hs
+           FROM ss),
+         m AS (
+           SELECT doc_id, sset, nset,
+             [list_aggregate(list_transform(hs, hm ->
+                ((CAST(1103515245 AS BIGINT) * (k+1) + 12345) % 2147483647 * hm + 977 * (k+1)) % 2147483647), 'min')
+              for k in range(0,12)] mh
+           FROM hsv),
+         bands AS (
+           SELECT doc_id, j, mh[2*j+1] * 2147483647 + mh[2*j+2] sig
+           FROM m, unnest(range(0,6)) t(j)),
+         cand AS (
+           SELECT DISTINCT a.doc_id da, b.doc_id db
+           FROM bands a JOIN bands b ON a.j=b.j AND a.sig=b.sig AND a.doc_id < b.doc_id),
+         pairs AS (
+           SELECT da, db
+           FROM cand JOIN hsv x ON da=x.doc_id JOIN hsv y ON db=y.doc_id
+           WHERE 5*len(list_intersect(x.sset, y.sset)) >= 3*(x.nset + y.nset - len(list_intersect(x.sset, y.sset)))),
+         sp AS (
+           SELECT least(a.source, b.source) source_x,
+                  greatest(a.source, b.source) source_y
+           FROM pairs JOIN documents a ON da = a.doc_id
+                      JOIN documents b ON db = b.doc_id)
+         SELECT source_x, source_y, CAST(count(*) AS BIGINT) n_pairs
+         FROM sp GROUP BY 1, 2 ORDER BY 1, 2""",
     // q51's recursive-closure labels + the keep-best argmax window.
     "q108_canonical" ->
       """WITH RECURSIVE w AS (

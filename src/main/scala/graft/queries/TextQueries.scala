@@ -305,6 +305,38 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-language CALIBRATED quality gate — the fairness fix for
+    // model-based filters (a raw global threshold over-filters
+    // whatever the model under-scores, classically non-English):
+    // each language keeps its own top 60% by q84's hashed-linear
+    // score, so the cut is a per-stratum percentile, not an absolute
+    // score. rank·10 ≤ n_l·6 is the percentile test in exact integer
+    // form; ranking ties break on doc_id, so the kept set is
+    // engine-identical (scores are IEEE-identical by the q84 fold
+    // discipline). Both windows share ONE lang exchange. At 100 TB
+    // the full per-lang rank graduates to the q92 histogram sketch:
+    // estimate each language's 60th-percentile score from mergeable
+    // 64-bin sketches, then gate map-only against the threshold —
+    // same decision, no corpus-wide rank.
+    "q114_calib_quality" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wlit = typedLit(qmWeights)
+      val bucket: Column => Column = w =>
+        (pmod(conv(substring(md5(w), 1, 15), 16, 10).cast(LongType), lit(64L))
+          + lit(1L)).cast(IntegerType)
+      val wRank = Window.partitionBy("lang").orderBy(desc("score"), col("doc_id"))
+      val wCnt = Window.partitionBy("lang")
+      withWords(s, d)
+        .select(col("doc_id"), col("lang"),
+          aggregate(transform(col("words"), w => element_at(wlit, bucket(w))),
+            lit(0.0), (acc, x) => acc + x).as("score"))
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("n_l", count(lit(1)).over(wCnt))
+        .select(col("doc_id"), col("lang"), col("score"),
+          (col("rn") * 10 <= col("n_l") * 6).as("kept"))
+        .orderBy("doc_id")
+    }),
+
     // Quality-weighted sampling — soft quality filtering (the
     // FineWeb/Gopher practice: DOWNSAMPLE low-quality strata instead
     // of dropping them, preserving diversity): q84's hashed-linear
@@ -1172,6 +1204,21 @@ object TextQueries {
                      ws[CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 64 + 1])) AS score
             FROM w, wt)
           SELECT doc_id, n_tokens, score, score > 0 AS kept
+          FROM scored ORDER BY doc_id""",
+    "q114_calib_quality" ->
+      s"""WITH n AS (SELECT doc_id, lang, $normDuck t FROM documents),
+          w AS (SELECT doc_id, lang, string_split(t, ' ') words FROM n),
+          wt AS (SELECT list_transform(range(0, 64), k ->
+                   CAST(concat('0x', substr(md5('w,'||CAST(k AS VARCHAR)), 1, 6)) AS BIGINT)
+                     / CAST(16777216 AS DOUBLE) - CAST(0.5 AS DOUBLE)) ws),
+          scored AS (
+            SELECT doc_id, lang,
+                   list_sum(list_transform(words, x ->
+                     ws[CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 64 + 1])) AS score
+            FROM w, wt)
+          SELECT doc_id, lang, score,
+                 row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id)
+                   * 10 <= count(*) OVER (PARTITION BY lang) * 6 AS kept
           FROM scored ORDER BY doc_id""",
     "q105_quality_sample" ->
       s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),

@@ -600,6 +600,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"span audit goes all-pairs:\n$p")
   }
 
+  test("q113 overlap matrix: pairs ride broadcasts onto the metadata joins") {
+    val p = plan("q113_overlap")
+    // the collision-bounded pair set broadcasts against the source
+    // metadata; the corpus is read only by the signature pipeline
+    // (post-barrier here: Scan ExistingRDD)
+    assert(p.contains("Scan ExistingRDD"),
+      s"overlap matrix re-derives the scored pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"metadata joins should broadcast the pair side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"overlap matrix sort-merges a tiny pair set:\n$p")
+  }
+
+  test("q114 calibrated quality: both lang windows share one exchange") {
+    val p = plan("q114_calib_quality")
+    assert(p.contains("windowspecdefinition(lang"),
+      s"calibration window lost its lang partitioning:\n$p")
+    assert("Exchange hashpartitioning\\(lang".r.findFirstIn(p).isDefined,
+      s"window exchange should key on lang:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"rank and count windows should share ONE lang exchange:\n$p")
+  }
+
   test("q110 mixture: one corpus aggregate, decisions on broadcast scalars") {
     val p = plan("q110_mixture")
     // the only corpus-sized work is the partial-agg'd groupBy(lang)
