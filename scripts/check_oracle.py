@@ -14,6 +14,10 @@ for t in ["region","nation","customer","supplier","part","orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+try:
+    verify_errors = json.load(open(f"{outdir}/errors.json"))
+except FileNotFoundError:
+    verify_errors = {}
 
 def canon(v):
     if isinstance(v, float):
@@ -29,6 +33,8 @@ def norm(rows, cols):
 
 fails = 0
 for name, sql in sorted(oracle.items()):
+    if name in verify_errors:
+        print(f"FAIL {name}: spark error: {verify_errors[name]}"); fails += 1; continue
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
         print(f"FAIL {name}: no spark output"); fails += 1; continue
