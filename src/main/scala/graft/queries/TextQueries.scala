@@ -483,6 +483,33 @@ object TextQueries {
         .limit(30)
     }),
 
+    // Tokenizer FERTILITY by language — the metric tokenizer-fairness
+    // decisions actually quote (tokens-per-word by language; a
+    // tokenizer trained on skewed data inflates minority-language
+    // sequence lengths and training cost): the q86/q87 trained-BPE
+    // pipeline evaluated per stratum. Tokenizer trains ONCE on the
+    // corpus-global vocab (as deployed); per-word token counts come
+    // off the |vocab|-sized symbol table; the only corpus-sized work
+    // is the (lang, word) usage count — partial-agg'd, vocab×langs
+    // shuffle. fert_ppm is exact-integer tokens-per-word ×1e6.
+    "q115_fertility" -> ((s, d) => {
+      val vocab = withWords(s, d)
+        .select(explode(col("words")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      val (_, toks) = graft.ops.Bpe.train(vocab, bpeRounds)
+      val tokCount = toks.groupBy("w").agg(count(lit(1)).as("nt"))
+      val lw = withWords(s, d)
+        .select(col("lang"), explode(col("words")).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("f"))
+      lw.join(tokCount, "w")
+        .groupBy("lang")
+        .agg(sum(col("f")).as("n_words"),
+          sum(col("f") * col("nt")).as("n_tokens"))
+        .select(col("lang"), col("n_words"), col("n_tokens"),
+          expr("(n_tokens * 1000000) div n_words").as("fert_ppm"))
+        .orderBy("lang")
+    }),
+
     // Document fingerprint: 31-polynomial rolling hash of the
     // normalized text mod 2^31-1 (full doc + 64-char prefix), via the
     // native codegen expression (the HOF-per-char formulation is
@@ -1192,6 +1219,18 @@ object TextQueries {
           SELECT sym AS token, CAST(sum(freq) AS BIGINT) n
           FROM s$bpeRounds GROUP BY 1
           ORDER BY n DESC, token LIMIT 30""",
+    "q115_fertility" ->
+      s"""WITH ${bpeCtes(bpeRounds)},
+          tk AS (SELECT w, CAST(count(*) AS BIGINT) nt
+                 FROM s$bpeRounds GROUP BY w),
+          nl AS (SELECT doc_id, lang, $normDuck t FROM documents),
+          wl AS (SELECT lang, unnest(string_split(t, ' ')) w FROM nl),
+          lw AS (SELECT lang, w, count(*) f FROM wl GROUP BY 1, 2)
+         SELECT lang, CAST(sum(f) AS BIGINT) n_words,
+                CAST(sum(f * nt) AS BIGINT) n_tokens,
+                CAST((sum(f * nt) * 1000000) // sum(f) AS BIGINT) fert_ppm
+         FROM lw JOIN tk USING (w)
+         GROUP BY lang ORDER BY lang""",
     "q84_quality_model" ->
       s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
           w AS (SELECT doc_id, string_split(t, ' ') words FROM n),

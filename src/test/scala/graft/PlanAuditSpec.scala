@@ -623,6 +623,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"rank and count windows should share ONE lang exchange:\n$p")
   }
 
+  test("q115 fertility: vocab-sized token table, partial-agg'd usage counts") {
+    val p = plan("q115_fertility")
+    // the trained symbol table is Barrier-materialized (vocab-sized);
+    // both aggregations keep map-side combine so the shuffles carry
+    // (lang, word) / (lang, 2 longs) rows, never the corpus
+    assert(p.contains("Scan ExistingRDD"),
+      s"fertility re-derives the trained symbol table:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"usage counts lost map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"fertility goes all-pairs:\n$p")
+  }
+
   test("q110 mixture: one corpus aggregate, decisions on broadcast scalars") {
     val p = plan("q110_mixture")
     // the only corpus-sized work is the partial-agg'd groupBy(lang)
