@@ -337,6 +337,45 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // q114's 100 TB SCALE VARIANT in code (the q79→q80 discipline:
+    // the documented scale path must exist as an implemented,
+    // oracle-gated surface): instead of ranking every document inside
+    // a per-lang window (en ≈ half a real corpus → one straggler
+    // task), the per-lang 40th-percentile score threshold comes off a
+    // MERGEABLE 64-bin histogram sketch (hist_agg over the ×1000
+    // integer-quantized score, the q92 kernel — 64 longs per lang
+    // cross the wire), and the gate is a MAP-ONLY bucket compare
+    // against the broadcast threshold table. Keep-fraction carries
+    // bucket-width error (≤ one bin) — the documented sketch
+    // trade-off; decisions replay exactly because every step is
+    // integer arithmetic over IEEE-identical scores.
+    "q116_calib_sketch" -> ((s, d) => {
+      val wlit = typedLit(qmWeights)
+      val bucket: Column => Column = w =>
+        (pmod(conv(substring(md5(w), 1, 15), 16, 10).cast(LongType), lit(64L))
+          + lit(1L)).cast(IntegerType)
+      val scored = graft.ops.Barrier(withWords(s, d)
+        .select(col("doc_id"), col("lang"),
+          aggregate(transform(col("words"), w => element_at(wlit, bucket(w))),
+            lit(0.0), (acc, x) => acc + x).as("score"))
+        .withColumn("sq", floor(col("score") * 1000).cast(LongType)))
+      val th = scored.groupBy("lang")
+        .agg(graft.Functions.hist_agg(col("sq"), -4000L, 4000L, 64).as("hist"))
+        .withColumn("n", expr("aggregate(hist, 0L, (a, x) -> a + x)"))
+        // smallest bucket whose running count reaches ceil(0.4·n):
+        // everything strictly above it is kept (top ≤60% per lang)
+        .withColumn("b40", expr(
+          """array_min(filter(sequence(0, 63), b ->
+             aggregate(slice(hist, 1, b + 1), 0L, (a, x) -> a + x)
+               >= (2 * n + 4) div 5))"""))
+        .select(col("lang"), col("b40"))
+      scored.join(broadcast(th), "lang")
+        .select(col("doc_id"), col("lang"), col("sq"),
+          (expr("least(63L, greatest(0L, (sq + 4000) div 125))") > col("b40"))
+            .as("kept"))
+        .orderBy("doc_id")
+    }),
+
     // Quality-weighted sampling — soft quality filtering (the
     // FineWeb/Gopher practice: DOWNSAMPLE low-quality strata instead
     // of dropping them, preserving diversity): q84's hashed-linear
@@ -1219,6 +1258,31 @@ object TextQueries {
           SELECT sym AS token, CAST(sum(freq) AS BIGINT) n
           FROM s$bpeRounds GROUP BY 1
           ORDER BY n DESC, token LIMIT 30""",
+    "q116_calib_sketch" ->
+      s"""WITH n AS (SELECT doc_id, lang, $normDuck t FROM documents),
+          w AS (SELECT doc_id, lang, string_split(t, ' ') words FROM n),
+          wt AS (SELECT list_transform(range(0, 64), k ->
+                   CAST(concat('0x', substr(md5('w,'||CAST(k AS VARCHAR)), 1, 6)) AS BIGINT)
+                     / CAST(16777216 AS DOUBLE) - CAST(0.5 AS DOUBLE)) ws),
+          scored AS (
+            SELECT doc_id, lang,
+                   list_sum(list_transform(words, x ->
+                     ws[CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 64 + 1])) AS score
+            FROM w, wt),
+          sq AS (SELECT doc_id, lang,
+                   CAST(floor(score * 1000) AS BIGINT) sq FROM scored),
+          hb AS (SELECT doc_id, lang, sq,
+                   least(63, greatest(0, (sq + 4000) // 125)) b FROM sq),
+          hist AS (SELECT lang, b, count(*) c FROM hb GROUP BY 1, 2),
+          nl AS (SELECT lang, count(*) n FROM hb GROUP BY 1),
+          cm AS (SELECT h.lang, h.b,
+                   sum(h.c) OVER (PARTITION BY h.lang ORDER BY h.b) cum, nl.n
+                 FROM hist h JOIN nl USING (lang)),
+          b40 AS (SELECT lang, min(b) b40 FROM cm
+                  WHERE cum >= (2 * n + 4) // 5 GROUP BY lang)
+         SELECT doc_id, hb.lang, sq, hb.b > b40.b40 AS kept
+         FROM hb JOIN b40 ON hb.lang = b40.lang
+         ORDER BY doc_id""",
     "q115_fertility" ->
       s"""WITH ${bpeCtes(bpeRounds)},
           tk AS (SELECT w, CAST(count(*) AS BIGINT) nt

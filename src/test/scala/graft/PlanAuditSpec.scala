@@ -623,6 +623,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"rank and count windows should share ONE lang exchange:\n$p")
   }
 
+  test("q116 sketch calibration: NO rank window — sketch exchange + broadcast gate") {
+    val p = plan("q116_calib_sketch")
+    // the scale contract vs q114: no per-lang rank window anywhere
+    // (that is the straggler q116 exists to remove); the threshold
+    // comes off the mergeable histogram (ObjectHashAggregate around
+    // one lang exchange) and gates via a broadcast join
+    assert(!p.contains("Window"), s"sketch calibration ranks in a window:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"hist_agg should plan as an object hash aggregate:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"threshold table should broadcast onto the gate:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"sketch calibration sort-merges:\n$p")
+  }
+
   test("q115 fertility: vocab-sized token table, partial-agg'd usage counts") {
     val p = plan("q115_fertility")
     // the trained symbol table is Barrier-materialized (vocab-sized);
