@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.graftshim.Shims
 
-import graft.functions.{EnvelopeJson, EnvelopeProtoDecode, EnvelopeProtoEncode, KmvSketch, MinHashAgg, RollingHash, SortedIntersectCount, UuidStr}
+import graft.functions.{EnvelopeJson, EnvelopeProtoDecode, EnvelopeProtoEncode, KmvMins, KmvSketch, MinHashAgg, RollingHash, SortedIntersectCount, UuidStr}
 
 /** Custom scalar functions (native Catalyst expressions, codegen-able)
   * + their SQL registration. Column-API entry points below; SQL names
@@ -80,6 +80,13 @@ object Functions {
     * distinct-count sketch statistic (estimator (k-1)*M/h_k). */
   def kmv_kth(h: Column, k: Int): Column =
     Shims.column(KmvSketch(Shims.expression(h), k).toAggregateExpression())
+
+  /** kmv_mins(h, k): the KMV sketch as a SET — ascending bottom-k
+    * distinct hashes, the mergeable state behind the set-operation
+    * estimators (Jaccard/overlap between groups from fixed-size
+    * sketches; see [[graft.functions.KmvMins]]). */
+  def kmv_mins(h: Column, k: Int): Column =
+    Shims.column(KmvMins(Shims.expression(h), k).toAggregateExpression())
 
   /** rolling_hash(s): 31-polynomial byte hash mod 2^31-1 (document
     * fingerprinting). */
@@ -233,6 +240,9 @@ object Functions {
     // kmv_kth(h, 16): k must be a foldable integer literal
     "kmv_kth" -> (exprs =>
       KmvSketch(exprs(0), intLit("kmv_kth", "k")(exprs(1))).toAggregateExpression()),
+    // kmv_mins(h, 64): k must be a foldable integer literal
+    "kmv_mins" -> (exprs =>
+      KmvMins(exprs(0), intLit("kmv_mins", "k")(exprs(1))).toAggregateExpression()),
     "rolling_hash" -> (exprs => RollingHash(exprs.head)),
     // centroid_topk(e, cb, 2): k must be a foldable integer literal
     "centroid_topk" -> (exprs =>

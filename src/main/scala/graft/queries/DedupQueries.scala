@@ -172,6 +172,42 @@ object DedupQueries {
         .orderBy("source_x", "source_y")
     }),
 
+    // q113's 100 TB SCALE VARIANT (the q79→q80 / q114→q116
+    // discipline): the exact provenance matrix re-derives near-dup
+    // PAIRS, so its cost is the whole LSH pipeline; the estimation
+    // question a corpus team asks FIRST — "which source pairs overlap
+    // at all, roughly how much?" — needs only per-source content
+    // SKETCHES. Each source's 3-word-shingle set collapses to a
+    // 64-value KMV bottom-k sketch (kmv_mins: mergeable,
+    // map-side-combined, 512 bytes per source crossing the wire
+    // regardless of source size), and the pairwise Jaccard estimate
+    // is the Beyer et al. SIGMOD'07 union-sketch estimator
+    // |U ∩ A ∩ B| / |U| computed sources²-at-a-time on a broadcast
+    // frame of sketches. Integer outputs (count + ppm ratio) over the
+    // shared md5-prefix hash domain → the sketch itself hash-matches
+    // the oracle, no tolerance band. Sketch error is the documented
+    // trade-off (~1/√64 ≈ 12% relative); q113 remains the exact form.
+    "q117_kmv_overlap" -> ((s, d) => {
+      val hs = Tables.documents(s, d)
+        .select(col("source"),
+          explode(graft.Functions.word_shingles3(
+            trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))).as("sh"))
+        .select(col("source"),
+          conv(substring(md5(col("sh")), 1, 15), 16, 10).cast(LongType).as("h"))
+      val sk = hs.groupBy("source")
+        .agg(graft.Functions.kmv_mins(col("h"), 64).as("mins"))
+      val a = sk.select(col("source").as("source_x"), col("mins").as("ma"))
+      val b = sk.select(col("source").as("source_y"), col("mins").as("mb"))
+      a.join(broadcast(b), col("source_x") < col("source_y"))
+        .withColumn("u", slice(array_sort(array_union(col("ma"), col("mb"))), 1, 64))
+        .select(col("source_x"), col("source_y"),
+          size(col("u")).cast(LongType).as("k_u"),
+          size(array_intersect(array_intersect(col("u"), col("ma")), col("mb")))
+            .cast(LongType).as("n_common"))
+        .withColumn("jaccard_ppm", expr("(n_common * 1000000) div k_u"))
+        .orderBy("source_x", "source_y")
+    }),
+
     // Incremental dedup — the production mode of a corpus that grows
     // daily: dedup the NEW batch (the doc_id % 10 ∈ {8,9} slice, so
     // the 80/20 history/batch ratio holds at every SF) against the
@@ -779,6 +815,34 @@ object DedupQueries {
          SELECT source_x, source_y, CAST(count(*) AS BIGINT) n_pairs
          FROM sp GROUP BY 1, 2 ORDER BY 1, 2""",
     // q51's recursive-closure labels + the keep-best argmax window.
+    // Per-source bottom-64 distinct shingle hashes replayed with a
+    // rank window; the pairwise estimator re-derives the union sketch
+    // with list functions — exact-integer parity with kmv_mins.
+    "q117_kmv_overlap" ->
+      """WITH w AS (
+           SELECT doc_id, source, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
+           FROM documents),
+         sh AS (
+           SELECT source, unnest(list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2],' '))) s
+           FROM w WHERE len(words) >= 3),
+         el AS (
+           SELECT DISTINCT source, CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT) h FROM sh),
+         r AS (
+           SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) rn FROM el),
+         sk AS (
+           SELECT source, list(h ORDER BY h) mins FROM r WHERE rn <= 64 GROUP BY source),
+         p AS (
+           SELECT a.source source_x, b.source source_y, a.mins ma, b.mins mb
+           FROM sk a JOIN sk b ON a.source < b.source),
+         u AS (
+           SELECT source_x, source_y, ma, mb,
+                  list_sort(list_distinct(list_concat(ma, mb)))[1:64] uu FROM p)
+         SELECT source_x, source_y,
+                CAST(len(uu) AS BIGINT) k_u,
+                CAST(len(list_filter(uu, x -> list_contains(ma, x) AND list_contains(mb, x))) AS BIGINT) n_common,
+                (CAST(len(list_filter(uu, x -> list_contains(ma, x) AND list_contains(mb, x))) AS BIGINT) * 1000000)
+                  // CAST(len(uu) AS BIGINT) AS jaccard_ppm
+         FROM u ORDER BY source_x, source_y""",
     "q108_canonical" ->
       """WITH RECURSIVE w AS (
            SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
