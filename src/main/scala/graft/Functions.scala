@@ -88,6 +88,14 @@ object Functions {
   def kmv_mins(h: Column, k: Int): Column =
     Shims.column(KmvMins(Shims.expression(h), k).toAggregateExpression())
 
+  /** cms_agg(h, depth, width): Count-Min sketch counters over the
+    * 60-bit md5-prefix hash domain — mergeable depth·width longs; a
+    * point query is the min of `depth` element_at reads (see
+    * [[graft.functions.CmsAgg]]). */
+  def cms_agg(h: Column, depth: Int, width: Int): Column =
+    Shims.column(graft.functions.CmsAgg(Shims.expression(h), depth, width)
+      .toAggregateExpression())
+
   /** rolling_hash(s): 31-polynomial byte hash mod 2^31-1 (document
     * fingerprinting). */
   def rolling_hash(s: Column): Column =
@@ -243,6 +251,10 @@ object Functions {
     // kmv_mins(h, 64): k must be a foldable integer literal
     "kmv_mins" -> (exprs =>
       KmvMins(exprs(0), intLit("kmv_mins", "k")(exprs(1))).toAggregateExpression()),
+    // cms_agg(h, 4, 512): depth/width must be foldable integer literals
+    "cms_agg" -> (exprs =>
+      graft.functions.CmsAgg(exprs(0), intLit("cms_agg", "depth")(exprs(1)),
+        intLit("cms_agg", "width")(exprs(2))).toAggregateExpression()),
     "rolling_hash" -> (exprs => RollingHash(exprs.head)),
     // centroid_topk(e, cb, 2): k must be a foldable integer literal
     "centroid_topk" -> (exprs =>

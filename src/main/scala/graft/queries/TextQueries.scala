@@ -771,6 +771,46 @@ object TextQueries {
         .orderBy("word")
     }),
 
+    // Count-Min point queries — the watchlist/denylist frequency
+    // monitor that completes the sketch family: Misra-Gries (q54)
+    // answers "which terms are heavy", CMS answers "how often does
+    // term X occur" for any X chosen AFTER the scan. The corpus term
+    // stream collapses into 4×512 exact integer counters (cms_agg:
+    // mergeable, map-side-combined, 16 KB total at ANY corpus size);
+    // each watchlist term's estimate is min over 4 element_at reads
+    // of the broadcast scalar — no rescan, no per-term state. The
+    // exact column is the audit: counting restricted to the 9
+    // broadcast watch terms is a map-side filter + 9-row aggregate,
+    // NOT a vocab-sized shuffle. CMS never under-estimates
+    // (est ≥ cnt always — CmsAggSpec pins it); the absent sentinel
+    // term shows the collision overestimate honestly.
+    "q118_cms" -> ((s, d) => {
+      val P = 2147483647L
+      val words = withWords(s, d)
+        .select(explode(col("words")).as("term")).filter(col("term") =!= "")
+        .select(col("term"),
+          conv(substring(md5(col("term")), 1, 15), 16, 10).cast(LongType).as("h"))
+      val cms = words.agg(graft.Functions.cms_agg(col("h"), 4, 512).as("c")).scalar()
+      val watch = Seq("a", "customer", "data", "error", "key",
+        "request", "supplier", "the", "zzqqabsent")
+      import s.implicits._
+      val wdf = watch.toDF("term")
+      def bucket(r: Int, h: Column): Column =
+        ((lit((1103515245L * (r + 1) + 12345L) % P) * (h % lit(P))
+          + lit(977L * (r + 1))) % lit(P)) % lit(512L)
+      val est = least((0 until 4).map(r =>
+        element_at(cms,
+          (lit(r * 512L) + bucket(r, col("h")) + lit(1L)).cast(IntegerType))): _*)
+      val exact = words.join(broadcast(wdf), Seq("term"), "left_semi")
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      wdf.select(col("term"),
+          conv(substring(md5(col("term")), 1, 15), 16, 10).cast(LongType).as("h"))
+        .select(col("term"), est.as("est"))
+        .join(exact, Seq("term"), "left_outer")
+        .select(col("term"), col("est"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .orderBy("term")
+    }),
+
     // Benchmark decontamination — the eval-overlap scrub every
     // pretraining corpus needs: documents sharing any word-shingle
     // with the eval split are flagged (n_hits = distinct shared
@@ -1214,6 +1254,28 @@ object TextQueries {
           FROM ww GROUP BY word
           HAVING count(*) * 1000 > (SELECT tn FROM tot)
           ORDER BY word""",
+    // CMS counters replayed as a (row, bucket) GROUP BY over the same
+    // universal-hash mix; point queries LEFT JOIN the counter table
+    // (missing bucket = 0) — integer-exact parity with cms_agg.
+    "q118_cms" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+          w AS (SELECT unnest(string_split(t, ' ')) AS word FROM n),
+          ww AS (SELECT word, CAST(concat('0x', substr(md5(word),1,15)) AS BIGINT) % 2147483647 hm
+                 FROM w WHERE word <> ''),
+          cms AS (SELECT r, ((1103515245*(r+1)+12345) % 2147483647 * hm + 977*(r+1)) % 2147483647 % 512 AS b,
+                         count(*) c
+                  FROM ww, unnest(range(0, 4)) t(r) GROUP BY 1, 2),
+          watch(term) AS (VALUES ('a'),('customer'),('data'),('error'),('key'),
+                                 ('request'),('supplier'),('the'),('zzqqabsent')),
+          wh AS (SELECT term, CAST(concat('0x', substr(md5(term),1,15)) AS BIGINT) % 2147483647 hm
+                 FROM watch),
+          lk AS (SELECT term, r, ((1103515245*(r+1)+12345) % 2147483647 * hm + 977*(r+1)) % 2147483647 % 512 AS b
+                 FROM wh, unnest(range(0, 4)) t(r)),
+          est AS (SELECT term, min(coalesce(c, 0)) est FROM lk LEFT JOIN cms USING (r, b) GROUP BY term),
+          ex AS (SELECT word term, count(*) cnt FROM ww GROUP BY 1)
+          SELECT w.term, est.est, coalesce(ex.cnt, 0) AS cnt
+          FROM watch w JOIN est USING (term) LEFT JOIN ex USING (term)
+          ORDER BY term""",
     "q79_packing" ->
       """SELECT doc_id, lang, n_chars,
                 (greatest(CAST(sum(n_chars) OVER (PARTITION BY lang
