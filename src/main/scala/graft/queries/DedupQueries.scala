@@ -208,6 +208,27 @@ object DedupQueries {
         .orderBy("source_x", "source_y")
     }),
 
+    // Triangle enumeration over the near-dup graph — the cluster-QA
+    // audit beyond connected components: q51 merges by TRANSITIVE
+    // closure, so a chain a–b–c lands in one cluster on two edges
+    // alone; a triangle is a mutually-confirmed trio. The ratio of
+    // triangles to 2-paths inside a cluster is the standard
+    // false-merge signal (low edge density = chained merges of
+    // dissimilar docs). Implementation is the degree-ORIENTED
+    // distributed algorithm (Cohen, "Graph Twiddling in a MapReduce
+    // World", CiSE 2009): orient every edge from its lower-(degree,
+    // id) endpoint, build wedges only at each edge's SOURCE, close
+    // against oriented edges. Orientation bounds every node's
+    // out-degree by O(√|E|) — a celebrity hub generates NO wedges at
+    // its own node because its edges all point AWAY from it — so the
+    // wedge join never goes quadratic in a skewed degree
+    // distribution; shuffles carry (long, long, long) rows only.
+    "q119_triangles" -> ((s, d) => {
+      graft.ops.Triangles(
+        minhashNearDupPairs(s, d).select(col("doc_a").as("u"), col("doc_b").as("v")))
+        .orderBy("a", "b", "c")
+    }),
+
     // Incremental dedup — the production mode of a corpus that grows
     // daily: dedup the NEW batch (the doc_id % 10 ∈ {8,9} slice, so
     // the 80/20 history/batch ratio holds at every SF) against the
@@ -843,6 +864,42 @@ object DedupQueries {
                 (CAST(len(list_filter(uu, x -> list_contains(ma, x) AND list_contains(mb, x))) AS BIGINT) * 1000000)
                   // CAST(len(uu) AS BIGINT) AS jaccard_ppm
          FROM u ORDER BY source_x, source_y""",
+    // q18's confirmed pairs (da < db) three-way self-joined: each
+    // triangle appears exactly once as a < b < c — identical to the
+    // oriented enumeration's sorted output.
+    "q119_triangles" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2],' ')) shingles
+           FROM w WHERE len(words) >= 3),
+         ss AS (
+           SELECT doc_id, list_distinct(shingles) sset FROM sh),
+         hsv AS (
+           SELECT doc_id, sset, len(sset) nset,
+                  list_transform(sset, x -> CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) % 2147483647) hs
+           FROM ss),
+         m AS (
+           SELECT doc_id, sset, nset,
+             [list_aggregate(list_transform(hs, hm ->
+                ((CAST(1103515245 AS BIGINT) * (k+1) + 12345) % 2147483647 * hm + 977 * (k+1)) % 2147483647), 'min')
+              for k in range(0,12)] mh
+           FROM hsv),
+         bands AS (
+           SELECT doc_id, j, mh[2*j+1] * 2147483647 + mh[2*j+2] sig
+           FROM m, unnest(range(0,6)) t(j)),
+         cand AS (
+           SELECT DISTINCT a.doc_id da, b.doc_id db
+           FROM bands a JOIN bands b ON a.j=b.j AND a.sig=b.sig AND a.doc_id < b.doc_id),
+         pairs AS (
+           SELECT da, db
+           FROM cand JOIN hsv x ON da=x.doc_id JOIN hsv y ON db=y.doc_id
+           WHERE 5*len(list_intersect(x.sset, y.sset)) >= 3*(x.nset + y.nset - len(list_intersect(x.sset, y.sset))))
+         SELECT p1.da a, p1.db b, p2.db c
+         FROM pairs p1 JOIN pairs p2 ON p2.da = p1.db
+         JOIN pairs p3 ON p3.da = p1.da AND p3.db = p2.db
+         ORDER BY a, b, c""",
     "q108_canonical" ->
       """WITH RECURSIVE w AS (
            SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
