@@ -138,6 +138,35 @@ object RelationalQueries {
         .orderBy(col("g_rf"), col("g_y"), col("l_returnflag"), col("ship_year"))
     }),
 
+    // GROUPING SETS — the mixed-dimension aggregation neither ROLLUP
+    // (q31, prefix-nested) nor CUBE (q61, all subsets) can express:
+    // detail by (returnflag, linestatus) AND an independent breakdown
+    // by shipmode AND the grand total, in ONE pass. Catalyst plans a
+    // single Expand (3 output rows per input) + one partial-agg'd
+    // exchange — the same plan discipline as rollup/cube; per-column
+    // grouping() flags (not grouping_id) keep the NULL-vs-grouped
+    // distinction engine-portable. Expand's 3× row multiplier happens
+    // BEFORE partial aggregation, so the shuffle stays groups-sized.
+    "q122_gsets" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .withColumn("ship_year", year(col("l_shipdate")).cast(LongType))
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("ship_year")), Seq()),
+          col("l_returnflag"), col("l_linestatus"), col("ship_year"))
+        .agg(
+          grouping(col("l_returnflag")).cast(LongType).as("g_rf"),
+          grouping(col("l_linestatus")).cast(LongType).as("g_ls"),
+          grouping(col("ship_year")).cast(LongType).as("g_y"),
+          count(lit(1)).as("n"),
+          sum(expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"))
+            .as("price_cents"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("ship_year"),
+          col("g_rf"), col("g_ls"), col("g_y"), col("n"), col("price_cents"))
+        .orderBy(col("g_rf"), col("g_ls"), col("g_y"),
+          col("l_returnflag"), col("l_linestatus"), col("ship_year"))
+    }),
+
     // PIVOT — long-to-wide reshaping with an EXPLICIT value list
     // (pinning the values skips the distinct-value discovery JOB an
     // unpinned pivot runs first). Catalyst plans two stacked
@@ -241,6 +270,17 @@ object RelationalQueries {
          FROM lineitem
          GROUP BY CUBE (l_returnflag, CAST(year(l_shipdate) AS BIGINT))
          ORDER BY g_rf, g_y, l_returnflag, ship_year""",
+    "q122_gsets" ->
+      """WITH li AS (SELECT *, CAST(year(l_shipdate) AS BIGINT) ship_year FROM lineitem)
+         SELECT l_returnflag, l_linestatus, ship_year,
+                CAST(CASE WHEN GROUPING(l_returnflag) = 1 THEN 1 ELSE 0 END AS BIGINT) AS g_rf,
+                CAST(CASE WHEN GROUPING(l_linestatus) = 1 THEN 1 ELSE 0 END AS BIGINT) AS g_ls,
+                CAST(CASE WHEN GROUPING(ship_year) = 1 THEN 1 ELSE 0 END AS BIGINT) AS g_y,
+                count(*) AS n,
+                CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS price_cents
+         FROM li
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (ship_year), ())
+         ORDER BY g_rf, g_ls, g_y, l_returnflag, l_linestatus, ship_year""",
     "q65_pivot" ->
       """SELECT source,
                 count(CASE WHEN lang='en' THEN 1 END) AS n_en,

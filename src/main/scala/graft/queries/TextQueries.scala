@@ -439,6 +439,79 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-source lexical diversity — the corpus-health metric that
+    // catches templated/spun content near-dup filters miss (a source
+    // can be 0% duplicate yet use the same 200 bigrams everywhere):
+    // bigram type-token ratio per source, exact integers + ppm. Scale
+    // shape: the distinct count is the standard two-level aggregate —
+    // partial distinct on (source, shingle) map-side, then a
+    // source-keyed count — so the exchange carries distinct bigrams
+    // per source, never the token stream; at 100 TB the estimation
+    // path swaps count_distinct for the q102 hll_agg with the SAME
+    // grouping (sketches merge map-side, 64 bytes per source).
+    "q121_diversity" -> ((s, d) => {
+      // ALL adjacent pairs, not the distinct set word_shingles builds
+      // (TTR's denominator is occurrences): index-zipped transform
+      // over the words array, exploded once.
+      val sh = Tables.documents(s, d)
+        .select(col("source"),
+          split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
+            .as("words"))
+        .filter(size(col("words")) >= 2)
+        .select(col("source"), explode(expr(
+          "transform(slice(words, 1, size(words)-1), (w, i) -> concat(w, ' ', element_at(words, i+2)))"))
+          .as("sh"))
+      sh.groupBy("source")
+        .agg(count(lit(1)).as("n_bigrams"),
+          countDistinct(col("sh")).as("n_distinct"))
+        .select(col("source"), col("n_bigrams"), col("n_distinct"),
+          expr("(n_distinct * 1000000) div n_bigrams").as("ttr_ppm"))
+        .orderBy("source")
+    }),
+
+    // Hashed importance resampling — the DSIR recipe (Xie et al.,
+    // "Data Selection for Language Models via Importance Resampling",
+    // NeurIPS 2023) in exact-integer form: score every raw document
+    // by how much more likely its hashed-unigram features are under a
+    // TARGET domain's distribution than under the raw corpus's own,
+    // then keep documents that look like the target. Here the target
+    // is the src0 slice (the curated-domain stand-in, as doc_id % 97
+    // stands in for the eval split in q55); log-probabilities are
+    // floor-log2 integers via length(bin(cnt+1)) — the q106 trick, so
+    // weight = Σ_tokens [log2 p_t(b) − log2 p_r(b)] is an exact
+    // integer both engines reproduce bit-for-bit (+1 is the Laplace
+    // smoothing that keeps unseen buckets finite). Scale shape: ONE
+    // token explode feeds both distributions (Barrier); the bucket
+    // tables are 64 rows (hashing means NO vocabulary shuffle —
+    // DSIR's own point); scoring is a broadcast join + partial-agg'd
+    // per-doc sum. kept = w > 0, the deterministic resampling gate.
+    "q120_dsir" -> ((s, d) => {
+      val bucket: Column => Column = w =>
+        pmod(conv(substring(md5(w), 1, 15), 16, 10).cast(LongType), lit(64L))
+      val wx = graft.ops.Barrier(Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
+            .as("words"))
+        .select(col("doc_id"), col("source"), explode(col("words")).as("term"))
+        .withColumn("b", bucket(col("term")))
+        .withColumn("is_t", (col("source") === "src0").cast(LongType)))
+      val bc = graft.ops.Barrier(wx.groupBy("b").agg(
+        sum(col("is_t")).as("ct"),
+        sum(lit(1L) - col("is_t")).as("cr")))
+      val tot = bc.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+      val wtab = bc.crossJoin(broadcast(tot))
+        .select(col("b"),
+          ((length(bin(col("ct") + 1)) - length(bin(col("cr") + 1)))
+            + (length(bin(col("tr"))) - length(bin(col("tt")))))
+            .cast(LongType).as("s"))
+      wx.filter(col("is_t") === 0L)
+        .join(broadcast(wtab), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("w"))
+        .select(col("doc_id"), col("n_tokens"), col("w"), (col("w") > 0L).as("kept"))
+        .orderBy("doc_id")
+    }),
+
     // Hashed bag-of-words retrieval (MIPS) — sparse-to-dense
     // featurization feeding the integer similarity stack WITHOUT an
     // embedding model: each document becomes a 16-long vector of
@@ -1406,6 +1479,36 @@ object TextQueries {
                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                    % 100 < keep_pct AS kept
           FROM tiered ORDER BY doc_id""",
+    // 2-word shingles per source; distinct and total counts + ppm.
+    "q121_diversity" ->
+      s"""WITH n AS (SELECT doc_id, source, $normDuck t FROM documents),
+          wd AS (SELECT source, string_split(t, ' ') words FROM n),
+          sh AS (SELECT source,
+                   unnest(list_transform(range(1, len(words)), i -> array_to_string(words[i:i+1], ' '))) s
+                 FROM wd WHERE len(words) >= 2)
+          SELECT source, CAST(count(*) AS BIGINT) n_bigrams,
+                 CAST(count(DISTINCT s) AS BIGINT) n_distinct,
+                 (CAST(count(DISTINCT s) AS BIGINT) * 1000000) // count(*) AS ttr_ppm
+          FROM sh GROUP BY source ORDER BY source""",
+    // DSIR weights replayed: 64-bucket target/raw counts, floor-log2
+    // ratios via length(bin(cnt+1)), per-doc sums over raw docs only.
+    "q120_dsir" ->
+      s"""WITH n AS (SELECT doc_id, source, $normDuck t FROM documents),
+          wd AS (SELECT doc_id, source, string_split(t, ' ') words FROM n),
+          wx AS (SELECT doc_id, source, unnest(words) term FROM wd),
+          bx AS (SELECT doc_id,
+                   CAST(concat('0x', substr(md5(term),1,15)) AS BIGINT) % 64 b,
+                   CASE WHEN source = 'src0' THEN 1 ELSE 0 END is_t
+                 FROM wx),
+          bc AS (SELECT b, CAST(sum(is_t) AS BIGINT) ct,
+                   CAST(sum(1 - is_t) AS BIGINT) cr FROM bx GROUP BY b),
+          tot AS (SELECT CAST(sum(ct) AS BIGINT) tt, CAST(sum(cr) AS BIGINT) tr FROM bc),
+          wt AS (SELECT b, CAST((length(bin(ct + 1)) - length(bin(cr + 1)))
+                   + (length(bin(tr)) - length(bin(tt))) AS BIGINT) s
+                 FROM bc, tot),
+          pd AS (SELECT doc_id, count(*) n_tokens, CAST(sum(s) AS BIGINT) w
+                 FROM bx JOIN wt USING (b) WHERE is_t = 0 GROUP BY doc_id)
+          SELECT doc_id, n_tokens, w, w > 0 AS kept FROM pd ORDER BY doc_id""",
     "q106_lm_filter" ->
       s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
           w AS (SELECT doc_id, string_split(t, ' ') words FROM n),

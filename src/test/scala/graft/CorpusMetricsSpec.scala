@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the round-9 corpus metrics: DSIR importance
+  * weights (q120), bigram type-token diversity (q121), and the mixed
+  * grouping-sets aggregation (q122) — each checked against a
+  * brute-force driver-side recomputation on sf0.001. */
+class CorpusMetricsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def norm(t: String): Array[String] =
+    t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" ", -1)
+
+  private def docs(): Seq[(Long, String, String)] =
+    Tables.documents(spark, sf).select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+  test("q120: target docs excluded; weights match a driver-side replay") {
+    val all = docs()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(w: String): Int = {
+      val hex = md.digest(w.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 64L).toInt
+    }
+    val toks = all.flatMap { case (id, src, t) => norm(t).map(w => (id, src, bucket(w))) }
+    val ct = Array.fill(64)(0L); val cr = Array.fill(64)(0L)
+    toks.foreach { case (_, src, b) => if (src == "src0") ct(b) += 1 else cr(b) += 1 }
+    val (tt, tr) = (ct.sum, cr.sum)
+    def lg(x: Long) = java.lang.Long.toBinaryString(x).length
+    val s = (0 until 64).map(b => (lg(ct(b) + 1) - lg(cr(b) + 1) + (lg(tr) - lg(tt))).toLong)
+    val want = toks.filter(_._2 != "src0").groupBy(_._1).view
+      .mapValues(ts => (ts.size.toLong, ts.map(t => s(t._3)).sum)).toMap
+    val got = SparkEntry.queries("q120_dsir")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+    assert(got.keySet.intersect(
+      all.filter(_._2 == "src0").map(_._1).toSet).isEmpty)
+  }
+
+  test("q121: ttr bounds and one-source brute force") {
+    val rows = SparkEntry.queries("q121_diversity")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"${r.getString(0)}: distinct > total")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000)
+    }
+    val src = rows.head.getString(0)
+    val bgs = docs().filter(_._2 == src).flatMap { case (_, _, t) =>
+      val w = norm(t); if (w.length < 2) Nil else w.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    val r = rows.find(_.getString(0) == src).get
+    assert(r.getLong(1) == bgs.size.toLong)
+    assert(r.getLong(2) == bgs.distinct.size.toLong)
+  }
+
+  test("q122: grand total, set partitions, and detail rows agree") {
+    val rows = SparkEntry.queries("q122_gsets")(spark, sf).collect()
+    val total = Tables.lineitem(spark, sf).count()
+    val grand = rows.filter(r => r.getLong(3) == 1 && r.getLong(4) == 1 && r.getLong(5) == 1)
+    assert(grand.length == 1 && grand.head.getLong(6) == total)
+    // each grouping set's counts partition the table
+    val detail = rows.filter(r => r.getLong(3) == 0 && r.getLong(4) == 0)
+    val byYear = rows.filter(r => r.getLong(3) == 1 && r.getLong(5) == 0)
+    assert(detail.map(_.getLong(6)).sum == total)
+    assert(byYear.map(_.getLong(6)).sum == total)
+    // detail rows equal a plain groupBy
+    val want = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    detail.foreach { r =>
+      assert(want((r.getString(0), r.getString(1))) == r.getLong(6))
+    }
+  }
+}
