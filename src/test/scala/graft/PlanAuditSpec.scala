@@ -64,7 +64,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q106_lm_filter", // vocab × broadcast 1-row T; docs × 1-row (G, T)
       "q107_bow_mips", // corpus × broadcast 1-row query count-vector
       "q110_mixture", // languages-sized strata × broadcast 1-row totals ×2
-      "q111_drift") // k-sized occupancy counts × broadcast 1-row totals
+      "q111_drift", // k-sized occupancy counts × broadcast 1-row totals
+      "q117_kmv_overlap", // sources-sized sketch frame × broadcast, < predicate
+      "q120_dsir") // 64-row bucket table × broadcast 1-row totals
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
@@ -648,6 +650,70 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"usage counts lost map-side combine:\n$p")
     assert(!p.contains("CartesianProduct"), s"fertility goes all-pairs:\n$p")
+  }
+
+  test("q117 KMV overlap: pairing runs on broadcast sketches, never documents") {
+    val p = plan("q117_kmv_overlap")
+    // per-source sketches come from ONE ObjectHashAggregate (kmv_mins
+    // merges map-side); the sources² pairing is a broadcast join of
+    // the k-long sketch frames — no doc-sized join anywhere
+    assert(p.contains("ObjectHashAggregate"),
+      s"kmv_mins should plan as an object hash aggregate:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"sketch pairing should broadcast the tiny sketch frame:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"overlap estimate sort-merges a sources-sized frame:\n$p")
+  }
+
+  test("q118 CMS: exact re-count is watchlist-bounded, sketch rides a subquery") {
+    val (root, semis) = leftSemis("q118_cms")
+    assert(semis.nonEmpty,
+      s"exact counts should restrict to the broadcast watchlist first:\n$root")
+    val p = root.toString
+    assert(p.contains("partial_count"),
+      s"exact re-count lost map-side combine:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"watchlist join should broadcast, not sort-merge:\n$p")
+  }
+
+  test("q119 triangles: id-only joins, no cartesian blowup, barriered edges") {
+    val p = plan("q119_triangles")
+    assert(p.contains("Scan ExistingRDD"),
+      s"triangle pass re-derives the scored pairs:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge/closure joins must be equi-joins on ids:\n$p")
+  }
+
+  test("q120 DSIR: one barriered token pass, broadcast bucket table, partial aggs") {
+    val p = plan("q120_dsir")
+    // the exploded token stream materializes ONCE (Barrier) and feeds
+    // both the 64-row bucket table and the scoring join; the bucket
+    // weights broadcast; the per-doc sum keeps map-side combine
+    assert(p.contains("Scan ExistingRDD"),
+      s"DSIR re-explodes the corpus per distribution:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket weight table should broadcast onto the token stream:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-doc scoring lost map-side combine:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"DSIR sort-merges a 64-row table:\n$p")
+  }
+
+  test("q121 diversity: distinct keeps two-level partial aggregation") {
+    val p = plan("q121_diversity")
+    assert(p.contains("partial_"),
+      s"distinct count lost its map-side level:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"diversity should be aggregate-only:\n$p")
+  }
+
+  test("q122 grouping sets: one Expand, partial-agg'd, no extra exchanges") {
+    val p = plan("q122_gsets")
+    assert(p.contains("Expand"), s"grouping sets lost the Expand plan:\n$p")
+    assert(p.contains("partial_count"),
+      s"grouping-set aggregate lost map-side combine:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"grouping sets should need exactly one aggregate exchange:\n$p")
   }
 
   test("q110 mixture: one corpus aggregate, decisions on broadcast scalars") {
