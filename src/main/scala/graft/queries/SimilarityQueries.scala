@@ -70,6 +70,21 @@ object SimilarityQueries {
     (0 until nBits).map(j => (1 to 64).map(i => h6(s"$j,$i") / 16777216.0d - 0.5d))
   }
 
+  /** ±1 sign matrix for the q123/q124 Johnson-Lindenstrauss
+    * projection (16 output dims × 64 input dims): sign(i,j) = +1 iff
+    * the first hex digit of md5("rp,i,j") is even — the planes()
+    * discipline, so the oracle re-derives the exact matrix. */
+  private val rpSigns: Seq[Seq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 16).map { j =>
+      (0 until 64).map { i =>
+        val hex = md.digest(s"rp,$i,$j".getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString
+        if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) 1L else -1L
+      }
+    }
+  }
+
   /** The nBits-plane bucket id of an embedding column. Public: this is
     * the production bucketing surface; pick nBits by corpus size (see
     * the pair-budget invariant above). */
@@ -431,6 +446,56 @@ object SimilarityQueries {
         .select(col("vec_id"),
           graft.Functions.vec_dot_int(col("q8"), col("qq")).as("qsim"))
         .orderBy(col("qsim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // Random signed projection — the Johnson-Lindenstrauss
+    // dimensionality-reduction operator (Achlioptas ±1 variant, JCSS
+    // 2003): 64-d int8 codes → 16-d integer projections p_j =
+    // Σ_i sign(i,j)·q_i, where the ±1 signs derive from md5("rp,i,j")
+    // parity — deterministic, re-derivable in the oracle, the same
+    // discipline as the LSH planes and q84's weights. The sign matrix
+    // rides the plan as a 16×64 literal (a production 1024×64 matrix
+    // is still KBs — always a broadcast, never a join); the whole
+    // operator is map-only over the quantized scan, and every output
+    // is an exact integer. Output posexploded to scalar (vec_id, j,
+    // p) rows for the driver's comparator.
+    "q123_rproj" -> ((s, d) => {
+      val sl = typedLit(rpSigns)
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") < 200)
+        .filter(!exists(col("embedding"), _.isNull)) // see q48 note
+        .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8"))
+        .select(col("vec_id"), posexplode(transform(sl, srow =>
+          aggregate(zip_with(col("q8"), srow, (x, sg) => x * sg),
+            lit(0L), (a, x) => a + x))))
+        .select(col("vec_id"), col("pos").cast("long").as("j"), col("col").as("p"))
+        .orderBy("vec_id", "j")
+    }),
+
+    // ANN in the projected space — why q123 exists: score 16 longs
+    // per vector instead of 64, another 4× I/O/compute cut on top of
+    // quantization (JL keeps inner products approximately, the
+    // documented trade-off; q49 remains the full-dimension exact-code
+    // path and q77's recall-audit shape measures the loss). Same
+    // plan discipline as q49: the projected table materializes ONCE
+    // (Barrier) and feeds both the query lookup and the scan, the
+    // 1-row projected query broadcasts, ranking is native integer
+    // vec_dot_int + TakeOrderedAndProject — join-free, shuffle-free.
+    "q124_rproj_ann" -> ((s, d) => {
+      val sl = typedLit(rpSigns)
+      val pv = graft.ops.Barrier(Tables.embeddings(s, d)
+        .filter(!exists(col("embedding"), _.isNull))
+        .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8"))
+        .select(col("vec_id"), transform(sl, srow =>
+          aggregate(zip_with(col("q8"), srow, (x, sg) => x * sg),
+            lit(0L), (a, x) => a + x)).as("p16")))
+      val q = pv.filter(col("vec_id") === 0).select(col("p16").as("qp"))
+      pv.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          graft.Functions.vec_dot_int(col("p16"), col("qp")).as("pscore"))
+        .orderBy(col("pscore").desc, col("vec_id"))
         .limit(10)
     }),
 
@@ -1000,6 +1065,57 @@ object SimilarityQueries {
                      ELSE CAST(0 AS BIGINT) END AS q
          FROM m, unnest(range(1, len(embedding)+1)) t(i)
          ORDER BY vec_id, i""",
+    // int8 quantization (the q48 CTEs) + md5-parity ±1 signs; the
+    // projection replays as a list comprehension over 16 output dims.
+    "q123_rproj" ->
+      """WITH m AS (
+           SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) maxabs
+           FROM embeddings
+           WHERE vec_id < 200
+             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+         v AS (
+           SELECT vec_id,
+                  CASE WHEN maxabs > 0
+                       THEN list_transform(embedding, x -> greatest(CAST(-127 AS BIGINT),
+                              least(CAST(127 AS BIGINT),
+                                CAST(floor(CAST(x AS DOUBLE) * 127 / maxabs) AS BIGINT))))
+                       ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END q8
+           FROM m)
+         SELECT vec_id, j,
+                CAST(list_sum(list_transform(range(1, 65), i -> q8[i] *
+                  (CASE WHEN CAST(concat('0x', substr(md5('rp,' || CAST(i-1 AS VARCHAR) || ',' || CAST(j AS VARCHAR)), 1, 1)) AS INT) % 2 = 0
+                        THEN 1 ELSE -1 END))) AS BIGINT) p
+         FROM v, unnest(range(0, 16)) t(j)
+         ORDER BY vec_id, j""",
+    // same projection over the full corpus; ranking = integer dot of
+    // the 16-long projections against vec 0's, top 10.
+    "q124_rproj_ann" ->
+      """WITH m AS (
+           SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) maxabs
+           FROM embeddings
+           WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
+         v AS (
+           SELECT vec_id,
+                  CASE WHEN maxabs > 0
+                       THEN list_transform(embedding, x -> greatest(CAST(-127 AS BIGINT),
+                              least(CAST(127 AS BIGINT),
+                                CAST(floor(CAST(x AS DOUBLE) * 127 / maxabs) AS BIGINT))))
+                       ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END q8
+           FROM m),
+         pv AS (
+           SELECT vec_id,
+                  [CAST(list_sum(list_transform(range(1, 65), i -> q8[i] *
+                     (CASE WHEN CAST(concat('0x', substr(md5('rp,' || CAST(i-1 AS VARCHAR) || ',' || CAST(j AS VARCHAR)), 1, 1)) AS INT) % 2 = 0
+                           THEN 1 ELSE -1 END))) AS BIGINT)
+                   for j in range(0, 16)] p16
+           FROM v),
+         q AS (SELECT p16 qp FROM pv WHERE vec_id = 0)
+         SELECT pv.vec_id,
+                CAST(list_sum(list_transform(range(1, 17), k -> pv.p16[k] * qp[k])) AS BIGINT) AS pscore
+         FROM pv, q WHERE pv.vec_id <> 0
+         ORDER BY pscore DESC, pv.vec_id LIMIT 10""",
     "q49_qann" ->
       """WITH m AS (
            SELECT vec_id, embedding,

@@ -66,7 +66,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q110_mixture", // languages-sized strata × broadcast 1-row totals ×2
       "q111_drift", // k-sized occupancy counts × broadcast 1-row totals
       "q117_kmv_overlap", // sources-sized sketch frame × broadcast, < predicate
-      "q120_dsir") // 64-row bucket table × broadcast 1-row totals
+      "q120_dsir", // 64-row bucket table × broadcast 1-row totals
+      "q124_rproj_ann") // projected corpus × broadcast 1-row projected query
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
@@ -714,6 +715,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"grouping-set aggregate lost map-side combine:\n$p")
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
       s"grouping sets should need exactly one aggregate exchange:\n$p")
+  }
+
+  test("q124 projected ANN: barriered projection feeds both arms, top-k take-ordered") {
+    val p = plan("q124_rproj_ann")
+    assert(p.contains("Scan ExistingRDD"),
+      s"projected table re-derives per arm:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"projected ranking does a full sort:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"projected ANN sort-merges:\n$p")
   }
 
   test("q110 mixture: one corpus aggregate, decisions on broadcast scalars") {
