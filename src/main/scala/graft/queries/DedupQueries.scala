@@ -208,6 +208,47 @@ object DedupQueries {
         .orderBy("source_x", "source_y")
     }),
 
+    // MinHash estimator-quality audit — the sketch-calibration view
+    // behind q18's threshold choice: for every band-collision
+    // candidate pair, the signature-agreement estimate (matching
+    // components / 12 — E[match] = true Jaccard) NEXT TO the exact
+    // Jaccard, both in ppm. This is how a corpus team picks band/row
+    // counts for a new domain: plot est vs exact, see the S-curve.
+    // Same shuffle posture as q18 (signatures + id pairs; shingle
+    // sets re-joined per candidate); emitting ALL candidates, not
+    // just confirmed ones, is the point — the estimator's behavior
+    // below threshold is what calibration needs.
+    "q126_minhash_est" -> ((s, d) => {
+      val m = graft.ops.Barrier(shingleSets(s, d).select(col("doc_id"),
+        col("sset"), size(col("sset")).cast(LongType).as("nset"),
+        graft.Functions.minhash_array(col("sset")).as("mh")))
+      val bands = m.select(col("doc_id"),
+        expr(s"""explode(transform(sequence(0, 5), j ->
+                   struct(j as j, element_at(mh, 2*j+1) * ${P}L + element_at(mh, 2*j+2) as sig)))""")
+          .as("b"))
+        .select(col("doc_id"), col("b.j").as("j"), col("b.sig").as("sig"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.j") === col("b.j") && col("a.sig") === col("b.sig")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      val sides = m.hint("merge")
+      cand
+        .join(sides.toDF("da", "sa", "na", "ma"), "da")
+        .join(sides.toDF("db", "sb", "nb", "mb"), "db")
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          graft.Functions.sorted_intersect_count(col("sa"), col("sb")).as("inter"),
+          (col("na") + col("nb")).as("nsum"),
+          aggregate(zip_with(col("ma"), col("mb"),
+              (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (a, x) => a + x).as("est12"))
+        .select(col("doc_a"), col("doc_b"), col("est12"),
+          expr("(est12 * 1000000) div 12").as("est_ppm"),
+          expr("(inter * 1000000) div (nsum - inter)").as("jac_ppm"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Triangle enumeration over the near-dup graph — the cluster-QA
     // audit beyond connected components: q51 merges by TRANSITIVE
     // closure, so a chain a–b–c lands in one cluster on two edges
@@ -864,6 +905,40 @@ object DedupQueries {
                 (CAST(len(list_filter(uu, x -> list_contains(ma, x) AND list_contains(mb, x))) AS BIGINT) * 1000000)
                   // CAST(len(uu) AS BIGINT) AS jaccard_ppm
          FROM u ORDER BY source_x, source_y""",
+    // q18's candidate chain kept at the CANDIDATE stage; per-pair
+    // signature agreement out of 12 next to the exact Jaccard.
+    "q126_minhash_est" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2],' ')) shingles
+           FROM w WHERE len(words) >= 3),
+         ss AS (
+           SELECT doc_id, list_distinct(shingles) sset FROM sh),
+         hsv AS (
+           SELECT doc_id, sset, len(sset) nset,
+                  list_transform(sset, x -> CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) % 2147483647) hs
+           FROM ss),
+         m AS (
+           SELECT doc_id, sset, nset,
+             [list_aggregate(list_transform(hs, hm ->
+                ((CAST(1103515245 AS BIGINT) * (k+1) + 12345) % 2147483647 * hm + 977 * (k+1)) % 2147483647), 'min')
+              for k in range(0,12)] mh
+           FROM hsv),
+         bands AS (
+           SELECT doc_id, j, mh[2*j+1] * 2147483647 + mh[2*j+2] sig
+           FROM m, unnest(range(0,6)) t(j)),
+         cand AS (
+           SELECT DISTINCT a.doc_id da, b.doc_id db
+           FROM bands a JOIN bands b ON a.j=b.j AND a.sig=b.sig AND a.doc_id < b.doc_id)
+         SELECT da AS doc_a, db AS doc_b,
+                CAST(len(list_filter(range(1, 13), k -> x.mh[k] = y.mh[k])) AS BIGINT) est12,
+                (CAST(len(list_filter(range(1, 13), k -> x.mh[k] = y.mh[k])) AS BIGINT) * 1000000) // 12 AS est_ppm,
+                (CAST(len(list_intersect(x.sset, y.sset)) AS BIGINT) * 1000000)
+                  // (x.nset + y.nset - len(list_intersect(x.sset, y.sset))) AS jac_ppm
+         FROM cand JOIN m x ON da = x.doc_id JOIN m y ON db = y.doc_id
+         ORDER BY doc_a, doc_b""",
     // q18's confirmed pairs (da < db) three-way self-joined: each
     // triangle appears exactly once as a < b < c — identical to the
     // oriented enumeration's sorted output.

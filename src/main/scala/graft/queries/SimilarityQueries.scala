@@ -499,6 +499,35 @@ object SimilarityQueries {
         .limit(10)
     }),
 
+    // Recall audit for the projected space — the q77 discipline
+    // applied to q124: JL projection trades exactness for 4× less
+    // scored payload, and this query MEASURES that trade (recall@10
+    // of projected-space ranking vs the full-dimension int8 ranking)
+    // instead of asserting it. One Barrier materializes codes +
+    // projections for all three consumers; both arms are broadcast-
+    // query TakeOrderedAndProject top-10s; the intersection is a
+    // 10-row left-semi count. At scale this runs over a query SAMPLE
+    // — the audit cost is queries × corpus-scan, same as serving.
+    "q125_rproj_recall" -> ((s, d) => {
+      val sl = typedLit(rpSigns)
+      val base = graft.ops.Barrier(Tables.embeddings(s, d)
+        .filter(!exists(col("embedding"), _.isNull))
+        .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8"))
+        .withColumn("p16", transform(sl, srow =>
+          aggregate(zip_with(col("q8"), srow, (x, sg) => x * sg),
+            lit(0L), (a, x) => a + x))))
+      val q = base.filter(col("vec_id") === 0)
+        .select(col("q8").as("qq"), col("p16").as("qp"))
+      val exact = base.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"), graft.Functions.vec_dot_int(col("q8"), col("qq")).as("s"))
+        .orderBy(col("s").desc, col("vec_id")).limit(10)
+      val proj = base.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"), graft.Functions.vec_dot_int(col("p16"), col("qp")).as("s"))
+        .orderBy(col("s").desc, col("vec_id")).limit(10)
+      exact.join(proj, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"), lit(10L).as("k"))
+    }),
+
     // Metadata-filtered ANN — the "filtered vector search" problem:
     // rank only vectors whose document passes a metadata predicate
     // (lang = 'de'). PRE-filtering: the predicate pushes into the
@@ -1065,6 +1094,42 @@ object SimilarityQueries {
                      ELSE CAST(0 AS BIGINT) END AS q
          FROM m, unnest(range(1, len(embedding)+1)) t(i)
          ORDER BY vec_id, i""",
+    // both ranking arms in SQL over the shared quantize+project CTEs;
+    // recall@10 = the IN-count of the projected arm in the exact arm.
+    "q125_rproj_recall" ->
+      """WITH m AS (
+           SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) maxabs
+           FROM embeddings
+           WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
+         v AS (
+           SELECT vec_id,
+                  CASE WHEN maxabs > 0
+                       THEN list_transform(embedding, x -> greatest(CAST(-127 AS BIGINT),
+                              least(CAST(127 AS BIGINT),
+                                CAST(floor(CAST(x AS DOUBLE) * 127 / maxabs) AS BIGINT))))
+                       ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END q8
+           FROM m),
+         pv AS (
+           SELECT vec_id, q8,
+                  [CAST(list_sum(list_transform(range(1, 65), i -> q8[i] *
+                     (CASE WHEN CAST(concat('0x', substr(md5('rp,' || CAST(i-1 AS VARCHAR) || ',' || CAST(j AS VARCHAR)), 1, 1)) AS INT) % 2 = 0
+                           THEN 1 ELSE -1 END))) AS BIGINT)
+                   for j in range(0, 16)] p16
+           FROM v),
+         q AS (SELECT q8 qq, p16 qp FROM pv WHERE vec_id = 0),
+         exact AS (
+           SELECT pv.vec_id,
+                  CAST(list_sum(list_transform(range(1, 65), i -> pv.q8[i] * qq[i])) AS BIGINT) s
+           FROM pv, q WHERE pv.vec_id <> 0
+           ORDER BY s DESC, pv.vec_id LIMIT 10),
+         proj AS (
+           SELECT pv.vec_id,
+                  CAST(list_sum(list_transform(range(1, 17), k -> pv.p16[k] * qp[k])) AS BIGINT) s
+           FROM pv, q WHERE pv.vec_id <> 0
+           ORDER BY s DESC, pv.vec_id LIMIT 10)
+         SELECT CAST(count(*) AS BIGINT) AS hits, CAST(10 AS BIGINT) AS k
+         FROM exact WHERE vec_id IN (SELECT vec_id FROM proj)""",
     // int8 quantization (the q48 CTEs) + md5-parity ±1 signs; the
     // projection replays as a list comprehension over 16 output dims.
     "q123_rproj" ->

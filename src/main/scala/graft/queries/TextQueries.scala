@@ -337,6 +337,31 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-language quality DECILES — the reporting form of q114's
+    // calibration: instead of one keep/drop cut, every document gets
+    // its within-language decile by model score (ntile(10) over the
+    // same deterministic (score DESC, doc_id) order), the table a
+    // curation team reads to pick thresholds and a sampler (q105)
+    // consumes as tier labels. ntile's even-split semantics are
+    // engine-portable given a total order, and scores are
+    // IEEE-identical by the q84 fold discipline, so the assignment
+    // hash-matches. One lang exchange (same window family as q114);
+    // the q116 histogram sketch remains the no-rank scale path.
+    "q127_deciles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wlit = typedLit(qmWeights)
+      val bucket: Column => Column = w =>
+        (pmod(conv(substring(md5(w), 1, 15), 16, 10).cast(LongType), lit(64L))
+          + lit(1L)).cast(IntegerType)
+      val wRank = Window.partitionBy("lang").orderBy(desc("score"), col("doc_id"))
+      withWords(s, d)
+        .select(col("doc_id"), col("lang"),
+          aggregate(transform(col("words"), w => element_at(wlit, bucket(w))),
+            lit(0.0), (acc, x) => acc + x).as("score"))
+        .withColumn("decile", ntile(10).over(wRank).cast(LongType))
+        .orderBy("doc_id")
+    }),
+
     // q114's 100 TB SCALE VARIANT in code (the q79→q80 discipline:
     // the documented scale path must exist as an implemented,
     // oracle-gated surface): instead of ranking every document inside
@@ -1442,6 +1467,21 @@ object TextQueries {
                      ws[CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 64 + 1])) AS score
             FROM w, wt)
           SELECT doc_id, n_tokens, score, score > 0 AS kept
+          FROM scored ORDER BY doc_id""",
+    // same score replay as q114; ntile(10) over the same total order.
+    "q127_deciles" ->
+      s"""WITH n AS (SELECT doc_id, lang, $normDuck t FROM documents),
+          w AS (SELECT doc_id, lang, string_split(t, ' ') words FROM n),
+          wt AS (SELECT list_transform(range(0, 64), k ->
+                   CAST(concat('0x', substr(md5('w,'||CAST(k AS VARCHAR)), 1, 6)) AS BIGINT)
+                     / CAST(16777216 AS DOUBLE) - CAST(0.5 AS DOUBLE)) ws),
+          scored AS (
+            SELECT doc_id, lang,
+                   list_sum(list_transform(words, x ->
+                     ws[CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 64 + 1])) AS score
+            FROM w, wt)
+          SELECT doc_id, lang, score,
+                 CAST(ntile(10) OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS BIGINT) AS decile
           FROM scored ORDER BY doc_id""",
     "q114_calib_quality" ->
       s"""WITH n AS (SELECT doc_id, lang, $normDuck t FROM documents),

@@ -55,6 +55,36 @@ class CorpusMetricsSpec extends AnyFunSuite {
     assert(r.getLong(2) == bgs.distinct.size.toLong)
   }
 
+  test("q126: band candidates imply >= 2 matching components; threshold slice = q18") {
+    val rows = SparkEntry.queries("q126_minhash_est")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.foreach { case (a, b, est12, estPpm, jacPpm) =>
+      assert(est12 >= 2, s"($a,$b): band collision with <2 matching components")
+      assert(estPpm == est12 * 1000000 / 12)
+      assert(jacPpm >= 0 && jacPpm <= 1000000)
+    }
+    val confirmed = rows.filter { case (_, _, _, _, jac) => jac * 5 >= 3000000 }
+      .map(t => (t._1, t._2)).toSet
+    val q18 = SparkEntry.queries("q18_minhash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(confirmed == q18, "threshold slice of the audit != q18's pair set")
+  }
+
+  test("q127: deciles are balanced within each language and ordered by score") {
+    val rows = SparkEntry.queries("q127_deciles")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_._3).view.mapValues(_.size).values.toSeq
+      assert(sizes.max - sizes.min <= 1, s"$lang deciles unbalanced: $sizes")
+      // min score of decile d >= max score of decile d+1
+      val byDecile = rs.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+      (1L until 10L).foreach { d =>
+        for (hi <- byDecile.get(d); lo <- byDecile.get(d + 1))
+          assert(hi.min >= lo.max, s"$lang decile $d overlaps ${d + 1}")
+      }
+    }
+  }
+
   test("q122: grand total, set partitions, and detail rows agree") {
     val rows = SparkEntry.queries("q122_gsets")(spark, sf).collect()
     val total = Tables.lineitem(spark, sf).count()

@@ -67,7 +67,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q111_drift", // k-sized occupancy counts × broadcast 1-row totals
       "q117_kmv_overlap", // sources-sized sketch frame × broadcast, < predicate
       "q120_dsir", // 64-row bucket table × broadcast 1-row totals
-      "q124_rproj_ann") // projected corpus × broadcast 1-row projected query
+      "q124_rproj_ann", // projected corpus × broadcast 1-row projected query
+      "q125_rproj_recall") // both audit arms × broadcast 1-row query
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
@@ -724,6 +725,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"),
       s"projected ranking does a full sort:\n$p")
     assert(!p.contains("SortMergeJoin"), s"projected ANN sort-merges:\n$p")
+  }
+
+  test("q126 estimator audit keeps the q18 shuffle posture (signatures + id pairs)") {
+    val p = plan("q126_minhash_est")
+    // the candidate join keys on (band, signature); the shingle sets
+    // join back per candidate via the merge hint — never broadcast
+    // (computed-array size underestimate) and never all-pairs
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"estimator audit goes all-pairs:\n$p")
+    assert(p.contains("SortMergeJoin"),
+      s"candidate set-lookup lost the merge hint:\n$p")
+  }
+
+  test("q127 deciles window on lang with ONE exchange") {
+    val p = plan("q127_deciles")
+    assert(p.contains("windowspecdefinition(lang"),
+      s"decile window lost its lang partitioning:\n$p")
+    assert("Exchange hashpartitioning\\(lang".r.findFirstIn(p).isDefined,
+      s"window exchange should key on lang:\n$p")
   }
 
   test("q110 mixture: one corpus aggregate, decisions on broadcast scalars") {

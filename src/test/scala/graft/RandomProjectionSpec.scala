@@ -46,4 +46,14 @@ class RandomProjectionSpec extends AnyFunSuite {
     val scores = rows.map(_.getLong(1))
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
+
+  test("q125 hits equal the overlap of the q49 and q124 top-10 id sets") {
+    val exact = SparkEntry.queries("q49_qann")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val proj = SparkEntry.queries("q124_rproj_ann")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val r = SparkEntry.queries("q125_rproj_recall")(spark, sf).collect()(0)
+    assert(r.getLong(0) == exact.intersect(proj).size.toLong)
+    assert(r.getLong(1) == 10L)
+  }
 }
