@@ -135,6 +135,35 @@ class StreamingAggSpec extends AnyFunSuite {
       s"streamed sketch lost a guaranteed heavy hitter: $heavy vs $last")
   }
 
+  test("cms_agg counters stream across micro-batches bit-identical to batch") {
+    import org.apache.spark.sql.streaming.OutputMode
+    // CMS is fully deterministic and mergeable (elementwise add), so
+    // the streamed sketch over two staged batches must equal the
+    // batch sketch over the doubled stream EXACTLY — stronger than
+    // Misra-Gries's superset guarantee
+    val srcDir = tmp("cms-src")
+    stage(srcDir, "part-0.parquet")
+    stage(srcDir, "part-1.parquet")
+    val h = conv(substring(md5(col("event_type")), 1, 15), 16, 10).cast("long")
+    val q = NozzlePipeline.source(spark, srcDir)
+      .select(h.as("h"))
+      .groupBy()
+      .agg(graft.Functions.cms_agg(col("h"), 4, 64).as("c"))
+      .writeStream
+      .format("memory").queryName("cms_stream")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", tmp("cms-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("cms_stream").collect().last.getSeq[Long](0)
+    val batch = Tables.events(spark, sf).union(Tables.events(spark, sf))
+      .select(h.as("h"))
+      .agg(graft.Functions.cms_agg(col("h"), 4, 64).as("c"))
+      .collect()(0).getSeq[Long](0)
+    assert(streamed == batch, "streamed CMS diverged from the batch sketch")
+  }
+
   test("stateful queries run on the RocksDB state store provider") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
