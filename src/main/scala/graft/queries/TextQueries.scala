@@ -337,6 +337,65 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Corpus snapshot diff — the change-data-capture audit a weekly
+    // corpus rebuild publishes: content-hash FULL OUTER JOIN of two
+    // snapshots → per-source added/removed/changed/unchanged counts.
+    // Snapshots here are deterministic slices of the one test table
+    // (old = id%7≠0, new = id%5≠0 with id%11=0 content revised) so
+    // every status is populated and the oracle replays exactly; in
+    // production the inputs are two partitioned table versions.
+    // Scale shape: the join carries (id, source, 32-hex hash) — text
+    // never shuffles; snapshot tables bucketed by doc_id make the
+    // full-outer exchange-free (graft.ops.Bucketing), and the result
+    // aggregate is sources×4-sized with map-side combine.
+    "q129_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      val old = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("source").as("src_o"),
+          md5(col("text").cast(BinaryType)).as("h_old"))
+      val neu = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("source").as("src_n"),
+          md5(when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).cast(BinaryType)).as("h_new"))
+      old.join(neu, Seq("doc_id"), "full_outer")
+        .select(coalesce(col("src_o"), col("src_n")).as("source"),
+          when(col("h_old").isNull, "added")
+            .when(col("h_new").isNull, "removed")
+            .when(col("h_old") =!= col("h_new"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy("source", "status").agg(count(lit(1)).as("n"))
+        .orderBy("source", "status")
+    }),
+
+    // Weighted sampling without replacement — sequential Poisson
+    // sampling (Ohlsson, "Sequential Poisson Sampling", J. Official
+    // Statistics 1998; the πps design behind size-weighted corpus
+    // subsampling): priority = u/w with u uniform, keep the k
+    // smallest per stratum — inclusion probability ∝ weight, here
+    // n_chars (longer docs carry more tokens). Deterministic exact
+    // form: u is the q41/q95 md5-ppm hash gate and the priority is
+    // the scaled integer (u·10^12) div w (u < 2^20, so the product
+    // sits far below 2^63), ties broken by doc_id — the sample
+    // replays bit-for-bit on any engine. Scale shape: the rank
+    // window rides WindowGroupLimit (≤ k rows per lang per map task
+    // BEFORE the exchange, the q62 discipline) so the shuffle is
+    // O(langs × k) at any corpus size.
+    "q128_wsample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy(col("pkey"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("u_ppm",
+          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast(LongType), lit(1000000L)))
+        .withColumn("pkey", expr("(u_ppm * 1000000000000) div n_chars"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("u_ppm"), col("pkey"), col("rn").cast(LongType).as("rn"))
+        .orderBy("lang", "rn")
+    }),
+
     // Per-language quality DECILES — the reporting form of q114's
     // calibration: instead of one keep/drop cut, every document gets
     // its within-language decile by model score (ntile(10) over the
@@ -1468,6 +1527,38 @@ object TextQueries {
             FROM w, wt)
           SELECT doc_id, n_tokens, score, score > 0 AS kept
           FROM scored ORDER BY doc_id""",
+    // the two snapshot slices full-outer joined on id; statuses from
+    // hash presence/equality; per-source counts.
+    "q129_snapshot_diff" ->
+      """WITH o AS (
+           SELECT doc_id, source, md5(text) h FROM documents WHERE doc_id % 7 <> 0),
+         nn AS (
+           SELECT doc_id, source,
+                  md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) h
+           FROM documents WHERE doc_id % 5 <> 0)
+         SELECT coalesce(o.source, nn.source) source,
+                CASE WHEN o.h IS NULL THEN 'added'
+                     WHEN nn.h IS NULL THEN 'removed'
+                     WHEN o.h <> nn.h THEN 'changed'
+                     ELSE 'unchanged' END status,
+                CAST(count(*) AS BIGINT) n
+         FROM o FULL OUTER JOIN nn ON o.doc_id = nn.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // md5-ppm uniforms, scaled-integer priorities, rank window.
+    "q128_wsample" ->
+      """WITH p AS (
+           SELECT doc_id, lang, n_chars,
+                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 u_ppm
+           FROM documents),
+         k AS (
+           SELECT doc_id, lang, n_chars, u_ppm,
+                  (u_ppm * 1000000000000) // n_chars pkey
+           FROM p),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY lang ORDER BY pkey, doc_id) rn
+           FROM k)
+         SELECT doc_id, lang, n_chars, u_ppm, pkey, CAST(rn AS BIGINT) rn
+         FROM r WHERE rn <= 20 ORDER BY lang, rn""",
     // same score replay as q114; ntile(10) over the same total order.
     "q127_deciles" ->
       s"""WITH n AS (SELECT doc_id, lang, $normDuck t FROM documents),

@@ -85,6 +85,35 @@ class CorpusMetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("q128: per-lang samples capped at 20 with weight-proportional inclusion") {
+    val rows = SparkEntry.queries("q128_wsample")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      assert(rs.length <= 20, s"$lang sampled ${rs.length} > 20")
+      // priorities are the claimed function of (u, w) and ranks are 1..n
+      rs.foreach { case (_, w, u, k, _) => assert(k == u * 1000000000000L / w) }
+      assert(rs.map(_._5).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // size bias: sampled docs are larger on average than the corpus
+    val sampled = rows.map(_._2)
+    val corpusMean = Tables.documents(spark, sf)
+      .agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    assert(sampled.sum.toDouble / sampled.length > corpusMean,
+      "size-weighted sample is not size-biased")
+  }
+
+  test("q129: statuses partition the snapshot union and match set arithmetic") {
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val old = ids.filter(_ % 7 != 0); val neu = ids.filter(_ % 5 != 0)
+    val byStatus = SparkEntry.queries("q129_snapshot_diff")(spark, sf).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(byStatus("added") == (neu -- old).size.toLong)
+    assert(byStatus("removed") == (old -- neu).size.toLong)
+    assert(byStatus("changed") == (old & neu).count(_ % 11 == 0).toLong)
+    assert(byStatus.values.sum == (old | neu).size.toLong)
+  }
+
   test("q122: grand total, set partitions, and detail rows agree") {
     val rows = SparkEntry.queries("q122_gsets")(spark, sf).collect()
     val total = Tables.lineitem(spark, sf).count()

@@ -746,6 +746,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"window exchange should key on lang:\n$p")
   }
 
+  test("q128 weighted sample keeps <=k rows per lang before the window shuffle") {
+    val p = plan("q128_wsample")
+    assert(p.contains("WindowGroupLimit"),
+      s"rn<=k not pushed below the window exchange:\n$p")
+  }
+
+  test("q129 snapshot diff joins hashes, not text") {
+    val p = plan("q129_snapshot_diff")
+    assert(p.contains("FullOuter"), s"CDC diff lost the full-outer join:\n$p")
+    // text is consumed by the map-side md5 projection; the join
+    // exchange must not carry the text column itself
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text#")),
+      s"snapshot join shuffles document text:\n$p")
+  }
+
   test("q110 mixture: one corpus aggregate, decisions on broadcast scalars") {
     val p = plan("q110_mixture")
     // the only corpus-sized work is the partial-agg'd groupBy(lang)
