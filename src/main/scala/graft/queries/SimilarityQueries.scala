@@ -499,6 +499,40 @@ object SimilarityQueries {
         .limit(10)
     }),
 
+    // Clustering-quality audit — the inertia (within-cluster SSE)
+    // table that accompanies every trained codebook: per cluster, its
+    // population and Σ‖x − μ‖² under the q71 model. Exact-integer
+    // surface: with rational centroids μ = s/c the per-point distance
+    // numerator c²·(x·x) − 2c·(x·s) + (s·s) is the assignExpr
+    // polynomial (already Long-bounded with the loud overflow guard),
+    // so the emitted (n, c, sse_num) triple is integral and inertia =
+    // sse_num/c² follows driver-side. Scale shape: assignment is
+    // map-only (model rides the plan as literals), the per-point
+    // numerator joins the k-row model BROADCAST, and the rollup is a
+    // k-sized partial-agg'd groupBy — the whole audit is one pass.
+    "q130_inertia" -> ((s, d) => {
+      val qemb = graft.ops.Barrier(Tables.embeddings(s, d)
+        .filter(!exists(col("embedding"), _.isNull)) // see q48 note
+        .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8")))
+      val seeds = graft.ops.KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
+      val model = graft.ops.KMeans.train(qemb, "vec_id", "q8", 64, seeds, maxIter = 2)
+      import s.implicits._
+      val modelDf = model.map(st =>
+        (st.cid, st.count, st.sums.map(x => x * x).sum, st.sums.toSeq))
+        .toDF("cid", "c", "ss", "sums")
+      qemb
+        .withColumn("cid", graft.ops.KMeans.assignExpr(col("q8"), model))
+        .join(broadcast(modelDf), "cid")
+        .select(col("cid"), col("c"),
+          (col("c") * col("c") * graft.Functions.vec_dot_int(col("q8"), col("q8"))
+            - lit(2L) * col("c") * graft.Functions.vec_dot_int(col("q8"), col("sums"))
+            + col("ss")).as("num"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"), min(col("c")).as("c"),
+          sum(col("num")).as("sse_num"))
+        .orderBy("cid")
+    }),
+
     // Recall audit for the projected space — the q77 discipline
     // applied to q124: JL projection trades exactness for 4× less
     // scored payload, and this query MEASURES that trade (recall@10
@@ -1283,6 +1317,19 @@ object SimilarityQueries {
                 abs(CAST(n_new AS HUGEINT) * tr - CAST(n_ref AS HUGEINT) * tn)
                   * 100 > CAST(tn AS HUGEINT) * tr AS is_drift
          FROM c CROSS JOIN t ORDER BY cid""",
+    // q71's training replay + per-point distance numerators against
+    // the final state, rolled up per cluster.
+    "q130_inertia" ->
+      s"""WITH ${kmeansCtes(2)},
+          ${kmAssign("afin", "s2")},
+          pt AS (
+            SELECT a.cid, s.c,
+                   CAST(list_sum(list_transform(range(1, 65), i ->
+                     (s.c * v.q8[i] - s.s[i]) * (s.c * v.q8[i] - s.s[i]))) AS BIGINT) num
+            FROM afin a JOIN v USING (vec_id) JOIN s2 s ON a.cid = s.cid)
+          SELECT cid, CAST(count(*) AS BIGINT) n, CAST(min(c) AS BIGINT) c,
+                 CAST(sum(num) AS BIGINT) sse_num
+          FROM pt GROUP BY cid ORDER BY cid""",
     "q72_ivf_trained" -> ivfTrainedOracle(2),
     "q73_pq_trained" -> pqTrainedOracle(2),
     "q74_ivfpq_trained" -> ivfPqTrainedOracle(2),

@@ -119,4 +119,27 @@ class KMeansSpec extends AnyFunSuite {
     assert(!plan.contains("zip_with"),
       s"no interpreted HOFs in the assignment hot path:\n$plan")
   }
+
+  test("q130 inertia matches the driver-side distance sum over the model") {
+    val sf = "/root/testdata/sf0.001"
+    val qemb = Tables.embeddings(spark, sf)
+      .filter(!exists(col("embedding"), _.isNull))
+      .select(col("vec_id"), Functions.vec_quant8(col("embedding")).as("q8"))
+    val seeds = KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
+    val model = KMeans.train(qemb, "vec_id", "q8", 64, seeds, maxIter = 2)
+    val byCid = model.map(st => st.cid -> st).toMap
+    val vecs = qemb.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val got = SparkEntry.queries("q130_inertia")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val wantByCid = vecs.groupBy { case (_, v) =>
+      model.map(st => (KMeans.distanceTo(v, st), st.cid)).min._2
+    }.map { case (cid, vs) =>
+      val st = byCid(cid)
+      cid -> (vs.length.toLong,
+        vs.map { case (_, x) =>
+          x.indices.map { j => val t = st.count * x(j) - st.sums(j); t * t }.sum
+        }.sum)
+    }
+    assert(got == wantByCid)
+  }
 }

@@ -763,6 +763,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"snapshot join shuffles document text:\n$p")
   }
 
+  test("q130 inertia: map-only assign, broadcast model join, k-sized rollup") {
+    val p = plan("q130_inertia")
+    assert(p.contains("vec_dot_int"),
+      s"inertia must rank/score via the native integer-dot kernel:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the k-row model should broadcast onto the assignment:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"cluster rollup lost map-side combine:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"inertia sort-merges the model:\n$p")
+  }
+
   test("q110 mixture: one corpus aggregate, decisions on broadcast scalars") {
     val p = plan("q110_mixture")
     // the only corpus-sized work is the partial-agg'd groupBy(lang)
