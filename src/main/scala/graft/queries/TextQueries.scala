@@ -530,9 +530,9 @@ object TextQueries {
     // shape: the distinct count is the standard two-level aggregate —
     // partial distinct on (source, shingle) map-side, then a
     // source-keyed count — so the exchange carries distinct bigrams
-    // per source, never the token stream; at 100 TB the estimation
-    // path swaps count_distinct for the q102 hll_agg with the SAME
-    // grouping (sketches merge map-side, 64 bytes per source).
+    // per source, never the token stream; the 100 TB estimation path
+    // is IMPLEMENTED as q131 (hll_agg over the same grouping:
+    // sketches merge map-side, 64 bytes per source cross the wire).
     "q121_diversity" -> ((s, d) => {
       // ALL adjacent pairs, not the distinct set word_shingles builds
       // (TTR's denominator is occurrences): index-zipped transform
@@ -550,6 +550,36 @@ object TextQueries {
           countDistinct(col("sh")).as("n_distinct"))
         .select(col("source"), col("n_bigrams"), col("n_distinct"),
           expr("(n_distinct * 1000000) div n_bigrams").as("ttr_ppm"))
+        .orderBy("source")
+    }),
+
+    // q121's 100 TB SCALE VARIANT (the q114→q116 / q79→q80
+    // discipline: a documented scale path must exist as an
+    // oracle-gated surface): the exact distinct-bigram count ranks a
+    // (source, bigram)-keyed exchange whose payload grows with the
+    // vocabulary; here the distinct count comes off the q102
+    // HyperLogLog sketch instead — the per-source shuffle payload is
+    // 64 one-byte registers + one long, CONSTANT at any corpus size.
+    // The emitted register sum is exact-integer (oracle-replayable);
+    // the estimate carries HLL's ~13% error at b=6 — the documented
+    // sketch trade-off; q121 remains the exact form.
+    "q131_diversity_sketch" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("source"),
+          split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
+            .as("words"))
+        .filter(size(col("words")) >= 2)
+        .select(col("source"), explode(expr(
+          "transform(slice(words, 1, size(words)-1), (w, i) -> concat(w, ' ', element_at(words, i+2)))"))
+          .as("sh"))
+        .select(col("source"),
+          conv(substring(md5(col("sh")), 1, 15), 16, 10).cast(LongType).as("h"))
+      sh.groupBy("source")
+        .agg(count(lit(1)).as("n_bigrams"),
+          graft.Functions.hll_agg(col("h"), 6).as("hll_s"))
+        .select(col("source"), col("n_bigrams"), col("hll_s"),
+          (lit(0.709d) * lit(4096.0d) * lit(3.6028797018963968e16d)
+            / col("hll_s").cast("double")).as("est"))
         .orderBy("source")
     }),
 
@@ -1621,6 +1651,32 @@ object TextQueries {
                  CAST(count(DISTINCT s) AS BIGINT) n_distinct,
                  (CAST(count(DISTINCT s) AS BIGINT) * 1000000) // count(*) AS ttr_ppm
           FROM sh GROUP BY source ORDER BY source""",
+    // the q121 bigram stream hashed; HLL registers replayed as the
+    // q102 (source, j) max-rho GROUP BY and the exact-integer sum.
+    "q131_diversity_sketch" ->
+      s"""WITH n AS (SELECT doc_id, source, $normDuck t FROM documents),
+          wd AS (SELECT source, string_split(t, ' ') words FROM n),
+          sh AS (SELECT source,
+                   unnest(list_transform(range(1, len(words)), i -> array_to_string(words[i:i+1], ' '))) s
+                 FROM wd WHERE len(words) >= 2),
+          hh AS (SELECT source, CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT) h FROM sh),
+          tot AS (SELECT source, CAST(count(*) AS BIGINT) n_bigrams FROM hh GROUP BY source),
+          dh AS (SELECT DISTINCT source, h FROM hh),
+          regs AS (
+            SELECT source, h % 64 AS j,
+                   max(CASE WHEN h // 64 = 0 THEN 55
+                            ELSE 55 - length(bin(h // 64)) END) AS r
+            FROM dh GROUP BY source, j),
+          s AS (
+            SELECT source,
+                   CAST(sum(CAST(1 AS BIGINT) << (55 - r)) +
+                        (64 - count(*)) * (CAST(1 AS BIGINT) << 55) AS BIGINT) AS hll_s
+            FROM regs GROUP BY source)
+          SELECT s.source, tot.n_bigrams, s.hll_s,
+                 0.709 * 4096.0 * CAST(36028797018963968 AS DOUBLE)
+                   / CAST(s.hll_s AS DOUBLE) AS est
+          FROM s JOIN tot USING (source)
+          ORDER BY source""",
     // DSIR weights replayed: 64-bucket target/raw counts, floor-log2
     // ratios via length(bin(cnt+1)), per-doc sums over raw docs only.
     "q120_dsir" ->

@@ -114,6 +114,20 @@ class CorpusMetricsSpec extends AnyFunSuite {
     assert(byStatus.values.sum == (old | neu).size.toLong)
   }
 
+  test("q131: sketch totals match q121 exactly; estimates land near exact distincts") {
+    val exact = SparkEntry.queries("q121_diversity")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val sk = SparkEntry.queries("q131_diversity_sketch")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    assert(sk.map(_._1).toSet == exact.keySet)
+    sk.foreach { case (src, nb, est) =>
+      assert(nb == exact(src)._1, s"$src: occurrence totals diverge")
+      val d = exact(src)._2.toDouble
+      assert(est > d * 0.6 && est < d * 1.6,
+        s"$src: HLL estimate $est too far from exact $d")
+    }
+  }
+
   test("q122: grand total, set partitions, and detail rows agree") {
     val rows = SparkEntry.queries("q122_gsets")(spark, sf).collect()
     val total = Tables.lineitem(spark, sf).count()

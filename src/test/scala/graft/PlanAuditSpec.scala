@@ -746,6 +746,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"window exchange should key on lang:\n$p")
   }
 
+  test("q131 sketch diversity: ONE source exchange, no distinct expand") {
+    val p = plan("q131_diversity_sketch")
+    // vs q121: the distinct count comes off the mergeable HLL, so the
+    // only exchange keys on source and carries registers + one long
+    assert(p.contains("ObjectHashAggregate"),
+      s"hll_agg should plan as an object hash aggregate:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"sketch diversity should need exactly one aggregate exchange:\n$p")
+    assert("Exchange hashpartitioning\\(source".r.findFirstIn(p).isDefined,
+      s"the one exchange should key on source:\n$p")
+  }
+
   test("q128 weighted sample keeps <=k rows per lang before the window shuffle") {
     val p = plan("q128_wsample")
     assert(p.contains("WindowGroupLimit"),
