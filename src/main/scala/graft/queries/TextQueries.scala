@@ -346,8 +346,9 @@ object TextQueries {
     // production the inputs are two partitioned table versions.
     // Scale shape: the join carries (id, source, 32-hex hash) — text
     // never shuffles; snapshot tables bucketed by doc_id make the
-    // full-outer exchange-free (graft.ops.Bucketing), and the result
-    // aggregate is sources×4-sized with map-side combine.
+    // full-outer exchange-free (demonstrated: BucketingSpec's
+    // "bucketed snapshots full-outer join with zero exchange"), and
+    // the result aggregate is sources×4-sized with map-side combine.
     "q129_snapshot_diff" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
       val old = docs.filter(col("doc_id") % 7 =!= 0)
