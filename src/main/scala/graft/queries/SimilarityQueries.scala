@@ -216,6 +216,30 @@ object SimilarityQueries {
          ORDER BY adist ASC, a0.vec_id LIMIT 10"""
   }
 
+  /** The four q73 subspace trainings + per-code exact SSE rollups —
+    * q132's replay. */
+  private def pqDistortionOracle(iters: Int): String = {
+    val subs = (0 until 4).map { m =>
+      s"""v$m AS (SELECT vec_id, q8[${m * 16 + 1}:${m * 16 + 16}] q8 FROM v),
+          ${kmRounds(iters, s"v$m", 16, s"_$m")},
+          ${kmAssign(s"afin_$m", s"s$iters" + s"_$m", s"v$m", 16)},
+          r_$m AS (
+            SELECT CAST($m AS BIGINT) m, a.cid, count(*) n, min(s.c) c,
+                   sum(CAST(list_sum(list_transform(range(1, 17), i ->
+                     (s.c * v.q8[i] - s.s[i]) * (s.c * v.q8[i] - s.s[i]))) AS BIGINT)) sse
+            FROM afin_$m a JOIN v$m v USING (vec_id)
+            JOIN s$iters${s"_$m"} s ON a.cid = s.cid
+            GROUP BY a.cid)"""
+    }.mkString(",\n          ")
+    s"""WITH $quantCtes,
+          $subs
+         SELECT m, cid, CAST(n AS BIGINT) n, CAST(c AS BIGINT) c,
+                CAST(sse AS BIGINT) sse_num
+         FROM (SELECT * FROM r_0 UNION ALL SELECT * FROM r_1
+               UNION ALL SELECT * FROM r_2 UNION ALL SELECT * FROM r_3)
+         ORDER BY m, cid"""
+  }
+
   /** 2 unrolled training rounds + the final assignment pass — the
     * exact replay of q71's KMeans.train(maxIter = 2) + assign. */
   private def kmeansOracle(iters: Int): String =
@@ -531,6 +555,43 @@ object SimilarityQueries {
         .agg(count(lit(1)).as("n"), min(col("c")).as("c"),
           sum(col("num")).as("sse_num"))
         .orderBy("cid")
+    }),
+
+    // PQ distortion audit — q130's inertia discipline applied to the
+    // product-quantizer: per subspace and per code, the population
+    // and exact-integer SSE numerator of the assigned 16-d slices
+    // under the trained sub-codebooks. Σ sse_num/c² over subspaces is
+    // the PQ reconstruction error — THE number that decides code
+    // width (4×16-d at 8 codes here; a production 64×8-d at 256
+    // codes trades table size for distortion, same audit). One scan
+    // per subspace (all four share the Barrier-materialized corpus),
+    // map-only assignment, broadcast k-row models, 4·k-row output.
+    "q132_pq_distortion" -> ((s, d) => {
+      import graft.ops.KMeans
+      val qemb = graft.ops.Barrier(Tables.embeddings(s, d)
+        .filter(!exists(col("embedding"), _.isNull)) // see q48 note
+        .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8")))
+      val fullSeeds = KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
+      val models = KMeans.trainSubspaces(qemb, "q8", 16,
+        KMeans.sliceSeeds(fullSeeds, 16, 4), maxIter = 2)
+      import s.implicits._
+      val parts = models.zipWithIndex.map { case (model, m) =>
+        val modelDf = model.map(st =>
+          (st.cid, st.count, st.sums.map(x => x * x).sum, st.sums.toSeq))
+          .toDF("cid", "c", "ss", "sums")
+        qemb.select(col("vec_id"), expr(s"slice(q8, ${m * 16 + 1}, 16)").as("qs"))
+          .withColumn("cid", KMeans.assignExpr(col("qs"), model))
+          .join(broadcast(modelDf), "cid")
+          .select(lit(m.toLong).as("m"), col("cid"), col("c"),
+            (col("c") * col("c") * graft.Functions.vec_dot_int(col("qs"), col("qs"))
+              - lit(2L) * col("c") * graft.Functions.vec_dot_int(col("qs"), col("sums"))
+              + col("ss")).as("num"))
+      }
+      parts.reduce(_ union _)
+        .groupBy("m", "cid")
+        .agg(count(lit(1)).as("n"), min(col("c")).as("c"),
+          sum(col("num")).as("sse_num"))
+        .orderBy("m", "cid")
     }),
 
     // Recall audit for the projected space — the q77 discipline
@@ -1332,6 +1393,7 @@ object SimilarityQueries {
           FROM pt GROUP BY cid ORDER BY cid""",
     "q72_ivf_trained" -> ivfTrainedOracle(2),
     "q73_pq_trained" -> pqTrainedOracle(2),
+    "q132_pq_distortion" -> pqDistortionOracle(2),
     "q74_ivfpq_trained" -> ivfPqTrainedOracle(2),
     "q75_knn" ->
       s"""WITH q AS (SELECT embedding qv FROM embeddings WHERE vec_id = 0),

@@ -337,6 +337,33 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Term-frequency spectrum — the Good-Turing view of each source's
+    // vocabulary (hapax/dis legomena and the tail): singleton-heavy
+    // sources are noisy (OCR junk, random ids), singleton-poor ones
+    // are templated; hapax share also estimates unseen-type mass
+    // (Good-Turing's n1/N). Two-level aggregate: (source, term)
+    // counts partial-agg map-side, then a sources-sized spectrum
+    // rollup — the exchange carries the per-source vocabulary once,
+    // and the spectrum itself is 5 longs per source.
+    "q133_spectrum" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(col("source"),
+          explode(split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " "))
+            .as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      counts.groupBy("source")
+        .agg(count(lit(1)).as("vocab"),
+          sum(col("cnt")).as("tokens"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax"),
+          sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("dis"),
+          sum(when(col("cnt") >= 3, 1L).otherwise(0L)).as("rest"))
+        .select(col("source"), col("vocab"), col("tokens"), col("hapax"),
+          col("dis"), col("rest"),
+          expr("(hapax * 1000000) div vocab").as("hapax_ppm"))
+        .orderBy("source")
+    }),
+
     // Corpus snapshot diff — the change-data-capture audit a weekly
     // corpus rebuild publishes: content-hash FULL OUTER JOIN of two
     // snapshots → per-source added/removed/changed/unchanged counts.
@@ -1558,6 +1585,20 @@ object TextQueries {
             FROM w, wt)
           SELECT doc_id, n_tokens, score, score > 0 AS kept
           FROM scored ORDER BY doc_id""",
+    // (source, term) counts then the conditional spectrum rollup.
+    "q133_spectrum" ->
+      s"""WITH n AS (SELECT doc_id, source, $normDuck t FROM documents),
+          w AS (SELECT source, unnest(string_split(t, ' ')) term FROM n),
+          c AS (SELECT source, term, count(*) cnt FROM w WHERE term <> ''
+                GROUP BY source, term)
+          SELECT source, CAST(count(*) AS BIGINT) vocab,
+                 CAST(sum(cnt) AS BIGINT) tokens,
+                 CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) hapax,
+                 CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) dis,
+                 CAST(sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS BIGINT) rest,
+                 (CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+                   // CAST(count(*) AS BIGINT) AS hapax_ppm
+          FROM c GROUP BY source ORDER BY source""",
     // the two snapshot slices full-outer joined on id; statuses from
     // hash presence/equality; per-source counts.
     "q129_snapshot_diff" ->

@@ -142,4 +142,17 @@ class KMeansSpec extends AnyFunSuite {
     }
     assert(got == wantByCid)
   }
+
+  test("q132 subspace populations each cover the corpus; SSE keys by code") {
+    val sf = "/root/testdata/sf0.001"
+    val total = Tables.embeddings(spark, sf)
+      .filter(!exists(col("embedding"), _.isNull)).count()
+    val rows = SparkEntry.queries("q132_pq_distortion")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (m, rs) =>
+      assert(rs.map(_._3).sum == total, s"subspace $m populations don't cover")
+      assert(rs.forall(_._4 >= 0L), s"subspace $m has a negative SSE")
+    }
+    assert(rows.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+  }
 }

@@ -786,6 +786,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"inertia sort-merges the model:\n$p")
   }
 
+  test("q132 PQ distortion: four barriered arms, broadcast models, no SMJ") {
+    val p = plan("q132_pq_distortion")
+    assert(p.contains("Scan ExistingRDD"),
+      s"subspace arms re-derive the quantized corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"k-row sub-codebooks should broadcast:\n$p")
+    assert(p.contains("vec_dot_int"),
+      s"subspace SSE must use the native integer-dot kernel:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"distortion audit sort-merges:\n$p")
+  }
+
+  test("q133 spectrum keeps partial aggregation at both levels") {
+    val p = plan("q133_spectrum")
+    assert(p.contains("partial_count"),
+      s"(source, term) counts lost map-side combine:\n$p")
+    assert(p.contains("partial_sum"),
+      s"spectrum rollup lost map-side combine:\n$p")
+  }
+
   test("q110 mixture: one corpus aggregate, decisions on broadcast scalars") {
     val p = plan("q110_mixture")
     // the only corpus-sized work is the partial-agg'd groupBy(lang)
