@@ -337,6 +337,73 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Bigram continuation table — the n-gram-LM build step (KenLM's
+    // count stage): for every frequent head word, its top-3 next
+    // words by count. Decides nothing by itself but feeds smoothing,
+    // autocomplete, and the q45-style repetition analysis. Scale
+    // shape: (w1, w2) counts partial-agg map-side; the head-total
+    // filter is a second groups-sized aggregate joined back; the
+    // top-3 rides WindowGroupLimit (≤3 rows per head per map task
+    // before the exchange) — never a per-head sort of the vocabulary.
+    "q134_nextword" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = Tables.documents(s, d)
+        .select(split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
+          .as("words"))
+        .filter(size(col("words")) >= 2)
+        .select(explode(expr(
+          "transform(slice(words, 1, size(words)-1), (w, i) -> struct(w as w1, element_at(words, i+2) as w2))"))
+          .as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val cnt = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      val heads = cnt.groupBy("w1").agg(sum(col("n")).as("tot"))
+        .filter(col("tot") >= 50)
+      val w = Window.partitionBy("w1").orderBy(desc("n"), col("w2"))
+      cnt.join(heads, "w1")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("w1"), col("w2"), col("n"), col("tot"),
+          col("rn").cast(LongType).as("rn"))
+        .orderBy("w1", "rn")
+    }),
+
+    // PMI collocations — pointwise mutual information over adjacent
+    // word pairs (Church & Hanks 1990), the collocation-mining staple
+    // that surfaces multiword units ("new york") frequency alone
+    // buries. Exact-integer surface: pmi ≈ floor-log2(c_xy·N) −
+    // floor-log2(c_x·c_y) via length(bin(·)) — the q106/q120 trick,
+    // engine-portable with no float log; c_xy ≥ 20 suppresses hapax
+    // noise (classic PMI pathology). Scale shape: bigram and unigram
+    // count tables partial-agg map-side; the two unigram joins key on
+    // the term (vocab-sized sort-merge — the right shape when both
+    // sides are vocab-scale); N broadcasts; final = top-30
+    // TakeOrderedAndProject.
+    "q135_pmi" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
+          .as("words"))
+        .filter(size(col("words")) >= 2)
+      val pairs = words
+        .select(explode(expr(
+          "transform(slice(words, 1, size(words)-1), (w, i) -> struct(w as w1, element_at(words, i+2) as w2))"))
+          .as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val bg = graft.ops.Barrier(pairs.groupBy("w1", "w2").agg(count(lit(1)).as("nxy")))
+      val uni = graft.ops.Barrier(
+        pairs.select(col("w1").as("t")).union(pairs.select(col("w2").as("t")))
+          .groupBy("t").agg(count(lit(1)).as("c")))
+      val tot = bg.agg(sum(col("nxy")).as("nn"))
+      bg.filter(col("nxy") >= 20)
+        .join(uni.toDF("w1", "cx"), "w1")
+        .join(uni.toDF("w2", "cy"), "w2")
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("nxy"), col("cx"), col("cy"),
+          (length(bin(col("nxy") * col("nn")))
+            - length(bin(col("cx") * col("cy")))).cast(LongType).as("pmi_l2"))
+        .orderBy(desc("pmi_l2"), desc("nxy"), col("w1"), col("w2"))
+        .limit(30)
+    }),
+
     // Term-frequency spectrum — the Good-Turing view of each source's
     // vocabulary (hapax/dis legomena and the tail): singleton-heavy
     // sources are noisy (OCR junk, random ids), singleton-poor ones
@@ -1585,6 +1652,36 @@ object TextQueries {
             FROM w, wt)
           SELECT doc_id, n_tokens, score, score > 0 AS kept
           FROM scored ORDER BY doc_id""",
+    // lockstep unnest of the shifted word lists; counts, head filter,
+    // rank window.
+    "q134_nextword" ->
+      s"""WITH n AS (SELECT $normDuck t FROM documents),
+          wd AS (SELECT string_split(t, ' ') words FROM n),
+          p AS (SELECT unnest(words[1:len(words)-1]) w1, unnest(words[2:len(words)]) w2
+                FROM wd WHERE len(words) >= 2),
+          c AS (SELECT w1, w2, count(*) n FROM p GROUP BY 1, 2),
+          h AS (SELECT w1, CAST(sum(n) AS BIGINT) tot FROM c GROUP BY w1 HAVING sum(n) >= 50),
+          r AS (SELECT c.w1, c.w2, c.n, h.tot,
+                  row_number() OVER (PARTITION BY c.w1 ORDER BY c.n DESC, c.w2) rn
+                FROM c JOIN h USING (w1))
+          SELECT w1, w2, CAST(n AS BIGINT) n, tot, CAST(rn AS BIGINT) rn
+          FROM r WHERE rn <= 3 ORDER BY w1, rn""",
+    // the same pair stream; floor-log2 PMI via length(bin(...)).
+    "q135_pmi" ->
+      s"""WITH n AS (SELECT $normDuck t FROM documents),
+          wd AS (SELECT string_split(t, ' ') words FROM n),
+          p AS (SELECT unnest(words[1:len(words)-1]) w1, unnest(words[2:len(words)]) w2
+                FROM wd WHERE len(words) >= 2),
+          c AS (SELECT w1, w2, count(*) nxy FROM p GROUP BY 1, 2),
+          u AS (SELECT t, count(*) c FROM (
+                  SELECT w1 t FROM p UNION ALL SELECT w2 t FROM p) GROUP BY t),
+          tot AS (SELECT CAST(sum(nxy) AS BIGINT) nn FROM c)
+          SELECT c.w1, c.w2, CAST(nxy AS BIGINT) nxy,
+                 CAST(ux.c AS BIGINT) cx, CAST(uy.c AS BIGINT) cy,
+                 CAST(length(bin(nxy * nn)) - length(bin(ux.c * uy.c)) AS BIGINT) pmi_l2
+          FROM c JOIN u ux ON c.w1 = ux.t JOIN u uy ON c.w2 = uy.t CROSS JOIN tot
+          WHERE nxy >= 20
+          ORDER BY pmi_l2 DESC, nxy DESC, w1, w2 LIMIT 30""",
     // (source, term) counts then the conditional spectrum rollup.
     "q133_spectrum" ->
       s"""WITH n AS (SELECT doc_id, source, $normDuck t FROM documents),

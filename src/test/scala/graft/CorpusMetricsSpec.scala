@@ -128,6 +128,38 @@ class CorpusMetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("q134: top-3 continuations are count-ordered and head totals are complete") {
+    val rows = SparkEntry.queries("q134_nextword")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val bigrams = docs().flatMap { case (_, _, t) =>
+      val w = norm(t); if (w.length < 2) Nil else w.sliding(2).map(a => (a(0), a(1))).toSeq
+    }
+    val cnt = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val headTot = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    rows.groupBy(_._1).foreach { case (w1, rs) =>
+      assert(headTot(w1) >= 50 && rs.forall(_._4 == headTot(w1)))
+      assert(rs.map(_._5).sorted.toSeq == (1L to rs.length).toSeq)
+      val ns = rs.sortBy(_._5).map(_._3)
+      assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+      rs.foreach { case (_, w2, n, _, _) => assert(cnt((w1, w2)) == n) }
+    }
+  }
+
+  test("q135: PMI integers match the floor-log2 formula on emitted counts") {
+    def lg(x: Long) = java.lang.Long.toBinaryString(x).length.toLong
+    val rows = SparkEntry.queries("q135_pmi")(spark, sf).collect()
+    assert(rows.length <= 30 && rows.nonEmpty)
+    // recompute N from the corpus
+    val nn = docs().map { case (_, _, t) =>
+      math.max(0, norm(t).length - 1).toLong
+    }.sum
+    rows.foreach { r =>
+      val (nxy, cx, cy, pmi) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nxy >= 20)
+      assert(pmi == lg(nxy * nn) - lg(cx * cy))
+    }
+  }
+
   test("q122: grand total, set partitions, and detail rows agree") {
     val rows = SparkEntry.queries("q122_gsets")(spark, sf).collect()
     val total = Tables.lineitem(spark, sf).count()

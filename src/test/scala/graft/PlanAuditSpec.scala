@@ -68,7 +68,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q117_kmv_overlap", // sources-sized sketch frame × broadcast, < predicate
       "q120_dsir", // 64-row bucket table × broadcast 1-row totals
       "q124_rproj_ann", // projected corpus × broadcast 1-row projected query
-      "q125_rproj_recall") // both audit arms × broadcast 1-row query
+      "q125_rproj_recall", // both audit arms × broadcast 1-row query
+      "q135_pmi") // count tables × broadcast 1-row total N
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
@@ -803,6 +804,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"(source, term) counts lost map-side combine:\n$p")
     assert(p.contains("partial_sum"),
       s"spectrum rollup lost map-side combine:\n$p")
+  }
+
+  test("q134 next-word table keeps <=3 rows per head before the window shuffle") {
+    val p = plan("q134_nextword")
+    assert(p.contains("WindowGroupLimit"),
+      s"rn<=3 not pushed below the window exchange:\n$p")
+    assert(p.contains("partial_count"),
+      s"pair counts lost map-side combine:\n$p")
+  }
+
+  test("q135 PMI: barriered count tables, top-30 take-ordered") {
+    val p = plan("q135_pmi")
+    // the bigram/unigram count tables materialize once (Barrier) and
+    // the final plan joins the materialized counts
+    assert(p.contains("Scan ExistingRDD"),
+      s"PMI re-derives the count tables:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"PMI ranking does a full sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"PMI goes all-pairs:\n$p")
   }
 
   test("q110 mixture: one corpus aggregate, decisions on broadcast scalars") {

@@ -56,4 +56,29 @@ class StreamingJoinSpec extends AnyFunSuite {
     assert(want.nonEmpty, "test window produced no pairs — widen the interval")
     assert(got == want, s"stream join diverged: ${got.size} vs ${want.size} pairs")
   }
+
+  test("stream-static dimension join matches the batch join") {
+    val dir = tmp("ssd-src")
+    stage(dir, "part-0.parquet")
+    // static dimension: a deterministic per-user tier table — the
+    // broadcast-dim enrichment every streaming pipeline does
+    val dim = Tables.events(spark, sf)
+      .select(col("user_id")).distinct()
+      .withColumn("tier", pmod(col("user_id"), lit(3)))
+    val q = NozzlePipeline.source(spark, dir)
+      .select(col("event_id"), col("user_id"))
+      .join(dim, "user_id")
+      .writeStream
+      .format("memory").queryName("ssd_stream")
+      .option("checkpointLocation", tmp("ssd-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("ssd_stream").collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2))).toSet
+    val want = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id")).join(dim, "user_id")
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
 }
