@@ -398,6 +398,47 @@ object EventQueries {
         .orderBy("cohort", "day_off")
     }),
 
+    // Interpolated percentiles — the CONTINUOUS quantile surface next
+    // to q56's discrete rank-select: percentile() sorts each group
+    // and linearly interpolates (type-7, index p·(n−1)), the form
+    // dashboards and SLO reports expect. Parity is engineered the
+    // usual way: both engines compute lower + (upper−lower)·frac over
+    // the same doubles, so the result hash-matches. Exact percentile
+    // holds the whole group sorted — the scale path for corpus-sized
+    // groups is the q92 mergeable histogram sketch; this surface is
+    // for group counts that fit a task (types × values here).
+    "q137_quantile_cont" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(value, 0.5d)").as("med"),
+          expr("percentile(value, 0.9d)").as("p90"))
+        .orderBy("event_type")
+    }),
+
+    // Calendar-spine gap fill — the resampling step every time-series
+    // report needs before rates/averages are comparable: a (type ×
+    // day) grid generated from the observed bounds, left-joined to
+    // the daily rollup so absent days read 0 instead of vanishing
+    // (a day with no 'error' events IS a datum). Scale shape: the
+    // daily rollup is the only corpus-sized work (partial-agg'd);
+    // the spine is |types|·|days| rows built from a broadcast 1-row
+    // bounds frame and a types-sized distinct — grid construction
+    // never touches the event stream again.
+    "q136_gapfill" -> ((s, d) => {
+      val daily = graft.ops.Barrier(Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("(ts_ns div 1000) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n")))
+      val bounds = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val types = daily.select(col("event_type")).distinct()
+      val spine = types.crossJoin(broadcast(bounds))
+        .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("day"))
+      spine.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("event_type", "day")
+    }),
+
     // Volume anomaly detection — the monitoring gate the reference's
     // slow-consumer detector (O4) generalizes to: flag days whose
     // event count deviates more than 2σ from the mean. The z-score
@@ -704,6 +745,25 @@ object EventQueries {
                 CAST(count(*) AS BIGINT) n_users
          FROM d JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // type-7 continuous quantiles (quantile_cont ≡ Spark percentile).
+    "q137_quantile_cont" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) n,
+                quantile_cont(value, 0.5) AS med,
+                quantile_cont(value, 0.9) AS p90
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // daily rollup, bounds-driven day spine × observed types, left
+    // join with zero fill.
+    "q136_gapfill" ->
+      """WITH daily AS (SELECT event_type, (epoch_us(ts) // 86400000000) AS day, count(*) n
+                        FROM events GROUP BY 1, 2),
+          b AS (SELECT min(day) mn, max(day) mx FROM daily),
+          ty AS (SELECT DISTINCT event_type FROM daily),
+          spine AS (SELECT ty.event_type, unnest(range(b.mn, b.mx + 1)) AS day
+                    FROM ty CROSS JOIN b)
+         SELECT s.event_type, s.day, CAST(coalesce(d.n, 0) AS BIGINT) n
+         FROM spine s LEFT JOIN daily d
+           ON s.event_type = d.event_type AND s.day = d.day
+         ORDER BY s.event_type, s.day""",
     "q98_anomaly" ->
       """WITH daily AS (SELECT (epoch_us(ts) // 86400000000) AS day, count(*) n
                         FROM events GROUP BY 1),

@@ -50,4 +50,42 @@ class EventQueriesSpec extends AnyFunSuite {
     assert(df.count() > 0)
     assert(df.columns.toSet == Set("event_id", "topic", "payload"))
   }
+
+  test("q136 gap fill: full grid, zero-filled days, counts conserved") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q136_gapfill")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val types = rows.map(_._1).distinct.length
+    val days = rows.map(_._2).distinct.length
+    assert(rows.length == types * days, "grid is not complete")
+    assert(rows.map(_._2).distinct.sorted.toSeq ==
+      (rows.map(_._2).min to rows.map(_._2).max).toSeq, "day spine has holes")
+    assert(rows.map(_._3).sum == Tables.events(spark, sf).count())
+    // zero-filled cells = grid cells minus observed (type, day) rows
+    val observed = Tables.events(spark, sf)
+      .select(col("event_type"), expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .distinct().count()
+    assert(rows.count(_._3 == 0L).toLong == types.toLong * days - observed)
+  }
+
+  test("q137 interpolated quantiles match a driver-side type-7 computation") {
+    import org.apache.spark.sql.functions._
+    val vals = Tables.events(spark, sf).select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    def q7(xs: Array[Double], p: Double): Double = {
+      val pos = p * (xs.length - 1)
+      val lo = pos.toInt
+      if (lo == xs.length - 1) xs(lo)
+      else xs(lo) + (xs(lo + 1) - xs(lo)) * (pos - lo)
+    }
+    SparkEntry.queries("q137_quantile_cont")(spark, sf).collect().foreach { r =>
+      val xs = vals(r.getString(0))
+      assert(r.getLong(1) == xs.length.toLong)
+      // same type-7 quantile up to the interpolation's last ulp (the
+      // CROSS-ENGINE bit-parity is the oracle hash-match's job)
+      assert(math.abs(r.getDouble(2) - q7(xs, 0.5)) < 1e-9, s"${r.getString(0)} median")
+      assert(math.abs(r.getDouble(3) - q7(xs, 0.9)) < 1e-9, s"${r.getString(0)} p90")
+    }
+  }
 }
