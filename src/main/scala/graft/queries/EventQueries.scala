@@ -398,6 +398,56 @@ object EventQueries {
         .orderBy("cohort", "day_off")
     }),
 
+    // Daily co-movement — covariance between event types' daily
+    // volumes in EXACT integer form: cov·m² ∝ m·Σxy − Σx·Σy over the
+    // gap-filled day grid (zeros matter: a day one type is silent IS
+    // negative co-movement), the q98 cross-multiplication discipline
+    // so no float variance enters the gate. Pairs come from a
+    // types-sized self-join on day — the only corpus-sized work is
+    // the one daily rollup feeding it (Barrier). At 100 TB daily
+    // counts the products graduate to DECIMAL(38,0) (q98's note);
+    // test-SF magnitudes sit far inside Long.
+    "q138_comovement" -> ((s, d) => {
+      val daily = graft.ops.Barrier(Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("(ts_ns div 1000) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n")))
+      val bounds = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val types = daily.select(col("event_type")).distinct()
+      val grid = types.crossJoin(broadcast(bounds))
+        .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("day"))
+        .join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+      val a = grid.toDF("type_x", "day", "nx")
+      val b = grid.toDF("type_y", "day", "ny")
+      a.join(b, Seq("day")).filter(col("type_x") < col("type_y"))
+        .groupBy("type_x", "type_y")
+        .agg(count(lit(1)).as("m"), sum(col("nx")).as("sx"),
+          sum(col("ny")).as("sy"), sum(col("nx") * col("ny")).as("sxy"))
+        .select(col("type_x"), col("type_y"), col("m"),
+          (col("m") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+          (col("m") * col("sxy") > col("sx") * col("sy")).as("is_pos"))
+        .orderBy("type_x", "type_y")
+    }),
+
+    // Cumulative reach — "unique users to date" per day WITHOUT a
+    // running distinct (which would hold every user id in window
+    // state): a user contributes to reach exactly once, at their
+    // FIRST day, so reach(d) = running sum of first-seen counts — a
+    // per-user min aggregate, a days-sized rollup, and a window over
+    // the days axis (bounded by the calendar, not the corpus). The
+    // standard distributed form of the DAU/MAU reach curve.
+    "q139_reach" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val firstDay = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(expr("(ts_ns div 1000) div 86400000000")).as("day"))
+      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+      firstDay.groupBy("day").agg(count(lit(1)).as("n_new"))
+        .withColumn("reach", sum(col("n_new")).over(w))
+        .orderBy("day")
+    }),
+
     // Interpolated percentiles — the CONTINUOUS quantile surface next
     // to q56's discrete rank-select: percentile() sorts each group
     // and linearly interpolates (type-7, index p·(n−1)), the form
@@ -745,6 +795,31 @@ object EventQueries {
                 CAST(count(*) AS BIGINT) n_users
          FROM d JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the gap-filled grid self-joined on day; exact covariance
+    // numerators per unordered type pair.
+    "q138_comovement" ->
+      """WITH daily AS (SELECT event_type, (epoch_us(ts) // 86400000000) AS day, count(*) n
+                        FROM events GROUP BY 1, 2),
+          b AS (SELECT min(day) mn, max(day) mx FROM daily),
+          ty AS (SELECT DISTINCT event_type FROM daily),
+          grid AS (SELECT ty.event_type, s.day, coalesce(d.n, 0) n
+                   FROM ty CROSS JOIN (SELECT unnest(range(b.mn, b.mx + 1)) AS day FROM b) s
+                   LEFT JOIN daily d ON ty.event_type = d.event_type AND s.day = d.day)
+         SELECT a.event_type type_x, bb.event_type type_y,
+                CAST(count(*) AS BIGINT) m,
+                CAST(count(*) * sum(a.n * bb.n) - sum(a.n) * sum(bb.n) AS BIGINT) cov_num,
+                count(*) * sum(a.n * bb.n) > sum(a.n) * sum(bb.n) AS is_pos
+         FROM grid a JOIN grid bb ON a.day = bb.day AND a.event_type < bb.event_type
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // first-seen day per user, then the running-sum reach curve.
+    "q139_reach" ->
+      """WITH fd AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS day
+                     FROM events GROUP BY 1),
+          nn AS (SELECT day, count(*) n_new FROM fd GROUP BY 1)
+         SELECT day, CAST(n_new AS BIGINT) n_new,
+                CAST(sum(n_new) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) reach
+         FROM nn ORDER BY day""",
     // type-7 continuous quantiles (quantile_cont ≡ Spark percentile).
     "q137_quantile_cont" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) n,

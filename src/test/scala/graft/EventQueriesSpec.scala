@@ -68,6 +68,34 @@ class EventQueriesSpec extends AnyFunSuite {
     assert(rows.count(_._3 == 0L).toLong == types.toLong * days - observed)
   }
 
+  test("q138 covariance numerators match the gap-filled grid arithmetic") {
+    import org.apache.spark.sql.functions._
+    val grid = SparkEntry.queries("q136_gapfill")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = grid.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val got = SparkEntry.queries("q138_comovement")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    val types = byType.keys.toSeq.sorted
+    for (Seq(x, y) <- types.combinations(2)) {
+      val (xs, ys) = (byType(x), byType(y))
+      val m = xs.length.toLong
+      val cov = m * xs.zip(ys).map { case (a, b) => a * b }.sum - xs.sum * ys.sum
+      assert(got((x, y)) == ((m, cov, cov > 0)), s"pair ($x, $y)")
+    }
+  }
+
+  test("q139 reach is monotone and ends at the distinct-user count") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q139_reach")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._2).sum == rows.last._3)
+    assert(rows.last._3 ==
+      Tables.events(spark, sf).select(countDistinct(col("user_id"))).collect()(0).getLong(0))
+    val reaches = rows.map(_._3)
+    assert(reaches.zip(reaches.tail).forall { case (a, b) => a < b })
+  }
+
   test("q137 interpolated quantiles match a driver-side type-7 computation") {
     import org.apache.spark.sql.functions._
     val vals = Tables.events(spark, sf).select("event_type", "value").collect()

@@ -70,7 +70,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q124_rproj_ann", // projected corpus × broadcast 1-row projected query
       "q125_rproj_recall", // both audit arms × broadcast 1-row query
       "q135_pmi", // count tables × broadcast 1-row total N
-      "q136_gapfill") // types-sized spine × broadcast 1-row bounds
+      "q136_gapfill", // types-sized spine × broadcast 1-row bounds
+      "q138_comovement") // same spine shape as q136
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
