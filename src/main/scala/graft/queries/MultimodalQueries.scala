@@ -31,6 +31,42 @@ object MultimodalQueries {
         .orderBy("media_id", "frame_id")
     }),
 
+    // Perceptual media near-dup — the pHash-style dedup pass a media
+    // corpus runs before training (near-identical images re-encoded
+    // at different sizes): quantized feature histograms bucket by the
+    // q82 4-bit shape signature (candidates come from bucket
+    // EQUALITY, never all-pairs — the q23 embedding-near-dup
+    // discipline on the media track), and candidates confirm with an
+    // exact integer cosine² gate, cross-multiplied (dot²·10⁸ ≥
+    // 99980001·‖a‖²·‖b‖² ⟺ cos ≥ 0.9999 — these 16-bin histograms
+    // run very hot, so the dedup bar sits near identity) with no
+    // float in the decision. dot ≤ 16·127² ⇒ dot²·10⁸ ≤ 6.7·10¹⁸,
+    // inside Long (barely — widening the histogram means moving to
+    // DECIMAL(38,0), q98's discipline). At scale the
+    // signature widens with corpus size (the q22 pair-budget
+    // invariant) and becomes a partition column.
+    "q140_media_neardup" -> ((s, d) => {
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+      val feats = Multimodal.extractFeatures(s, media)
+      val bins = Seq(2, 4, 6, 7)
+      val qemb = graft.ops.Barrier(feats
+        .select(col("media_id"),
+          graft.Functions.vec_quant8(col("features").cast("array<double>")).as("q8"))
+        .withColumn("bucket", bins.zipWithIndex.map { case (b, k) =>
+          when(element_at(col("q8"), b + 1) > 63, lit(1L << k)).otherwise(lit(0L))
+        }.reduce(_ + _)))
+      val a = qemb.select(col("media_id").as("mx"), col("q8").as("qa"), col("bucket"))
+      val b = qemb.select(col("media_id").as("my"), col("q8").as("qb"), col("bucket"))
+      a.join(b, Seq("bucket")).filter(col("mx") < col("my"))
+        .select(col("mx"), col("my"),
+          graft.Functions.vec_dot_int(col("qa"), col("qb")).as("dot"),
+          graft.Functions.vec_dot_int(col("qa"), col("qa")).as("na"),
+          graft.Functions.vec_dot_int(col("qb"), col("qb")).as("nb"))
+        .filter(col("dot") > 0 &&
+          col("dot") * col("dot") * lit(100000000L) >= lit(99980001L) * col("na") * col("nb"))
+        .orderBy("mx", "my")
+    }),
+
     // Multimodal → ANN composition: media similarity as a first-class
     // citizen of the integer-ANN stack, not a parallel track. The
     // codec's feature histogram (16 longs) is int8-quantized
@@ -77,6 +113,43 @@ object MultimodalQueries {
               unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT))) t(f)
          WHERE doc_id % 3 = 2
          ORDER BY media_id, frame_id""",
+    // q82's quantize+bucket CTEs self-joined on the signature; the
+    // cross-multiplied integer cosine² gate confirms.
+    "q140_media_neardup" ->
+      """WITH f AS (
+           SELECT doc_id AS media_id,
+                  list_transform(range(0, 16), b ->
+                    CAST(len(list_filter(list_transform(range(1, length(text)+1), i -> ascii(text[i:i]) // 16),
+                                         x -> x = b)) AS BIGINT)) feats
+           FROM documents),
+         m AS (
+           SELECT media_id, feats,
+                  list_max(list_transform(feats, x -> abs(CAST(x AS DOUBLE)))) maxabs
+           FROM f),
+         v AS (
+           SELECT media_id,
+                  CASE WHEN maxabs > 0
+                       THEN list_transform(feats, x -> greatest(CAST(-127 AS BIGINT),
+                              least(CAST(127 AS BIGINT),
+                                CAST(floor(CAST(x AS DOUBLE) * 127 / maxabs) AS BIGINT))))
+                       ELSE list_transform(feats, x -> CAST(0 AS BIGINT)) END q8
+           FROM m),
+         b AS (
+           SELECT media_id, q8,
+                  CAST((CASE WHEN q8[3] > 63 THEN 1 ELSE 0 END)
+                     + (CASE WHEN q8[5] > 63 THEN 2 ELSE 0 END)
+                     + (CASE WHEN q8[7] > 63 THEN 4 ELSE 0 END)
+                     + (CASE WHEN q8[8] > 63 THEN 8 ELSE 0 END) AS BIGINT) bucket
+           FROM v),
+         p AS (
+           SELECT a.media_id mx, bb.media_id my,
+                  CAST(list_sum(list_transform(range(1, 17), i -> a.q8[i] * bb.q8[i])) AS BIGINT) dot,
+                  CAST(list_sum(list_transform(range(1, 17), i -> a.q8[i] * a.q8[i])) AS BIGINT) na,
+                  CAST(list_sum(list_transform(range(1, 17), i -> bb.q8[i] * bb.q8[i])) AS BIGINT) nb
+           FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.media_id < bb.media_id)
+         SELECT mx, my, dot, na, nb FROM p
+         WHERE dot > 0 AND dot * dot * 100000000 >= 99980001 * na * nb
+         ORDER BY mx, my""",
     "q82_media_ann" ->
       """WITH f AS (
            SELECT doc_id AS media_id,

@@ -55,4 +55,28 @@ class MultimodalSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("q140: pairs pass the integer cosine gate; exact content dupes are caught") {
+    val rows = SparkEntry.queries("q140_media_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (mx, my, dot, na, nb) =>
+      assert(mx < my)
+      assert(dot > 0 && dot * dot * 100000000L >= 99980001L * na * nb)
+    }
+    // exact text duplicates have identical histograms (cos = 1): every
+    // q15 duplicate pair must surface as a media near-dup
+    val dupPairs = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .collect().map(r => r.getString(1) -> r.getLong(0)).groupBy(_._1)
+      .values.filter(_.length > 1)
+      .flatMap(g => g.map(_._2).sorted.combinations(2).map(p => (p(0), p(1))))
+      .toSet
+    val found = rows.map(t => (t._1, t._2)).toSet
+    // sf0.001 may hold no exact dupes; when it does, all must surface
+    assert(dupPairs.subsetOf(found),
+      s"exact dupes missing from media near-dups: ${dupPairs -- found}")
+    // identical-histogram pairs (cos = 1 exactly) must exist regardless
+    assert(rows.exists { case (_, _, dot, na, nb) => dot * dot == na * nb })
+  }
 }
