@@ -256,4 +256,24 @@ object KMeans {
   def assign(vecs: DataFrame, idCol: String, vecCol: String,
              state: Seq[Centroid]): DataFrame =
     vecs.select(col(idCol), assignExpr(col(vecCol), state).as("cid"))
+
+  /** Persist a trained model as a (cid, sums, c) parquet table — the
+    * deploy artifact a 100 TB pipeline trains once (on a hash-sample)
+    * and ships to every map-only assignment job. Exact integer state
+    * round-trips bit-for-bit (KMeansSpec pins save→load→assign ≡ the
+    * in-memory model). */
+  def saveModel(spark: org.apache.spark.sql.SparkSession,
+                state: Seq[Centroid], path: String): Unit = {
+    import spark.implicits._
+    state.map(st => (st.cid, st.sums.toSeq, st.count))
+      .toDF("cid", "sums", "c")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted model; k rows, driver-side by design. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): Seq[Centroid] =
+    spark.read.parquet(path).collect()
+      .map(r => Centroid(r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .sortBy(_.cid).toSeq
 }

@@ -398,6 +398,32 @@ object EventQueries {
         .orderBy("cohort", "day_off")
     }),
 
+    // Co-occurrence mining — the market-basket view of user behavior
+    // (A-priori's support-counting pass): which event-type PAIRS
+    // appear together in a user's history, with support as an exact
+    // user-count and ppm share. q138 measures temporal co-movement of
+    // volumes; this measures set co-occurrence within a user. Scale
+    // shape: the per-user distinct (user, type) table is the only
+    // corpus-sized work (two-level partial agg); pair generation is a
+    // per-user self-join bounded by the TYPE DICTIONARY (≤ |T|²/2
+    // pairs per user, |T| small by construction), and the support
+    // rollup is types²-sized with map-side combine; the user total
+    // broadcasts as one row.
+    "q141_cooccur" -> ((s, d) => {
+      val ut = graft.ops.Barrier(Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct())
+      val nu = ut.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("nu"))
+      val pairs = ut.toDF("user_id", "x").join(ut.toDF("user_id", "y"), "user_id")
+        .filter(col("x") < col("y"))
+      pairs.groupBy("x", "y").agg(count(lit(1)).as("support"))
+        .crossJoin(broadcast(nu))
+        .filter(col("support") * 20 >= col("nu")) // ≥5% support floor
+        .select(col("x"), col("y"), col("support"),
+          expr("(support * 1000000) div nu").as("support_ppm"))
+        .orderBy("x", "y")
+    }),
+
     // Daily co-movement — covariance between event types' daily
     // volumes in EXACT integer form: cov·m² ∝ m·Σxy − Σx·Σy over the
     // gap-filled day grid (zeros matter: a day one type is silent IS
@@ -795,6 +821,17 @@ object EventQueries {
                 CAST(count(*) AS BIGINT) n_users
          FROM d JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // per-user distinct type sets self-joined; support counts with
+    // the 5% floor and ppm share.
+    "q141_cooccur" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+          nu AS (SELECT count(DISTINCT user_id) nu FROM ut),
+          p AS (SELECT a.event_type x, b.event_type y, count(*) support
+                FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+                GROUP BY 1, 2)
+         SELECT x, y, CAST(support AS BIGINT) support,
+                (CAST(support AS BIGINT) * 1000000) // nu AS support_ppm
+         FROM p, nu WHERE support * 20 >= nu ORDER BY x, y""",
     // the gap-filled grid self-joined on day; exact covariance
     // numerators per unordered type pair.
     "q138_comovement" ->

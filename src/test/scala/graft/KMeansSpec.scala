@@ -143,6 +143,22 @@ class KMeansSpec extends AnyFunSuite {
     assert(got == wantByCid)
   }
 
+  test("model save/load round-trips bit-for-bit and assigns identically") {
+    val sf = "/root/testdata/sf0.001"
+    val qemb = Tables.embeddings(spark, sf)
+      .filter(!exists(col("embedding"), _.isNull))
+      .select(col("vec_id"), Functions.vec_quant8(col("embedding")).as("q8"))
+    val seeds = KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
+    val model = KMeans.train(qemb, "vec_id", "q8", 64, seeds, maxIter = 2)
+    val dir = java.nio.file.Files.createTempDirectory("km-model").toString + "/m"
+    KMeans.saveModel(spark, model, dir)
+    val loaded = KMeans.loadModel(spark, dir)
+    assert(loaded.zip(model).forall { case (a, b) => a.sameAs(b) })
+    val a1 = KMeans.assign(qemb, "vec_id", "q8", model).collect().map(_.toSeq)
+    val a2 = KMeans.assign(qemb, "vec_id", "q8", loaded).collect().map(_.toSeq)
+    assert(a1.sameElements(a2))
+  }
+
   test("q132 subspace populations each cover the corpus; SSE keys by code") {
     val sf = "/root/testdata/sf0.001"
     val total = Tables.embeddings(spark, sf)

@@ -71,7 +71,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q125_rproj_recall", // both audit arms × broadcast 1-row query
       "q135_pmi", // count tables × broadcast 1-row total N
       "q136_gapfill", // types-sized spine × broadcast 1-row bounds
-      "q138_comovement") // same spine shape as q136
+      "q138_comovement", // same spine shape as q136
+      "q141_cooccur") // pair supports × broadcast 1-row user total
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
