@@ -672,6 +672,92 @@ object EventQueries {
           "CAST(envelope_json(envelope_decode(j)) = j AS INT) AS rt",
           "CAST(envelope_decode(bad) IS NULL AS INT) AS mal")
         .agg(sum("rt").as("n_roundtrip"), sum("mal").as("n_malformed_null"))
+    }),
+
+    // Markov transition matrix — P(next event type | current) from
+    // per-user event sequences: the behavioral model that powers
+    // next-action prediction and journey analysis. The lag window is
+    // partitioned by user_id (per-user state, never a global sort);
+    // the transition rollup and the from-type totals are both
+    // |types|²-bounded with map-side combine, and probabilities stay
+    // exact as ppm integer division. Ties in ts break on event_id so
+    // the sequence — and the oracle's — is total-ordered.
+    "q142_markov" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      val t = graft.ops.Barrier(Tables.events(s, d)
+        .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("nxt"))
+        .agg(count(lit(1)).as("n")))
+      val totals = t.groupBy("prev").agg(sum(col("n")).as("n_from"))
+      t.join(broadcast(totals), Seq("prev"))
+        .select(col("prev"), col("nxt"), col("n"),
+          expr("(n * 1000000) div n_from").as("p_ppm"))
+        .orderBy("prev", "nxt")
+    }),
+
+    // Last-touch attribution — for every purchase, credit the user's
+    // most recent NON-purchase event strictly before it (the standard
+    // marketing-attribution join). One ignore-nulls last() window per
+    // user replaces the per-purchase as-of join: state is a single
+    // string per user, the shuffle is the per-user repartition the
+    // sequence analysis already needs, and purchases with no prior
+    // touch fall out as the explicit 'none' bucket instead of
+    // silently dropping. Revenue stays exact (decimal sum, q13's
+    // discipline).
+    "q143_attrib" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          col("event_type"), col("value"))
+        .withColumn("lt",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("lt"), lit("none")).as("touch"))
+        .agg(count(lit(1)).as("purchases"),
+          dsum(col("value")).cast(DoubleType).as("revenue"))
+        .orderBy("touch")
+    }),
+
+    // Robust outlier days — q98's z-score gate falls to a single
+    // heavy day inflating σ; the median/MAD form doesn't. Everything
+    // stays integer by carrying medians at fixed scale: med2 = 2×
+    // median (odd group → doubled middle value, even → sum of the
+    // two central ranks), dev2 = |2n − med2|, mad4 = 2× median of
+    // dev2 — so the Hampel test |n−med| > 3·MAD is the integer
+    // predicate 2·dev2 > 3·mad4, no float ever enters the gate.
+    // Scale shape: the daily rollup is the only corpus-sized work;
+    // the rank windows partition by event_type over calendar-bounded
+    // groups, and both median aggregates are |types|-sized.
+    "q144_mad" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = graft.ops.Barrier(Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("(ts_ns div 1000) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n")))
+      def med2(df: DataFrame, v: String, out: String): DataFrame = {
+        val w = Window.partitionBy("event_type").orderBy(col(v), col("day"))
+        df.withColumn("r", row_number().over(w))
+          .withColumn("m", count(lit(1)).over(Window.partitionBy("event_type")))
+          .groupBy("event_type")
+          .agg(sum(when(col("r") * 2 === col("m") + 1, col(v) * 2)
+            .when(col("r") * 2 === col("m"), col(v))
+            .when(col("r") * 2 === col("m") + 2, col(v))
+            .otherwise(lit(0L))).as(out))
+      }
+      val m = med2(daily, "n", "med2")
+      val dev = daily.join(broadcast(m), Seq("event_type"))
+        .withColumn("dev2", abs(col("n") * 2 - col("med2")))
+      val mad = med2(dev, "dev2", "mad4")
+      dev.join(broadcast(mad), Seq("event_type"))
+        .filter(col("dev2") * 2 > col("mad4") * 3)
+        .select(col("event_type"), col("day"), col("n"), col("dev2"))
+        .orderBy("event_type", "day")
     })
   )
 
@@ -945,6 +1031,56 @@ object EventQueries {
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q39_codec" ->
       """SELECT count(*) AS n_roundtrip, count(*) AS n_malformed_null
-         FROM events WHERE event_type IS NOT NULL"""
+         FROM events WHERE event_type IS NOT NULL""",
+    // per-user lag sequences → |types|²-bounded transition rollup
+    // with exact ppm probabilities.
+    "q142_markov" ->
+      """WITH t AS (
+           SELECT user_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev
+           FROM events),
+         tr AS (SELECT prev, event_type AS nxt, count(*) n
+                FROM t WHERE prev IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT prev, sum(n) n_from FROM tr GROUP BY 1)
+         SELECT prev, nxt, CAST(n AS BIGINT) n,
+                (CAST(n AS BIGINT) * 1000000) // CAST(n_from AS BIGINT) AS p_ppm
+         FROM tr JOIN tot USING (prev) ORDER BY prev, nxt""",
+    // ignore-nulls last_value over the strict-past frame = the
+    // last-touch column; purchases grouped by it.
+    "q143_attrib" ->
+      """WITH e AS (
+           SELECT user_id, event_type, value,
+                  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) lt
+           FROM events)
+         SELECT coalesce(lt, 'none') AS touch, count(*) AS purchases,
+                CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+         FROM e WHERE event_type = 'purchase' GROUP BY 1 ORDER BY touch""",
+    // integer Hampel gate: med2/mad4 carry medians at fixed scale so
+    // 2·dev2 > 3·mad4 is the exact outlier predicate.
+    "q144_mad" ->
+      """WITH daily AS (SELECT event_type, (epoch_us(ts) // 86400000000) AS day, count(*) n
+                        FROM events GROUP BY 1, 2),
+         r1 AS (SELECT event_type, day, n,
+                       row_number() OVER (PARTITION BY event_type ORDER BY n, day) r,
+                       count(*) OVER (PARTITION BY event_type) m
+                FROM daily),
+         m1 AS (SELECT event_type,
+                       sum(CASE WHEN r*2 = m+1 THEN n*2 WHEN r*2 = m OR r*2 = m+2 THEN n ELSE 0 END) med2
+                FROM r1 GROUP BY 1),
+         dev AS (SELECT d.event_type, d.day, d.n, abs(d.n*2 - m1.med2) dev2
+                 FROM daily d JOIN m1 USING (event_type)),
+         r2 AS (SELECT event_type, day, dev2,
+                       row_number() OVER (PARTITION BY event_type ORDER BY dev2, day) r,
+                       count(*) OVER (PARTITION BY event_type) m
+                FROM dev),
+         m2 AS (SELECT event_type,
+                       sum(CASE WHEN r*2 = m+1 THEN dev2*2 WHEN r*2 = m OR r*2 = m+2 THEN dev2 ELSE 0 END) mad4
+                FROM r2 GROUP BY 1)
+         SELECT d.event_type, d.day, CAST(d.n AS BIGINT) n, CAST(d.dev2 AS BIGINT) dev2
+         FROM dev d JOIN m2 USING (event_type)
+         WHERE d.dev2 * 2 > m2.mad4 * 3
+         ORDER BY d.event_type, d.day"""
   )
 }
