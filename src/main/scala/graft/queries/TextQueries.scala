@@ -1460,6 +1460,83 @@ object TextQueries {
         .filter(col("hb") < col("rate"))
         .select(col("doc_id"), col("lang"), col("hb").cast(LongType).as("hb"))
         .orderBy("doc_id")
+    }),
+
+    // Train/valid/test split manifest — the dataset-card table every
+    // release ships: a salted md5 gate (the q41 trick, engine-portable
+    // and stable under re-runs — a doc NEVER migrates between splits
+    // when the corpus grows) assigns 80/10/10, then one partial-agg'd
+    // rollup per (split, source) reports docs / chars / en share.
+    // Map-only assignment; the rollup shuffles |splits|·|sources|
+    // groups.
+    "q145_split" -> ((s, d) => {
+      val gate = expr(
+        "pmod(cast(conv(substring(md5(concat('split:', cast(doc_id as string))), 1, 15), 16, 10) as bigint), 100)")
+      Tables.documents(s, d)
+        .withColumn("hb", gate)
+        .withColumn("split",
+          when(col("hb") < 80, "train").when(col("hb") < 90, "valid")
+            .otherwise("test"))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).as("chars"),
+          count(when(col("lang") === "en", 1)).as("en_docs"))
+        .orderBy("split", "source")
+    }),
+
+    // Blocked edit-distance near-dup — the character-level check that
+    // catches small in-place edits MinHash's bag-of-shingles view
+    // blurs: Levenshtein over normalized 80-char prefixes, blocked by
+    // (lang, 40-char length band) so the join is block-local, with a
+    // block-size budget (>200 rows → excluded, the q21 guard
+    // discipline) so a degenerate band can never go quadratic — at
+    // 100 TB the band width narrows and the budget holds per-block
+    // cost constant while the bands themselves partition-parallelize.
+    // Distance runs under Spark's threshold form (early-exits the DP
+    // at 21) — the metric is the classic unit-cost edit distance both
+    // engines implement identically.
+    "q146_editdup" -> ((s, d) => {
+      val p = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        expr("n_chars div 40").as("band"),
+        expr("substring(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), 1, 80)").as("pre"))
+      val b = p.withColumn("bsz",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("lang", "band")))
+        .filter(col("bsz") <= 200)
+      val l = b.select(col("doc_id").as("doc_a"), col("lang"), col("band"), col("pre").as("pa"))
+      val r = b.select(col("doc_id").as("doc_b"), col("lang"), col("band"), col("pre").as("pb"))
+      l.join(r, Seq("lang", "band"))
+        .filter(col("doc_a") < col("doc_b"))
+        // threshold form returns -1 for "exceeded" — gate on [0, 20],
+        // not <=20, or every far pair would sail through as -1.
+        .withColumn("dist", levenshtein(col("pa"), col("pb"), 21))
+        .filter(col("dist").between(0, 20))
+        .select(col("doc_a"), col("doc_b"), col("dist").cast(LongType).as("dist"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Vocabulary-coverage (OOV) audit — before committing to a fixed
+    // vocab, measure what it misses: the top-40 corpus words (count
+    // desc, word asc — fully deterministic) stand as the vocab; every
+    // token either hits it or counts OOV, rolled up per language in
+    // exact ppm. Scale shape: the term-frequency pass is the q46
+    // map-side-combined word count; the vocab is 40 rows broadcast
+    // into a left-anti-style membership join; the per-language rollup
+    // shuffles |langs| groups. No driver-side collect — the vocab
+    // stays a DataFrame end to end.
+    "q147_oov" -> ((s, d) => {
+      val toks = withWords(s, d).filter(length(col("t")) > 0)
+        .select(col("lang"), explode(col("words")).as("word"))
+      val vocab = toks.groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")).limit(40)
+        .select(col("word"), lit(1).as("hit"))
+      toks.join(broadcast(vocab), Seq("word"), "left_outer")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("hit").isNull, 1)).as("n_oov"))
+        .select(col("lang"), col("n_tokens"), col("n_oov"),
+          expr("(n_oov * 1000000) div n_tokens").as("oov_ppm"))
+        .orderBy("lang")
     })
   )
 
@@ -2235,6 +2312,44 @@ object TextQueries {
          FROM documents
          WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
                < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    // the salted q41 gate, split thresholds, per-(split, source)
+    // manifest rollup.
+    "q145_split" ->
+      """WITH g AS (
+           SELECT *, CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS hb
+           FROM documents),
+         s AS (SELECT source, lang, n_chars,
+                      CASE WHEN hb < 80 THEN 'train' WHEN hb < 90 THEN 'valid' ELSE 'test' END AS split
+               FROM g)
+         SELECT split, source, count(*) AS docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars,
+                count(CASE WHEN lang = 'en' THEN 1 END) AS en_docs
+         FROM s GROUP BY 1, 2 ORDER BY split, source""",
+    // same (lang, band) blocking, same 200-row block budget, same
+    // unit-cost Levenshtein over 80-char normalized prefixes.
+    "q146_editdup" ->
+      """WITH p AS (
+           SELECT doc_id, lang, n_chars // 40 AS band,
+                  substr(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), 1, 80) pre
+           FROM documents),
+         g AS (SELECT *, count(*) OVER (PARTITION BY lang, band) bsz FROM p),
+         b AS (SELECT * FROM g WHERE bsz <= 200)
+         SELECT a.doc_id doc_a, bb.doc_id doc_b,
+                CAST(levenshtein(a.pre, bb.pre) AS BIGINT) dist
+         FROM b a JOIN b bb ON a.lang = bb.lang AND a.band = bb.band AND a.doc_id < bb.doc_id
+         WHERE levenshtein(a.pre, bb.pre) <= 20
+         ORDER BY doc_a, doc_b""",
+    // top-40 vocab by (count desc, word asc); per-language OOV rollup
+    // in exact ppm.
+    "q147_oov" ->
+      """WITH n AS (SELECT doc_id, lang, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) t FROM documents),
+         toks AS (SELECT lang, unnest(string_split(t, ' ')) word FROM n WHERE length(t) > 0),
+         v AS (SELECT word FROM toks GROUP BY word ORDER BY count(*) DESC, word LIMIT 40)
+         SELECT lang, count(*) AS n_tokens,
+                count(CASE WHEN word NOT IN (SELECT word FROM v) THEN 1 END) AS n_oov,
+                (count(CASE WHEN word NOT IN (SELECT word FROM v) THEN 1 END) * 1000000)
+                  // count(*) AS oov_ppm
+         FROM toks GROUP BY lang ORDER BY lang"""
   )
 }

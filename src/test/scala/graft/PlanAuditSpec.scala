@@ -839,4 +839,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"mixture plan sort-merges a languages-sized table:\n$p")
   }
+
+  test("q142 transition rollup keeps partial aggregation; user-partitioned lag") {
+    val p = plan("q142_markov")
+    // final stage: totals rollup keeps map-side combine, joins back as
+    // a broadcast (the Barrier hides the sequence stage behind an
+    // ExistingRDD scan, so pin that stage's window shape separately)
+    assert(p.contains("partial_"), s"transition counts lost map-side combine:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"types-sized totals not broadcast:\n$p")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val seqPlan = Tables.events(spark, sf)
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .queryExecution.executedPlan.toString
+    assert(seqPlan.contains("hashpartitioning(user_id"),
+      s"sequence window is not user-partitioned:\n$seqPlan")
+  }
+
+  test("q146 edit-distance join is block-local (equi-join on lang+band, no BNLJ)") {
+    val p = plan("q146_editdup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"edit-distance join went all-pairs:\n$p")
+    assert(p.contains("levenshtein"), s"distance not in the join filter stage:\n$p")
+  }
+
+  test("q147 vocab membership join broadcasts the 40-row vocab") {
+    val p = plan("q147_oov")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab join should broadcast, not shuffle the token stream twice:\n$p")
+  }
 }
