@@ -399,6 +399,35 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 10)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // 2-core peel — strip the hairs off the near-dup graph so what's
+    // left is genuinely CLUSTERED duplication (a doc with one chance
+    // collision is noise; a doc whose neighbors also interlink is a
+    // template family). Classic k-core by iterative peeling, run a
+    // FIXED 8 rounds so the result is oracle-replayable whether or
+    // not the peel has converged (on this graph it converges in ≤3).
+    // Scale shape: q51's discipline — every round shuffles (long,
+    // long) id pairs only: a degree count with map-side combine and
+    // two broadcast-able left-semi probes against the surviving-node
+    // set; Barrier per round keeps the lineage flat. Output = the
+    // surviving nodes with their in-core degree.
+    "q149_kcore" -> ((s, d) => {
+      var edges = graft.ops.Barrier(minhashNearDupPairs(s, d)
+        .select(col("doc_a").as("u"), col("doc_b").as("v")))
+      for (_ <- 1 to 8) {
+        val keep = edges.select(col("u").as("node"))
+          .unionAll(edges.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 2).select("node")
+        edges = graft.ops.Barrier(edges
+          .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi"))
+      }
+      edges.select(col("u").as("node"))
+        .unionAll(edges.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+        .orderBy("node")
     })
   )
 
@@ -1200,6 +1229,50 @@ object DedupQueries {
          FROM gated a JOIN gated b ON a.h = b.h AND a.doc_id < b.doc_id
          GROUP BY a.doc_id, b.doc_id
          HAVING count(*) >= 10
-         ORDER BY doc_a, doc_b"""
+         ORDER BY doc_a, doc_b""",
+    // q18's confirmed pairs as the edge set; 8 peel rounds unrolled
+    // (same fixed count as the Spark side, so the result matches
+    // converged or not), then the surviving nodes with degrees.
+    "q149_kcore" -> {
+      val peel = (1 to 8).map(i => s"""
+         d$i AS MATERIALIZED (SELECT node, count(*) deg
+                 FROM (SELECT u node FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+                 GROUP BY 1),
+         e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+                 WHERE u IN (SELECT node FROM d$i WHERE deg >= 2)
+                   AND v IN (SELECT node FROM d$i WHERE deg >= 2))""").mkString(",")
+      s"""WITH w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2],' ')) shingles
+           FROM w WHERE len(words) >= 3),
+         ss AS (
+           SELECT doc_id, list_distinct(shingles) sset FROM sh),
+         hsv AS (
+           SELECT doc_id, sset, len(sset) nset,
+                  list_transform(sset, x -> CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) % 2147483647) hs
+           FROM ss),
+         m AS (
+           SELECT doc_id, sset, nset,
+             [list_aggregate(list_transform(hs, hm ->
+                ((CAST(1103515245 AS BIGINT) * (k+1) + 12345) % 2147483647 * hm + 977 * (k+1)) % 2147483647), 'min')
+              for k in range(0,12)] mh
+           FROM hsv),
+         bands AS (
+           SELECT doc_id, j, mh[2*j+1] * 2147483647 + mh[2*j+2] sig
+           FROM m, unnest(range(0,6)) t(j)),
+         cand AS (
+           SELECT DISTINCT a.doc_id da, b.doc_id db
+           FROM bands a JOIN bands b ON a.j=b.j AND a.sig=b.sig AND a.doc_id < b.doc_id),
+         pairs AS (
+           SELECT da, db
+           FROM cand JOIN hsv x ON da=x.doc_id JOIN hsv y ON db=y.doc_id
+           WHERE 5*len(list_intersect(x.sset, y.sset)) >= 3*(x.nset + y.nset - len(list_intersect(x.sset, y.sset)))),
+         e0 AS MATERIALIZED (SELECT da u, db v FROM pairs),$peel
+         SELECT node, CAST(count(*) AS BIGINT) degree
+         FROM (SELECT u node FROM e8 UNION ALL SELECT v FROM e8)
+         GROUP BY 1 ORDER BY node"""
+    }
   )
 }

@@ -1537,6 +1537,45 @@ object TextQueries {
         .select(col("lang"), col("n_tokens"), col("n_oov"),
           expr("(n_oov * 1000000) div n_tokens").as("oov_ppm"))
         .orderBy("lang")
+    }),
+
+    // Bigram-LM surprisal filter — q106's unigram gate upgraded to a
+    // CONDITIONAL model: token surprisal under P(v|u) with add-one
+    // smoothing, so formulaic text (predictable continuations) scores
+    // low even when its unigrams are common. The log2 stays exact via
+    // the floor-log trick (length(bin(x)) = ⌊log2 x⌋+1): surp(u,v) =
+    // ⌊log2(c(u)+V)⌋ − ⌊log2(c(u,v)+1)⌋ in pure integers, and the
+    // keep gate cross-multiplies against the corpus mean (q98's
+    // discipline, DECIMAL(38,0) for the 100 TB products). Scale
+    // shape: ONE bigram explode feeds both counts and scoring
+    // (Barrier); all model tables are bigram-TYPE-sized with map-side
+    // combine; V and the global mean are broadcast 1-row frames.
+    "q148_bigram_lm" -> ((s, d) => {
+      val bg = graft.ops.Barrier(withWords(s, d)
+        .filter(size(col("words")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(slice(words, 1, size(words)-1), (w, i) -> struct(w AS u, element_at(words, i+2) AS v))"))
+          .as("b"))
+        .select(col("doc_id"), col("b.u").as("u"), col("b.v").as("v")))
+      val bc = graft.ops.Barrier(
+        bg.groupBy("u", "v").agg(count(lit(1)).as("cb")))
+      val uc = bc.groupBy("u").agg(sum(col("cb")).as("cu"))
+      val vs = bc.agg(countDistinct(col("v")).as("vn"))
+      val surp = bc.join(uc, Seq("u")).crossJoin(broadcast(vs))
+        .select(col("u"), col("v"),
+          (length(bin(col("cu") + col("vn"))) - length(bin(col("cb") + 1)))
+            .cast(LongType).as("surp"))
+      val perDoc = graft.ops.Barrier(bg.join(surp, Seq("u", "v"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("surp")).as("surp")))
+      val glob = perDoc.agg(sum(col("surp")).as("gs"),
+        sum(col("n_bigrams")).as("gn"))
+      val dec = DecimalType(38, 0)
+      perDoc.crossJoin(broadcast(glob))
+        .select(col("doc_id"), col("n_bigrams"), col("surp"),
+          (col("surp").cast(dec) * col("gn").cast(dec)
+            <= col("gs").cast(dec) * col("n_bigrams").cast(dec)).as("kept"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2350,6 +2389,28 @@ object TextQueries {
                 count(CASE WHEN word NOT IN (SELECT word FROM v) THEN 1 END) AS n_oov,
                 (count(CASE WHEN word NOT IN (SELECT word FROM v) THEN 1 END) * 1000000)
                   // count(*) AS oov_ppm
-         FROM toks GROUP BY lang ORDER BY lang"""
+         FROM toks GROUP BY lang ORDER BY lang""",
+    // add-one-smoothed conditional surprisal: ⌊log2(c(u)+V)⌋ −
+    // ⌊log2(c(u,v)+1)⌋ per bigram type, per-doc sums gated on the
+    // cross-multiplied corpus mean.
+    "q148_bigram_lm" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+          w AS (SELECT doc_id, string_split(t, ' ') words FROM n),
+          bg AS (SELECT doc_id, words[i] u, words[i+1] v
+                 FROM w, unnest(range(1, len(words))) t(i)
+                 WHERE len(words) >= 2),
+          bc AS (SELECT u, v, count(*) cb FROM bg GROUP BY 1, 2),
+          uc AS (SELECT u, CAST(sum(cb) AS BIGINT) cu FROM bc GROUP BY 1),
+          vs AS (SELECT count(DISTINCT v) vn FROM bc),
+          sp AS (SELECT u, v,
+                   CAST(length(bin(cu + vn)) - length(bin(cb + 1)) AS BIGINT) surp
+                 FROM bc JOIN uc USING (u), vs),
+          pd AS (SELECT doc_id, count(*) n_bigrams, CAST(sum(surp) AS BIGINT) surp
+                 FROM bg JOIN sp USING (u, v) GROUP BY 1),
+          g AS (SELECT CAST(sum(surp) AS HUGEINT) gs,
+                       CAST(sum(n_bigrams) AS HUGEINT) gn FROM pd)
+          SELECT doc_id, n_bigrams, surp,
+                 CAST(surp AS HUGEINT) * gn <= gs * CAST(n_bigrams AS HUGEINT) AS kept
+          FROM pd, g ORDER BY doc_id"""
   )
 }

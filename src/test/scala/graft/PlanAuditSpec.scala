@@ -72,7 +72,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q135_pmi", // count tables × broadcast 1-row total N
       "q136_gapfill", // types-sized spine × broadcast 1-row bounds
       "q138_comovement", // same spine shape as q136
-      "q141_cooccur") // pair supports × broadcast 1-row user total
+      "q141_cooccur", // pair supports × broadcast 1-row user total
+      "q148_bigram_lm") // bigram types × broadcast 1-row V; docs × 1-row mean
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
