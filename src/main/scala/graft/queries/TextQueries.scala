@@ -1576,6 +1576,68 @@ object TextQueries {
           (col("surp").cast(dec) * col("gn").cast(dec)
             <= col("gs").cast(dec) * col("n_bigrams").cast(dec)).as("kept"))
         .orderBy("doc_id")
+    }),
+
+    // Distribution drift (two-sample KS) — the release gate that
+    // catches a pipeline change silently shifting the LENGTH
+    // distribution even when counts and dedup rates look fine:
+    // Kolmogorov–Smirnov distance between the old (doc_id%10<8) and
+    // new snapshot's n_chars ECDFs, exact via cross-multiplication —
+    // D·n₁·n₂ = max_t |F₁(t)·n₂ − F₂(t)·n₁| over observed values, no
+    // float CDF. Emitted as the argmax row with D in ppm (integer
+    // div), so the number survives any corpus size in DECIMAL(38,0).
+    // Scale shape: one value-keyed rollup (map-side combined) is the
+    // only corpus-sized work; the cumulative window runs over the
+    // VALUE domain (distinct lengths — bounded like a calendar, and
+    // range-binnable if a domain ever isn't); totals broadcast as one
+    // row; argmax is a 1-row TakeOrdered.
+    "q150_ks" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sides = Tables.documents(s, d)
+        .select(col("n_chars"), (col("doc_id") % 10 < 8).as("old"))
+      val per = sides.groupBy("n_chars").agg(
+        count(when(col("old"), 1)).as("o"),
+        count(when(!col("old"), 1)).as("w"))
+      val cw = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+      val cum = per.withColumn("co", sum(col("o")).over(cw))
+        .withColumn("cn", sum(col("w")).over(cw))
+      val tot = per.agg(sum(col("o")).as("n1"), sum(col("w")).as("n2"))
+      val dec = DecimalType(38, 0)
+      cum.crossJoin(broadcast(tot))
+        .withColumn("ks",
+          abs(col("co").cast(dec) * col("n2").cast(dec)
+            - col("cn").cast(dec) * col("n1").cast(dec)))
+        .select(col("n_chars").as("t"), col("n1"), col("n2"),
+          expr("cast((ks * 1000000) div (cast(n1 as decimal(38,0)) * cast(n2 as decimal(38,0))) as bigint)")
+            .as("ks_ppm"),
+          col("ks"))
+        .orderBy(col("ks").desc, col("t")).limit(1)
+        .select("t", "n1", "n2", "ks_ppm")
+    }),
+
+    // Source concentration (Gini) — is the corpus a broad mix or
+    // three crawls wearing a trenchcoat? Exact integer Gini over
+    // per-source character mass: with sources sorted ascending
+    // (chars, source), G·n·Σx = Σ(2i−n−1)·xᵢ — emitted in ppm via
+    // integer division, DECIMAL(38,0) products (q98's discipline).
+    // The per-source rollup is the only corpus-sized work; the rank
+    // window and both aggregates run on the sources-sized table.
+    "q151_gini" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sc = Tables.documents(s, d)
+        .groupBy("source").agg(sum(col("n_chars")).as("chars"))
+      val w = Window.orderBy(col("chars"), col("source"))
+      val n1 = sc.agg(count(lit(1)).as("ns"))
+      val dec = DecimalType(38, 0)
+      sc.withColumn("i", row_number().over(w))
+        .crossJoin(broadcast(n1))
+        .agg(first(col("ns")).as("n_sources"),
+          sum(col("chars")).as("total_chars"),
+          sum((col("i") * 2 - col("ns") - 1).cast(dec)
+            * col("chars").cast(dec)).as("gnum"))
+        .select(col("n_sources"), col("total_chars"),
+          expr("cast((gnum * 1000000) div (cast(n_sources as decimal(38,0)) * cast(total_chars as decimal(38,0))) as bigint)")
+            .as("gini_ppm"))
     })
   )
 
@@ -2411,6 +2473,36 @@ object TextQueries {
                        CAST(sum(n_bigrams) AS HUGEINT) gn FROM pd)
           SELECT doc_id, n_bigrams, surp,
                  CAST(surp AS HUGEINT) * gn <= gs * CAST(n_bigrams AS HUGEINT) AS kept
-          FROM pd, g ORDER BY doc_id"""
+          FROM pd, g ORDER BY doc_id""",
+    // cross-multiplied ECDF distance; argmax row with ppm distance.
+    "q150_ks" ->
+      """WITH sides AS (SELECT n_chars, (doc_id % 10 < 8) is_old FROM documents),
+         per AS (SELECT n_chars, count(CASE WHEN is_old THEN 1 END) o,
+                        count(CASE WHEN NOT is_old THEN 1 END) w
+                 FROM sides GROUP BY 1),
+         cum AS (SELECT n_chars,
+                        sum(o) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) co,
+                        sum(w) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) cn
+                 FROM per),
+         tot AS (SELECT CAST(sum(o) AS BIGINT) n1, CAST(sum(w) AS BIGINT) n2 FROM per)
+         SELECT n_chars t, n1, n2,
+                CAST(abs(CAST(co AS HUGEINT)*n2 - CAST(cn AS HUGEINT)*n1) * 1000000
+                     // (CAST(n1 AS HUGEINT)*n2) AS BIGINT) ks_ppm
+         FROM cum, tot
+         ORDER BY abs(CAST(co AS HUGEINT)*n2 - CAST(cn AS HUGEINT)*n1) DESC, t
+         LIMIT 1""",
+    // ascending (chars, source) ranks; G·n·Σx = Σ(2i−n−1)·xᵢ in ppm.
+    "q151_gini" ->
+      """WITH sc AS (SELECT source, CAST(sum(n_chars) AS BIGINT) chars
+                     FROM documents GROUP BY 1),
+         r AS (SELECT source, chars,
+                      row_number() OVER (ORDER BY chars, source) i,
+                      count(*) OVER () ns
+               FROM sc)
+         SELECT CAST(max(ns) AS BIGINT) n_sources,
+                CAST(sum(chars) AS BIGINT) total_chars,
+                CAST(sum((2*i - ns - 1) * CAST(chars AS HUGEINT)) * 1000000
+                     // (CAST(max(ns) AS HUGEINT) * sum(chars)) AS BIGINT) gini_ppm
+         FROM r"""
   )
 }

@@ -43,4 +43,26 @@ class SourceFormatsSpec extends AnyFunSuite {
     val back = spark.read.schema(schema).json(dir)
     assert(rows(back).sameElements(rows(base)))
   }
+
+  test("orc round-trip reproduces the parquet events exactly") {
+    val dir = tmp("fmt-orc") + "/events"
+    base.write.orc(dir)
+    val back = spark.read.schema(schema).orc(dir)
+    assert(rows(back).sameElements(rows(base)))
+  }
+
+  test("orc scan pushes predicates and prunes columns like parquet") {
+    val dir = tmp("fmt-orc-plan") + "/events"
+    base.write.orc(dir)
+    val plan = spark.read.orc(dir)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "event_type")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(event_type,purchase)"),
+      s"ORC scan lost predicate pushdown:\n$plan")
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("value") && !read.contains("ts_ns"),
+      s"ORC scan reads unprojected columns:\n$read")
+  }
 }
