@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.UserProfile
+
+/** Spark 4 arbitrary-state API (`transformWithState`): the per-user
+  * profile's cross-batch fixpoint must equal the batch aggregate
+  * bit-for-bit, whatever the micro-batch boundaries — integer adds
+  * are associative, so state carried through the RocksDB store across
+  * batches loses nothing. */
+class TransformWithStateSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  test("transformWithState profile across micro-batches equals the batch aggregate") {
+    val srcDir = tmp("tws-src")
+    // two files + maxFilesPerTrigger=1 → at least two micro-batches,
+    // so per-user state genuinely crosses a batch boundary
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$srcDir/part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$srcDir/part-1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema(Tables.events(spark, sf).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val q = UserProfile.profiles(stream.toDF())
+        .writeStream.format("memory").queryName("tws")
+        .outputMode("update")
+        .option("checkpointLocation", tmp("tws-ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      // update mode emits one row per touched user per batch; the
+      // LAST emission per user (max n — counts only grow) is the
+      // final state
+      val finalRows = spark.table("tws")
+        .groupBy("user_id")
+        .agg(max(struct(col("n"), col("cents"), col("purchases"))).as("s"))
+        .select(col("user_id"), col("s.n"), col("s.cents"), col("s.purchases"))
+
+      val one = Tables.events(spark, sf)
+      val expect = one.union(one)
+        .select(col("user_id"),
+          (col("value") * 100).cast("long").as("cents"),
+          col("event_type"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          count(when(col("event_type") === "purchase", 1)).as("purchases"))
+
+      assert(finalRows.count() === expect.count(), "user set mismatch")
+      assert(finalRows.exceptAll(expect).isEmpty && expect.exceptAll(finalRows).isEmpty,
+        "cross-batch profile diverged from the batch aggregate")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+}
