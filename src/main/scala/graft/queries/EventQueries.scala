@@ -758,6 +758,74 @@ object EventQueries {
         .filter(col("dev2") * 2 > col("mad4") * 3)
         .select(col("event_type"), col("day"), col("n"), col("dev2"))
         .orderBy("event_type", "day")
+    }),
+
+    // Diurnal-pattern gate — does an event type have a time-of-day
+    // rhythm, or is it flat? Pearson chi-square against the uniform
+    // 24-bin expectation, EXACTLY: X = Σ_h (24·n_h − N)² never forms
+    // N/24, and the χ²>41.6 (df=23, p=.01) gate cross-multiplies to
+    // X > 42·24·N — all integer, DECIMAL(38,0) products since X ~ N²
+    // at 100 TB. The hour grid is gap-filled (a silent hour IS
+    // signal, q136's rule); the only corpus-sized work is the
+    // (type, hour) rollup, partial-agg'd; the 24-row spine and the
+    // χ² fold are |types|-sized.
+    "q152_diurnal" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("((ts_ns div 1000) div 3600000000) % 24").as("h"))
+        .agg(count(lit(1)).as("n"))
+      val types = hourly.select(col("event_type")).distinct()
+      val grid = types
+        .select(col("event_type"), explode(sequence(lit(0L), lit(23L))).as("h"))
+        .join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"), coalesce(col("n"), lit(0L)).as("n"))
+      val dec = DecimalType(38, 0)
+      grid.groupBy("event_type")
+        .agg(sum(col("n")).as("nt"),
+          sum((col("n") * 24).cast(dec) * (col("n") * 24).cast(dec)).as("s24"))
+        // Σ(24n_h − N)² = 576·Σn_h² − 24·N² (expand; Σ over 24 bins)
+        .select(col("event_type"), col("nt"),
+          (col("s24") - lit(24).cast(dec) * col("nt").cast(dec) * col("nt").cast(dec)).as("x"))
+        .select(col("event_type"), col("nt").as("n"),
+          expr("cast((x * 1000) div (24 * cast(nt as decimal(38,0))) as bigint)")
+            .as("chi2_x1000"),
+          (col("x") > lit(42 * 24).cast(dec) * col("nt").cast(dec)).as("is_diurnal"))
+        .orderBy("event_type")
+    }),
+
+    // Behavioral concentration — Simpson's index per user in exact
+    // ppm: λ·N² = Σ_t n_t², the "is this account a one-note bot or a
+    // mixed human" screen (bot farms sit near 1e6, organic users near
+    // 1/|types|). Two nested rollups, both partial-agg'd; the outer
+    // is user-sized, the inner (user × type) is dictionary-bounded
+    // per user.
+    "q153_simpson" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("nt"))
+        .groupBy("user_id")
+        .agg(sum(col("nt")).as("n"), sum(col("nt") * col("nt")).as("s2"))
+        .select(col("user_id"), col("n"),
+          expr("(s2 * 1000000) div (n * n)").as("simpson_ppm"))
+        .orderBy("user_id")
+    }),
+
+    // Journey mining — the top 3-step event paths: two lags over the
+    // per-user sequence (same total order as q142), a path rollup
+    // with map-side combine, and a 20-row TakeOrdered. The path space
+    // is |types|³-bounded so the rollup exchange is tiny; the window
+    // is user-partitioned (never a global sort).
+    "q154_journeys" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+        .withColumn("t1", lag(col("event_type"), 2).over(w))
+        .withColumn("t2", lag(col("event_type"), 1).over(w))
+        .filter(col("t1").isNotNull && col("t2").isNotNull)
+        .select(concat_ws(">", col("t1"), col("t2"), col("event_type")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(20)
     })
   )
 
@@ -1081,6 +1149,40 @@ object EventQueries {
          SELECT d.event_type, d.day, CAST(d.n AS BIGINT) n, CAST(d.dev2 AS BIGINT) dev2
          FROM dev d JOIN m2 USING (event_type)
          WHERE d.dev2 * 2 > m2.mad4 * 3
-         ORDER BY d.event_type, d.day"""
+         ORDER BY d.event_type, d.day""",
+    // gap-filled 24-bin grid; X = 576Σn² − 24N², χ² gate and the
+    // scaled statistic both by exact cross-multiplication.
+    "q152_diurnal" ->
+      """WITH hourly AS (SELECT event_type, ((epoch_us(ts) // 3600000000) % 24) AS h, count(*) n
+                         FROM events GROUP BY 1, 2),
+         ty AS (SELECT DISTINCT event_type FROM hourly),
+         grid AS (SELECT ty.event_type, s.h, coalesce(hh.n, 0) n
+                  FROM ty CROSS JOIN (SELECT unnest(range(0, 24)) AS h) s
+                  LEFT JOIN hourly hh ON ty.event_type = hh.event_type AND s.h = hh.h),
+         agg AS (SELECT event_type, CAST(sum(n) AS HUGEINT) nt,
+                        CAST(sum(CAST(n*24 AS HUGEINT) * CAST(n*24 AS HUGEINT)) AS HUGEINT) s24
+                 FROM grid GROUP BY 1)
+         SELECT event_type, CAST(nt AS BIGINT) n,
+                CAST((s24 - 24 * nt * nt) * 1000 // (24 * nt) AS BIGINT) chi2_x1000,
+                (s24 - 24 * nt * nt) > 42 * 24 * nt AS is_diurnal
+         FROM agg ORDER BY event_type""",
+    // two-level rollup; Simpson λ in exact ppm.
+    "q153_simpson" ->
+      """WITH pt AS (SELECT user_id, event_type, count(*) nt FROM events GROUP BY 1, 2),
+         u AS (SELECT user_id, CAST(sum(nt) AS BIGINT) n,
+                      CAST(sum(nt * nt) AS BIGINT) s2
+               FROM pt GROUP BY 1)
+         SELECT user_id, n, (s2 * 1000000) // (n * n) AS simpson_ppm
+         FROM u ORDER BY user_id""",
+    // double-lag per-user paths; |types|³-bounded rollup, top 20.
+    "q154_journeys" ->
+      """WITH t AS (
+           SELECT lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) t1,
+                  lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) t2,
+                  event_type t3
+           FROM events)
+         SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) n
+         FROM t WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+         GROUP BY 1 ORDER BY n DESC, path LIMIT 20"""
   )
 }
