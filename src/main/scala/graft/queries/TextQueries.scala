@@ -1638,6 +1638,58 @@ object TextQueries {
         .select(col("n_sources"), col("total_chars"),
           expr("cast((gnum * 1000000) div (cast(n_sources as decimal(38,0)) * cast(total_chars as decimal(38,0))) as bigint)")
             .as("gini_ppm"))
+    }),
+
+    // Fill-in-the-middle transform — the PSM data augmentation
+    // infilling models train on (Bavarian et al. 2022): each document
+    // splits at two DETERMINISTIC salted-hash positions into
+    // (prefix, middle, suffix) and reassembles as prefix⊕suffix⊕middle.
+    // The split points are md5-derived (the q41 gate family), so the
+    // transform is reproducible across engines and runs — no RNG in
+    // the data path. p1 ∈ [1, L/3], p2 ∈ (2L/3, L] guarantees
+    // non-empty spans without a comparison chain. Map-only: the 100 TB
+    // cost is exactly one pass, no shuffle; output pins the
+    // reassembled bytes by md5 + the split geometry.
+    "q155_fim" -> ((s, d) => {
+      def h(salt: String) = expr(
+        s"cast(conv(substring(md5(concat('$salt', cast(doc_id as string))), 1, 15), 16, 10) as bigint)")
+      Tables.documents(s, d)
+        .filter(col("n_chars") >= 20)
+        .withColumn("len", length(col("text")))
+        .withColumn("p1", lit(1) + pmod(h("fim1:"), expr("len div 3")))
+        .withColumn("p2", col("len") - pmod(h("fim2:"), expr("len div 3")))
+        .select(col("doc_id"), col("p1").cast(LongType).as("p1"),
+          col("p2").cast(LongType).as("p2"),
+          md5(concat(
+            expr("substring(text, 1, p1)"),
+            lit("<SUF>"), expr("substring(text, p2 + 1)"),
+            lit("<MID>"), expr("substring(text, p1 + 1, p2 - p1)"))
+            .cast(BinaryType)).as("fim_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Pack boundary metadata — the attention-mask side table every
+    // packed-sequence trainer needs (document i must not attend to
+    // document j): per pack, the 1-based start offset of every
+    // document in q83's assembled sequence (newline separators
+    // included). Same single pack-keyed shuffle as q83; the offsets
+    // fold is a per-group array op bounded by docs-per-pack.
+    "q156_pack_offsets" -> ((s, d) => {
+      val packs = packBins(Tables.documents(s, d), 4096L, 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("pack_id"))
+      packs.groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          // packing order = (n_chars desc, doc_id): sort once, then
+          // prefix-sum lens (+1 per newline separator) into offsets
+          array_sort(collect_list(struct((-col("n_chars")).as("k1"),
+            col("doc_id").as("k2"), col("n_chars").as("ln")))).as("ds"))
+        .select(col("lang"), col("pack_id"), col("n_docs"),
+          expr("""array_join(
+                    transform(ds, (x, i) -> cast(
+                      i + 1 + aggregate(slice(ds, 1, i), 0L, (a, y) -> a + y.ln)
+                      AS string)),
+                    ",")""").as("offsets"))
+        .orderBy("lang", "pack_id")
     })
   )
 
@@ -2503,6 +2555,37 @@ object TextQueries {
                 CAST(sum(chars) AS BIGINT) total_chars,
                 CAST(sum((2*i - ns - 1) * CAST(chars AS HUGEINT)) * 1000000
                      // (CAST(max(ns) AS HUGEINT) * sum(chars)) AS BIGINT) gini_ppm
-         FROM r"""
+         FROM r""",
+    // salted-hash split points, PSM reassembly pinned by md5.
+    "q155_fim" ->
+      """WITH s AS (
+           SELECT doc_id, text, length(text) len,
+                  1 + CAST(concat('0x', substr(md5('fim1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                      % (length(text) // 3) AS p1,
+                  length(text)
+                  - CAST(concat('0x', substr(md5('fim2:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                      % (length(text) // 3) AS p2
+           FROM documents WHERE n_chars >= 20)
+         SELECT doc_id, p1, p2,
+                md5(substr(text, 1, p1) || '<SUF>' || substr(text, p2 + 1)
+                    || '<MID>' || substr(text, p1 + 1, p2 - p1)) AS fim_md5
+         FROM s ORDER BY doc_id""",
+    // q83's pack assignment; start offsets by prefix-summing lens in
+    // packing order (+1 per newline separator).
+    "q156_pack_offsets" ->
+      """WITH p AS (
+           SELECT doc_id, lang, n_chars,
+                  (greatest(CAST(sum(n_chars) OVER (PARTITION BY lang
+                     ORDER BY n_chars DESC, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT), 1) - 1)
+                    // 4096 AS pack_id
+           FROM documents),
+         g AS (SELECT lang, pack_id, count(*) n_docs,
+                      list(n_chars ORDER BY n_chars DESC, doc_id) lens
+               FROM p GROUP BY 1, 2)
+         SELECT lang, pack_id, CAST(n_docs AS BIGINT) n_docs,
+                array_to_string(list_transform(range(1, CAST(n_docs AS BIGINT) + 1),
+                  i -> CAST(i + coalesce(list_sum(lens[1:i-1]), 0) AS VARCHAR)), ',') offsets
+         FROM g ORDER BY lang, pack_id"""
   )
 }
