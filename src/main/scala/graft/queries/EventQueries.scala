@@ -826,6 +826,58 @@ object EventQueries {
         .select(concat_ws(">", col("t1"), col("t2"), col("event_type")).as("path"))
         .groupBy("path").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("path")).limit(20)
+    }),
+
+    // Trailing 7-day window — the RANGE frame next to q66's ROWS
+    // frame: "sum over the last 7 CALENDAR days" is a value-based
+    // frame, so missing days shrink the window instead of silently
+    // stretching it to 7 observed rows (the ROWS-frame bug every
+    // trailing-metric dashboard ships once) — and no gap-fill spine
+    // is needed. Window partitions by type over the calendar-bounded
+    // daily rollup; the rollup is the only corpus-sized work.
+    "q157_trailing7" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rangeBetween(-6, 0)
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("(ts_ns div 1000) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("trail7", sum(col("n")).over(w))
+        .orderBy("event_type", "day")
+    }),
+
+    // Independence test — is WHAT users do independent of WHEN they
+    // signed up (cohort week × event type)? Pearson chi-square on the
+    // contingency table with exact numerators: per cell,
+    // (N·O − R·C)²·1000 div (N·R·C) — the deterministic integer form
+    // of Σ(O−E)²/E scaled ×1000 (identical floor both engines; the
+    // division happens per cell, so every operand is DECIMAL(38,0)-
+    // bounded at 100 TB). The contingency rollup is the only
+    // corpus-sized work; margins and the fold are cells-sized.
+    "q158_indep" -> ((s, d) => {
+      val cohort = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(min(expr("((ts_ns div 1000) div 86400000000) div 7")).as("wk"))
+      val cells = Tables.events(s, d)
+        .join(cohort, Seq("user_id"))
+        .groupBy("wk", "event_type")
+        .agg(count(lit(1)).as("o"))
+      val rows_ = cells.groupBy("wk").agg(sum(col("o")).as("r"))
+      val cols_ = cells.groupBy("event_type").agg(sum(col("o")).as("c"))
+      val tot = cells.agg(sum(col("o")).as("nt"))
+      val dec = DecimalType(38, 0)
+      cells.join(rows_, Seq("wk")).join(broadcast(cols_), Seq("event_type"))
+        .crossJoin(broadcast(tot))
+        .select(
+          ((col("nt").cast(dec) * col("o").cast(dec)
+            - col("r").cast(dec) * col("c").cast(dec))
+            * (col("nt").cast(dec) * col("o").cast(dec)
+              - col("r").cast(dec) * col("c").cast(dec)) * lit(1000).cast(dec))
+            .as("num"),
+          (col("nt").cast(dec) * col("r").cast(dec) * col("c").cast(dec)).as("den"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(expr("cast(num div den as bigint)")).as("chi2_x1000"))
     })
   )
 
@@ -1183,6 +1235,29 @@ object EventQueries {
            FROM events)
          SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) n
          FROM t WHERE t1 IS NOT NULL AND t2 IS NOT NULL
-         GROUP BY 1 ORDER BY n DESC, path LIMIT 20"""
+         GROUP BY 1 ORDER BY n DESC, path LIMIT 20""",
+    // value-based RANGE frame over the daily rollup — gaps shrink the
+    // trailing window, no spine needed.
+    "q157_trailing7" ->
+      """WITH daily AS (SELECT event_type, (epoch_us(ts) // 86400000000) AS day, count(*) n
+                        FROM events GROUP BY 1, 2)
+         SELECT event_type, day, CAST(n AS BIGINT) n,
+                CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+                                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) trail7
+         FROM daily ORDER BY event_type, day""",
+    // per-cell integer chi-square contributions (×1000, floored),
+    // summed over the cohort-week × type contingency table.
+    "q158_indep" ->
+      """WITH cohort AS (SELECT user_id, min((epoch_us(ts) // 86400000000) // 7) wk
+                         FROM events GROUP BY 1),
+         cells AS (SELECT c.wk, e.event_type, count(*) o
+                   FROM events e JOIN cohort c USING (user_id) GROUP BY 1, 2),
+         r AS (SELECT wk, CAST(sum(o) AS HUGEINT) r FROM cells GROUP BY 1),
+         c AS (SELECT event_type, CAST(sum(o) AS HUGEINT) c FROM cells GROUP BY 1),
+         t AS (SELECT CAST(sum(o) AS HUGEINT) nt FROM cells)
+         SELECT count(*) AS n_cells,
+                CAST(sum((nt*o - r.r*c.c) * (nt*o - r.r*c.c) * 1000
+                         // (nt * r.r * c.c)) AS BIGINT) AS chi2_x1000
+         FROM cells JOIN r USING (wk) JOIN c USING (event_type), t"""
   )
 }
