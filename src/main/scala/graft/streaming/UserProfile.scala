@@ -78,4 +78,68 @@ object UserProfile {
       .groupByKey(_.user_id)
       .transformWithState(new Processor(), TimeMode.None(), OutputMode.Update())
   }
+
+  case class Stamped(user_id: Long, ts_ms: Long)
+  case class Closed(user_id: Long, n: Long, first_ms: Long, last_ms: Long)
+
+  /** Idle-session closure on EVENT-TIME TIMERS — the piece
+    * `session_window` can't give you: arbitrary logic at expiry (a
+    * tombstone row, a side-effect, state handoff), not just a closed
+    * aggregate. Each input re-arms the user's single timer to
+    * lastSeen + gap; when the watermark passes it, the session row is
+    * emitted ONCE and state is cleared — so state size tracks ACTIVE
+    * users only, the property that lets this run forever at 100 TB/day
+    * (the q33 batch sessionizer holds the whole history; this holds
+    * the working set). */
+  class IdleSessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Stamped, Closed] {
+    @transient private var st: ValueState[(Long, Long, Long)] = _ // n, first, last
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("session",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Stamped],
+        timerValues: TimerValues): Iterator[Closed] = {
+      var (n, first, last) =
+        if (st.exists()) st.get() else (0L, Long.MaxValue, Long.MinValue)
+      rows.foreach { e =>
+        n += 1
+        first = math.min(first, e.ts_ms)
+        last = math.max(last, e.ts_ms)
+      }
+      st.update((n, first, last))
+      // one live timer per key: re-arm to the new idle deadline
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(last + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Closed] = {
+      val out = if (st.exists()) {
+        val (n, first, last) = st.get()
+        Iterator.single(Closed(key, n, first, last))
+      } else Iterator.empty
+      st.clear()
+      out
+    }
+  }
+
+  /** Closed idle sessions over a watermarked events stream: rows only
+    * when a user has been silent past `gap` (append semantics). */
+  def idleSessions(events: Dataset[org.apache.spark.sql.Row], gapMs: Long,
+      watermark: String = "1 second"): Dataset[Closed] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast(LongType).as("user_id"),
+        (unix_micros(col("ts")) / 1000).cast(LongType).as("ts_ms"))
+      .as[Stamped]
+      .groupByKey(_.user_id)
+      .transformWithState(new IdleSessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

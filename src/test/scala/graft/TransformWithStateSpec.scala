@@ -72,4 +72,48 @@ class TransformWithStateSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("event-time timers close idle sessions once, with exact batch-equal stats") {
+    val srcDir = tmp("twst-src")
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$srcDir/part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val gapMs = 60_000L
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$sf/events.parquet").schema)
+        .parquet(srcDir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val q = UserProfile.idleSessions(stream.toDF(), gapMs)
+        .writeStream.format("memory").queryName("twst")
+        .outputMode("append")
+        .option("checkpointLocation", tmp("twst-ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      val closed = spark.table("twst")
+      assert(closed.count() > 0, "no idle sessions closed — timers never fired")
+      assert(closed.groupBy("user_id").count().filter(col("count") > 1).count() === 0,
+        "a session closed twice")
+
+      // every closed row must carry the user's EXACT batch profile
+      val expect = Tables.events(spark, sf)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          min(expr("ts_ns div 1000000")).as("first_ms"),
+          max(expr("ts_ns div 1000000")).as("last_ms"))
+      assert(closed.join(expect, Seq("user_id", "n", "first_ms", "last_ms"), "left_anti")
+        .count() === 0, "closed session stats diverge from the batch profile")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
