@@ -224,6 +224,59 @@ object RelationalQueries {
       val w = Window.orderBy("o_day").rowsBetween(-6, 0)
       daily.withColumn("mov7", sum(col("cents")).over(w))
         .orderBy("o_day").limit(400)
+    }),
+
+    // TPC-H Q3 shape (shipping priority): selective dimension filter
+    // broadcast into a fact-fact join, decimal-exact revenue, 10-row
+    // TakeOrdered. The segment filter prunes customer FIRST (a ~20%
+    // dim slice broadcast to the orders scan), the orders date filter
+    // is pushed to parquet, and only surviving orders shuffle into
+    // the lineitem join — the selective-star plan Q3 exists to test.
+    "q159_shipprio" -> ((s, d) => {
+      val cut = "1998-01-01"
+      val c = broadcast(Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit(cut).cast("timestamp"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit(cut).cast("timestamp"))
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_day"),
+          col("o_orderpriority"))
+        .agg(sum(expr("cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(3,2)) - cast(l_discount as decimal(18,2)))"))
+          .cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+    }),
+
+    // TPC-H Q5 shape (local-supplier volume): the 6-table star-plus-
+    // cycle join — region→nation prune the customer AND supplier dims
+    // (all broadcast), the c_nationkey = s_nationkey cycle condition
+    // rides the fact join, revenue stays decimal-exact, output is
+    // nations-sized. The fact side shuffles once on orderkey; every
+    // dimension reaches it as a broadcast.
+    "q160_regional" -> ((s, d) => {
+      val nr = broadcast(Tables.nation(s, d)
+        .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name"))
+      val c = broadcast(Tables.customer(s, d)
+        .join(nr, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey")))
+      val sup = broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"))
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey")
+          && col("s_nationkey") === col("c_nationkey"))
+        .join(nr, col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(expr("cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(3,2)) - cast(l_discount as decimal(18,2)))"))
+          .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
     })
   )
 
@@ -305,6 +358,34 @@ object RelationalQueries {
            FROM orders GROUP BY 1)
          SELECT o_day, cents,
                 CAST(sum(cents) OVER (ORDER BY o_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov7
-         FROM d ORDER BY o_day LIMIT 400"""
+         FROM d ORDER BY o_day LIMIT 400""",
+    "q159_shipprio" ->
+      """SELECT l_orderkey,
+                CAST(date_trunc('day', o_orderdate) AS DATE) AS o_day,
+                o_orderpriority,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY l_orderkey, o_day, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q160_regional" ->
+      """SELECT n_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                count(*) AS n_items
+         FROM region JOIN nation ON n_regionkey = r_regionkey
+         JOIN customer ON c_nationkey = n_nationkey
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name"""
   )
 }

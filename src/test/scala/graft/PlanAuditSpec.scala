@@ -73,7 +73,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "q136_gapfill", // types-sized spine × broadcast 1-row bounds
       "q138_comovement", // same spine shape as q136
       "q141_cooccur", // pair supports × broadcast 1-row user total
-      "q148_bigram_lm") // bigram types × broadcast 1-row V; docs × 1-row mean
+      "q148_bigram_lm", // bigram types × broadcast 1-row V; docs × 1-row mean
+      "q150_ks", // value-domain ECDF × broadcast 1-row totals
+      "q151_gini", // sources-sized ranks × broadcast 1-row count
+      "q152_diurnal", // types×24 grid — types-sized spine (q136 shape)
+      "q158_indep") // cells × broadcast 1-row grand total
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
@@ -869,5 +873,21 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q147_oov")
     assert(p.contains("BroadcastHashJoin"),
       s"vocab join should broadcast, not shuffle the token stream twice:\n$p")
+  }
+
+  test("q159 pushes both date filters to parquet and broadcasts the segment dim") {
+    val p = plan("q159_shipprio")
+    assert(p.contains("BroadcastHashJoin"), s"customer dim not broadcast:\n$p")
+    assert(p.contains("LessThan(o_orderdate") && p.contains("GreaterThan(l_shipdate"),
+      s"date filters did not reach the scans:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 does a full sort:\n$p")
+  }
+
+  test("q160 six-table star: every dimension reaches the facts as a broadcast") {
+    val p = plan("q160_regional")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    // the only allowed shuffle join is the orders⨝lineitem fact join
+    val smjCount = p.linesIterator.count(_.contains("SortMergeJoin"))
+    assert(smjCount <= 1, s"more than the fact-fact join shuffled ($smjCount):\n$p")
   }
 }
