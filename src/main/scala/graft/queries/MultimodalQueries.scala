@@ -95,6 +95,39 @@ object MultimodalQueries {
           graft.Functions.vec_dot_int(col("q8"), col("qq")).as("qsim"))
         .orderBy(col("qsim").desc, col("media_id"))
         .limit(10)
+    }),
+
+    // Modality manifest — the dataset-card rollup for the media
+    // track: per kind, row count, payload bytes, frame budget (what
+    // the q28 sampler would emit), and the duration ceiling. One
+    // partial-agg'd kinds-sized rollup over the media table; the
+    // frame count is arithmetic on lengths, not a frames explode.
+    "q161_media_manifest" -> ((s, d) => {
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+      media.groupBy("kind")
+        .agg(count(lit(1)).as("n_media"),
+          sum(length(col("bytes"))).as("bytes_total"),
+          sum(expr("(length(bytes) + 255) div 256")).as("frames_total"),
+          max(col("meta.duration_ms")).as("max_duration_ms"))
+        .orderBy("kind")
+    }),
+
+    // Frame-level exact dedup — the video-dedup primitive (identical
+    // frames across different videos ⇒ shared content): md5 over each
+    // sampled frame's byte slice, grouped; only hashes seen in >1
+    // MEDIA survive. The shuffle carries (16-byte hash, media_id)
+    // pairs — q15's discipline at frame granularity.
+    "q162_frame_dedup" -> ((s, d) => {
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+      val frames = Multimodal.sampleFrames(s, media, frameSize = 256)
+      frames.join(media.select(col("media_id"), col("bytes")), Seq("media_id"))
+        .select(col("media_id"),
+          md5(expr("substring(bytes, off + 1, len)")).as("h"))
+        .groupBy("h")
+        .agg(countDistinct(col("media_id")).as("n_media"),
+          count(lit(1)).as("n_frames"))
+        .filter(col("n_media") > 1)
+        .orderBy("h")
     })
   )
 
@@ -180,6 +213,30 @@ object MultimodalQueries {
          SELECT b.media_id,
                 CAST(list_sum(list_transform(range(1, 17), i -> b.q8[i] * qq[i])) AS BIGINT) AS qsim
          FROM b, q WHERE b.media_id <> 0 AND b.bucket = qbucket
-         ORDER BY qsim DESC, b.media_id LIMIT 10"""
+         ORDER BY qsim DESC, b.media_id LIMIT 10""",
+    // kind from doc_id mod 3; payload = the ASCII text bytes, so
+    // length(text) IS the byte length (pinned by the q28 oracle too).
+    "q161_media_manifest" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                     WHEN doc_id % 3 = 1 THEN 'audio'
+                     ELSE 'video' END AS kind,
+                count(*) AS n_media,
+                CAST(sum(length(text)) AS BIGINT) AS bytes_total,
+                CAST(sum((length(text) + 255) // 256) AS BIGINT) AS frames_total,
+                CAST(max(n_chars * 10) AS BIGINT) AS max_duration_ms
+         FROM documents GROUP BY 1 ORDER BY kind""",
+    // the q28 frame grid; md5 over each frame's character slice
+    // (ASCII corpus: char slice = byte slice), cross-media hashes.
+    "q162_frame_dedup" ->
+      """WITH f AS (
+           SELECT doc_id AS media_id,
+                  md5(substr(text, CAST(f * 256 + 1 AS BIGINT),
+                             least(256, length(text) - f * 256))) h
+           FROM documents,
+                unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT))) t(f)
+           WHERE doc_id % 3 = 2)
+         SELECT h, count(DISTINCT media_id) AS n_media, count(*) AS n_frames
+         FROM f GROUP BY h HAVING count(DISTINCT media_id) > 1
+         ORDER BY h"""
   )
 }
