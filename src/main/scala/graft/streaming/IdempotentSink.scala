@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+
+/** Exactly-once foreachBatch delivery to a file ledger.
+  *
+  * Structured Streaming's contract is exactly-once STATE but
+  * at-least-once SIDE EFFECTS: after a crash between a batch's
+  * execution and its commit marker, the batch is REPLAYED with the
+  * same `batchId` and the same deterministic content. A naive
+  * append sink duplicates that batch; the production fix is an
+  * idempotent writer keyed by `batchId` — the pattern this object
+  * packages and `IdempotentSinkSpec` proves under a simulated crash.
+  *
+  * Layout: one `batch_id=<id>` directory per micro-batch (the ledger
+  * doubles as a batch-partitioned table). A COMPLETE directory (its
+  * `_SUCCESS` marker exists) is skipped on replay; an incomplete one
+  * — the crash happened mid-write — is overwritten whole. Both
+  * branches are idempotent because a replayed batch carries
+  * identical rows, so "overwrite" and "skip" converge on the same
+  * bytes.
+  *
+  * Scale posture: the existence probe is one driver-side metadata
+  * call per micro-batch; the write is the batch's own parallelism.
+  * Works against any Hadoop filesystem (local, HDFS, object stores
+  * with a rename-consistent committer).
+  */
+object IdempotentSink {
+
+  /** foreachBatch body writing `batch` to `<dir>/batch_id=<id>`
+    * exactly once across replays. */
+  def parquetWriter(dir: String): (Dataset[Row], Long) => Unit = {
+    (batch: Dataset[Row], batchId: Long) =>
+      val target = new Path(s"$dir/batch_id=$batchId")
+      val fs = target.getFileSystem(
+        batch.sparkSession.sparkContext.hadoopConfiguration)
+      val complete = fs.exists(new Path(target, "_SUCCESS"))
+      if (!complete)
+        batch.write.mode("overwrite").parquet(target.toString)
+  }
+
+  /** The ledger read back as one DataFrame (all batches). */
+  def read(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.option("basePath", dir).parquet(s"$dir/batch_id=*")
+}
