@@ -878,6 +878,95 @@ object EventQueries {
           (col("nt").cast(dec) * col("r").cast(dec) * col("c").cast(dec)).as("den"))
         .agg(count(lit(1)).as("n_cells"),
           sum(expr("cast(num div den as bigint)")).as("chi2_x1000"))
+    }),
+
+    // Argmax surface — max_by/min_by (Spark) ≡ max_by (DuckDB): the
+    // peak and trough day per event type in ONE aggregate pass over
+    // the daily rollup, no ranking window at all. Ties break
+    // deterministically via the composite integer key n·10⁶ − day
+    // (highest count, then earliest day; day ≪ 10⁶ — at counts
+    // beyond 10¹² the key graduates to DECIMAL, q98's note).
+    "q163_argmax" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("(ts_ns div 1000) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("event_type")
+        .agg(
+          max_by(col("day"), col("n") * 1000000 - col("day")).as("peak_day"),
+          max(col("n")).as("peak_n"),
+          min_by(col("day"), col("n") * 1000000 + col("day")).as("trough_day"),
+          min(col("n")).as("trough_n"))
+        .orderBy("event_type")
+    }),
+
+    // Top-k WITH TIES — dense_rank ≤ k keeps every row at the tied
+    // boundary value (row_number's arbitrary cut is wrong when the
+    // ranking value is coarse); here: all docs carrying each lang's
+    // 3 longest lengths. WindowGroupLimit pushes dense_rank limits
+    // too, so each map task still emits only the boundary rows.
+    "q164_topties" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy(col("n_chars").desc)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("r", dense_rank().over(w))
+        .filter(col("r") <= 3)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("r").cast(LongType).as("r"))
+        .orderBy(col("lang"), col("n_chars").desc, col("doc_id"))
+    }),
+
+    // Sequential trigger — "does a view convert to a purchase within
+    // 10 minutes": the temporal pattern-match behind every
+    // trigger/recommendation eval. EXISTS-within-window as a
+    // left-semi range join keyed on user (the q43 range-join family):
+    // the shuffle is per-user, the range predicate bounds the probe,
+    // and the output is the exact conversion funnel in ppm.
+    "q165_trigger" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("ts_ns").as("vts"))
+      val buys = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("bu"), col("ts_ns").as("bts"))
+      val converted = views.join(buys,
+          col("user_id") === col("bu")
+            && col("bts") > col("vts")
+            && col("bts") <= col("vts") + expr("600000000000"),
+          "left_semi")
+      val n = views.agg(count(lit(1)).as("n_views"))
+      converted.agg(count(lit(1)).as("n_converted"))
+        .crossJoin(broadcast(n))
+        .select(col("n_views"), col("n_converted"),
+          expr("(n_converted * 1000000) div n_views").as("cvr_ppm"))
+    }),
+
+    // Inter-event cadence — median gap to the user's next event,
+    // grouped by the PRECEDING type (which actions stall a session?):
+    // per-user lag gaps, then the q144 dual-rank exact median (med2 =
+    // 2×median) per type. The rank window partitions by type over
+    // corpus-sized groups — exact medians are for group counts that
+    // fit a task; the 100 TB path is the q92 mergeable histogram over
+    // the same grouping (q137's documented trade).
+    "q166_cadence" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      val gaps = Tables.events(s, d)
+        .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+        .withColumn("nxt_ts", lead(col("ts_ns"), 1).over(w))
+        .filter(col("nxt_ts").isNotNull)
+        .select(col("event_type"),
+          expr("(nxt_ts - ts_ns) div 1000").as("gap_us"))
+      val rw = Window.partitionBy("event_type").orderBy("gap_us")
+      gaps.withColumn("r", row_number().over(rw))
+        .withColumn("m", count(lit(1)).over(Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(when(col("r") * 2 === col("m") + 1, col("gap_us") * 2)
+            .when(col("r") * 2 === col("m"), col("gap_us"))
+            .when(col("r") * 2 === col("m") + 2, col("gap_us"))
+            .otherwise(lit(0L))).as("med2_us"))
+        .orderBy("event_type")
     })
   )
 
@@ -1258,6 +1347,52 @@ object EventQueries {
          SELECT count(*) AS n_cells,
                 CAST(sum((nt*o - r.r*c.c) * (nt*o - r.r*c.c) * 1000
                          // (nt * r.r * c.c)) AS BIGINT) AS chi2_x1000
-         FROM cells JOIN r USING (wk) JOIN c USING (event_type), t"""
+         FROM cells JOIN r USING (wk) JOIN c USING (event_type), t""",
+    // one-pass argmax/argmin with the composite deterministic key.
+    "q163_argmax" ->
+      """WITH daily AS (SELECT event_type, (epoch_us(ts) // 86400000000) AS d, count(*) n
+                        FROM events GROUP BY 1, 2)
+         SELECT event_type,
+                max_by(d, n * 1000000 - d) AS peak_day,
+                CAST(max(n) AS BIGINT) AS peak_n,
+                min_by(d, n * 1000000 + d) AS trough_day,
+                CAST(min(n) AS BIGINT) AS trough_n
+         FROM daily GROUP BY 1 ORDER BY event_type""",
+    // dense_rank keeps the tied boundary rows.
+    "q164_topties" ->
+      """WITH r AS (
+           SELECT doc_id, lang, n_chars,
+                  dense_rank() OVER (PARTITION BY lang ORDER BY n_chars DESC) r
+           FROM documents)
+         SELECT doc_id, lang, n_chars, CAST(r AS BIGINT) r
+         FROM r WHERE r <= 3
+         ORDER BY lang, n_chars DESC, doc_id""",
+    // EXISTS-within-window semi-join; exact funnel ppm.
+    "q165_trigger" ->
+      """WITH v AS (SELECT user_id, event_id, epoch_us(ts) vts FROM events WHERE event_type = 'view'),
+         b AS (SELECT user_id, epoch_us(ts) bts FROM events WHERE event_type = 'purchase'),
+         conv AS (SELECT DISTINCT v.event_id
+                  FROM v JOIN b ON v.user_id = b.user_id
+                   AND b.bts > v.vts AND b.bts <= v.vts + 600000000)
+         SELECT (SELECT count(*) FROM v) AS n_views,
+                (SELECT count(*) FROM conv) AS n_converted,
+                ((SELECT count(*) FROM conv) * 1000000) // (SELECT count(*) FROM v) AS cvr_ppm""",
+    // per-user lead gaps; q144's dual-rank exact median per type.
+    "q166_cadence" ->
+      """WITH g AS (
+           SELECT event_type,
+                  (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   - epoch_us(ts)) AS gap_us
+           FROM events),
+         gg AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL),
+         rr AS (SELECT event_type, gap_us,
+                       row_number() OVER (PARTITION BY event_type ORDER BY gap_us) r,
+                       count(*) OVER (PARTITION BY event_type) m
+                FROM gg)
+         SELECT event_type, count(*) AS n_gaps,
+                CAST(sum(CASE WHEN r*2 = m+1 THEN gap_us*2
+                              WHEN r*2 = m OR r*2 = m+2 THEN gap_us
+                              ELSE 0 END) AS BIGINT) AS med2_us
+         FROM rr GROUP BY 1 ORDER BY event_type"""
   )
 }
