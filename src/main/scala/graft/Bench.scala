@@ -36,7 +36,14 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").write
       .format("noop").mode("overwrite").save()
     var errors = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q146_editdup,q18_minhash restricts the run —
+    // the single-query iteration loop while tuning a hot spot.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       // stop at the first failure: a failing query marks the whole
       // entry failed regardless of the other runs, so re-running it
       // only multiplies wall-clock and stderr noise

@@ -124,6 +124,16 @@ object Functions {
   def vec_dot_int(a: Column, b: Column): Column =
     Shims.column(graft.functions.VecDotInt(Shims.expression(a), Shims.expression(b)))
 
+  /** vec_l1_int(a, b): exact integer L1 distance of ARRAY<BIGINT>
+    * vectors — the bag-distance edit-prefilter kernel. */
+  def vec_l1_int(a: Column, b: Column): Column =
+    Shims.column(graft.functions.VecL1Int(Shims.expression(a), Shims.expression(b)))
+
+  /** char_bag(s): one-pass [a-z0-9 ] character counts (37 longs) —
+    * the bag-signature build kernel for the edit-distance prefilter. */
+  def char_bag(s: Column): Column =
+    Shims.column(graft.functions.CharBag(Shims.expression(s)))
+
   /** misra_gries(word, capacity): Misra-Gries frequent-items summary —
     * capacity-bounded mergeable state; output is a guaranteed superset
     * of items with frequency > N/(capacity+1). */
@@ -273,6 +283,8 @@ object Functions {
     "repetition_stats" -> (exprs => graft.functions.RepetitionStats(exprs.head)),
     "vec_quant8" -> (exprs => graft.functions.VecQuant8(exprs.head)),
     "vec_dot_int" -> (exprs => graft.functions.VecDotInt(exprs(0), exprs(1))),
+    "vec_l1_int" -> (exprs => graft.functions.VecL1Int(exprs(0), exprs(1))),
+    "char_bag" -> (exprs => graft.functions.CharBag(exprs(0))),
     // bloom_agg(h, 1048576[, 7]): numBits/numHashes integer literals;
     // numHashes defaults to 7 like the Scala API
     "bloom_agg" -> (exprs => {

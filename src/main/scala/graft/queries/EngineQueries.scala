@@ -177,6 +177,54 @@ object EngineQueries {
         .agg(
           count(when(col("o_custkey").isNotNull, 1)).as("with_orders"),
           count(when(col("o_custkey").isNull, 1)).as("without_orders"))
+    }),
+
+    // Relative-rank window surface — percent_rank and cume_dist next
+    // to row_number/rank/dense_rank/ntile: both are one exact-integer
+    // ratio evaluated as a single IEEE division ((r−1)/(m−1), peers/m
+    // — bit-identical across engines from identical integer
+    // operands). The window partitions by lang; the total order
+    // (n_chars, doc_id) makes every rank — and the emitted doubles —
+    // deterministic.
+    "q167_pctrank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("pct", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .orderBy("doc_id")
+    }),
+
+    // Session profile — q33's sessions with the entry/exit columns a
+    // web-analytics table needs: first/last event type per session
+    // (first_value / unbounded-frame last_value over the per-user
+    // total order), exact duration, event count. Same gaps-and-
+    // islands shape; both window passes share the per-user partition,
+    // so the whole profile is one shuffle.
+    "q168_sessprofile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      val marked = Tables.events(s, d)
+        .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+        .withColumn("brk",
+          when(lag(col("ts_ns"), 1).over(w).isNull
+            || col("ts_ns") - lag(col("ts_ns"), 1).over(w) > expr("1800000000000"), 1)
+            .otherwise(0))
+        .withColumn("sid",
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      val ws = Window.partitionBy("user_id", "sid").orderBy("ts_ns", "event_id")
+      marked
+        .withColumn("entry", first(col("event_type")).over(ws))
+        .withColumn("exit", last(col("event_type")).over(
+          ws.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_events"),
+          timestamp_micros(expr("min(ts_ns) div 1000")).as("session_start"),
+          expr("(max(ts_ns) - min(ts_ns)) div 1000").as("dur_us"),
+          max(col("entry")).as("entry"), max(col("exit")).as("exit"))
+        .drop("sid")
+        .orderBy("user_id", "session_start")
     })
   )
 
@@ -273,6 +321,36 @@ object EngineQueries {
       """SELECT (SELECT count(*) FROM customer WHERE EXISTS
                    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS with_orders,
                 (SELECT count(*) FROM customer WHERE NOT EXISTS
-                   (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS without_orders"""
+                   (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS without_orders""",
+    // identical integer rank operands → identical IEEE ratios.
+    "q167_pctrank" ->
+      """SELECT doc_id, lang, n_chars,
+                percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) pct,
+                cume_dist() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) cd
+         FROM documents ORDER BY doc_id""",
+    // q33's gaps-and-islands plus entry/exit first/last values.
+    "q168_sessprofile" ->
+      """WITH o AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) us,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END brk
+           FROM events),
+         s AS (
+           SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING) sid
+           FROM o),
+         x AS (
+           SELECT *,
+                  first_value(event_type) OVER (PARTITION BY user_id, sid ORDER BY us, event_id) entry,
+                  last_value(event_type) OVER (PARTITION BY user_id, sid ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) exit
+           FROM s)
+         SELECT user_id, count(*) n_events,
+                make_timestamp(min(us)) AS session_start,
+                max(us) - min(us) AS dur_us,
+                max(entry) AS entry, max(exit) AS exit
+         FROM x GROUP BY user_id, sid
+         ORDER BY user_id, session_start"""
   )
 }

@@ -282,4 +282,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("integer literal")
       || Option(ex.getCause).exists(_.getMessage.contains("integer literal")))
   }
+
+  test("vec_l1_int: exact L1, mismatch and NULL poisoning") {
+    Functions.register(spark)
+    def q(sql: String): Any = spark.sql(sql).head().get(0)
+    assert(q("SELECT vec_l1_int(array(1L, -2L, 3L), array(4L, 2L, 3L))") === 7L)
+    assert(q("SELECT vec_l1_int(CAST(array() AS ARRAY<BIGINT>), CAST(array() AS ARRAY<BIGINT>))") === 0L)
+    // length mismatch → NULL; NULL element poisons
+    assert(spark.sql("SELECT vec_l1_int(array(1L), array(1L, 2L))").head().isNullAt(0))
+    assert(spark.sql("SELECT vec_l1_int(array(1L, NULL), array(1L, 2L))").head().isNullAt(0))
+    // bag-filter soundness on random strings: |L1(bag_a, bag_b)| ≤ 2·lev(a,b)
+    val rnd = new scala.util.Random(7)
+    def word(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val rows = (0 until 200).map { _ => (word(10 + rnd.nextInt(30)), word(10 + rnd.nextInt(30))) }
+    import spark.implicits._
+    val bad = rows.toDF("a", "b").selectExpr(
+      "vec_l1_int(char_bag(a), char_bag(b)) AS l1", "levenshtein(a, b) AS lev")
+      .filter(org.apache.spark.sql.functions.col("l1") >
+        org.apache.spark.sql.functions.col("lev") * 2)
+    assert(bad.count() === 0, "bag L1 exceeded 2·lev — the prefilter would drop true pairs")
+  }
+
+  test("char_bag: one-pass [a-z0-9 ] counts match the replace() formulation") {
+    Functions.register(spark)
+    val got = spark.sql("SELECT char_bag('abc 007 zz  ')").head().getSeq[Long](0)
+    assert(got.length === 37)
+    assert(got(0) === 1L && got(1) === 1L && got(2) === 1L) // a b c
+    assert(got(25) === 2L)                                  // z
+    assert(got(26) === 2L && got(33) === 1L)                // 0 0, 7
+    assert(got(36) === 4L)                                  // spaces
+    assert(got.sum === 12L)
+    assert(spark.sql("SELECT char_bag(CAST(NULL AS STRING))").head().isNullAt(0))
+  }
 }
