@@ -37,33 +37,46 @@ object MultimodalQueries {
     // q82 4-bit shape signature (candidates come from bucket
     // EQUALITY, never all-pairs — the q23 embedding-near-dup
     // discipline on the media track), and candidates confirm with an
-    // exact integer cosine² gate, cross-multiplied (dot²·10⁸ ≥
-    // 99980001·‖a‖²·‖b‖² ⟺ cos ≥ 0.9999 — these 16-bin histograms
-    // run very hot, so the dedup bar sits near identity) with no
-    // float in the decision. dot ≤ 16·127² ⇒ dot²·10⁸ ≤ 6.7·10¹⁸,
-    // inside Long (barely — widening the histogram means moving to
-    // DECIMAL(38,0), q98's discipline). At scale the
-    // signature widens with corpus size (the q22 pair-budget
-    // invariant) and becomes a partition column.
+    // exact integer cosine² gate, cross-multiplied on the SQUARE so
+    // it stays in Long (dot²·10⁶ ≥ 999998·‖a‖²·‖b‖² ⟺ cos² ≥
+    // 0.999998 ⟺ cos ≥ 1−10⁻⁶; dot²·10⁶ tops 6.7·10¹⁶ — the
+    // DECIMAL(38,0) formulation of the same bar measured 1.8× slower
+    // per pair). The bar sits at near-identity on purpose:
+    // letter-frequency histograms of same-language text all clear
+    // cos 0.9999 (that bar measured 8 302 confirmed pairs at sf0.01 —
+    // the OUTPUT went quadratic), while 1−10⁻⁶ keeps exactly the
+    // re-encode families. At scale the signature widens
+    // with corpus size (the q22 pair-budget invariant) and becomes a
+    // partition column.
     "q140_media_neardup" -> ((s, d) => {
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
       val feats = Multimodal.extractFeatures(s, media)
-      val bins = Seq(2, 4, 6, 7)
+      // 8-bit shape signature: the informative histogram nibbles
+      // (2 = space/punct, 3 = digits, 6/7 = lowercase bands) at TWO
+      // thresholds each — the "signature widens with the corpus"
+      // scale dial turned one notch (4 bits → ~780 k bucket pairs at
+      // sf0.1 and 5.1 s; 8 bits → ~50 k and ~1 s). Exact dupes have
+      // identical histograms, so they share every bit at ANY width —
+      // the dupes-subset invariant (MultimodalSpec) is width-proof.
+      // Norms ride the barriered row (O(n)), not the pair (O(pairs)).
+      val sig = for { b <- Seq(2, 3, 6, 7); t <- Seq(31, 63) } yield (b, t)
       val qemb = graft.ops.Barrier(feats
         .select(col("media_id"),
           graft.Functions.vec_quant8(col("features").cast("array<double>")).as("q8"))
-        .withColumn("bucket", bins.zipWithIndex.map { case (b, k) =>
-          when(element_at(col("q8"), b + 1) > 63, lit(1L << k)).otherwise(lit(0L))
-        }.reduce(_ + _)))
-      val a = qemb.select(col("media_id").as("mx"), col("q8").as("qa"), col("bucket"))
-      val b = qemb.select(col("media_id").as("my"), col("q8").as("qb"), col("bucket"))
+        .withColumn("bucket", sig.zipWithIndex.map { case ((b, t), k) =>
+          when(element_at(col("q8"), b + 1) > t, lit(1L << k)).otherwise(lit(0L))
+        }.reduce(_ + _))
+        .withColumn("nrm", graft.Functions.vec_dot_int(col("q8"), col("q8"))))
+      val a = qemb.select(col("media_id").as("mx"), col("q8").as("qa"),
+        col("bucket"), col("nrm").as("na"))
+      val b = qemb.select(col("media_id").as("my"), col("q8").as("qb"),
+        col("bucket"), col("nrm").as("nb"))
       a.join(b, Seq("bucket")).filter(col("mx") < col("my"))
         .select(col("mx"), col("my"),
           graft.Functions.vec_dot_int(col("qa"), col("qb")).as("dot"),
-          graft.Functions.vec_dot_int(col("qa"), col("qa")).as("na"),
-          graft.Functions.vec_dot_int(col("qb"), col("qb")).as("nb"))
+          col("na"), col("nb"))
         .filter(col("dot") > 0 &&
-          col("dot") * col("dot") * lit(100000000L) >= lit(99980001L) * col("na") * col("nb"))
+          col("dot") * col("dot") * lit(1000000L) >= lit(999998L) * col("na") * col("nb"))
         .orderBy("mx", "my")
     }),
 
@@ -169,10 +182,14 @@ object MultimodalQueries {
            FROM m),
          b AS (
            SELECT media_id, q8,
-                  CAST((CASE WHEN q8[3] > 63 THEN 1 ELSE 0 END)
-                     + (CASE WHEN q8[5] > 63 THEN 2 ELSE 0 END)
-                     + (CASE WHEN q8[7] > 63 THEN 4 ELSE 0 END)
-                     + (CASE WHEN q8[8] > 63 THEN 8 ELSE 0 END) AS BIGINT) bucket
+                  CAST((CASE WHEN q8[3] > 31 THEN 1 ELSE 0 END)
+                     + (CASE WHEN q8[3] > 63 THEN 2 ELSE 0 END)
+                     + (CASE WHEN q8[4] > 31 THEN 4 ELSE 0 END)
+                     + (CASE WHEN q8[4] > 63 THEN 8 ELSE 0 END)
+                     + (CASE WHEN q8[7] > 31 THEN 16 ELSE 0 END)
+                     + (CASE WHEN q8[7] > 63 THEN 32 ELSE 0 END)
+                     + (CASE WHEN q8[8] > 31 THEN 64 ELSE 0 END)
+                     + (CASE WHEN q8[8] > 63 THEN 128 ELSE 0 END) AS BIGINT) bucket
            FROM v),
          p AS (
            SELECT a.media_id mx, bb.media_id my,
@@ -181,7 +198,7 @@ object MultimodalQueries {
                   CAST(list_sum(list_transform(range(1, 17), i -> bb.q8[i] * bb.q8[i])) AS BIGINT) nb
            FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.media_id < bb.media_id)
          SELECT mx, my, dot, na, nb FROM p
-         WHERE dot > 0 AND dot * dot * 100000000 >= 99980001 * na * nb
+         WHERE dot > 0 AND dot * dot * 1000000 >= 999998 * na * nb
          ORDER BY mx, my""",
     "q82_media_ann" ->
       """WITH f AS (

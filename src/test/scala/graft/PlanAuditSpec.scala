@@ -77,7 +77,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q150_ks", // value-domain ECDF × broadcast 1-row totals
       "q151_gini", // sources-sized ranks × broadcast 1-row count
       "q152_diurnal", // types×24 grid — types-sized spine (q136 shape)
-      "q158_indep") // cells × broadcast 1-row grand total
+      "q158_indep", // cells × broadcast 1-row grand total
+      "q165_trigger") // converted count × broadcast 1-row views total
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
