@@ -225,6 +225,28 @@ object EngineQueries {
           max(col("entry")).as("entry"), max(col("exit")).as("exit"))
         .drop("sid")
         .orderBy("user_id", "session_start")
+    }),
+
+    // NATIVE as-of join — graft's custom Catalyst operator
+    // (AsOfJoinPlan → AsOfJoinStrategy → AsOfJoinExec, the full
+    // option-(c) planner stack; see graft/plans/AsOfJoin.scala)
+    // against DuckDB's native ASOF LEFT JOIN: most recent prior click
+    // per purchase. The right side pre-aggregates to unique
+    // (user, ts) rows so the as-of pick is deterministic on both
+    // engines. Plan shape = a sort-merge equi-join's (one key
+    // exchange + sort per side), but the operator streams with ONE
+    // buffered row of state — no window-over-union, no per-row
+    // lookback buffer.
+    "q169_asof_native" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_ns"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("cu"), col("ts_ns").as("cts"))
+        .agg(max(col("event_id")).as("click_id"))
+      graft.plans.AsOf.join(purchases, clicks, "user_id", "cu", "ts_ns", "cts")
+        .select(col("event_id").as("purchase_id"), col("click_id"))
+        .orderBy("purchase_id")
     })
   )
 
@@ -351,6 +373,15 @@ object EngineQueries {
                 max(us) - min(us) AS dur_us,
                 max(entry) AS entry, max(exit) AS exit
          FROM x GROUP BY user_id, sid
-         ORDER BY user_id, session_start"""
+         ORDER BY user_id, session_start""",
+    // DuckDB's NATIVE ASOF LEFT JOIN vs graft's native operator.
+    "q169_asof_native" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts) us
+                    FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id cu, epoch_us(ts) cts, max(event_id) click_id
+               FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.event_id AS purchase_id, c.click_id
+         FROM p ASOF LEFT JOIN c ON p.user_id = c.cu AND p.us >= c.cts
+         ORDER BY purchase_id"""
   )
 }

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.AsOf
+
+/** The native as-of join (custom LogicalPlan → Strategy → Exec):
+  * result parity with brute force and with the window-composed
+  * DataFrame form, null extension, determinism under co-partitioning,
+  * and the plan shape (one key exchange + (key, time) sort per side
+  * feeding AsOfJoinExec). */
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def randomSides(seed: Int, nl: Int, nr: Int) = {
+    val rnd = new scala.util.Random(seed)
+    import spark.implicits._
+    val l = (0 until nl).map(i => (rnd.nextInt(20).toLong, rnd.nextInt(100).toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    // unique (k, t) on the right for a deterministic pick
+    val r = (0 until nr).map(i => (rnd.nextInt(20).toLong, rnd.nextInt(100).toLong, i.toLong))
+      .toDF("rk", "rt0", "rid0")
+      .groupBy("rk", "rt0").agg(max(col("rid0")).as("rid"))
+      .withColumnRenamed("rt0", "rt")
+    (l, r)
+  }
+
+  test("matches brute force on random keyed time series") {
+    val (l, r) = randomSides(42, 500, 300)
+    val got = AsOf.join(l, r, "k", "rk", "t", "rt")
+      .select("lid", "rid").collect()
+      .map(row => (row.getLong(0), if (row.isNullAt(1)) -1L else row.getLong(1)))
+      .toSet
+    // brute force: max-rt right row with rt <= t per left row, rid
+    // tie-broken by construction (unique (rk, rt))
+    val rRows = r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val want = l.collect().map { x =>
+      val (k, t, lid) = (x.getLong(0), x.getLong(1), x.getLong(2))
+      val cands = rRows.filter(c => c._1 == k && c._2 <= t)
+      val rid = if (cands.isEmpty) -1L else cands.maxBy(c => (c._2, c._3))._3
+      (lid, rid)
+    }.toSet
+    assert(got.size === l.count())
+    assert(got === want)
+  }
+
+  test("equals the window-composed as-of form on real events") {
+    val e = Tables.events(spark, sf)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_ns"))
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("cu"), col("ts_ns").as("cts"))
+      .agg(max(col("event_id")).as("click_id"))
+    val native = AsOf.join(purchases, clicks, "user_id", "cu", "ts_ns", "cts")
+      .select(col("event_id"), col("click_id"))
+
+    // composed form: union-tag, per-user window carrying the last
+    // click forward (the q42 contortion the native operator replaces)
+    import org.apache.spark.sql.expressions.Window
+    val tagged = purchases.select(col("user_id"), col("ts_ns"),
+        col("event_id"), lit(null).cast("long").as("cid"), lit(1).as("isP"))
+      .unionAll(clicks.select(col("cu"), col("cts"), lit(null).cast("long"),
+        col("click_id"), lit(0)))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("isP"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val composed = tagged
+      .withColumn("lastc", last(col("cid"), ignoreNulls = true).over(w))
+      .filter(col("isP") === 1)
+      .select(col("event_id"), col("lastc").as("click_id"))
+
+    assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty,
+      "native as-of diverged from the composed window form")
+    assert(native.filter(col("click_id").isNull).count() > 0,
+      "no null-extended rows — weak fixture")
+  }
+
+  test("plan: AsOfJoinExec fed by one key exchange + (key, time) sort per side") {
+    val (l, r) = randomSides(7, 100, 100)
+    val plan = AsOf.join(l, r, "k", "rk", "t", "rt")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"custom exec missing:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) >= 2,
+      s"expected a key exchange per side:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Sort [")) >= 2,
+      s"expected a (key, time) sort per side:\n$plan")
+  }
+}
