@@ -44,7 +44,8 @@ import org.apache.spark.sql.types.LongType
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -54,15 +55,16 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd) :: Nil
     case _ => Nil
   }
 }
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression)
+    leftTime: Expression, rightTime: Expression,
+    forward: Boolean = false)
   extends SparkPlan with BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -107,15 +109,32 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         val k = lk.eval(lrow).asInstanceOf[Long]
         val t = lt.eval(lrow).asInstanceOf[Long]
         if (haveCand && candKey != k) { haveCand = false; cand = null }
-        var advancing = true
-        while (advancing && head != null) {
-          val hk = rk.eval(head).asInstanceOf[Long]
-          if (hk < k || (hk == k && rt.eval(head).asInstanceOf[Long] <= t)) {
-            if (hk == k) { cand = head; candKey = k; haveCand = true }
-            head = if (ri.hasNext) ri.next().copy() else null
-          } else advancing = false
+        if (forward) {
+          // FIRST right row with the same key and time >= t: discard
+          // strictly-earlier rows (no later left row wants them —
+          // left times only grow within the key), then the head
+          // itself is the candidate iff the key matches
+          var advancing = true
+          while (advancing && head != null) {
+            val hk = rk.eval(head).asInstanceOf[Long]
+            if (hk < k || (hk == k && rt.eval(head).asInstanceOf[Long] < t))
+              head = if (ri.hasNext) ri.next().copy() else null
+            else advancing = false
+          }
+          val hit = head != null && rk.eval(head).asInstanceOf[Long] == k
+          joiner(joined(lrow, if (hit) head else nullRight))
+        } else {
+          // LAST right row with the same key and time <= t
+          var advancing = true
+          while (advancing && head != null) {
+            val hk = rk.eval(head).asInstanceOf[Long]
+            if (hk < k || (hk == k && rt.eval(head).asInstanceOf[Long] <= t)) {
+              if (hk == k) { cand = head; candKey = k; haveCand = true }
+              head = if (ri.hasNext) ri.next().copy() else null
+            } else advancing = false
+          }
+          joiner(joined(lrow, if (haveCand) cand else nullRight))
         }
-        joiner(joined(lrow, if (haveCand) cand else nullRight))
       }
     }
   }
@@ -132,7 +151,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 object AsOf {
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -147,6 +167,6 @@ object AsOf {
     val (rkA, rtA) = (attr(rp, rightKey, "right"), attr(rp, rightTime, "right"))
     require(Seq(lkA, ltA, rkA, rtA).forall(_.dataType == LongType),
       "as-of v1 requires LongType key and time columns")
-    Shims.ofRows(spark, AsOfJoinPlan(lp, rp, lkA, rkA, ltA, rtA))
+    Shims.ofRows(spark, AsOfJoinPlan(lp, rp, lkA, rkA, ltA, rtA, forward))
   }
 }

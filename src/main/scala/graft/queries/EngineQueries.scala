@@ -247,6 +247,24 @@ object EngineQueries {
       graft.plans.AsOf.join(purchases, clicks, "user_id", "cu", "ts_ns", "cts")
         .select(col("event_id").as("purchase_id"), col("click_id"))
         .orderBy("purchase_id")
+    }),
+
+    // FORWARD as-of — the other temporal direction (first following
+    // event: "next click after each purchase", the post-action
+    // attribution probe). Same custom operator in forward mode; same
+    // plan shape; DuckDB expresses it by flipping the ASOF
+    // inequality.
+    "q170_asof_forward" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_ns"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("cu"), col("ts_ns").as("cts"))
+        .agg(max(col("event_id")).as("click_id"))
+      graft.plans.AsOf.join(purchases, clicks, "user_id", "cu", "ts_ns", "cts",
+          forward = true)
+        .select(col("event_id").as("purchase_id"), col("click_id"))
+        .orderBy("purchase_id")
     })
   )
 
@@ -382,6 +400,15 @@ object EngineQueries {
                FROM events WHERE event_type = 'click' GROUP BY 1, 2)
          SELECT p.event_id AS purchase_id, c.click_id
          FROM p ASOF LEFT JOIN c ON p.user_id = c.cu AND p.us >= c.cts
+         ORDER BY purchase_id""",
+    // flipped inequality = nearest FOLLOWING row.
+    "q170_asof_forward" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts) us
+                    FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id cu, epoch_us(ts) cts, max(event_id) click_id
+               FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.event_id AS purchase_id, c.click_id
+         FROM p ASOF LEFT JOIN c ON p.user_id = c.cu AND p.us <= c.cts
          ORDER BY purchase_id"""
   )
 }

@@ -46,6 +46,23 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("forward mode matches brute force (first right row at or after)") {
+    val (l, r) = randomSides(99, 500, 300)
+    val got = AsOf.join(l, r, "k", "rk", "t", "rt", forward = true)
+      .select("lid", "rid").collect()
+      .map(row => (row.getLong(0), if (row.isNullAt(1)) -1L else row.getLong(1)))
+      .toSet
+    val rRows = r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val want = l.collect().map { x =>
+      val (k, t, lid) = (x.getLong(0), x.getLong(1), x.getLong(2))
+      val cands = rRows.filter(c => c._1 == k && c._2 >= t)
+      val rid = if (cands.isEmpty) -1L else cands.minBy(c => (c._2, -c._3))._3
+      (lid, rid)
+    }.toSet
+    assert(got === want)
+    assert(want.exists(_._2 == -1L), "no null-extended forward rows — weak fixture")
+  }
+
   test("equals the window-composed as-of form on real events") {
     val e = Tables.events(spark, sf)
     val purchases = e.filter(col("event_type") === "purchase")
