@@ -17,11 +17,16 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * the deploy path for SQL-only consumers (JDBC/Thrift, notebooks).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     Functions.sqlBuilders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.Functions", name),
         builder))
     }
+    // custom operators: the native as-of join plans on every session
+    // of the cluster (AsOf.join also self-installs via
+    // experimental.extraStrategies for ad-hoc driver sessions)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }

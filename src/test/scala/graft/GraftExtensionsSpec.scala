@@ -38,6 +38,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // extensions survive newSession(); temp registration would not
       assert(s.newSession().sql("SELECT rolling_hash('abc') AS rh")
         .collect()(0).getLong(0) === one.getLong(1))
+      // the planner strategy rides the extension too: an AsOfJoinPlan
+      // built directly (no AsOf.join self-install) must plan and run
+      val l = Seq((1L, 10L, 100L), (1L, 20L, 101L)).toDF("k", "t", "lid")
+      val r = Seq((1L, 5L, 900L), (1L, 15L, 901L)).toDF("rk", "rt", "rid")
+      val plan = graft.plans.AsOfJoinPlan(
+        org.apache.spark.sql.graftshim.Shims.logicalPlan(l),
+        org.apache.spark.sql.graftshim.Shims.logicalPlan(r),
+        org.apache.spark.sql.graftshim.Shims.logicalPlan(l).output.find(_.name == "k").get,
+        org.apache.spark.sql.graftshim.Shims.logicalPlan(r).output.find(_.name == "rk").get,
+        org.apache.spark.sql.graftshim.Shims.logicalPlan(l).output.find(_.name == "t").get,
+        org.apache.spark.sql.graftshim.Shims.logicalPlan(r).output.find(_.name == "rt").get)
+      val rows = org.apache.spark.sql.graftshim.Shims.ofRows(s, plan)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(rows === Set((100L, 900L), (101L, 901L)))
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)
