@@ -967,6 +967,44 @@ object EventQueries {
             .when(col("r") * 2 === col("m") + 2, col("gap_us"))
             .otherwise(lit(0L))).as("med2_us"))
         .orderBy("event_type")
+    }),
+
+    // Trimmed mean — the robust center the plain mean isn't (one
+    // whale order moves it; the 10%-trimmed mean doesn't): drop the
+    // top and bottom decile BY RANK (r·10 gates — pure integers, no
+    // percentile calc), then q13's exact decimal mean over the kept
+    // band. The rank window partitions per type; the q92 histogram
+    // stays the corpus-sized-group path (q137's documented trade).
+    "q171_trimmed" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("r", row_number().over(w))
+        .withColumn("m", count(lit(1)).over(Window.partitionBy("event_type")))
+        .filter(col("r") * 10 > col("m") && col("r") * 10 <= col("m") * 9)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_kept"),
+          dsum(col("value")).cast(DoubleType).as("sv"))
+        .select(col("event_type"), col("n_kept"), col("sv"),
+          (col("sv") / col("n_kept")).as("trimmed_mean"))
+        .orderBy("event_type")
+    }),
+
+    // Modal bucket — exact mode of the integer value bucket per type
+    // in ONE aggregate pass over the (type, bucket) rollup: argmax by
+    // the composite count·2²⁰ − bucket key (q163's tie discipline:
+    // highest count, then lowest bucket). No ranking window at all.
+    "q172_mode" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("cast(floor(value / 10) as bigint)").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("event_type")
+        .agg(max_by(col("bucket"), col("n") * 1048576 - col("bucket")).as("mode_bucket"),
+          max(col("n")).as("mode_n"),
+          count(lit(1)).as("n_buckets"))
+        .orderBy("event_type")
     })
   )
 
@@ -1393,6 +1431,27 @@ object EventQueries {
                 CAST(sum(CASE WHEN r*2 = m+1 THEN gap_us*2
                               WHEN r*2 = m OR r*2 = m+2 THEN gap_us
                               ELSE 0 END) AS BIGINT) AS med2_us
-         FROM rr GROUP BY 1 ORDER BY event_type"""
+         FROM rr GROUP BY 1 ORDER BY event_type""",
+    // rank-gated decile trim; exact decimal mean over the kept band.
+    "q171_trimmed" ->
+      """WITH r AS (
+           SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) r,
+                  count(*) OVER (PARTITION BY event_type) m
+           FROM events)
+         SELECT event_type, count(*) AS n_kept,
+                CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sv,
+                CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS trimmed_mean
+         FROM r WHERE r * 10 > m AND r * 10 <= m * 9
+         GROUP BY 1 ORDER BY event_type""",
+    // one-pass argmax mode with the composite tie key.
+    "q172_mode" ->
+      """WITH b AS (SELECT event_type, CAST(floor(value / 10) AS BIGINT) bucket, count(*) n
+                    FROM events GROUP BY 1, 2)
+         SELECT event_type,
+                max_by(bucket, n * 1048576 - bucket) AS mode_bucket,
+                CAST(max(n) AS BIGINT) AS mode_n,
+                count(*) AS n_buckets
+         FROM b GROUP BY 1 ORDER BY event_type"""
   )
 }
