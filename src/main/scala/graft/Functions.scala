@@ -134,6 +134,11 @@ object Functions {
   def char_bag(s: Column): Column =
     Shims.column(graft.functions.CharBag(Shims.expression(s)))
 
+  /** cdc_bounds(s, k, d): content-defined chunk boundaries — end
+    * positions whose k-byte window hash ≡ 0 (mod d). */
+  def cdc_bounds(s: Column, k: Int, d: Int): Column =
+    Shims.column(graft.functions.CdcBounds(Shims.expression(s), k, d))
+
   /** misra_gries(word, capacity): Misra-Gries frequent-items summary —
     * capacity-bounded mergeable state; output is a guaranteed superset
     * of items with frequency > N/(capacity+1). */
@@ -308,6 +313,9 @@ object Functions {
     // bow_counts(t, 16): bucket count must be an integer literal
     "bow_counts" -> (exprs => graft.functions.BowCounts(exprs(0),
       intLit("bow_counts", "n")(exprs(1)))),
+    // cdc_bounds(t, 8, 64): window size and divisor must be literals
+    "cdc_bounds" -> (exprs => graft.functions.CdcBounds(exprs(0),
+      intLit("cdc_bounds", "k")(exprs(1)), intLit("cdc_bounds", "d")(exprs(2)))),
     // hll_agg(h, 6): register-count exponent must be an integer literal
     "hll_agg" -> (exprs => graft.functions.HllAgg(exprs(0),
       intLit("hll_agg", "b")(exprs(1))).toAggregateExpression()),

@@ -1714,6 +1714,37 @@ object TextQueries {
                       AS string)),
                     ",")""").as("offsets"))
         .orderBy("lang", "pack_id")
+    }),
+
+    // Content-defined chunk dedup — the storage-layer primitive the
+    // fixed-frame pass (q162) can't be: cut points follow the CONTENT
+    // (8-byte window hash ≡ 0 mod 64 → ~64-char expected chunks), so
+    // an early insertion shifts one chunk, not every frame after it,
+    // and shared spans between edited documents still land in
+    // identical chunks. Pipeline: native cdc_bounds per doc (one byte
+    // pass), chunk slicing as an array fold over the SMALL bounds
+    // array, then q15's hash-keyed dedup at chunk granularity —
+    // the shuffle carries (16-byte md5, doc_id). Output = chunks
+    // shared across documents.
+    "q173_cdc" -> ((s, d) => {
+      val chunks = withWords(s, d)
+        .select(col("doc_id"), col("t"))
+        .filter(length(col("t")) >= 8)
+        .withColumn("bounds", graft.Functions.cdc_bounds(col("t"), 8, 64))
+        .withColumn("cuts",
+          expr("concat(array(0), bounds, array(length(t)))"))
+        .select(col("doc_id"), explode(expr(
+          """filter(
+               transform(sequence(1, size(cuts) - 1),
+                 i -> substring(t, element_at(cuts, i) + 1,
+                                element_at(cuts, i + 1) - element_at(cuts, i))),
+               c -> length(c) > 0)""")).as("chunk"))
+      chunks.groupBy(md5(col("chunk").cast(BinaryType)).as("h"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          max(length(col("chunk"))).as("chunk_len"))
+        .filter(col("n_docs") > 1)
+        .orderBy("h")
     })
   )
 
@@ -2610,6 +2641,30 @@ object TextQueries {
          SELECT lang, pack_id, CAST(n_docs AS BIGINT) n_docs,
                 array_to_string(list_transform(range(1, CAST(n_docs AS BIGINT) + 1),
                   i -> CAST(i + coalesce(list_sum(lens[1:i-1]), 0) AS VARCHAR)), ',') offsets
-         FROM g ORDER BY lang, pack_id"""
+         FROM g ORDER BY lang, pack_id""",
+    // same window-poly boundaries (list_reduce over each 8-slice),
+    // same cut arithmetic, chunk md5 dedup across docs.
+    "q173_cdc" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+          nn AS (SELECT doc_id, t FROM n WHERE length(t) >= 8),
+          b AS (SELECT doc_id, t,
+                  list_filter(range(8, length(t) + 1), i ->
+                    list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(i - 7, i + 1), j -> CAST(ascii(t[j:j]) AS BIGINT))),
+                      (acc, c) -> (acc * 31 + c) % 2147483647) % 64 = 0) bounds
+                FROM nn),
+          cu AS (SELECT doc_id, t,
+                   list_concat(list_concat([CAST(0 AS BIGINT)], bounds), [CAST(length(t) AS BIGINT)]) cuts
+                 FROM b),
+          ch AS (SELECT doc_id,
+                   unnest(list_filter(
+                     list_transform(range(1, len(cuts)), i ->
+                       t[CAST(cuts[i] + 1 AS BIGINT):CAST(cuts[i + 1] AS BIGINT)]),
+                     c -> length(c) > 0)) chunk
+                 FROM cu)
+          SELECT md5(chunk) h, count(DISTINCT doc_id) n_docs,
+                 count(*) n_occ, CAST(max(length(chunk)) AS BIGINT) chunk_len
+          FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+          ORDER BY h"""
   )
 }

@@ -314,4 +314,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got.sum === 12L)
     assert(spark.sql("SELECT char_bag(CAST(NULL AS STRING))").head().isNullAt(0))
   }
+
+  test("cdc_bounds: windowed-hash boundaries, shift robustness, literal args") {
+    Functions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val text = (0 until 400).map(_ => ('a' + rnd.nextInt(27)).toChar)
+      .mkString.replace(('a' + 26).toChar, ' ')
+    def bounds(s: String): Seq[Int] = {
+      import spark.implicits._
+      Seq(s).toDF("t").selectExpr("cdc_bounds(t, 8, 16) AS b")
+        .head().getSeq[Int](0)
+    }
+    val base = bounds(text)
+    assert(base.nonEmpty, "no boundaries on 400 random chars at d=16 — suspicious")
+    // driver replay of the window-poly definition
+    val want = (8 to text.length).filter { i =>
+      val h = text.substring(i - 8, i).getBytes
+        .foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 2147483647L)
+      h % 16 == 0
+    }
+    assert(base === want)
+    // THE CDC property: a 5-char insertion at the front shifts every
+    // later boundary by exactly 5 — the cut points follow content
+    val shifted = bounds("xyzw " + text)
+    assert(base.map(_ + 5).toSet.subsetOf(shifted.toSet),
+      "content-defined boundaries did not survive a prefix insertion")
+    // non-literal args rejected at analysis time
+    val ex = intercept[Exception] {
+      spark.sql("SELECT cdc_bounds('abc', cast(rand()*4 as int), 64)").collect()
+    }
+    assert(ex.getMessage.contains("integer literal")
+      || Option(ex.getCause).exists(_.getMessage.contains("integer literal")))
+  }
 }
