@@ -1745,6 +1745,37 @@ object TextQueries {
           max(length(col("chunk"))).as("chunk_len"))
         .filter(col("n_docs") > 1)
         .orderBy("h")
+    }),
+
+    // CDC storage-savings manifest — the number a chunk store is
+    // judged by: bytes stored once per DISTINCT chunk vs bytes in the
+    // raw stream, in exact ppm. Same chunk pipeline as q173; the
+    // rollup is one two-level aggregate (chunk-hash keyed, then one
+    // row), so the exchange carries distinct chunk hashes + lengths.
+    "q174_cdc_savings" -> ((s, d) => {
+      val chunks = withWords(s, d)
+        .select(col("doc_id"), col("t"))
+        .filter(length(col("t")) >= 8)
+        .withColumn("bounds", graft.Functions.cdc_bounds(col("t"), 8, 64))
+        .withColumn("cuts",
+          expr("concat(array(0), bounds, array(length(t)))"))
+        .select(explode(expr(
+          """filter(
+               transform(sequence(1, size(cuts) - 1),
+                 i -> substring(t, element_at(cuts, i) + 1,
+                                element_at(cuts, i + 1) - element_at(cuts, i))),
+               c -> length(c) > 0)""")).as("chunk"))
+      chunks
+        .groupBy(md5(col("chunk").cast(BinaryType)).as("h"))
+        .agg(count(lit(1)).as("occ"), max(length(col("chunk"))).as("ln"))
+        .agg(count(lit(1)).as("n_distinct_chunks"),
+          sum(col("occ")).as("n_chunks"),
+          sum(col("ln") * col("occ")).as("raw_chars"),
+          sum(col("ln")).as("stored_chars"))
+        .select(col("n_distinct_chunks"), col("n_chunks"),
+          col("raw_chars").cast(LongType).as("raw_chars"),
+          col("stored_chars").cast(LongType).as("stored_chars"),
+          expr("((raw_chars - stored_chars) * 1000000) div raw_chars").as("savings_ppm"))
     })
   )
 
@@ -2665,6 +2696,34 @@ object TextQueries {
           SELECT md5(chunk) h, count(DISTINCT doc_id) n_docs,
                  count(*) n_occ, CAST(max(length(chunk)) AS BIGINT) chunk_len
           FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
-          ORDER BY h"""
+          ORDER BY h""",
+    // distinct-chunk vs raw byte mass; savings in exact ppm.
+    "q174_cdc_savings" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+          nn AS (SELECT doc_id, t FROM n WHERE length(t) >= 8),
+          b AS (SELECT doc_id, t,
+                  list_filter(range(8, length(t) + 1), i ->
+                    list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(i - 7, i + 1), j -> CAST(ascii(t[j:j]) AS BIGINT))),
+                      (acc, c) -> (acc * 31 + c) % 2147483647) % 64 = 0) bounds
+                FROM nn),
+          cu AS (SELECT doc_id, t,
+                   list_concat(list_concat([CAST(0 AS BIGINT)], bounds), [CAST(length(t) AS BIGINT)]) cuts
+                 FROM b),
+          ch AS (SELECT unnest(list_filter(
+                     list_transform(range(1, len(cuts)), i ->
+                       t[CAST(cuts[i] + 1 AS BIGINT):CAST(cuts[i + 1] AS BIGINT)]),
+                     c -> length(c) > 0)) chunk
+                 FROM cu),
+          g AS (SELECT md5(chunk) h, count(*) occ,
+                       CAST(max(length(chunk)) AS BIGINT) ln
+                FROM ch GROUP BY 1)
+          SELECT count(*) AS n_distinct_chunks,
+                 CAST(sum(occ) AS BIGINT) AS n_chunks,
+                 CAST(sum(ln * occ) AS BIGINT) AS raw_chars,
+                 CAST(sum(ln) AS BIGINT) AS stored_chars,
+                 (CAST(sum(ln * occ) AS BIGINT) - CAST(sum(ln) AS BIGINT)) * 1000000
+                   // CAST(sum(ln * occ) AS BIGINT) AS savings_ppm
+          FROM g"""
   )
 }
