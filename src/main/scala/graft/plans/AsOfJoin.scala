@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindRefe
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.graftshim.Shims
 import org.apache.spark.sql.types.LongType
 
@@ -87,6 +88,10 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
   protected override def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
@@ -95,6 +100,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rk = BindReferences.bindReference(rightKey, rOut)
     val rt = BindReferences.bindReference(rightTime, rOut)
     val outAttrs = output
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       val joiner = UnsafeProjection.create(outAttrs, lOut ++ rOut)
       val joined = new JoinedRow
@@ -122,6 +129,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             else advancing = false
           }
           val hit = head != null && rk.eval(head).asInstanceOf[Long] == k
+          numOutputRows += 1
+          if (hit) numMatched += 1
           joiner(joined(lrow, if (hit) head else nullRight))
         } else {
           // LAST right row with the same key and time <= t
@@ -133,6 +142,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               head = if (ri.hasNext) ri.next().copy() else null
             } else advancing = false
           }
+          numOutputRows += 1
+          if (haveCand) numMatched += 1
           joiner(joined(lrow, if (haveCand) cand else nullRight))
         }
       }

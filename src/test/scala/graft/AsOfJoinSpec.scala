@@ -93,6 +93,29 @@ class AsOfJoinSpec extends AnyFunSuite {
       "no null-extended rows — weak fixture")
   }
 
+  test("SQL metrics: output rows = left rows, matched counted") {
+    val (l, r) = randomSides(5, 300, 200)
+    val df = AsOf.join(l, r, "k", "rk", "t", "rt")
+    // drive df's OWN queryExecution (write would spawn a fresh one
+    // whose metrics we couldn't reach)
+    assert(df.queryExecution.executedPlan.execute().count() === 300L)
+    // pull the exec's metrics out of the executed adaptive plan
+    def findExec(p: org.apache.spark.sql.execution.SparkPlan)
+        : Option[graft.plans.AsOfJoinExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        findExec(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        findExec(q.plan) // stages hide their subtree from children
+      case e: graft.plans.AsOfJoinExec => Some(e)
+      case other => other.children.flatMap(findExec).headOption
+    }
+    val exec = findExec(df.queryExecution.executedPlan)
+    assert(exec.nonEmpty, "AsOfJoinExec not found in executed plan")
+    assert(exec.get.metrics("numOutputRows").value === 300L)
+    val matched = exec.get.metrics("numMatched").value
+    assert(matched > 0 && matched <= 300L)
+  }
+
   test("plan: AsOfJoinExec fed by one key exchange + (key, time) sort per side") {
     val (l, r) = randomSides(7, 100, 100)
     val plan = AsOf.join(l, r, "k", "rk", "t", "rt")
