@@ -428,6 +428,23 @@ object DedupQueries {
         .unionAll(edges.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("degree"))
         .orderBy("node")
+    }),
+
+    // Degree distribution — the one-glance skew report for the
+    // near-dup graph (a fat tail here predicts exactly the hub
+    // blowups q119's orientation and q51's alternating stars guard
+    // against): per-node degrees log2-bucketed via the floor-log
+    // trick (length(bin(deg))), bucket-sized rollup. Shuffles carry
+    // (long, long) degree pairs then ⌈log₂⌉-many groups.
+    "q175_degree_dist" -> ((s, d) => {
+      val pairs = minhashNearDupPairs(s, d).select("doc_a", "doc_b")
+      pairs.select(col("doc_a").as("node"))
+        .unionAll(pairs.select(col("doc_b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .groupBy(length(bin(col("deg"))).cast(LongType).as("bucket"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+        .orderBy("bucket")
     })
   )
 
@@ -1273,6 +1290,44 @@ object DedupQueries {
          SELECT node, CAST(count(*) AS BIGINT) degree
          FROM (SELECT u node FROM e8 UNION ALL SELECT v FROM e8)
          GROUP BY 1 ORDER BY node"""
-    }
+    },
+    // q18's pairs; per-node degrees; floor-log2 buckets.
+    "q175_degree_dist" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2],' ')) shingles
+           FROM w WHERE len(words) >= 3),
+         ss AS (
+           SELECT doc_id, list_distinct(shingles) sset FROM sh),
+         hsv AS (
+           SELECT doc_id, sset, len(sset) nset,
+                  list_transform(sset, x -> CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) % 2147483647) hs
+           FROM ss),
+         m AS (
+           SELECT doc_id, sset, nset,
+             [list_aggregate(list_transform(hs, hm ->
+                ((CAST(1103515245 AS BIGINT) * (k+1) + 12345) % 2147483647 * hm + 977 * (k+1)) % 2147483647), 'min')
+              for k in range(0,12)] mh
+           FROM hsv),
+         bands AS (
+           SELECT doc_id, j, mh[2*j+1] * 2147483647 + mh[2*j+2] sig
+           FROM m, unnest(range(0,6)) t(j)),
+         cand AS (
+           SELECT DISTINCT a.doc_id da, b.doc_id db
+           FROM bands a JOIN bands b ON a.j=b.j AND a.sig=b.sig AND a.doc_id < b.doc_id),
+         pairs AS (
+           SELECT da, db
+           FROM cand JOIN hsv x ON da=x.doc_id JOIN hsv y ON db=y.doc_id
+           WHERE 5*len(list_intersect(x.sset, y.sset)) >= 3*(x.nset + y.nset - len(list_intersect(x.sset, y.sset)))),
+         deg AS (
+           SELECT node, count(*) deg
+           FROM (SELECT da node FROM pairs UNION ALL SELECT db FROM pairs)
+           GROUP BY 1)
+         SELECT CAST(length(bin(deg)) AS BIGINT) bucket,
+                count(*) n_nodes,
+                CAST(min(deg) AS BIGINT) min_deg, CAST(max(deg) AS BIGINT) max_deg
+         FROM deg GROUP BY 1 ORDER BY bucket"""
   )
 }

@@ -1005,6 +1005,30 @@ object EventQueries {
           max(col("n")).as("mode_n"),
           count(lit(1)).as("n_buckets"))
         .orderBy("event_type")
+    }),
+
+    // Weekday lift — does a type run hotter on weekdays than
+    // weekends, normalized for the calendar's 5:2 imbalance? Exact
+    // rate ratio by cross-multiplication: lift·10⁶ = (wd_n·we_days·
+    // 10⁶) div (we_n·wd_days) — day-of-week from epoch-day arithmetic
+    // ((day+3)%7, Monday=0), day denominators from the OBSERVED
+    // distinct days (broadcast 1-row). Only the per-type rollup is
+    // corpus-sized.
+    "q176_weekday" -> ((s, d) => {
+      val typed = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("(ts_ns div 1000) div 86400000000").as("day"))
+        .withColumn("wknd", expr("((day + 3) % 7) >= 5"))
+      val counts = typed.groupBy("event_type")
+        .agg(count(when(!col("wknd"), 1)).as("wd_n"),
+          count(when(col("wknd"), 1)).as("we_n"))
+      val days = typed.select("day", "wknd").distinct()
+        .agg(count(when(!col("wknd"), 1)).as("wd_days"),
+          count(when(col("wknd"), 1)).as("we_days"))
+      counts.crossJoin(broadcast(days))
+        .select(col("event_type"), col("wd_n"), col("we_n"),
+          expr("(wd_n * we_days * 1000000) div (we_n * wd_days)").as("lift_ppm"))
+        .orderBy("event_type")
     })
   )
 
@@ -1452,6 +1476,21 @@ object EventQueries {
                 max_by(bucket, n * 1048576 - bucket) AS mode_bucket,
                 CAST(max(n) AS BIGINT) AS mode_n,
                 count(*) AS n_buckets
-         FROM b GROUP BY 1 ORDER BY event_type"""
+         FROM b GROUP BY 1 ORDER BY event_type""",
+    // epoch-day dow arithmetic; cross-multiplied rate ratio.
+    "q176_weekday" ->
+      """WITH t AS (SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
+                           ((epoch_us(ts) // 86400000000) + 3) % 7 >= 5 AS wknd
+                    FROM events),
+         c AS (SELECT event_type,
+                      count(CASE WHEN NOT wknd THEN 1 END) wd_n,
+                      count(CASE WHEN wknd THEN 1 END) we_n
+               FROM t GROUP BY 1),
+         dd AS (SELECT count(CASE WHEN NOT wknd THEN 1 END) wd_days,
+                       count(CASE WHEN wknd THEN 1 END) we_days
+                FROM (SELECT DISTINCT day, wknd FROM t))
+         SELECT event_type, wd_n, we_n,
+                (wd_n * we_days * 1000000) // (we_n * wd_days) AS lift_ppm
+         FROM c, dd ORDER BY event_type"""
   )
 }
