@@ -78,7 +78,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q151_gini", // sources-sized ranks × broadcast 1-row count
       "q152_diurnal", // types×24 grid — types-sized spine (q136 shape)
       "q158_indep", // cells × broadcast 1-row grand total
-      "q165_trigger") // converted count × broadcast 1-row views total
+      "q165_trigger", // converted count × broadcast 1-row views total
+      "q176_weekday") // types-sized counts × broadcast 1-row day totals
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
