@@ -277,6 +277,62 @@ object RelationalQueries {
           .cast(DoubleType).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Fulfillment aging — days from order to LAST shipment per order,
+    // exact median per priority (the q144 dual-rank med2 discipline —
+    // order-lifecycle SLA reporting without a float percentile). The
+    // per-order rollup is the only fact-sized work; the rank window
+    // partitions by priority over orders-sized groups (q92's
+    // histogram is the documented corpus-sized-group path).
+    "q177_aging" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val aged = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderdate"))
+        .agg(max(col("l_shipdate")).as("last_ship"))
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          expr("datediff(last_ship, o_orderdate)").cast(LongType).as("age_days"))
+      val w = Window.partitionBy("o_orderpriority").orderBy("age_days", "o_orderkey")
+      aged.withColumn("r", row_number().over(w))
+        .withColumn("m", count(lit(1)).over(Window.partitionBy("o_orderpriority")))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("r") * 2 === col("m") + 1, col("age_days") * 2)
+            .when(col("r") * 2 === col("m"), col("age_days"))
+            .when(col("r") * 2 === col("m") + 2, col("age_days"))
+            .otherwise(lit(0L))).as("med2_days"),
+          max(col("age_days")).as("max_days"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // RFM segmentation — the classic customer scoring (recency of
+    // last order, frequency, monetary value) quartiled per dimension
+    // into a 3-digit segment code. Everything deterministic: quartile
+    // = ntile(4) over a total order with c_custkey tiebreaks, money
+    // exact in cents. One customer-sized rollup feeds three
+    // customers-sized windows — the fact table is touched once.
+    "q178_rfm" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("freq"),
+          sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"))
+            .as("cents"))
+      def q(c: String, tieAsc: Boolean) = ntile(4).over(
+        if (tieAsc) Window.orderBy(col(c), col("o_custkey"))
+        else Window.orderBy(col(c).desc, col("o_custkey")))
+      per
+        .withColumn("r_q", q("last_order", tieAsc = false)) // recent = 1
+        .withColumn("f_q", q("freq", tieAsc = false))       // frequent = 1
+        .withColumn("m_q", q("cents", tieAsc = false))      // big spender = 1
+        .groupBy(concat(col("r_q").cast(StringType), col("f_q").cast(StringType),
+          col("m_q").cast(StringType)).as("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("cents"))
+        .orderBy("segment")
     })
   )
 
@@ -386,6 +442,40 @@ object RelationalQueries {
            AND o_orderdate >= TIMESTAMP '1996-01-01'
            AND o_orderdate < TIMESTAMP '1998-01-01'
          GROUP BY n_name
-         ORDER BY revenue DESC, n_name"""
+         ORDER BY revenue DESC, n_name""",
+    // per-order last-ship rollup; dual-rank exact median per priority.
+    "q177_aging" ->
+      """WITH a AS (
+           SELECT o_orderkey, o_orderpriority, o_orderdate, max(l_shipdate) last_ship
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY 1, 2, 3),
+         g AS (SELECT o_orderpriority, o_orderkey,
+                      CAST(date_diff('day', o_orderdate, last_ship) AS BIGINT) age_days
+               FROM a),
+         r AS (SELECT o_orderpriority, age_days,
+                      row_number() OVER (PARTITION BY o_orderpriority ORDER BY age_days, o_orderkey) r,
+                      count(*) OVER (PARTITION BY o_orderpriority) m
+               FROM g)
+         SELECT o_orderpriority, count(*) n_orders,
+                CAST(sum(CASE WHEN r*2 = m+1 THEN age_days*2
+                              WHEN r*2 = m OR r*2 = m+2 THEN age_days
+                              ELSE 0 END) AS BIGINT) med2_days,
+                CAST(max(age_days) AS BIGINT) max_days
+         FROM r GROUP BY 1 ORDER BY o_orderpriority""",
+    // customer rollup → three deterministic ntile(4) windows → 3-digit
+    // segment code rollup.
+    "q178_rfm" ->
+      """WITH per AS (
+           SELECT o_custkey, max(o_orderdate) last_order, count(*) freq,
+                  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) cents
+           FROM orders GROUP BY 1),
+         t AS (SELECT *,
+                 ntile(4) OVER (ORDER BY last_order DESC, o_custkey) r_q,
+                 ntile(4) OVER (ORDER BY freq DESC, o_custkey) f_q,
+                 ntile(4) OVER (ORDER BY cents DESC, o_custkey) m_q
+               FROM per)
+         SELECT CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR) AS segment,
+                count(*) n_customers, CAST(sum(cents) AS BIGINT) cents
+         FROM t GROUP BY 1 ORDER BY segment"""
   )
 }
