@@ -265,6 +265,29 @@ object EngineQueries {
           forward = true)
         .select(col("event_id").as("purchase_id"), col("click_id"))
         .orderBy("purchase_id")
+    }),
+
+    // Recency enrichment — the native as-of COMPOSING with the rest
+    // of the engine (an operator that only works standalone isn't an
+    // operator): every event picks up the user's most recent prior
+    // purchase, then a type-level rollup reports how much activity
+    // happens in a purchase's shadow and the exact mean gap. The
+    // as-of output streams straight into the partial-agg'd rollup —
+    // no materialization between the custom exec and the aggregate.
+    "q179_recency" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ns"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts_ns").as("pts")).distinct()
+      graft.plans.AsOf.join(e, purchases, "user_id", "pu", "ts_ns", "pts")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(col("pts")).as("n_after_purchase"),
+          sum(expr("(ts_ns - pts) div 1000")).as("sum_gap_us"))
+        .select(col("event_type"), col("n"), col("n_after_purchase"),
+          expr("case when n_after_purchase = 0 then null else sum_gap_us div n_after_purchase end")
+            .as("mean_gap_us"))
+        .orderBy("event_type")
     })
   )
 
@@ -409,6 +432,17 @@ object EngineQueries {
                FROM events WHERE event_type = 'click' GROUP BY 1, 2)
          SELECT p.event_id AS purchase_id, c.click_id
          FROM p ASOF LEFT JOIN c ON p.user_id = c.cu AND p.us <= c.cts
-         ORDER BY purchase_id"""
+         ORDER BY purchase_id""",
+    // ASOF enrich → type rollup; exact integer mean gap.
+    "q179_recency" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) us FROM events),
+         p AS (SELECT DISTINCT user_id pu, epoch_us(ts) pts
+               FROM events WHERE event_type = 'purchase'),
+         j AS (SELECT e.event_type, e.us, p.pts
+               FROM e ASOF LEFT JOIN p ON e.user_id = p.pu AND e.us >= p.pts)
+         SELECT event_type, count(*) n, count(pts) n_after_purchase,
+                CASE WHEN count(pts) = 0 THEN NULL
+                     ELSE CAST(sum(us - pts) AS BIGINT) // count(pts) END AS mean_gap_us
+         FROM j GROUP BY 1 ORDER BY event_type"""
   )
 }
