@@ -445,6 +445,30 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_nodes"),
           min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
         .orderBy("bucket")
+    }),
+
+    // N-gram novelty — the memorization-risk proxy: what fraction of
+    // a document's distinct 3-word shingles appear NOWHERE else in
+    // the corpus? Low novelty = the doc restates the corpus (high
+    // memorization pressure, low training value); the df=1 test is
+    // exact, not a sketch. Shape: ONE barriered shingle explode feeds
+    // both the df count (gram-keyed, map-side combined) and the
+    // per-doc re-join — the same two-pass discipline as q46's
+    // TF-IDF, shuffling (gram-hash, doc_id) pairs only.
+    "q180_novelty" -> ((s, d) => {
+      val sh = graft.ops.Barrier(Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.Functions.word_shingles3(
+            trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))))
+            .as("g")))
+      val df = sh.groupBy("g").agg(count(lit(1)).as("df"))
+      sh.join(df, Seq("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("df") === 1, 1)).as("n_unique"))
+        .select(col("doc_id"), col("n_grams"), col("n_unique"),
+          expr("(n_unique * 1000000) div n_grams").as("novelty_ppm"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1328,6 +1352,21 @@ object DedupQueries {
          SELECT CAST(length(bin(deg)) AS BIGINT) bucket,
                 count(*) n_nodes,
                 CAST(min(deg) AS BIGINT) min_deg, CAST(max(deg) AS BIGINT) max_deg
-         FROM deg GROUP BY 1 ORDER BY bucket"""
+         FROM deg GROUP BY 1 ORDER BY bucket""",
+    // distinct 3-gram sets per doc; df=1 grams are corpus-unique.
+    "q180_novelty" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(
+             list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2],' ')))) g
+           FROM w WHERE len(words) >= 3),
+         df AS (SELECT g, count(*) df FROM sh GROUP BY 1)
+         SELECT sh.doc_id, count(*) n_grams,
+                count(CASE WHEN df.df = 1 THEN 1 END) n_unique,
+                (count(CASE WHEN df.df = 1 THEN 1 END) * 1000000) // count(*) AS novelty_ppm
+         FROM sh JOIN df USING (g)
+         GROUP BY 1 ORDER BY doc_id"""
   )
 }

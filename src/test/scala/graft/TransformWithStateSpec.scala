@@ -73,6 +73,68 @@ class TransformWithStateSpec extends AnyFunSuite {
     }
   }
 
+  test("state survives a query RESTART: resumed profile equals the batch aggregate") {
+    // stop the query entirely, add more data, start a NEW query on the
+    // same checkpoint — the RocksDB state must carry the per-user
+    // counters across the restart (the durability half of the
+    // arbitrary-state contract; the first test only proves
+    // cross-batch carry within one run)
+    val srcDir = tmp("twsr-src")
+    val ckpt = tmp("twsr-ckpt")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // memory sink refuses checkpoint recovery — the ledger sink is
+      // the restart-capable one (and reuses the exactly-once writer)
+      val ledger = tmp("twsr-ledger")
+      def runOnce(): Unit = {
+        val stream = spark.readStream
+          .schema(Tables.events(spark, sf).schema)
+          .parquet(srcDir)
+        val q = UserProfile.profiles(stream.toDF()).toDF()
+          .writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch(graft.streaming.IdempotentSink.parquetWriter(ledger))
+          .start()
+        q.awaitTermination()
+        q.stop()
+        val deadline = System.nanoTime() + 30_000_000_000L
+        while (spark.streams.active.exists(_.id == q.id) && System.nanoTime() < deadline)
+          Thread.sleep(100)
+      }
+      Files.copy(Paths.get(s"$sf/events.parquet"),
+        Paths.get(s"$srcDir/part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      runOnce()
+      Files.copy(Paths.get(s"$sf/events.parquet"),
+        Paths.get(s"$srcDir/part-1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      runOnce() // restart: state must resume, not reset
+
+      val finalRows = graft.streaming.IdempotentSink.read(spark, ledger)
+        .groupBy("user_id")
+        .agg(max(struct(col("n"), col("cents"), col("purchases"))).as("s"))
+        .select(col("user_id"), col("s.n"), col("s.cents"), col("s.purchases"))
+      val one = Tables.events(spark, sf)
+      val expect = one.union(one)
+        .select(col("user_id"),
+          (col("value") * 100).cast("long").as("cents"),
+          col("event_type"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          count(when(col("event_type") === "purchase", 1)).as("purchases"))
+      assert(finalRows.exceptAll(expect).isEmpty && expect.exceptAll(finalRows).isEmpty,
+        "restarted profile diverged — state did not survive the restart")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("event-time timers close idle sessions once, with exact batch-equal stats") {
     val srcDir = tmp("twst-src")
     Files.copy(Paths.get(s"$sf/events.parquet"),
