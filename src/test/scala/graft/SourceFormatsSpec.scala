@@ -51,6 +51,56 @@ class SourceFormatsSpec extends AnyFunSuite {
     assert(rows(back).sameElements(rows(base)))
   }
 
+  test("partitioned write prunes partitions at the scan (PartitionFilters)") {
+    val dir = tmp("fmt-part") + "/events"
+    base.write.partitionBy("event_type").parquet(dir)
+    val df = spark.read.parquet(dir).filter(col("event_type") === "purchase")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"partition filter did not reach the scan:\n$plan")
+    // only the purchase partition's rows are read (inputFiles lists
+    // the whole relation, so pin the count + the pruned filter text)
+    assert(df.count() ===
+      Tables.events(spark, sf).filter(col("event_type") === "purchase").count())
+    assert(plan.contains("= purchase)"),
+      s"purchase partition predicate not visible in scan:\n$plan")
+  }
+
+  test("runtime bloom filter auto-injects on a selective dim join") {
+    // q52 builds its bloom prefilter explicitly; Spark's own
+    // InjectRuntimeFilter should produce the same shape
+    // automatically when enabled — pin that the session is capable
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtimeFilter.number.threshold" -> "10",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dir = tmp("fmt-bloom") + "/events"
+      base.write.parquet(dir)
+      // the rule only injects when the application side already has a
+      // shuffle to hide the filter behind — as any real aggregation/
+      // repartition pipeline does
+      val fact = spark.read.parquet(dir).repartition(col("event_id"))
+      // creation side must be a SELECTIVE Filter(+Project) directly
+      // over a scan — an Aggregate (distinct) disqualifies it
+      val dim = spark.read.parquet(s"$sf/events.parquet")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("k"))
+      val plan = fact.join(dim, col("event_id") === col("k"))
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg") || plan.contains("BloomFilter")
+        || plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("orc scan pushes predicates and prunes columns like parquet") {
     val dir = tmp("fmt-orc-plan") + "/events"
     base.write.orc(dir)
