@@ -333,6 +333,29 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_customers"),
           sum(col("cents")).as("cents"))
         .orderBy("segment")
+    }),
+
+    // Order backlog curve — open orders over time as a delta stream:
+    // +1 at placement, −1 at the LAST shipment, day-keyed net change,
+    // running sum over the calendar-bounded day axis. The event-
+    // sourcing pattern every inventory/WIP dashboard runs: the only
+    // corpus-sized work is the per-order completion rollup; the
+    // running sum's unpartitioned window rides the days-sized table
+    // (q66's documented bound).
+    "q181_backlog" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val placed = Tables.orders(s, d)
+        .select(to_date(col("o_orderdate")).as("day"), lit(1L).as("delta"))
+      val completed = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(max(to_date(col("l_shipdate"))).as("day"))
+        .select(col("day"), lit(-1L).as("delta"))
+      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+      placed.unionAll(completed)
+        .groupBy("day").agg(sum(col("delta")).as("net"))
+        .withColumn("backlog", sum(col("net")).over(w))
+        .orderBy("day").limit(500)
     })
   )
 
@@ -476,6 +499,21 @@ object RelationalQueries {
                FROM per)
          SELECT CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR) AS segment,
                 count(*) n_customers, CAST(sum(cents) AS BIGINT) cents
-         FROM t GROUP BY 1 ORDER BY segment"""
+         FROM t GROUP BY 1 ORDER BY segment""",
+    // ±1 delta stream; day-keyed net; calendar running sum.
+    "q181_backlog" ->
+      """WITH placed AS (
+           SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day, CAST(1 AS BIGINT) delta
+           FROM orders),
+         done AS (
+           SELECT CAST(date_trunc('day', max(l_shipdate)) AS DATE) AS day, CAST(-1 AS BIGINT) delta
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY o_orderkey),
+         net AS (SELECT day, CAST(sum(delta) AS BIGINT) net
+                 FROM (SELECT * FROM placed UNION ALL SELECT * FROM done)
+                 GROUP BY 1)
+         SELECT day, net,
+                CAST(sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) backlog
+         FROM net ORDER BY day LIMIT 500"""
   )
 }
