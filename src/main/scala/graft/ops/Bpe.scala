@@ -57,11 +57,20 @@ object Bpe {
       posexplode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
         .as(Seq("pos", "sym")))
 
+  /** Attach the `nxt` lookahead column if absent. Within [[train]]
+    * the lookahead is computed ONCE per round inside [[applyMerge]]'s
+    * own window stage and rides the materialized frame, so
+    * [[pairCounts]] needs no sort of its own — per-round cost drops
+    * from two (w, pos) sorts to one. */
+  private def withNext(syms: DataFrame): DataFrame =
+    if (syms.columns.contains("nxt")) syms
+    else syms.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+
   /** Freq-weighted adjacent-pair counts. Overlapping occurrences all
     * count ("aaa" has (a,a) twice) — the training statistic, distinct
     * from the non-overlapping APPLICATION rule. */
   def pairCounts(syms: DataFrame): DataFrame =
-    syms.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+    withNext(syms)
       .filter(col("nxt").isNotNull)
       .groupBy(col("sym").as("lhs"), col("nxt").as("rhs"))
       .agg(sum(col("freq")).as("n"))
@@ -83,10 +92,15 @@ object Bpe {
     * start positions; selected iff (pos − runstart) is even (runs
     * longer than one candidate only exist when a = b); the row after
     * a selected candidate is consumed. Positions are then renumbered
-    * dense so the next round's adjacency is positional again. */
+    * dense so the next round's adjacency is positional again.
+    *
+    * The output carries the NEXT round's `nxt` lookahead computed in
+    * the same pipeline: after the consumed-row filter the rows are
+    * still (w, pos)-sorted and w-clustered from the first window
+    * stage, so the trailing row_number/lead window adds NO exchange
+    * and NO sort — one (w, pos) sort per merge round total. */
   def applyMerge(syms: DataFrame, a: String, b: String): DataFrame =
-    syms
-      .withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+    withNext(syms)
       .withColumn("cand", col("sym") === a && col("nxt") === b)
       .withColumn("st",
         when(col("cand") && !coalesce(lag(col("cand"), 1).over(wOrd), lit(false)),
@@ -96,11 +110,14 @@ object Bpe {
         col("cand") && (col("pos") - col("runstart")) % 2 === 0)
       .withColumn("selprev",
         coalesce(lag(col("selhere"), 1).over(wOrd), lit(false)))
+      .withColumn("newsym",
+        when(col("selhere"), concat(col("sym"), col("nxt")))
+          .otherwise(col("sym")))
       .filter(!col("selprev"))
       .select(col("w"), col("freq"),
         row_number().over(wOrd).as("npos"),
-        when(col("selhere"), concat(col("sym"), col("nxt")))
-          .otherwise(col("sym")).as("sym"))
+        col("newsym").as("sym"),
+        lead(col("newsym"), 1).over(wOrd).as("nxt"))
       .withColumnRenamed("npos", "pos")
 
   /** Train `rounds` merge rules over a (w, freq) vocabulary. Returns
@@ -108,7 +125,10 @@ object Bpe {
     * vocabulary's tokenization under the trained merges. */
   def train(vocab: DataFrame, rounds: Int): (Seq[Merge], DataFrame) = {
     require(rounds >= 1, s"Bpe.train: rounds must be >= 1, got $rounds")
-    var syms = Barrier(explodeSyms(vocab))
+    // each barriered round frame carries its own `nxt` lookahead, so
+    // bestPair's pair aggregate reads the materialized rows with no
+    // window sort — the round's single sort lives inside applyMerge
+    var syms = Barrier(withNext(explodeSyms(vocab)))
     val merges = Seq.newBuilder[Merge]
     var k = 0
     var exhausted = false
@@ -121,6 +141,6 @@ object Bpe {
       }
       k += 1
     }
-    (merges.result(), syms)
+    (merges.result(), syms.drop("nxt"))
   }
 }

@@ -103,7 +103,11 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val numOutputRows = longMetric("numOutputRows")
     val numMatched = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
-      val joiner = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      // bind against NULLABLE right attrs: a non-nullable input field
+      // would elide the null check and read the null-extended row's
+      // slot as 0 instead of NULL
+      val joiner =
+        UnsafeProjection.create(outAttrs, lOut ++ rOut.map(_.withNullability(true)))
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.length)
       // one-row lookahead on the right; candidate = last right row of
@@ -112,9 +116,23 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var cand: InternalRow = null
       var candKey = 0L
       var haveCand = false
+      // a right row with NULL key or time can never match; nulls sort
+      // first under the child's ascending SortOrder, so skipping them
+      // as they surface never skips a live candidate
+      def rightKeyOf(row: InternalRow): java.lang.Long =
+        rk.eval(row).asInstanceOf[java.lang.Long]
+      def advanceRight(): Unit = { head = if (ri.hasNext) ri.next().copy() else null }
       li.map { lrow =>
-        val k = lk.eval(lrow).asInstanceOf[Long]
-        val t = lt.eval(lrow).asInstanceOf[Long]
+        val kBoxed = lk.eval(lrow).asInstanceOf[java.lang.Long]
+        val tBoxed = lt.eval(lrow).asInstanceOf[java.lang.Long]
+        if (kBoxed == null || tBoxed == null) {
+          // SQL semantics: NULL key/time matches nothing — null-extend
+          // instead of unboxing to 0 and stealing key-0 candidates
+          numOutputRows += 1
+          joiner(joined(lrow, nullRight))
+        } else {
+        val k: Long = kBoxed
+        val t: Long = tBoxed
         if (haveCand && candKey != k) { haveCand = false; cand = null }
         if (forward) {
           // FIRST right row with the same key and time >= t: discard
@@ -123,12 +141,19 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           // itself is the candidate iff the key matches
           var advancing = true
           while (advancing && head != null) {
-            val hk = rk.eval(head).asInstanceOf[Long]
-            if (hk < k || (hk == k && rt.eval(head).asInstanceOf[Long] < t))
-              head = if (ri.hasNext) ri.next().copy() else null
-            else advancing = false
+            val hkBoxed = rightKeyOf(head)
+            val htBoxed = rt.eval(head).asInstanceOf[java.lang.Long]
+            if (hkBoxed == null || htBoxed == null) advanceRight()
+            else {
+              val hk: Long = hkBoxed
+              if (hk < k || (hk == k && htBoxed.longValue < t)) advanceRight()
+              else advancing = false
+            }
           }
-          val hit = head != null && rk.eval(head).asInstanceOf[Long] == k
+          val hit = head != null && {
+            val hkBoxed = rightKeyOf(head)
+            hkBoxed != null && hkBoxed.longValue == k
+          }
           numOutputRows += 1
           if (hit) numMatched += 1
           joiner(joined(lrow, if (hit) head else nullRight))
@@ -136,15 +161,21 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           // LAST right row with the same key and time <= t
           var advancing = true
           while (advancing && head != null) {
-            val hk = rk.eval(head).asInstanceOf[Long]
-            if (hk < k || (hk == k && rt.eval(head).asInstanceOf[Long] <= t)) {
-              if (hk == k) { cand = head; candKey = k; haveCand = true }
-              head = if (ri.hasNext) ri.next().copy() else null
-            } else advancing = false
+            val hkBoxed = rightKeyOf(head)
+            val htBoxed = rt.eval(head).asInstanceOf[java.lang.Long]
+            if (hkBoxed == null || htBoxed == null) advanceRight()
+            else {
+              val hk: Long = hkBoxed
+              if (hk < k || (hk == k && htBoxed.longValue <= t)) {
+                if (hk == k) { cand = head; candKey = k; haveCand = true }
+                advanceRight()
+              } else advancing = false
+            }
           }
           numOutputRows += 1
           if (haveCand) numMatched += 1
           joiner(joined(lrow, if (haveCand) cand else nullRight))
+        }
         }
       }
     }

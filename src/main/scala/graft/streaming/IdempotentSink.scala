@@ -40,7 +40,22 @@ object IdempotentSink {
         batch.write.mode("overwrite").parquet(target.toString)
   }
 
-  /** The ledger read back as one DataFrame (all batches). */
-  def read(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    spark.read.option("basePath", dir).parquet(s"$dir/batch_id=*")
+  /** The ledger read back as one DataFrame — COMMITTED batches only.
+    * A torn directory (crash mid-write, before the replay overwrote
+    * it) has no `_SUCCESS` marker; globbing it in would surface
+    * partial data, so reads list the ledger root (one driver-side
+    * metadata listing — the ledger has one entry per micro-batch,
+    * not per row) and keep only marker-bearing directories. */
+  def read(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.toString)
+    if (committed.isEmpty)
+      spark.emptyDataFrame
+    else
+      spark.read.option("basePath", dir).parquet(committed: _*)
+  }
 }

@@ -71,9 +71,11 @@ object UserProfile {
     events
       .select(col("user_id").cast(LongType).as("user_id"),
         col("event_type"),
-        // exact integer cents: scale BEFORE state, one double op per
-        // row (bit-identical in any engine), never a float running sum
-        (col("value") * 100).cast(LongType).as("cents"))
+        // exact integer cents: ROUND(value*100) BEFORE state, one
+        // deterministic double op per row (round, not truncate —
+        // 0.29 is the double 28.999999999999996 after *100, and a
+        // bare cast would lose a cent), never a float running sum
+        (round(col("value") * 100)).cast(LongType).as("cents"))
       .as[In]
       .groupByKey(_.user_id)
       .transformWithState(new Processor(), TimeMode.None(), OutputMode.Update())

@@ -46,6 +46,31 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("NULL key/time: null left rows null-extend, null right rows never match") {
+    import spark.implicits._
+    // left: one live row per key 0/1, plus a null-key and a null-time row
+    val l = Seq[(java.lang.Long, java.lang.Long, Long)](
+      (0L, 10L, 1L), (1L, 10L, 2L), (null, 10L, 3L), (0L, null, 4L))
+      .toDF("k", "t", "lid")
+    // right: key-0/time-0 bait (a null unboxed to 0L would steal it),
+    // a real key-1 candidate, and null-key/null-time rows that must
+    // never surface as matches
+    val r = Seq[(java.lang.Long, java.lang.Long, Long)](
+      (0L, 0L, 10L), (1L, 5L, 11L), (null, 1L, 12L), (1L, null, 13L))
+      .toDF("rk", "rt", "rid")
+    val got = AsOf.join(l, r, "k", "rk", "t", "rt")
+      .select("lid", "rid").collect()
+      .map(row => (row.getLong(0), if (row.isNullAt(1)) -1L else row.getLong(1)))
+      .toMap
+    assert(got === Map(1L -> 10L, 2L -> 11L, 3L -> -1L, 4L -> -1L))
+    // forward mode: same null discipline
+    val fwd = AsOf.join(l, r, "k", "rk", "t", "rt", forward = true)
+      .select("lid", "rid").collect()
+      .map(row => (row.getLong(0), if (row.isNullAt(1)) -1L else row.getLong(1)))
+      .toMap
+    assert(fwd(3L) === -1L && fwd(4L) === -1L)
+  }
+
   test("forward mode matches brute force (first right row at or after)") {
     val (l, r) = randomSides(99, 500, 300)
     val got = AsOf.join(l, r, "k", "rk", "t", "rt", forward = true)

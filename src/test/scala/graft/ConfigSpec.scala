@@ -30,6 +30,31 @@ class ConfigSpec extends AnyFunSuite {
     assert(got === Right(want))
   }
 
+  test("the reference's own example config parses deep-equal (example/kafka-firehose-nozzle.toml)") {
+    // byte-for-byte copy of the reference's shipped example file —
+    // trailing comments after values, a token alongside uaa creds,
+    // and an indented [kafka.topic] section all in one fixture
+    val got = GraftConfig.load("fixtures/example-kafka-firehose-nozzle.toml")
+    val want = GraftConfig(
+      subscriptionID = "example-kafka-firehose-nozzle",
+      cf = CfConfig(
+        dopplerAddr = "wss://doppler...",
+        uaaAddr = "https://uaa...",
+        username = "tcnksm",
+        password = "xyz",
+        token = "np9q8b4qp3;vqo...."),
+      kafka = KafkaConfig(
+        brokers = Seq("192.168.1.1:9092", "192.168.1.2:9092", "192.168.1.3:9092"),
+        retryMax = 10,
+        retryBackoffMs = 500,
+        compression = "none",
+        topic = TopicConfigT(
+          logMessage = "log",
+          logMessageFmt = "log-%s",
+          valueMetric = "metric")))
+    assert(got === Right(want))
+  }
+
   test("missing file surfaces a no-such-file error (config_test.go:45-50)") {
     val got = GraftConfig.load("fixtures/not-exist.toml")
     assert(got.isLeft)

@@ -71,5 +71,16 @@ class IdempotentSinkSpec extends AnyFunSuite {
       s"idempotent ledger diverged: $ledgerN vs $expected")
     assert(naiveN === expected + expected / 2,
       s"naive append should have duplicated the replayed batch: $naiveN")
+
+    // torn batch: a directory with data files but no _SUCCESS marker
+    // (crash mid-write, replay never happened) must be invisible to
+    // readers — read() keeps only committed directories
+    val torn = Paths.get(ledger, "batch_id=99")
+    Files.createDirectories(torn)
+    val anyPart = Files.list(Paths.get(ledger, "batch_id=0"))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    Files.copy(anyPart, torn.resolve("part-torn.parquet"))
+    assert(IdempotentSink.read(spark, ledger).count() === ledgerN,
+      "uncommitted batch directory leaked into the ledger read")
   }
 }

@@ -56,7 +56,7 @@ class TransformWithStateSpec extends AnyFunSuite {
       val one = Tables.events(spark, sf)
       val expect = one.union(one)
         .select(col("user_id"),
-          (col("value") * 100).cast("long").as("cents"),
+          round(col("value") * 100).cast("long").as("cents"),
           col("event_type"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
@@ -120,7 +120,7 @@ class TransformWithStateSpec extends AnyFunSuite {
       val one = Tables.events(spark, sf)
       val expect = one.union(one)
         .select(col("user_id"),
-          (col("value") * 100).cast("long").as("cents"),
+          round(col("value") * 100).cast("long").as("cents"),
           col("event_type"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
