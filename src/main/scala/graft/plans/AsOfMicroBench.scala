@@ -36,11 +36,11 @@ object AsOfMicroBench {
 
     // deterministic skewless keyed series; times unique within key
     val l = spark.range(nl).select(
-      (col("id") % keys).as("k"), (col("id") / keys).as("t"),
+      (col("id") % keys).as("k"), expr(s"id div $keys").as("t"),
       col("id").as("lid"))
     val r = spark.range(nr).select(
       (col("id") % keys).as("rk"),
-      ((col("id") / keys) * 2).as("rt"), col("id").as("rid"))
+      expr(s"(id div $keys) * 2").as("rt"), col("id").as("rid"))
 
     def time(f: => Long): Double = {
       val t0 = System.nanoTime(); val n = f
@@ -48,12 +48,16 @@ object AsOfMicroBench {
     }
     def minOf(runs: Int)(f: => Long): Double =
       (1 to runs).map(_ => time(f)).min
+    // force the join RESULT to be computed: a bare count() lets
+    // column pruning delete the window/merge entirely
+    def sumRid(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("rid"))).head().getLong(0)
 
     // warm-up both paths once
     AsOf.join(l, r, "k", "rk", "t", "rt").count()
 
     val native = minOf(5) {
-      AsOf.join(l, r, "k", "rk", "t", "rt").count()
+      sumRid(AsOf.join(l, r, "k", "rk", "t", "rt"))
     }
     val win = minOf(5) {
       // running struct-max composition of the same backward as-of
@@ -63,11 +67,10 @@ object AsOfMicroBench {
           lit(null).cast("long").as("lid"), col("rid"), lit(false).as("isL")))
       val w = Window.partitionBy("k").orderBy("t", "isL")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      tagged
+      sumRid(tagged
         .withColumn("m", max(when(!col("isL"), struct(col("t"), col("rid")))).over(w))
         .filter(col("isL"))
-        .select(col("lid"), col("m.rid").as("rid"))
-        .count()
+        .select(col("lid"), col("m.rid").as("rid")))
     }
     val sortonly = minOf(5) {
       // the codegen'd scaffolding alone: exchange + sort both sides

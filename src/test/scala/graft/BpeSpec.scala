@@ -69,6 +69,16 @@ class BpeSpec extends AnyFunSuite {
     assert(tokensOf(toks1, "then") === Seq("the", "n"))
   }
 
+  test("applyMerge plan: ONE (w, pos) sort per round — trailing renumber/lookahead window rides the first sort's order") {
+    val syms = Bpe.explodeSyms(vocab("aaaa" -> 1L, "babab" -> 2L))
+    // nxt attached (the train-loop shape): the merge's selection
+    // window needs one sort; the final row_number+lead window must
+    // reuse that order (filter/project preserve it), adding none
+    val plan = Bpe.applyMerge(syms, "a", "a").queryExecution.executedPlan.toString
+    val sorts = "(?m)^\\s*[+:*-]*\\s*Sort ".r.findAllIn(plan).length
+    assert(sorts === 1, s"expected exactly 1 Sort in applyMerge plan, got $sorts:\n$plan")
+  }
+
   test("train stops early when no pairs remain") {
     val (m, toks) = Bpe.train(vocab("ab" -> 1L), 5)
     assert(m.map(x => (x.lhs, x.rhs, x.n)) === Seq(("a", "b", 1L)))
