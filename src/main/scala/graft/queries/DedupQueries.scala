@@ -131,6 +131,52 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // LSH banding-recall audit — the index-quality gate for DEDUP
+    // that q77 is for ANN: q126 calibrates the estimator on pairs the
+    // banding SURFACED, but only a ground-truth block can show what
+    // banding MISSED (6 bands × 2 rows has theoretical recall ~0.93
+    // at j = 0.6 — misses are expected, and a pipeline dropping
+    // billions of docs on this index should measure them). Design:
+    // every doc hashes into one of 200 deterministic blocks (the q41
+    // md5 gate), blocks 0-7 form the audit sample; ground truth =
+    // exact-Jaccard-≥-0.6 pairs WITHIN a block (block-local pairs are
+    // an unbiased pair sample, and the all-pairs work stays inside
+    // blocks — an equi-join on blk, never a corpus cartesian);
+    // found = those pairs q18's band join also surfaced. At 100 TB
+    // the modulus grows ∝ corpus so block size (and per-block pair
+    // budget) stays constant — the q146 guard discipline.
+    "q183_lsh_recall" -> ((s, d) => {
+      val blkCol = expr(
+        "pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint), 200)")
+      val sampled = graft.ops.Barrier(shingleSets(s, d)
+        .withColumn("blk", blkCol).filter(col("blk") < 8)
+        .select(col("blk"), col("doc_id"), col("sset"),
+          size(col("sset")).cast(LongType).as("nset")))
+      val l = sampled.select(col("blk"), col("doc_id").as("doc_a"),
+        col("sset").as("sa"), col("nset").as("na"))
+      val r = sampled.select(col("blk"), col("doc_id").as("doc_b"),
+        col("sset").as("sb"), col("nset").as("nb"))
+      val truth = l.join(r, Seq("blk"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("inter",
+          graft.Functions.sorted_intersect_count(col("sa"), col("sb")))
+        .withColumn("uni", col("na") + col("nb") - col("inter"))
+        .filter(col("inter") * 5 >= col("uni") * 3)
+        .select(col("blk"), col("doc_a"), col("doc_b"))
+      val found = minhashNearDupPairs(s, d)
+        .select(col("doc_a"), col("doc_b")).withColumn("hit", lit(1L))
+      val per = truth.join(found, Seq("doc_a", "doc_b"), "left_outer")
+        .groupBy("blk")
+        .agg(count(lit(1)).as("true_pairs"),
+          sum(coalesce(col("hit"), lit(0L))).as("found_pairs"))
+      sampled.groupBy("blk").agg(count(lit(1)).as("n_docs"))
+        .join(per, Seq("blk"), "left_outer")
+        .select(col("blk"), col("n_docs"),
+          coalesce(col("true_pairs"), lit(0L)).as("true_pairs"),
+          coalesce(col("found_pairs"), lit(0L)).as("found_pairs"))
+        .orderBy("blk")
+    }),
+
     // Containment scoring — the ASYMMETRIC near-dup measure Jaccard
     // resemblance can't express: C(A,B) = |S_A ∩ S_B| / min(|S_A|,
     // |S_B|) flags a short document embedded in a longer one (quotes,
@@ -834,6 +880,54 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
 
   val oracleSql: Map[String, String] = Map(
+    "q183_lsh_recall" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2],' ')) shingles
+           FROM w WHERE len(words) >= 3),
+         ss AS (SELECT doc_id, list_distinct(shingles) sset FROM sh),
+         hsv AS (
+           SELECT doc_id, sset, len(sset) nset,
+                  list_transform(sset, x -> CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) % 2147483647) hs
+           FROM ss),
+         m AS (
+           SELECT doc_id, sset, nset,
+             [list_aggregate(list_transform(hs, hm ->
+                ((CAST(1103515245 AS BIGINT) * (k+1) + 12345) % 2147483647 * hm + 977 * (k+1)) % 2147483647), 'min')
+              for k in range(0,12)] mh
+           FROM hsv),
+         bands AS (
+           SELECT doc_id, j, mh[2*j+1] * 2147483647 + mh[2*j+2] sig
+           FROM m, unnest(range(0,6)) t(j)),
+         cand AS (
+           SELECT DISTINCT a.doc_id da, b.doc_id db
+           FROM bands a JOIN bands b ON a.j=b.j AND a.sig=b.sig AND a.doc_id < b.doc_id),
+         pairs AS (
+           SELECT da, db
+           FROM cand JOIN hsv x ON da=x.doc_id JOIN hsv y ON db=y.doc_id
+           WHERE 5*len(list_intersect(x.sset, y.sset)) >= 3*(x.nset + y.nset - len(list_intersect(x.sset, y.sset)))),
+         samp AS (
+           SELECT doc_id, sset, nset,
+                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 200 blk
+           FROM hsv
+           WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 200 < 8),
+         truth AS (
+           SELECT a.blk, a.doc_id da, b.doc_id db
+           FROM samp a JOIN samp b ON a.blk = b.blk AND a.doc_id < b.doc_id
+           WHERE 5*len(list_intersect(a.sset, b.sset)) >= 3*(a.nset + b.nset - len(list_intersect(a.sset, b.sset)))),
+         per AS (
+           SELECT t.blk, CAST(count(*) AS BIGINT) true_pairs,
+                  CAST(sum(CASE WHEN p.da IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) found_pairs
+           FROM truth t LEFT JOIN pairs p ON t.da = p.da AND t.db = p.db
+           GROUP BY t.blk),
+         docs AS (SELECT blk, CAST(count(*) AS BIGINT) n_docs FROM samp GROUP BY blk)
+         SELECT d.blk, d.n_docs,
+                coalesce(per.true_pairs, 0) AS true_pairs,
+                coalesce(per.found_pairs, 0) AS found_pairs
+         FROM docs d LEFT JOIN per ON d.blk = per.blk
+         ORDER BY d.blk""",
     "q63_incdedup" ->
       """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) t
                     FROM documents),

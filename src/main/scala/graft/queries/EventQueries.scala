@@ -973,15 +973,20 @@ object EventQueries {
     // whale order moves it; the 10%-trimmed mean doesn't): drop the
     // top and bottom decile BY RANK (r·10 gates — pure integers, no
     // percentile calc), then q13's exact decimal mean over the kept
-    // band. The rank window partitions per type; the q92 histogram
-    // stays the corpus-sized-group path (q137's documented trade).
+    // band. Ranks come from DistributedRank (range-partition +
+    // offset), NOT a per-type window: 5 event types would collapse
+    // the corpus onto 5 tasks — the sf1 rehearsal measured that
+    // shape at 16× cost for 10× data. Group sizes ride a broadcast
+    // of the types-sized rollup.
     "q171_trimmed" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
-      Tables.events(s, d)
-        .select(col("event_type"), col("event_id"), col("value"))
-        .withColumn("r", row_number().over(w))
-        .withColumn("m", count(lit(1)).over(Window.partitionBy("event_type")))
+      val ranked = graft.ops.DistributedRank.rowNumber(
+        Tables.events(s, d)
+          .select(col("event_type"), col("event_id"), col("value")),
+        "r", Seq("event_type"), Seq(col("value"), col("event_id")))
+      val sizes = Tables.events(s, d)
+        .groupBy("event_type").agg(count(lit(1)).as("m"))
+      ranked
+        .join(broadcast(sizes), "event_type")
         .filter(col("r") * 10 > col("m") && col("r") * 10 <= col("m") * 9)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_kept"),

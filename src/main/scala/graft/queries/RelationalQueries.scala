@@ -282,21 +282,22 @@ object RelationalQueries {
     // Fulfillment aging — days from order to LAST shipment per order,
     // exact median per priority (the q144 dual-rank med2 discipline —
     // order-lifecycle SLA reporting without a float percentile). The
-    // per-order rollup is the only fact-sized work; the rank window
-    // partitions by priority over orders-sized groups (q92's
-    // histogram is the documented corpus-sized-group path).
+    // per-order rollup is the only fact-sized work; ranks come from
+    // DistributedRank (range-partition + offset), not a per-priority
+    // window — 5 priorities would collapse the orders-sized frame
+    // onto 5 tasks (the q171 sf1 finding). Group sizes broadcast.
     "q177_aging" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val aged = Tables.orders(s, d)
+      val aged = graft.ops.Barrier(Tables.orders(s, d)
         .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderpriority"),
           col("o_orderdate"))
         .agg(max(col("l_shipdate")).as("last_ship"))
         .select(col("o_orderpriority"), col("o_orderkey"),
-          expr("datediff(last_ship, o_orderdate)").cast(LongType).as("age_days"))
-      val w = Window.partitionBy("o_orderpriority").orderBy("age_days", "o_orderkey")
-      aged.withColumn("r", row_number().over(w))
-        .withColumn("m", count(lit(1)).over(Window.partitionBy("o_orderpriority")))
+          expr("datediff(last_ship, o_orderdate)").cast(LongType).as("age_days")))
+      val sizes = aged.groupBy("o_orderpriority").agg(count(lit(1)).as("m"))
+      graft.ops.DistributedRank.rowNumber(aged, "r",
+          Seq("o_orderpriority"), Seq(col("age_days"), col("o_orderkey")))
+        .join(broadcast(sizes), "o_orderpriority")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_orders"),
           sum(when(col("r") * 2 === col("m") + 1, col("age_days") * 2)
@@ -311,25 +312,43 @@ object RelationalQueries {
     // last order, frequency, monetary value) quartiled per dimension
     // into a 3-digit segment code. Everything deterministic: quartile
     // = ntile(4) over a total order with c_custkey tiebreaks, money
-    // exact in cents. One customer-sized rollup feeds three
-    // customers-sized windows — the fact table is touched once.
+    // exact in cents. One customer-sized rollup feeds three ranks —
+    // each from DistributedRank, NOT a global ntile window (an
+    // unpartitioned window is a single task holding every customer;
+    // the q171 sf1 finding at its worst). ntile(4) is replayed
+    // exactly from (rank, m): the first m%4 buckets hold m÷4+1 rows.
     "q178_rfm" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val per = Tables.orders(s, d)
+      val per = graft.ops.Barrier(Tables.orders(s, d)
         .groupBy(col("o_custkey"))
         .agg(max(col("o_orderdate")).as("last_order"),
           count(lit(1)).as("freq"),
           sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"))
-            .as("cents"))
-      def q(c: String, tieAsc: Boolean) = ntile(4).over(
-        if (tieAsc) Window.orderBy(col(c), col("o_custkey"))
-        else Window.orderBy(col(c).desc, col("o_custkey")))
-      per
-        .withColumn("r_q", q("last_order", tieAsc = false)) // recent = 1
-        .withColumn("f_q", q("freq", tieAsc = false))       // frequent = 1
-        .withColumn("m_q", q("cents", tieAsc = false))      // big spender = 1
-        .groupBy(concat(col("r_q").cast(StringType), col("f_q").cast(StringType),
-          col("m_q").cast(StringType)).as("segment"))
+            .as("cents")))
+      val mTab = per.agg(count(lit(1)).as("m"))
+      // ONE rank pass for all three dimensions: tag each (negated —
+      // recent/frequent/big = rank 1) sort key with its dimension,
+      // rank the 3m-row union grouped by dim, pivot back per customer
+      val tagged = per.select(lit("r").as("dim"),
+          (-unix_micros(col("last_order").cast(TimestampType))).as("k"),
+          col("o_custkey"))
+        .unionByName(per.select(lit("f").as("dim"),
+          (-col("freq")).as("k"), col("o_custkey")))
+        .unionByName(per.select(lit("m").as("dim"),
+          (-col("cents")).as("k"), col("o_custkey")))
+      val ranks = graft.ops.DistributedRank.rowNumber(tagged, "r",
+          Seq("dim"), Seq(col("k"), col("o_custkey")))
+        .groupBy("o_custkey")
+        .agg(max(when(col("dim") === "r", col("r"))).as("r_r"),
+          max(when(col("dim") === "f", col("r"))).as("r_f"),
+          max(when(col("dim") === "m", col("r"))).as("r_m"))
+      def nt(r: String): org.apache.spark.sql.Column =
+        expr(s"""CASE WHEN $r <= (m % 4) * ((m div 4) + 1)
+                 THEN ($r - 1) div ((m div 4) + 1) + 1
+                 ELSE (m % 4) + ($r - 1 - (m % 4) * ((m div 4) + 1)) div (m div 4) + 1 END""")
+      ranks.join(per.select(col("o_custkey"), col("cents")), "o_custkey")
+        .crossJoin(broadcast(mTab))
+        .groupBy(concat(nt("r_r").cast(StringType), nt("r_f").cast(StringType),
+          nt("r_m").cast(StringType)).as("segment"))
         .agg(count(lit(1)).as("n_customers"),
           sum(col("cents")).as("cents"))
         .orderBy("segment")

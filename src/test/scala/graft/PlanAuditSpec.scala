@@ -79,7 +79,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q152_diurnal", // types×24 grid — types-sized spine (q136 shape)
       "q158_indep", // cells × broadcast 1-row grand total
       "q165_trigger", // converted count × broadcast 1-row views total
-      "q176_weekday") // types-sized counts × broadcast 1-row day totals
+      "q176_weekday", // types-sized counts × broadcast 1-row day totals
+      "q178_rfm") // customer ranks × broadcast 1-row customer count m
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
