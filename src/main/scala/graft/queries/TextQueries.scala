@@ -210,6 +210,28 @@ object TextQueries {
     // document by construction, so per-group state is bounded. Output
     // pins the assembled bytes by md5 + length (the comparator hashes
     // scalars; the sequences themselves would be the written output).
+    // Deterministic training-order shuffle — the step between
+    // curation and packing every pretraining run performs: an order
+    // the trainer reads that is (a) uniform-random-looking, (b)
+    // seeded and reproducible, (c) stable under append (a doc's
+    // (shard, pos) depends only on its id, never on arrival order or
+    // partitioning), (d) produced WITHOUT a global sort. Shard =
+    // salted-md5 mod 32 (hash-balanced); position = rank of the
+    // salted hash within the shard via DistributedRank — 32 shards
+    // through a plain window would collapse the corpus onto 32
+    // tasks, the exact few-group shape the rank engine exists for.
+    "q184_shuffle" -> ((s, d) => {
+      val salted = expr(
+        "cast(conv(substring(md5(concat(cast(doc_id as string), ':shuffle-seed-42')), 1, 15), 16, 10) as bigint)")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), salted.as("h"))
+        .withColumn("shard", pmod(col("h"), lit(32L)))
+      graft.ops.DistributedRank.rowNumber(docs, "pos",
+          Seq("shard"), Seq(col("h"), col("doc_id")))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")
+    }),
+
     "q83_pack_assembly" -> ((s, d) => {
       val packs = packBins(Tables.documents(s, d), 4096L, 1)
         .select(col("doc_id"), col("lang"), col("n_chars"), col("pack_id"))
@@ -1842,6 +1864,15 @@ object TextQueries {
                  FROM tf CROSS JOIN st)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q184_shuffle" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':shuffle-seed-42')),1,15)) AS BIGINT) h
+           FROM documents),
+         s AS (SELECT doc_id, h, h % 32 AS shard FROM h)
+         SELECT doc_id, shard,
+                CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) pos
+         FROM s ORDER BY shard, pos""",
     // exact heavy hitters — the sketch is invisible to the result
     "q54_heavy" ->
       s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),

@@ -37,6 +37,26 @@ class DistributedRankSpec extends AnyFunSuite {
     assert(got.count() === 20000)
   }
 
+  test("edges: fewer rows than partitions, one group, empty group spec") {
+    val s2 = spark
+    import s2.implicits._
+    // 3 rows across 8 requested partitions — offsets must still chain
+    val tiny = Seq(("g", 1L, 2.0), ("g", 2L, 1.0), ("g", 3L, 1.0))
+      .toDF("g", "id", "v")
+    val r = DistributedRank.rowNumber(tiny, "r", Seq("g"),
+      Seq(col("v"), col("id")), parts = 8)
+      .orderBy("r").select("id").as[Long].collect().toSeq
+    assert(r === Seq(2L, 3L, 1L)) // v asc, id tiebreak
+    // empty group spec = one global ranking
+    val glob = DistributedRank.rowNumber(tiny, "r", Seq.empty,
+      Seq(col("v").desc, col("id")), parts = 4)
+      .orderBy("r").select("id").as[Long].collect().toSeq
+    assert(glob === Seq(1L, 2L, 3L))
+    // empty input survives
+    assert(DistributedRank.rowNumber(tiny.filter(lit(false)), "r",
+      Seq("g"), Seq(col("v"), col("id"))).count() === 0L)
+  }
+
   test("plan: the corpus window partitions by (pid, group), not group alone") {
     val s2 = spark
     import s2.implicits._
