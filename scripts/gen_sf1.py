@@ -25,9 +25,14 @@ Output: bigdata/sf1/*.parquet (gitignored). Usage: python3 scripts/gen_sf1.py
 import os
 import duckdb
 
-SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bigdata", "sf1")
-COPIES = 10
+import sys
+# args: [src_dir] [dst_name] [copies] — defaults derive sf1 from sf0.1;
+# "gen_sf1.py bigdata/sf1 sf10 10" derives the next decade from sf1
+_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+if not os.path.isabs(SRC): SRC = os.path.join(_root, SRC)
+DST = os.path.join(_root, "bigdata", sys.argv[2] if len(sys.argv) > 2 else "sf1")
+COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
