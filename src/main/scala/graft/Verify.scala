@@ -10,6 +10,11 @@ object Verify {
     require(args.length >= 2, s"usage: Verify <sfDir> <outDir> [query ...]")
     val (sfDir, outDir) = (args(0), args(1))
     val only = args.drop(2).toSet
+    // a misspelled name would silently verify nothing and exit 0 —
+    // the same fail-fast Bench applies to SPARK_GRAFT_ONLY
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query names: ${unknown.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.tune(
       SparkSession.builder()

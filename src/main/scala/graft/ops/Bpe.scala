@@ -57,22 +57,26 @@ object Bpe {
       posexplode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
         .as(Seq("pos", "sym")))
 
-  /** Attach the `nxt` lookahead column if absent. Within [[train]]
+  /** Attach the `__nxt` lookahead column if absent. Within [[train]]
     * the lookahead is computed ONCE per round inside [[applyMerge]]'s
     * own window stage and rides the materialized frame, so
     * [[pairCounts]] needs no sort of its own — per-round cost drops
-    * from two (w, pos) sorts to one. */
+    * from two (w, pos) sorts to one. The internal double-underscore
+    * name is the provenance marker: only frames produced by THIS
+    * object carry it, so a caller-supplied frame that happens to have
+    * its own `nxt`-like column is never trusted as adjacency — the
+    * lookahead is recomputed from (w, pos, sym). */
   private def withNext(syms: DataFrame): DataFrame =
-    if (syms.columns.contains("nxt")) syms
-    else syms.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+    if (syms.columns.contains("__nxt")) syms
+    else syms.withColumn("__nxt", lead(col("sym"), 1).over(wOrd))
 
   /** Freq-weighted adjacent-pair counts. Overlapping occurrences all
     * count ("aaa" has (a,a) twice) — the training statistic, distinct
     * from the non-overlapping APPLICATION rule. */
   def pairCounts(syms: DataFrame): DataFrame =
     withNext(syms)
-      .filter(col("nxt").isNotNull)
-      .groupBy(col("sym").as("lhs"), col("nxt").as("rhs"))
+      .filter(col("__nxt").isNotNull)
+      .groupBy(col("sym").as("lhs"), col("__nxt").as("rhs"))
       .agg(sum(col("freq")).as("n"))
 
   /** The next merge rule: exact-integer argmax with (n DESC, lhs,
@@ -101,7 +105,7 @@ object Bpe {
     * and NO sort — one (w, pos) sort per merge round total. */
   def applyMerge(syms: DataFrame, a: String, b: String): DataFrame =
     withNext(syms)
-      .withColumn("cand", col("sym") === a && col("nxt") === b)
+      .withColumn("cand", col("sym") === a && col("__nxt") === b)
       .withColumn("st",
         when(col("cand") && !coalesce(lag(col("cand"), 1).over(wOrd), lit(false)),
           col("pos")))
@@ -111,13 +115,13 @@ object Bpe {
       .withColumn("selprev",
         coalesce(lag(col("selhere"), 1).over(wOrd), lit(false)))
       .withColumn("newsym",
-        when(col("selhere"), concat(col("sym"), col("nxt")))
+        when(col("selhere"), concat(col("sym"), col("__nxt")))
           .otherwise(col("sym")))
       .filter(!col("selprev"))
       .select(col("w"), col("freq"),
         row_number().over(wOrd).as("npos"),
         col("newsym").as("sym"),
-        lead(col("newsym"), 1).over(wOrd).as("nxt"))
+        lead(col("newsym"), 1).over(wOrd).as("__nxt"))
       .withColumnRenamed("npos", "pos")
 
   /** Train `rounds` merge rules over a (w, freq) vocabulary. Returns
@@ -141,6 +145,6 @@ object Bpe {
       }
       k += 1
     }
-    (merges.result(), syms.drop("nxt"))
+    (merges.result(), syms.drop("__nxt"))
   }
 }

@@ -163,7 +163,27 @@ object DedupQueries {
         .withColumn("uni", col("na") + col("nb") - col("inter"))
         .filter(col("inter") * 5 >= col("uni") * 3)
         .select(col("blk"), col("doc_a"), col("doc_b"))
-      val found = minhashNearDupPairs(s, d)
+      // found arm over the SAMPLED docs only: a within-block pair's
+      // band collision and confirm depend only on the two docs' own
+      // signatures/sets, so restricting the q18 pipeline to blk < 8
+      // is byte-identical to probing the corpus-wide pair set —
+      // ~25× less band-join work at the 4% sample rate
+      val m = graft.ops.Barrier(sampled.select(col("doc_id"),
+        col("sset"), col("nset"),
+        graft.Functions.minhash_array(col("sset")).as("mh")))
+      val sBands = m.select(col("doc_id"),
+        expr(s"""explode(transform(sequence(0, 5), j ->
+                   struct(j as j, element_at(mh, 2*j+1) * ${P}L + element_at(mh, 2*j+2) as sig)))""")
+          .as("b"))
+        .select(col("doc_id"), col("b.j").as("j"), col("b.sig").as("sig"))
+      val cand = sBands.as("a")
+        .join(sBands.as("b"),
+          col("a.j") === col("b.j") && col("a.sig") === col("b.sig")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      val found = scorePairs(m, cand)
+        .filter(col("inter") * 5 >= (col("na") + col("nb") - col("inter")) * 3)
         .select(col("doc_a"), col("doc_b")).withColumn("hit", lit(1L))
       val per = truth.join(found, Seq("doc_a", "doc_b"), "left_outer")
         .groupBy("blk")

@@ -53,9 +53,13 @@ object IdempotentSink {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
       .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
       .map(_.getPath.toString)
+    // a zero-column emptyDataFrame would silently change schema for
+    // callers that reference ledger columns — fail loudly instead:
+    // an empty-but-existing ledger has no schema to offer
     if (committed.isEmpty)
-      spark.emptyDataFrame
-    else
-      spark.read.option("basePath", dir).parquet(committed: _*)
+      throw new IllegalStateException(
+        s"IdempotentSink.read: no committed batch (batch_id=*/_SUCCESS) under $dir" +
+          " — the ledger is empty or every batch directory is torn")
+    spark.read.option("basePath", dir).parquet(committed: _*)
   }
 }

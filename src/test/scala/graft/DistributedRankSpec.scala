@@ -65,12 +65,18 @@ class DistributedRankSpec extends AnyFunSuite {
     val plan = DistributedRank.rowNumber(df, "r", Seq("g"),
       Seq(col("v"), col("id")), parts = 8)
       .queryExecution.executedPlan.toString
-    // the big window's partition spec must include __pid — a window
-    // keyed on g alone would re-create the |groups|-task collapse
-    assert(plan.contains("__pid"), s"no __pid in plan:\n$plan")
-    val bad = "windowspecdefinition\\(g#".r
-    assert(!plan.toLowerCase.contains("windowspecdefinition(g#") ||
-      plan.toLowerCase.contains("__pid"),
-      s"corpus window keyed on group alone:\n$plan")
+    // EVERY window spec in the plan must involve __pid — the corpus
+    // window partitions by (__pid, g); the tiny offsets window orders
+    // by __pid. A window spec mentioning g but not __pid anywhere is
+    // exactly the |groups|-task collapse this helper exists to avoid.
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(plan).map { m =>
+      val tail = plan.substring(m.end)
+      tail.take(math.max(0, tail.indexOf("specifiedwindowframe")))
+    }.toSeq
+    assert(specs.nonEmpty, s"no window in plan:\n$plan")
+    specs.foreach { spec =>
+      assert(spec.contains("__pid"),
+        s"window spec without __pid (group-alone collapse): $spec\n$plan")
+    }
   }
 }
