@@ -1034,6 +1034,33 @@ object EventQueries {
         .select(col("event_type"), col("wd_n"), col("we_n"),
           expr("(wd_n * we_days * 1000000) div (we_n * wd_days)").as("lift_ppm"))
         .orderBy("event_type")
+    }),
+
+    // Burst detection — hourly peak-to-mean ratio per event type:
+    // "did some hour spike?", the ops-side companion to q152's
+    // diurnal-shape test (chi² measures the whole profile; this
+    // flags the single worst hour). Two rollups, both map-side
+    // combined: (type, absolute-hour) counts — the same integer
+    // epoch-hour key as q152, no timezone semantics anywhere — then
+    // a types-sized reduce. burst_ppm = peak·1e6·hours / total in
+    // exact integers; the 3×-mean flag cross-multiplies through
+    // Decimal(38,0) so a year of peak-scale hours can't overflow the
+    // comparison at any corpus size.
+    "q189_burst" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("(ts_ns div 1000) div 3600000000").as("hr"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"), max(col("n")).as("peak"),
+          sum(col("n")).as("total"))
+        .select(col("event_type"), col("n_hours"), col("peak"),
+          col("total").cast(LongType).as("total"),
+          expr("""cast((cast(peak as decimal(38,0)) * 1000000 * n_hours)
+                       div cast(total as decimal(38,0)) as bigint)""").as("burst_ppm"),
+          expr("""cast(peak as decimal(38,0)) * 1000000 * n_hours
+                  > cast(3000000 as decimal(38,0)) * total""").as("bursty"))
+        .orderBy("event_type")
     })
   )
 
@@ -1496,6 +1523,19 @@ object EventQueries {
                 FROM (SELECT DISTINCT day, wknd FROM t))
          SELECT event_type, wd_n, we_n,
                 (wd_n * we_days * 1000000) // (we_n * wd_days) AS lift_ppm
-         FROM c, dd ORDER BY event_type"""
+         FROM c, dd ORDER BY event_type""",
+    // hourly peak-to-mean per type; decimal cross-multiplication.
+    "q189_burst" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS n
+                    FROM events GROUP BY 1, 2),
+         m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+                      CAST(max(n) AS BIGINT) AS peak, CAST(sum(n) AS BIGINT) AS total
+               FROM h GROUP BY 1)
+         SELECT event_type, n_hours, peak, total,
+                CAST((CAST(peak AS HUGEINT) * 1000000 * n_hours)
+                     // CAST(total AS HUGEINT) AS BIGINT) AS burst_ppm,
+                CAST(peak AS HUGEINT) * 1000000 * n_hours
+                  > CAST(3000000 AS HUGEINT) * total AS bursty
+         FROM m ORDER BY event_type"""
   )
 }

@@ -380,6 +380,45 @@ object RelationalQueries {
         .groupBy("day").agg(sum(col("delta")).as("net"))
         .withColumn("backlog", sum(col("net")).over(w))
         .orderBy("day").limit(500)
+    }),
+
+    // Bilateral trade flow (the TPC-H Q7 shape) — shipped revenue
+    // between two nations by direction and year. The join tree is the
+    // canonical star-over-fact-fact: nation is a broadcast scalar;
+    // supplier×nation broadcasts onto the lineitem scan (filtering it
+    // to the two nations' suppliers BEFORE the fact-fact shuffle);
+    // customer is dimension-sized but unbounded at 100 TB, so it
+    // reaches orders through a proper key shuffle, and the shrunken
+    // lineitem side then meets orders on orderkey. Both selective
+    // filters (shipdate range, nation pair) sit on the scan side of
+    // every exchange; revenue stays exact decimal until the final
+    // cast.
+    "q187_nation_flow" -> ((s, d) => {
+      val pair = Seq("NATION_12", "NATION_20")
+      val nat = broadcast(Tables.nation(s, d)
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey"), col("n_name")))
+      val sup = broadcast(Tables.supplier(s, d)
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      val cust = Tables.customer(s, d)
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val ord = Tables.orders(s, d)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("cust_nation"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast(LongType).as("yr"))
+        .agg(sum(expr("cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(3,2)) - cast(l_discount as decimal(18,2)))"))
+          .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("supp_nation", "cust_nation", "yr")
     })
   )
 
@@ -538,6 +577,28 @@ object RelationalQueries {
                  GROUP BY 1)
          SELECT day, net,
                 CAST(sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) backlog
-         FROM net ORDER BY day LIMIT 500"""
+         FROM net ORDER BY day LIMIT 500""",
+    // TPC-H Q7 shape: shipped revenue between NATION_12 and NATION_20
+    // by direction and ship year.
+    "q187_nation_flow" ->
+      """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS BIGINT) AS yr,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                  AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ns ON s_nationkey = ns.n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation nc ON c_nationkey = nc.n_nationkey
+         WHERE ns.n_name IN ('NATION_12', 'NATION_20')
+           AND nc.n_name IN ('NATION_12', 'NATION_20')
+           AND ns.n_name <> nc.n_name
+           AND l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1, 2, 3
+         ORDER BY 1, 2, 3"""
   )
 }

@@ -1133,6 +1133,40 @@ object SimilarityQueries {
         .select(col("vec_id"), col("cid"),
           coalesce(col("dupe"), lit(false)).as("is_dup"))
         .orderBy("vec_id")
+    }),
+
+    // Embedding dimension health audit — per-dimension quantized
+    // moments over the whole corpus: the "dead/collapsed dimension"
+    // check an embedding pipeline runs before committing to an index
+    // (a dimension whose variance is ~0 wastes index bits and skews
+    // distance geometry). floor(x·1e4) quantization is integer-exact
+    // across engines (the q48 floor convention); moments accumulate
+    // as exact integers with Decimal(38,0) cross-multiplication for
+    // the n·Σq²−(Σq)² variance numerator, so nothing depends on
+    // float summation order at any corpus size. Shape: one
+    // posexplode (map-side, dims× rows) into a 64-group partial-agg'd
+    // rollup — the only exchange carries 64 keys of integer state.
+    // NULL-element vectors are excluded explicitly on both sides,
+    // q48's convention.
+    "q188_dim_audit" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .filter(!exists(col("embedding"), _.isNull))
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim").cast(org.apache.spark.sql.types.LongType).as("dim"),
+          floor(col("x").cast(org.apache.spark.sql.types.DoubleType) * 10000)
+            .cast(org.apache.spark.sql.types.LongType).as("q"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"),
+          sum(col("q").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("q"))
+            .cast(org.apache.spark.sql.types.LongType).as("sumsq_q"))
+        .select(col("dim"), col("n"), col("sum_q"), col("sumsq_q"),
+          expr("""cast((cast(n as decimal(38,0)) * sumsq_q
+                        - cast(sum_q as decimal(38,0)) * sum_q)
+                       div (cast(n as decimal(38,0)) * n) as bigint)""").as("var_q"),
+          expr("""cast(n as decimal(38,0)) * sumsq_q
+                  - cast(sum_q as decimal(38,0)) * sum_q
+                  < cast(1000000 as decimal(38,0)) * n * n""").as("dead"))
+        .orderBy("dim")
     })
   )
 
@@ -1508,6 +1542,24 @@ object SimilarityQueries {
           dup AS (SELECT DISTINCT vec_id FROM p WHERE dp > 0 AND 4 * dp * dp >= nn)
           SELECT n.vec_id, n.cid, dup.vec_id IS NOT NULL AS is_dup
           FROM n LEFT JOIN dup ON n.vec_id = dup.vec_id
-          ORDER BY n.vec_id"""
+          ORDER BY n.vec_id""",
+    // per-dimension quantized moments; exact-integer variance via
+    // decimal cross-multiplication (q48 floor convention).
+    "q188_dim_audit" ->
+      """WITH e AS (SELECT vec_id, unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) - 1 AS dim
+                    FROM embeddings
+                    WHERE NOT EXISTS (SELECT 1 FROM unnest(embedding) u(y) WHERE y IS NULL)),
+         q AS (SELECT dim, CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS q FROM e),
+         m AS (SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+                      CAST(sum(q) AS BIGINT) AS sum_q,
+                      CAST(sum(CAST(q AS HUGEINT) * q) AS BIGINT) AS sumsq_q
+               FROM q GROUP BY dim)
+         SELECT dim, n, sum_q, sumsq_q,
+                CAST((CAST(n AS HUGEINT) * sumsq_q - CAST(sum_q AS HUGEINT) * sum_q)
+                     // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_q,
+                CAST(n AS HUGEINT) * sumsq_q - CAST(sum_q AS HUGEINT) * sum_q
+                  < CAST(1000000 AS HUGEINT) * n * n AS dead
+         FROM m ORDER BY dim"""
   )
 }

@@ -1798,6 +1798,68 @@ object TextQueries {
           col("raw_chars").cast(LongType).as("raw_chars"),
           col("stored_chars").cast(LongType).as("stored_chars"),
           expr("((raw_chars - stored_chars) * 1000000) div raw_chars").as("savings_ppm"))
+    }),
+
+    // Vocabulary growth (Heaps' law curve) — how many NEW word-bigram
+    // types each corpus decile contributes: the tokenizer/vocab-
+    // planning measurement ("is the type inventory still growing, or
+    // has the corpus saturated?"). Bigram types, because that's the
+    // granularity where a real curve lives (unigram inventories
+    // saturate almost immediately). Each type's first-occurrence doc
+    // is a map-side-combined min over a type-keyed shuffle (the only
+    // corpus-sized exchange, and it carries (bigram, min) pairs —
+    // per-doc array_distinct shrinks it before the exchange); deciles
+    // come from the dense doc-id range via a broadcast scalar, so the
+    // curve rollup and its running sum act on ≤10 rows — the
+    // unpartitioned window is deliberate and bounded.
+    "q185_heaps" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nd = Tables.documents(s, d)
+        .agg((max(col("doc_id")) + 1L).as("nd"))
+      val firstSeen = withWords(s, d)
+        .filter(size(col("words")) >= 2)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i+1]))")))
+          .as("bg"))
+        .groupBy("bg").agg(min(col("doc_id")).as("first_doc"))
+      val w10 = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+      firstSeen.crossJoin(broadcast(nd))
+        .select(expr("(first_doc * 10) div nd").as("decile"))
+        .groupBy("decile").agg(count(lit(1)).as("new_types"))
+        .withColumn("cum_types", sum(col("new_types")).over(w10))
+        .orderBy("decile")
+    }),
+
+    // Character-concentration junk screen — the gibberish/mash gate a
+    // curation stack runs beside q25's token heuristics: a document
+    // whose single most frequent character dominates its body (spaces
+    // excluded) is keyboard mash, filler, or decode garbage, not
+    // prose. Map-only — the per-doc char census runs inside the row
+    // via higher-order functions over the ≤36-symbol normalized
+    // alphabet (O(|alphabet|·len) per doc, no explode, NO shuffle
+    // except the presentation ORDER BY), so at 100 TB the screen
+    // rides the same scan as every other per-doc gate. Exact integer
+    // ppm; the junk test cross-multiplies (top·1e6 > 300000·n) so no
+    // division rounding is in the decision path.
+    "q186_charjunk" -> ((s, d) => {
+      withWords(s, d)
+        .select(col("doc_id"), regexp_replace(col("t"), " ", "").as("b"))
+        .select(col("doc_id"),
+          length(col("b")).cast(LongType).as("n_body"),
+          expr("""CASE WHEN length(b) = 0 THEN 0L ELSE
+                    cast(size(array_distinct(split(b, ''))) as bigint) END""")
+            .as("n_alpha"),
+          expr("""CASE WHEN length(b) = 0 THEN 0L ELSE
+                    cast(array_max(transform(array_distinct(split(b, '')),
+                      c -> size(filter(split(b, ''), x -> x = c)))) as bigint) END""")
+            .as("top_char_n"))
+        .select(col("doc_id"), col("n_body"), col("n_alpha"), col("top_char_n"),
+          expr("CASE WHEN n_body = 0 THEN 0L ELSE (top_char_n * 1000000) div n_body END")
+            .as("conc_ppm"),
+          (col("n_body") === 0L ||
+            col("top_char_n") * 1000000L > lit(300000L) * col("n_body"))
+            .as("junk"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2755,6 +2817,44 @@ object TextQueries {
                  CAST(sum(ln) AS BIGINT) AS stored_chars,
                  (CAST(sum(ln * occ) AS BIGINT) - CAST(sum(ln) AS BIGINT)) * 1000000
                    // CAST(sum(ln * occ) AS BIGINT) AS savings_ppm
-          FROM g"""
+          FROM g""",
+
+    // word-bigram -> min first-occurrence doc; deciles over the dense
+    // id range; <=10-row running sum.
+    "q185_heaps" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+          w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM n),
+          g AS (SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
+                FROM w WHERE len(ws) >= 2),
+          f AS (SELECT bg, min(doc_id) AS first_doc FROM g GROUP BY bg),
+          b AS (SELECT (first_doc * 10) // (SELECT max(doc_id) + 1 FROM documents) AS decile,
+                       count(*) AS new_types
+                FROM f GROUP BY 1)
+          SELECT decile, new_types,
+                 CAST(sum(new_types) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_types
+          FROM b ORDER BY decile""",
+
+    // per-doc char census over the space-stripped normalized body.
+    "q186_charjunk" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+          b AS (SELECT doc_id, replace(t, ' ', '') AS b FROM n),
+          c AS (SELECT doc_id, unnest(string_split(b, '')) AS ch FROM b WHERE length(b) > 0),
+          g AS (SELECT doc_id, ch, count(*) AS nc FROM c GROUP BY 1, 2),
+          m AS (SELECT doc_id, CAST(sum(nc) AS BIGINT) AS n_body,
+                       CAST(count(*) AS BIGINT) AS n_alpha,
+                       CAST(max(nc) AS BIGINT) AS top_char_n
+                FROM g GROUP BY 1)
+          SELECT b.doc_id,
+                 coalesce(m.n_body, 0) AS n_body,
+                 coalesce(m.n_alpha, 0) AS n_alpha,
+                 coalesce(m.top_char_n, 0) AS top_char_n,
+                 CASE WHEN coalesce(m.n_body, 0) = 0 THEN 0
+                      ELSE (m.top_char_n * 1000000) // m.n_body END AS conc_ppm,
+                 (coalesce(m.n_body, 0) = 0
+                  OR coalesce(m.top_char_n, 0) * 1000000 > 300000 * m.n_body) AS junk
+          FROM b LEFT JOIN m ON b.doc_id = m.doc_id
+          ORDER BY b.doc_id"""
   )
 }

@@ -80,7 +80,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q158_indep", // cells × broadcast 1-row grand total
       "q165_trigger", // converted count × broadcast 1-row views total
       "q176_weekday", // types-sized counts × broadcast 1-row day totals
-      "q178_rfm") // customer ranks × broadcast 1-row customer count m
+      "q178_rfm", // customer ranks × broadcast 1-row customer count m
+      "q185_heaps") // bigram first-occurrence mins × broadcast 1-row doc count
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
@@ -892,5 +893,45 @@ class PlanAuditSpec extends AnyFunSuite {
     // the only allowed shuffle join is the orders⨝lineitem fact join
     val smjCount = p.linesIterator.count(_.contains("SortMergeJoin"))
     assert(smjCount <= 1, s"more than the fact-fact join shuffled ($smjCount):\n$p")
+  }
+
+  test("q185 heaps curve: partial-agg'd first-occurrence min, no text shuffle") {
+    val p = plan("q185_heaps")
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      s"first-occurrence min lost map-side combine:\n$p")
+    // the only corpus-sized exchange carries (bigram, min) pairs —
+    // the documents text column must not reach any hashpartitioning
+    val shuffled = p.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(!shuffled.contains("text"), s"text column reached a shuffle:\n$shuffled")
+  }
+
+  test("q186 char-junk screen is map-only (no exchange before the presentation sort)") {
+    val p = plan("q186_charjunk")
+    assert(!p.contains("hashpartitioning"), s"char screen shuffles:\n$p")
+  }
+
+  test("q187 nation flow: nation+supplier broadcast, ship-date filter at the scan") {
+    val p = plan("q187_nation_flow")
+    assert(p.contains("BroadcastHashJoin"), s"supplier side not broadcast:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") && p.contains("LessThan(l_shipdate"),
+      s"ship-date range did not reach the lineitem scan:\n$p")
+    // allowed shuffle joins: orders⨝customer and lineitem⨝orders
+    val smjCount = p.linesIterator.count(_.contains("SortMergeJoin"))
+    assert(smjCount <= 2, s"more than the two fact joins shuffled ($smjCount):\n$p")
+  }
+
+  test("q188 dim audit: one 64-key rollup with map-side partial moments") {
+    val p = plan("q188_dim_audit")
+    assert(p.contains("partial_"), s"moment rollup lost map-side combine:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("hashpartitioning"))
+    assert(exchanges <= 1, s"dim audit plans $exchanges exchanges, expected 1:\n$p")
+  }
+
+  test("q189 burst: both rollups keep partial aggregation") {
+    val p = plan("q189_burst")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"hourly rollup lost map-side combine:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("hashpartitioning"))
+    assert(exchanges <= 2, s"burst plans $exchanges exchanges, expected <=2:\n$p")
   }
 }
