@@ -419,6 +419,75 @@ object RelationalQueries {
           .cast(DoubleType).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("supp_nation", "cust_nation", "yr")
+    }),
+
+    // Promo revenue share by month (the TPC-H Q14 shape) — what
+    // fraction of each month's discounted revenue came from PROMO
+    // parts: conditional aggregation over the lineitem⨝part dim
+    // join. part is the first use of the part table in the suite; at
+    // these SFs it broadcasts, at 100 TB (part scales with SF) AQE
+    // picks the shuffle join — the query declares neither, which IS
+    // the portable choice. Revenue rides as exact 1e-4-unit integers
+    // (price and discount each carry 2 decimals, so rev·10⁴ is
+    // integral — no cent rounding anywhere), and the share divides
+    // through HUGEINT/Decimal(38,0) cross-multiplication.
+    "q190_promo_share" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .select(
+          year(col("l_shipdate")).cast(LongType).as("yr"),
+          month(col("l_shipdate")).cast(LongType).as("mo"),
+          expr("""cast(cast(l_extendedprice as decimal(18,2))
+                       * (cast(1 as decimal(3,2)) - cast(l_discount as decimal(18,2)))
+                       * 10000 as decimal(38,0))""").as("rev_e4"),
+          (col("p_type") === "PROMO").as("promo"))
+        .groupBy("yr", "mo")
+        .agg(
+          sum(when(col("promo"), col("rev_e4")).otherwise(lit(0).cast(dec)))
+            .cast(LongType).as("promo_e4"),
+          sum(col("rev_e4")).cast(LongType).as("total_e4"),
+          count(lit(1)).as("n_items"))
+        .withColumn("promo_ppm",
+          expr("""cast((cast(promo_e4 as decimal(38,0)) * 1000000)
+                       div cast(total_e4 as decimal(38,0)) as bigint)"""))
+        .select("yr", "mo", "promo_e4", "total_e4", "promo_ppm", "n_items")
+        .orderBy("yr", "mo")
+    }),
+
+    // Small-quantity revenue (the TPC-H Q17 shape) — revenue locked
+    // in below-average orders: for two brands, the lineitems whose
+    // quantity is under 20% of their part's all-time average. The
+    // correlated scalar subquery ("avg for THIS part") decorrelates
+    // into a per-part pre-aggregate joined back — the canonical
+    // rewrite; the brand filter broadcasts onto lineitem FIRST, so
+    // both the pre-aggregate and the back-join run brand-bounded
+    // (a part's average only needs that part's rows, and the brand
+    // predicate is part-level — filtering early changes nothing).
+    // The threshold is the cross-multiplied integer test
+    // 5·qty·n < Σqty (quantities carry 2 decimals → ·100 integers),
+    // so no float division decides membership.
+    "q191_small_qty" -> ((s, d) => {
+      val branded = broadcast(Tables.part(s, d)
+        .filter(col("p_brand").isin("Brand#2", "Brand#4"))
+        .select(col("p_partkey"), col("p_brand")))
+      val l2 = Tables.lineitem(s, d)
+        .join(branded, col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), col("l_partkey"),
+          expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)")
+            .as("price_c"),
+          expr("cast(cast(l_quantity as decimal(18,2)) * 100 as bigint)").as("q_c"))
+      val pq = l2.groupBy(col("l_partkey").as("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("q_c")).as("qty_c"))
+      val small = expr(
+        "5 * cast(q_c as decimal(38,0)) * n < cast(qty_c as decimal(38,0))")
+      l2.join(pq, col("l_partkey") === col("pk"))
+        .groupBy("p_brand")
+        .agg(count(when(small, 1)).as("n_small"),
+          sum(when(small, col("price_c")).otherwise(0L)).cast(LongType)
+            .as("small_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
     })
   )
 
@@ -599,6 +668,39 @@ object RelationalQueries {
            AND l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate < TIMESTAMP '1998-01-01'
          GROUP BY 1, 2, 3
-         ORDER BY 1, 2, 3"""
+         ORDER BY 1, 2, 3""",
+    // TPC-H Q14 shape: monthly PROMO revenue share, exact 1e-4 units.
+    "q190_promo_share" ->
+      """WITH j AS (SELECT CAST(year(l_shipdate) AS BIGINT) yr,
+                           CAST(month(l_shipdate) AS BIGINT) mo,
+                           CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                                * 10000 AS HUGEINT) rev_e4,
+                           p_type = 'PROMO' AS promo
+                    FROM lineitem JOIN part ON l_partkey = p_partkey)
+         SELECT yr, mo,
+                CAST(sum(CASE WHEN promo THEN rev_e4 ELSE 0 END) AS BIGINT) promo_e4,
+                CAST(sum(rev_e4) AS BIGINT) total_e4,
+                CAST(sum(CASE WHEN promo THEN rev_e4 ELSE 0 END) * 1000000
+                     // sum(rev_e4) AS BIGINT) promo_ppm,
+                count(*) n_items
+         FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
+    // TPC-H Q17 shape: below-20%-of-part-average lineitem revenue for
+    // two brands; decorrelated per-part pre-aggregate, integer test.
+    "q191_small_qty" ->
+      """WITH l2 AS (SELECT p_brand, l_partkey,
+                            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) price_c,
+                            CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) q_c
+                     FROM lineitem JOIN part ON l_partkey = p_partkey
+                     WHERE p_brand IN ('Brand#2', 'Brand#4')),
+         pq AS (SELECT l_partkey pk, CAST(count(*) AS BIGINT) n,
+                       CAST(sum(q_c) AS BIGINT) qty_c
+                FROM l2 GROUP BY 1)
+         SELECT p_brand,
+                CAST(count(CASE WHEN 5 * CAST(q_c AS HUGEINT) * n < qty_c THEN 1 END) AS BIGINT) n_small,
+                CAST(sum(CASE WHEN 5 * CAST(q_c AS HUGEINT) * n < qty_c THEN price_c ELSE 0 END) AS BIGINT) small_cents,
+                count(*) n_items
+         FROM l2 JOIN pq ON l2.l_partkey = pq.pk
+         GROUP BY 1 ORDER BY 1"""
   )
 }

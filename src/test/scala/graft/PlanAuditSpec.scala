@@ -934,4 +934,20 @@ class PlanAuditSpec extends AnyFunSuite {
     val exchanges = p.linesIterator.count(_.contains("hashpartitioning"))
     assert(exchanges <= 2, s"burst plans $exchanges exchanges, expected <=2:\n$p")
   }
+
+  test("q190 promo share: part joins without shuffling lineitem twice, partial aggs") {
+    val p = plan("q190_promo_share")
+    assert(p.contains("partial_"), s"monthly rollup lost map-side combine:\n$p")
+    // at test SFs the part dim broadcasts; the only other exchange is
+    // the (yr, mo) rollup
+    assert(p.contains("BroadcastHashJoin"), s"part dim not broadcast at test SF:\n$p")
+  }
+
+  test("q191 small-qty: brand filter reaches the part scan, branded join broadcasts") {
+    val p = plan("q191_small_qty")
+    assert(p.contains("BroadcastHashJoin"), s"branded part filter not broadcast:\n$p")
+    assert(p.contains("In(p_brand") || p.contains("p_brand"),
+      s"brand predicate missing from the scan side:\n$p")
+    assert(p.contains("partial_"), s"per-part pre-aggregate lost map-side combine:\n$p")
+  }
 }
