@@ -488,6 +488,71 @@ object RelationalQueries {
             .as("small_cents"),
           count(lit(1)).as("n_items"))
         .orderBy("p_brand")
+    }),
+
+    // Repeat-purchase latency — the inter-order gap distribution per
+    // market segment: per-customer consecutive-order day gaps (a
+    // customer-partitioned lag, per-customer history is bounded so
+    // the window never concentrates), segment attached through the
+    // customer shuffle join, then the q177 med2 discipline — exact
+    // median from DistributedRank (range-partition + offset; 5
+    // segments would collapse a per-segment window onto 5 tasks).
+    // med2 = 2·median so odd/even counts stay integral.
+    "q192_order_gap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val gaps = graft.ops.Barrier(Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"),
+          expr("datediff(o_orderdate, prev)").cast(LongType).as("gap_days")))
+      val sizes = gaps.groupBy("c_mktsegment").agg(count(lit(1)).as("m"))
+      graft.ops.DistributedRank.rowNumber(gaps, "r",
+          Seq("c_mktsegment"), Seq(col("gap_days"), col("o_orderkey")))
+        .join(broadcast(sizes), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(when(col("r") * 2 === col("m") + 1, col("gap_days") * 2)
+            .when(col("r") * 2 === col("m"), col("gap_days"))
+            .when(col("r") * 2 === col("m") + 2, col("gap_days"))
+            .otherwise(lit(0L))).as("med2_days"),
+          max(col("gap_days")).as("max_days"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Cohort LTV triangle — cumulative revenue by (first-order
+    // cohort month × months-since-first): the revenue companion to
+    // q91's retention counts and q178's RFM snapshot. Cohorts are
+    // pure integer month indexes (yr·12+mo, no calendar functions in
+    // the rollup key); money is exact cents off o_totalprice. The
+    // first-order frame is a customer-sized partial-agg'd min joined
+    // back on custkey (both sides customer/orders-sized); the running
+    // sum windows per cohort over the ~80-month age axis — bounded
+    // partitions, never a global sort.
+    "q193_cohort_ltv" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val first = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("fk"))
+        .agg(min(col("o_orderdate")).as("first_dt"))
+      val w = Window.partitionBy("cohort_m").orderBy("age_m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.orders(s, d)
+        .join(first, col("o_custkey") === col("fk"))
+        .select(
+          (year(col("first_dt")) * 12 + month(col("first_dt"))).cast(LongType)
+            .as("cohort_m"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast(LongType)
+            .as("ord_m"),
+          expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
+            .as("cents"))
+        .groupBy(col("cohort_m"), (col("ord_m") - col("cohort_m")).as("age_m"))
+        .agg(sum(col("cents")).cast(LongType).as("rev_cents"),
+          count(lit(1)).as("n_orders"))
+        .withColumn("cum_cents", sum(col("rev_cents")).over(w).cast(LongType))
+        .orderBy("cohort_m", "age_m")
     })
   )
 
@@ -701,6 +766,42 @@ object RelationalQueries {
                 CAST(sum(CASE WHEN 5 * CAST(q_c AS HUGEINT) * n < qty_c THEN price_c ELSE 0 END) AS BIGINT) small_cents,
                 count(*) n_items
          FROM l2 JOIN pq ON l2.l_partkey = pq.pk
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    // per-customer consecutive-order gaps; q177's dual-rank exact
+    // median per market segment (med2 = 2·median).
+    "q192_order_gap" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                           lag(o_orderdate) OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey) prev
+                    FROM orders),
+         g AS (SELECT c_mktsegment, o_orderkey,
+                      CAST(date_diff('day', prev, o_orderdate) AS BIGINT) gap_days
+               FROM o JOIN customer ON o_custkey = c_custkey WHERE prev IS NOT NULL),
+         r AS (SELECT c_mktsegment, gap_days,
+                      row_number() OVER (PARTITION BY c_mktsegment
+                        ORDER BY gap_days, o_orderkey) r,
+                      count(*) OVER (PARTITION BY c_mktsegment) m
+               FROM g)
+         SELECT c_mktsegment, count(*) n_gaps,
+                CAST(sum(CASE WHEN r*2 = m+1 THEN gap_days*2
+                              WHEN r*2 = m OR r*2 = m+2 THEN gap_days
+                              ELSE 0 END) AS BIGINT) med2_days,
+                CAST(max(gap_days) AS BIGINT) max_days
+         FROM r GROUP BY 1 ORDER BY 1""",
+    // first-order cohort month × age rollup with per-cohort running
+    // revenue; integer month indexes, exact cents.
+    "q193_cohort_ltv" ->
+      """WITH f AS (SELECT o_custkey, min(o_orderdate) first_dt FROM orders GROUP BY 1),
+         j AS (SELECT CAST(year(f.first_dt) * 12 + month(f.first_dt) AS BIGINT) cohort_m,
+                      CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT) ord_m,
+                      CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) cents
+               FROM orders o JOIN f ON o.o_custkey = f.o_custkey),
+         a AS (SELECT cohort_m, ord_m - cohort_m AS age_m,
+                      CAST(sum(cents) AS BIGINT) rev_cents, count(*) n_orders
+               FROM j GROUP BY 1, 2)
+         SELECT cohort_m, age_m, rev_cents, n_orders,
+                CAST(sum(rev_cents) OVER (PARTITION BY cohort_m ORDER BY age_m
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) cum_cents
+         FROM a ORDER BY cohort_m, age_m"""
   )
 }

@@ -943,6 +943,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"part dim not broadcast at test SF:\n$p")
   }
 
+  test("q192 order gaps: median rank range-partitions, no unsalted segment window") {
+    // the customer-partitioned gap lag sits behind the Barrier
+    // (lineage-truncated), so the visible plan is the median side
+    val p = plan("q192_order_gap")
+    assert(p.contains("rangepartitioning"),
+      s"median rank lost DistributedRank's range partition:\n$p")
+    // 5 segments must never become a 5-task per-segment sort window:
+    // the DATA-sized row_number must ride DistributedRank's salted
+    // (__pid, c_mktsegment) window (the only other windows are the
+    // offsets pass over the segments×partitions counts table)
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"data rank window lost the __pid salt — would collapse onto 5 tasks:\n$p")
+  }
+
+  test("q193 cohort LTV: rollup keeps partial agg, running sum windows per cohort") {
+    val p = plan("q193_cohort_ltv")
+    assert(p.contains("partial_"), s"cohort rollup lost map-side combine:\n$p")
+    assert(p.contains("windowspecdefinition(cohort_m"),
+      s"running sum is not cohort-partitioned:\n$p")
+  }
+
   test("q191 small-qty: brand filter reaches the part scan, branded join broadcasts") {
     val p = plan("q191_small_qty")
     assert(p.contains("BroadcastHashJoin"), s"branded part filter not broadcast:\n$p")
