@@ -176,6 +176,12 @@ object Functions {
   def word_shingles(t: Column, k: Int): Column =
     Shims.column(graft.functions.WordShinglesK(Shims.expression(t), k))
 
+  /** char_ngrams(t, n): native GENERATOR (the UDTF tier) — one
+    * (pos, gram) row per overlapping character n-gram, iterated by
+    * GenerateExec like posexplode. */
+  def char_ngrams(t: Column, n: Int): Column =
+    Shims.column(graft.functions.CharNgrams(Shims.expression(t), n))
+
   /** One-pass multi-pattern occurrence count over a compiled
     * Aho-Corasick automaton (see [[graft.functions.AcCount]]): the
     * dictionary-size-independent scan the q57/q89 IN-set probes
@@ -281,6 +287,9 @@ object Functions {
     // word_shingles(t, 8): k must be a foldable integer literal
     "word_shingles" -> (exprs =>
       graft.functions.WordShinglesK(exprs(0), intLit("word_shingles", "k")(exprs(1)))),
+    // char_ngrams(t, 3): generator — n must be a foldable integer literal
+    "char_ngrams" -> (exprs =>
+      graft.functions.CharNgrams(exprs(0), intLit("char_ngrams", "n")(exprs(1)))),
     "minhash_array" -> (exprs => graft.functions.MinHashArray(exprs.head)),
     "simhash60" -> (exprs => graft.functions.SimHash60(exprs.head)),
     "bigram_scores" -> (exprs => graft.functions.BigramScores(exprs(0), exprs(1))),

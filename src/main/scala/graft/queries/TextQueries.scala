@@ -1860,6 +1860,33 @@ object TextQueries {
             col("top_char_n") * 1000000L > lit(300000L) * col("n_body"))
             .as("junk"))
         .orderBy("doc_id")
+    }),
+
+    // Per-language character-trigram profiles — the PROFILE-LEARNING
+    // step behind n-gram language ID (q24 consumes exactly this kind
+    // of table; Cavnar-Trenkle builds it from labeled text): top-20
+    // trigrams per language by exact count with a (n DESC, gram)
+    // deterministic rank. The trigram stream comes from the engine's
+    // own GENERATOR extension tier — `char_ngrams` (a native Catalyst
+    // CollectionGenerator, iterated by GenerateExec like posexplode,
+    // inside whole-stage codegen) — not a HOF chain; the rollup
+    // partial-aggregates (lang, gram) map-side (trigram space is
+    // ≤37³-bounded for the normalized alphabet, so the exchange is
+    // dictionary-sized), and the rank window rides WindowGroupLimit
+    // (≤20 rows per language per map task before the window
+    // exchange).
+    "q194_trigram_profile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("gram"))
+      withWords(s, d)
+        .filter(length(col("t")) >= 3)
+        .select(col("lang"),
+          graft.Functions.char_ngrams(col("t"), 3).as(Seq("pos", "gram")))
+        .groupBy("lang", "gram").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 20)
+        .select(col("lang"), col("rk"), col("gram"), col("n"))
+        .orderBy("lang", "rk")
     })
   )
 
@@ -2855,6 +2882,20 @@ object TextQueries {
                  (coalesce(m.n_body, 0) = 0
                   OR coalesce(m.top_char_n, 0) * 1000000 > 300000 * m.n_body) AS junk
           FROM b LEFT JOIN m ON b.doc_id = m.doc_id
-          ORDER BY b.doc_id"""
+          ORDER BY b.doc_id""",
+
+    // top-20 char trigrams per language, (n DESC, gram) rank.
+    "q194_trigram_profile" ->
+      s"""WITH n AS (SELECT doc_id, lang, $normDuck t FROM documents),
+          g AS (SELECT lang, unnest(list_transform(range(1, length(t) - 1),
+                                                   i -> t[i:i+2])) AS gram
+                FROM n WHERE length(t) >= 3),
+          cnt AS (SELECT lang, gram, count(*) AS n FROM g GROUP BY 1, 2),
+          r AS (SELECT lang, gram, n,
+                       row_number() OVER (PARTITION BY lang
+                         ORDER BY n DESC, gram) rk
+                FROM cnt)
+          SELECT lang, CAST(rk AS BIGINT) rk, gram, CAST(n AS BIGINT) n
+          FROM r WHERE rk <= 20 ORDER BY lang, rk"""
   )
 }

@@ -964,6 +964,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"running sum is not cohort-partitioned:\n$p")
   }
 
+  test("q194 trigram profile: native generator, dictionary-sized rollup, group limit") {
+    val p = plan("q194_trigram_profile")
+    assert(p.contains("Generate char_ngrams"),
+      s"trigram stream is not the native generator:\n$p")
+    assert(p.contains("partial_count"),
+      s"(lang, gram) rollup lost map-side combine:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-20 rank lost the group-limit push-down:\n$p")
+  }
+
   test("q191 small-qty: brand filter reaches the part scan, branded join broadcasts") {
     val p = plan("q191_small_qty")
     assert(p.contains("BroadcastHashJoin"), s"branded part filter not broadcast:\n$p")
