@@ -1834,25 +1834,24 @@ object TextQueries {
     // curation stack runs beside q25's token heuristics: a document
     // whose single most frequent character dominates its body (spaces
     // excluded) is keyboard mash, filler, or decode garbage, not
-    // prose. Map-only — the per-doc char census runs inside the row
-    // via higher-order functions over the ≤36-symbol normalized
-    // alphabet (O(|alphabet|·len) per doc, no explode, NO shuffle
-    // except the presentation ORDER BY), so at 100 TB the screen
-    // rides the same scan as every other per-doc gate. Exact integer
-    // ppm; the junk test cross-multiplies (top·1e6 > 300000·n) so no
+    // prose. Map-only and SINGLE-PASS: the native `char_bag` kernel
+    // scans the string once into a 37-slot count array (the q146
+    // build kernel), and every statistic reads that tiny array —
+    // indices 0..35 are the space-free body. (A first cut ran the
+    // census as HOF lambdas over split(b, ''); CollapseProject
+    // re-inlined the split into every lambda and the sf1 rehearsal
+    // measured 48× at 10× data — the one-pass kernel restored ~1×.)
+    // No shuffle except the presentation ORDER BY; exact integer ppm;
+    // the junk test cross-multiplies (top·1e6 > 300000·n) so no
     // division rounding is in the decision path.
     "q186_charjunk" -> ((s, d) => {
       withWords(s, d)
-        .select(col("doc_id"), regexp_replace(col("t"), " ", "").as("b"))
+        .select(col("doc_id"), graft.Functions.char_bag(col("t")).as("bag"))
         .select(col("doc_id"),
-          length(col("b")).cast(LongType).as("n_body"),
-          expr("""CASE WHEN length(b) = 0 THEN 0L ELSE
-                    cast(size(array_distinct(split(b, ''))) as bigint) END""")
+          expr("aggregate(slice(bag, 1, 36), 0L, (a, x) -> a + x)").as("n_body"),
+          expr("cast(size(filter(slice(bag, 1, 36), x -> x > 0L)) as bigint)")
             .as("n_alpha"),
-          expr("""CASE WHEN length(b) = 0 THEN 0L ELSE
-                    cast(array_max(transform(array_distinct(split(b, '')),
-                      c -> size(filter(split(b, ''), x -> x = c)))) as bigint) END""")
-            .as("top_char_n"))
+          expr("array_max(slice(bag, 1, 36))").as("top_char_n"))
         .select(col("doc_id"), col("n_body"), col("n_alpha"), col("top_char_n"),
           expr("CASE WHEN n_body = 0 THEN 0L ELSE (top_char_n * 1000000) div n_body END")
             .as("conc_ppm"),
