@@ -110,6 +110,30 @@ object Multimodal {
       .toDF("media_id", "frame_id", "off", "len")
   }
 
+  /** Per-frame feature vectors for video rows: frames are sampled
+    * AND featurized in one partition-local codec pass — the slice is
+    * featurized while the payload bytes are in hand, so no join back
+    * to the media table and no payload bytes in the output (fixed
+    * 16-long vectors per frame). Output: media_id, frame_id,
+    * features. */
+  def frameFeatures(spark: SparkSession, media: DataFrame, frameSize: Int,
+      codec: Codec = FakeCodec): DataFrame = {
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          codec.frames(bytes, frameSize).zipWithIndex.map {
+            case ((off, len), f) =>
+              (id, f.toLong,
+                codec.features(java.util.Arrays.copyOfRange(bytes, off, off + len)))
+          }
+        }
+      }
+      .toDF("media_id", "frame_id", "features")
+  }
+
   /** "Resize": new payload + updated metadata — with the fake codec a
     * byte-truncation; the real codec would re-encode. Shows the
     * binary-in/binary-out transform shape. */

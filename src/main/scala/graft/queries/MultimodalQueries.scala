@@ -141,6 +141,37 @@ object MultimodalQueries {
           count(lit(1)).as("n_frames"))
         .filter(col("n_media") > 1)
         .orderBy("h")
+    }),
+
+    // Scene-change detection — the keyframe-selection primitive a
+    // video training pipeline runs before sampling frames for
+    // captioning/embedding (consecutive near-identical frames are
+    // redundant; scene boundaries are where content changes): per
+    // 64-byte frame a 16-bin codec histogram (sampled AND featurized
+    // in ONE partition-local codec pass — `frameFeatures`, no join
+    // back to the payload), consecutive-frame L1 distance via a
+    // media-partitioned lag (per-video frame counts are bounded, the
+    // window never concentrates), boundary iff L1 > 24. Single-frame
+    // videos have no consecutive pair and drop out — both engines
+    // agree on that row set. Exact integers end-to-end; the rollup
+    // partial-aggregates per media. The 16-element zip_with is a
+    // fixed-width HOF over a COLUMN (nothing re-inlines — the q186
+    // lesson applied). | reference scope: training-data extension
+    "q195_scenes" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+      val w = Window.partitionBy("media_id").orderBy("frame_id")
+      Multimodal.frameFeatures(s, media, frameSize = 64)
+        .withColumn("prev", lag(col("features"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("media_id"),
+          expr("""aggregate(zip_with(features, prev, (a, b) -> abs(a - b)),
+                            0L, (acc, x) -> acc + x)""").as("l1"))
+        .groupBy("media_id")
+        .agg((count(lit(1)) + 1).as("n_frames"),
+          (count(when(col("l1") > 24, 1)) + 1).as("n_scenes"),
+          max(col("l1")).as("max_l1"))
+        .orderBy("media_id")
     })
   )
 
@@ -254,6 +285,34 @@ object MultimodalQueries {
            WHERE doc_id % 3 = 2)
          SELECT h, count(DISTINCT media_id) AS n_media, count(*) AS n_frames
          FROM f GROUP BY h HAVING count(DISTINCT media_id) > 1
-         ORDER BY h"""
+         ORDER BY h""",
+    // per-64-byte-frame high-nibble histograms; consecutive-frame L1;
+    // boundary iff L1 > 24; single-frame videos drop (no pair).
+    "q195_scenes" ->
+      """WITH fr AS (
+           SELECT doc_id AS media_id, f AS frame_id,
+                  substr(text, CAST(f*64+1 AS BIGINT),
+                         CAST(least(64, length(text) - f*64) AS BIGINT)) AS seg
+           FROM documents,
+                unnest(range(0, CAST(ceil(length(text)/64.0) AS BIGINT))) t(f)
+           WHERE doc_id % 3 = 2),
+         h AS (
+           SELECT media_id, frame_id,
+                  list_transform(range(0,16), b ->
+                    CAST(len(list_filter(list_transform(range(1, length(seg)+1),
+                                                        i -> ascii(seg[i:i]) // 16),
+                                         x -> x = b)) AS BIGINT)) feats
+           FROM fr),
+         d AS (SELECT media_id, frame_id, feats,
+                      lag(feats) OVER (PARTITION BY media_id ORDER BY frame_id) prev
+               FROM h),
+         l AS (SELECT media_id,
+                      CAST(list_sum(list_transform(range(1,17),
+                                                   i -> abs(feats[i] - prev[i]))) AS BIGINT) l1
+               FROM d WHERE prev IS NOT NULL)
+         SELECT media_id, CAST(count(*)+1 AS BIGINT) n_frames,
+                CAST(1 + count(CASE WHEN l1 > 24 THEN 1 END) AS BIGINT) n_scenes,
+                CAST(max(l1) AS BIGINT) max_l1
+         FROM l GROUP BY 1 ORDER BY media_id"""
   )
 }

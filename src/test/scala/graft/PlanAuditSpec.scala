@@ -974,6 +974,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"top-20 rank lost the group-limit push-down:\n$p")
   }
 
+  test("q195 scenes: frame features join-free, lag windows per media, partial aggs") {
+    val p = plan("q195_scenes")
+    // frames are featurized in the same partition-local codec pass —
+    // no join back to the media payload anywhere in the plan
+    assert(!p.contains("Join"), s"frame features joined back to the payload:\n$p")
+    assert(p.contains("windowspecdefinition(media_id"),
+      s"frame lag is not media-partitioned:\n$p")
+    assert(p.contains("partial_"), s"scene rollup lost map-side combine:\n$p")
+  }
+
   test("q191 small-qty: brand filter reaches the part scan, branded join broadcasts") {
     val p = plan("q191_small_qty")
     assert(p.contains("BroadcastHashJoin"), s"branded part filter not broadcast:\n$p")
