@@ -1061,6 +1061,32 @@ object EventQueries {
           expr("""cast(peak as decimal(38,0)) * 1000000 * n_hours
                   > cast(3000000 as decimal(38,0)) * total""").as("bursty"))
         .orderBy("event_type")
+    }),
+
+    // Trailing 7-day active users (WAU) per type — the DISTINCT
+    // companion to q157's trailing-7 SUM: distinct counting doesn't
+    // telescope over a window frame, so the exact distributed form is
+    // contribution explosion — each distinct (type, user, day)
+    // activity contributes the user to WAU(D) for D = day..day+6
+    // (calendar-clipped via a broadcast scalar), deduped, counted.
+    // Volume is a bounded 7× of the distinct-activity table and every
+    // stage partial-aggregates; at 100 TB the approximate alternative
+    // is per-day `hll_agg` sketches merged across 7 days (q102's
+    // sketch), but THIS form is the exact oracle-checkable one.
+    "q196_wau" -> ((s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"),
+          expr("(ts_ns div 1000) div 86400000000").as("day"))
+        .distinct()
+      val mx = ud.agg(max(col("day")).as("maxd"))
+      ud.crossJoin(broadcast(mx))
+        .select(col("event_type"), col("user_id"),
+          explode(sequence(col("day"), least(col("day") + 6, col("maxd"))))
+            .as("d"))
+        .distinct()
+        .groupBy(col("event_type"), col("d").as("day"))
+        .agg(count(lit(1)).as("wau"))
+        .orderBy("event_type", "day")
     })
   )
 
@@ -1536,6 +1562,16 @@ object EventQueries {
                      // CAST(total AS HUGEINT) AS BIGINT) AS burst_ppm,
                 CAST(peak AS HUGEINT) * 1000000 * n_hours
                   > CAST(3000000 AS HUGEINT) * total AS bursty
-         FROM m ORDER BY event_type"""
+         FROM m ORDER BY event_type""",
+    // contribution-exploded exact trailing-7-day distinct users.
+    "q196_wau" ->
+      """WITH ud AS (SELECT DISTINCT event_type, user_id,
+                            epoch_us(ts) // 86400000000 AS day FROM events),
+         mx AS (SELECT max(day) AS maxd FROM ud),
+         c AS (SELECT DISTINCT event_type, user_id, d
+               FROM ud, unnest(range(day, day + 7)) t(d), mx
+               WHERE d <= maxd)
+         SELECT event_type, CAST(d AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS wau
+         FROM c GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

@@ -81,7 +81,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q165_trigger", // converted count × broadcast 1-row views total
       "q176_weekday", // types-sized counts × broadcast 1-row day totals
       "q178_rfm", // customer ranks × broadcast 1-row customer count m
-      "q185_heaps") // bigram first-occurrence mins × broadcast 1-row doc count
+      "q185_heaps", // bigram first-occurrence mins × broadcast 1-row doc count
+      "q196_wau") // distinct-activity table × broadcast 1-row max-day clip
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
@@ -982,6 +983,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(media_id"),
       s"frame lag is not media-partitioned:\n$p")
     assert(p.contains("partial_"), s"scene rollup lost map-side combine:\n$p")
+  }
+
+  test("q196 WAU: both distincts keep two-level partial aggregation") {
+    val p = plan("q196_wau")
+    assert(p.contains("partial_"), s"distinct stages lost map-side combine:\n$p")
+    // the 7x contribution explosion happens BETWEEN the distincts,
+    // inside the partition — no extra exchange for the explode
+    val exchanges = p.linesIterator.count(_.contains("hashpartitioning"))
+    assert(exchanges <= 3,
+      s"WAU plans $exchanges exchanges, expected <=3 (2 distincts + rollup):\n$p")
   }
 
   test("q191 small-qty: brand filter reaches the part scan, branded join broadcasts") {
