@@ -553,6 +553,34 @@ object RelationalQueries {
           count(lit(1)).as("n_orders"))
         .withColumn("cum_cents", sum(col("rev_cents")).over(w).cast(LongType))
         .orderBy("cohort_m", "age_m")
+    }),
+
+    // Ratio-to-report — each nation's share of its REGION's revenue
+    // (the windowed percent-of-total every BI layer ships, exact):
+    // the corpus-sized work is one orders⨝customer shuffle into a
+    // 25-row (region, nation) rollup; the share then divides through
+    // a region-partitioned window over that tiny frame — Decimal
+    // cross-multiplied ppm, never a float ratio. nation×region ride
+    // as one broadcast.
+    "q198_rev_share" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = DecimalType(38, 0)
+      val nr = broadcast(Tables.nation(s, d)
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name")))
+      val w = Window.partitionBy("r_name")
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(nr, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"))
+          .cast(LongType).as("cents"))
+        .withColumn("tot", sum(col("cents").cast(dec)).over(w))
+        .select(col("r_name"), col("n_name"), col("cents"),
+          expr("cast((cast(cents as decimal(38,0)) * 1000000) div tot as bigint)")
+            .as("share_ppm"))
+        .orderBy("r_name", "n_name")
     })
   )
 
@@ -802,6 +830,19 @@ object RelationalQueries {
          SELECT cohort_m, age_m, rev_cents, n_orders,
                 CAST(sum(rev_cents) OVER (PARTITION BY cohort_m ORDER BY age_m
                        ROWS UNBOUNDED PRECEDING) AS BIGINT) cum_cents
-         FROM a ORDER BY cohort_m, age_m"""
+         FROM a ORDER BY cohort_m, age_m""",
+    // windowed percent-of-total: nation share of region revenue, ppm.
+    "q198_rev_share" ->
+      """WITH nrev AS (
+           SELECT r_name, n_name,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) cents
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY 1, 2)
+         SELECT r_name, n_name, cents,
+                CAST(CAST(cents AS HUGEINT) * 1000000 //
+                     sum(CAST(cents AS HUGEINT)) OVER (PARTITION BY r_name) AS BIGINT) share_ppm
+         FROM nrev ORDER BY r_name, n_name"""
   )
 }

@@ -1886,6 +1886,38 @@ object TextQueries {
         .filter(col("rk") <= 20)
         .select(col("lang"), col("rk"), col("gram"), col("n"))
         .orderBy("lang", "rk")
+    }),
+
+    // Posting-list compression planning — the bit-budget estimate an
+    // index build runs before choosing an encoding (q94 builds the
+    // postings; this prices them): delta-gap cost in bits, where a
+    // gap of g costs floor(log2 g)+1 = length of its binary string —
+    // conv(g, 10, 2) here, bin(g) in the oracle, EXACT integer on
+    // both engines (no float log anywhere). savings vs raw 64-bit
+    // ids in ppm. The df gate is CORPUS-RELATIVE (5 ≤ df ≤ 90% of
+    // docs, the broadcast-scalar doc count) so it keeps meaning at
+    // every SF — a fixed cap emptied at 10× data; a full-scale build
+    // caps or block-compresses the ubiquitous-term lists the same
+    // way, which also bounds the collect_list here.
+    "q197_posting_bits" -> ((s, d) => {
+      val nd = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+      withWords(s, d)
+        .select(col("doc_id"), explode(array_distinct(col("words"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          sort_array(collect_list(col("doc_id"))).as("ids"))
+        .crossJoin(broadcast(nd))
+        .filter(col("df") >= 5 && col("df") * 10 <= col("nd") * 9)
+        .select(col("term"), col("df"),
+          expr("""cast(length(conv(ids[0] + 1, 10, 2)) +
+                    aggregate(transform(sequence(2, cast(df as int)),
+                                        i -> length(conv(element_at(ids, i) - element_at(ids, i - 1), 10, 2))),
+                              0, (a, x) -> a + x) as bigint)""").as("bits"),
+          (col("df") * 64).as("raw_bits"))
+        .withColumn("savings_ppm",
+          expr("((raw_bits - bits) * 1000000) div raw_bits"))
+        .orderBy(col("df").desc, col("term")).limit(30)
     })
   )
 
@@ -2895,6 +2927,25 @@ object TextQueries {
                          ORDER BY n DESC, gram) rk
                 FROM cnt)
           SELECT lang, CAST(rk AS BIGINT) rk, gram, CAST(n AS BIGINT) n
-          FROM r WHERE rk <= 20 ORDER BY lang, rk"""
+          FROM r WHERE rk <= 20 ORDER BY lang, rk""",
+
+    // delta-gap bit cost of sorted postings; bin() = exact integer
+    // floor(log2)+1.
+    "q197_posting_bits" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+          w AS (SELECT DISTINCT doc_id, unnest(string_split(t, ' ')) AS term FROM n),
+          p AS (SELECT term, count(*) AS df, list_sort(list(doc_id)) AS ids
+                FROM w WHERE term <> '' GROUP BY term),
+          f AS (SELECT term, df, ids FROM p
+                WHERE df >= 5 AND df * 10 <= (SELECT count(*) FROM documents) * 9),
+          b AS (SELECT term, CAST(df AS BIGINT) df,
+                       CAST(length(bin(ids[1] + 1)) +
+                            list_sum(list_transform(range(2, CAST(df AS INTEGER) + 1),
+                                                    i -> length(bin(ids[i] - ids[i-1])))) AS BIGINT) AS bits,
+                       CAST(df * 64 AS BIGINT) AS raw_bits
+                FROM f)
+          SELECT term, df, bits, raw_bits,
+                 (raw_bits - bits) * 1000000 // raw_bits AS savings_ppm
+          FROM b ORDER BY df DESC, term LIMIT 30"""
   )
 }

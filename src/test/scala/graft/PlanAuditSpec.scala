@@ -82,7 +82,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q176_weekday", // types-sized counts × broadcast 1-row day totals
       "q178_rfm", // customer ranks × broadcast 1-row customer count m
       "q185_heaps", // bigram first-occurrence mins × broadcast 1-row doc count
-      "q196_wau") // distinct-activity table × broadcast 1-row max-day clip
+      "q196_wau", // distinct-activity table × broadcast 1-row max-day clip
+      "q197_posting_bits") // term postings × broadcast 1-row doc count
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
@@ -993,6 +994,20 @@ class PlanAuditSpec extends AnyFunSuite {
     val exchanges = p.linesIterator.count(_.contains("hashpartitioning"))
     assert(exchanges <= 3,
       s"WAU plans $exchanges exchanges, expected <=3 (2 distincts + rollup):\n$p")
+  }
+
+  test("q197 posting bits: partial-agg'd postings, top-30 take-ordered") {
+    val p = plan("q197_posting_bits")
+    assert(p.contains("partial_"), s"posting rollup lost map-side combine:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-30 does a full sort:\n$p")
+  }
+
+  test("q198 revenue share: dims broadcast, one fact shuffle, 25-row window") {
+    val p = plan("q198_rev_share")
+    assert(p.contains("BroadcastHashJoin"), s"nation/region dims not broadcast:\n$p")
+    assert(p.contains("partial_"), s"(region, nation) rollup lost map-side combine:\n$p")
+    assert(p.contains("windowspecdefinition(r_name"),
+      s"share window is not region-partitioned:\n$p")
   }
 
   test("q191 small-qty: brand filter reaches the part scan, branded join broadcasts") {
