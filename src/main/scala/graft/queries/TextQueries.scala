@@ -1918,6 +1918,94 @@ object TextQueries {
         .withColumn("savings_ppm",
           expr("((raw_bits - bits) * 1000000) div raw_bits"))
         .orderBy(col("df").desc, col("term")).limit(30)
+    }),
+
+    // Mixture allocation, EXECUTED — q110 computes how much of each
+    // language to keep; this query performs the selection: the same
+    // capped-weight + one-round-redistribution arithmetic in DOC
+    // units, then a deterministic content-independent salted-hash
+    // rank per language (DistributedRank — a 5-language window would
+    // collapse the corpus onto 5 tasks) keeps exactly `alloc` docs.
+    // The kept SET is pinned by md5 over the sorted id list, so the
+    // oracle verifies the actual selection, not just the counts —
+    // reproducible across runs, engines, and shards because a doc's
+    // fate depends only on (lang avails, its own id). The id-list pin
+    // is alloc-sized per language; a 100 TB run would pin per-shard
+    // sublists instead.
+    "q199_mixture_select" -> ((s, d) => {
+      val wMap = typedLit(Map(
+        "en" -> 400000L, "zh" -> 200000L, "de" -> 150000L,
+        "fr" -> 150000L, "es" -> 100000L))
+      val st = Tables.documents(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("avail"))
+        .withColumn("w_ppm", coalesce(element_at(wMap, col("lang")), lit(0L)))
+      val tot = st.agg(sum(col("avail")).as("t"))
+      val base = st.crossJoin(broadcast(tot))
+        .withColumn("alloc0", expr("(((t * 4) div 5) * w_ppm) div 1000000"))
+        .withColumn("capped", col("alloc0") > col("avail"))
+      val sums = base.agg(
+        sum(when(col("capped"), col("alloc0") - col("avail")).otherwise(0L))
+          .as("leftover"),
+        sum(when(!col("capped"), col("w_ppm")).otherwise(0L)).as("w_free"))
+      val alloc = base.crossJoin(broadcast(sums))
+        .withColumn("alloc", least(col("avail"),
+          col("alloc0") + when(col("capped"), 0L)
+            .otherwise(expr("(leftover * w_ppm) div w_free"))))
+        .select(col("lang").as("alang"), col("avail"), col("alloc"))
+      val hk = expr(
+        "cast(conv(substring(md5(concat('mix:', cast(doc_id as string))), 1, 15), 16, 10) as bigint)")
+      val ranked = graft.ops.DistributedRank.rowNumber(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"))
+          .withColumn("hk", hk),
+        "r", Seq("lang"), Seq(col("hk"), col("doc_id")))
+      val keptAgg = ranked
+        .join(broadcast(alloc), col("lang") === col("alang"))
+        .filter(col("r") <= col("alloc"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(expr("array_join(array_sort(collect_list(doc_id)), ',')")
+            .cast(BinaryType)).as("kept_md5"))
+      alloc.join(keptAgg, col("alang") === col("lang"), "left")
+        .select(col("alang").as("lang"), col("avail"), col("alloc"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("kept_md5"))
+        .orderBy("lang")
+    }),
+
+    // Corpus data card — the per-language report every curation run
+    // publishes with its output (the "datasheet" numbers): doc and
+    // token counts, exact-duplicate rate (md5 over the normalized
+    // text — a doc counts as dup iff its hash occurs ≥2 ANYWHERE in
+    // the corpus), and the q25 quality-gate pass rate, all exact ppm.
+    // One corpus scan feeds the per-doc frame; the dup census joins
+    // 16-byte HASHES back (q129's hashes-not-text discipline); the
+    // final rollup is languages-sized. Composition, oracle-gated:
+    // the card's quality column replays q25's exact scoring.
+    "q200_data_card" -> ((s, d) => {
+      val per = withWords(s, d)
+        .select(col("doc_id"), col("lang"),
+          expr("n_chars div 4").as("toks"),
+          md5(col("t").cast(BinaryType)).as("h"),
+          (when(size(col("words")) >= 30, 1L).otherwise(0L)
+            + when(expr("size(filter(words, x -> x in ('the', 'a'))) * 10")
+                <= size(col("words")), 1L).otherwise(0L)
+            + when(expr("(length(replace(t, ' ', '')) * 100) div size(words)")
+                .between(300, 800), 1L).otherwise(0L)).as("score"))
+      val dh = per.groupBy("h").agg(count(lit(1)).as("nh"))
+        .filter(col("nh") >= 2).select(col("h").as("dh"))
+      per.join(dh, col("h") === col("dh"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).cast(LongType).as("tokens"),
+          count(col("dh")).as("dup_docs"),
+          count(when(col("score") >= 2, 1)).as("pass_docs"))
+        .select(col("lang"), col("n_docs"), col("tokens"),
+          col("dup_docs"),
+          expr("(dup_docs * 1000000) div n_docs").as("dup_ppm"),
+          col("pass_docs"),
+          expr("(pass_docs * 1000000) div n_docs").as("pass_ppm"))
+        .select(col("lang"), col("n_docs"), col("tokens"), col("dup_docs"),
+          col("dup_ppm"), col("pass_docs"), col("pass_ppm"))
+        .orderBy("lang")
     })
   )
 
@@ -2946,6 +3034,62 @@ object TextQueries {
                 FROM f)
           SELECT term, df, bits, raw_bits,
                  (raw_bits - bits) * 1000000 // raw_bits AS savings_ppm
-          FROM b ORDER BY df DESC, term LIMIT 30"""
+          FROM b ORDER BY df DESC, term LIMIT 30""",
+
+    // q110's allocation in doc units, EXECUTED: hash-ranked selection
+    // per lang, kept set pinned by md5.
+    "q199_mixture_select" ->
+      """WITH w(lang, w_ppm) AS (VALUES ('en', 400000), ('zh', 200000),
+                ('de', 150000), ('fr', 150000), ('es', 100000)),
+         st AS (SELECT d.lang, count(*) avail, coalesce(max(w.w_ppm), 0) w_ppm
+                FROM documents d LEFT JOIN w ON d.lang = w.lang GROUP BY 1),
+         tot AS (SELECT sum(avail) t FROM st),
+         base AS (SELECT lang, avail, w_ppm,
+                         (((t * 4) // 5) * w_ppm) // 1000000 AS alloc0,
+                         (((t * 4) // 5) * w_ppm) // 1000000 > avail AS capped
+                  FROM st, tot),
+         sums AS (SELECT sum(CASE WHEN capped THEN alloc0 - avail ELSE 0 END) leftover,
+                         sum(CASE WHEN NOT capped THEN w_ppm ELSE 0 END) w_free
+                  FROM base),
+         alloc AS (SELECT lang, avail, w_ppm,
+                          least(avail, alloc0 + CASE WHEN capped THEN 0
+                                ELSE (leftover * w_ppm) // w_free END) AS alloc
+                   FROM base, sums),
+         rk AS (SELECT d.doc_id, d.lang,
+                       row_number() OVER (PARTITION BY d.lang ORDER BY
+                         CAST(concat('0x', substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                         d.doc_id) r
+                FROM documents d),
+         kept AS (SELECT rk.lang, rk.doc_id
+                  FROM rk JOIN alloc ON rk.lang = alloc.lang WHERE rk.r <= alloc.alloc)
+         SELECT a.lang, CAST(a.avail AS BIGINT) avail, CAST(a.alloc AS BIGINT) alloc,
+                CAST(count(k.doc_id) AS BIGINT) n_kept,
+                md5(string_agg(CAST(k.doc_id AS VARCHAR), ',' ORDER BY k.doc_id)) kept_md5
+         FROM alloc a LEFT JOIN kept k ON a.lang = k.lang
+         GROUP BY 1, 2, 3 ORDER BY a.lang""",
+
+    // per-language datasheet: docs, tokens, exact-dup ppm (corpus-wide
+    // hash census), q25 quality pass ppm.
+    "q200_data_card" ->
+      s"""WITH n AS (SELECT doc_id, lang, n_chars, $normDuck t FROM documents),
+          w AS (SELECT doc_id, lang, n_chars, t, string_split(t, ' ') words FROM n),
+          per AS (SELECT doc_id, lang, n_chars // 4 AS toks, md5(t) h,
+                         (CASE WHEN len(words) >= 30 THEN 1 ELSE 0 END
+                          + CASE WHEN len(list_filter(words, x -> x in ('the', 'a'))) * 10
+                                      <= len(words) THEN 1 ELSE 0 END
+                          + CASE WHEN (length(replace(t, ' ', '')) * 100) // len(words)
+                                      BETWEEN 300 AND 800 THEN 1 ELSE 0 END) score
+                  FROM w),
+          dh AS (SELECT h FROM per GROUP BY h HAVING count(*) >= 2)
+          SELECT lang, CAST(count(*) AS BIGINT) n_docs,
+                 CAST(sum(toks) AS BIGINT) tokens,
+                 CAST(count(CASE WHEN dh.h IS NOT NULL THEN 1 END) AS BIGINT) dup_docs,
+                 CAST(count(CASE WHEN dh.h IS NOT NULL THEN 1 END) * 1000000
+                      // count(*) AS BIGINT) dup_ppm,
+                 CAST(count(CASE WHEN score >= 2 THEN 1 END) AS BIGINT) pass_docs,
+                 CAST(count(CASE WHEN score >= 2 THEN 1 END) * 1000000
+                      // count(*) AS BIGINT) pass_ppm
+          FROM per LEFT JOIN dh ON per.h = dh.h
+          GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -83,7 +83,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q178_rfm", // customer ranks × broadcast 1-row customer count m
       "q185_heaps", // bigram first-occurrence mins × broadcast 1-row doc count
       "q196_wau", // distinct-activity table × broadcast 1-row max-day clip
-      "q197_posting_bits") // term postings × broadcast 1-row doc count
+      "q197_posting_bits", // term postings × broadcast 1-row doc count
+      "q199_mixture_select") // languages-sized strata × broadcast 1-row totals (q110 shape)
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
@@ -1008,6 +1009,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"(region, nation) rollup lost map-side combine:\n$p")
     assert(p.contains("windowspecdefinition(r_name"),
       s"share window is not region-partitioned:\n$p")
+  }
+
+  test("q199 mixture select: salted data rank, broadcast alloc, no text shuffle") {
+    val p = plan("q199_mixture_select")
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"selection rank lost the DistributedRank salt:\n$p")
+    val shuffled = p.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(!shuffled.contains("text"), s"text reached a shuffle:\n$shuffled")
+  }
+
+  test("q200 data card: dup census joins hashes not text, rollup partial-aggs") {
+    val p = plan("q200_data_card")
+    assert(p.contains("partial_"), s"card rollup lost map-side combine:\n$p")
+    val shuffled = p.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(!shuffled.contains("text"), s"text reached a shuffle:\n$shuffled")
   }
 
   test("q191 small-qty: brand filter reaches the part scan, branded join broadcasts") {
