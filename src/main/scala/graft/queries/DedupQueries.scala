@@ -131,6 +131,37 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Duplicate-discounted corpus weights — the SOFT alternative to
+    // q108's hard drop: instead of keeping one copy per near-dup
+    // cluster, every copy survives with sampling weight 1/cluster_size
+    // (the standard loss-reweighting treatment, so a document repeated
+    // 40× contributes ~1 document of gradient signal, not 40). Output
+    // is the per-language token ledger a mixture planner consumes:
+    // raw vs effective tokens (exact millionth units via integer
+    // division — no float weights to diverge). Scale shape: cluster
+    // labels ride the (long, long) CC output; the size rollup and the
+    // join back both shuffle cluster-keyed (id, toks) rows — text
+    // never leaves the scan; token convention is q200's n_chars/4.
+    "q204_dup_weights" -> ((s, d) => {
+      val pairs = minhashNearDupPairs(s, d).select("doc_a", "doc_b")
+      val labels = graft.ops.ConnectedComponents(pairs)
+        .withColumnRenamed("node", "doc_id")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), expr("n_chars div 4").as("toks"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("toks"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      val sizes = docs.groupBy("cluster_id").agg(count(lit(1)).as("csz"))
+      docs.join(sizes, "cluster_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          sum(col("toks")).cast(LongType).as("raw_toks"),
+          sum(expr("(toks * 1000000) div csz")).cast(LongType)
+            .as("eff_tok_millionths"))
+        .orderBy("lang")
+    }),
+
     // LSH banding-recall audit — the index-quality gate for DEDUP
     // that q77 is for ANN: q126 calibrates the estimator on pairs the
     // banding SURFACED, but only a ground-truth block can show what
@@ -1206,6 +1237,56 @@ object DedupQueries {
                        ORDER BY n_chars DESC, doc_id) = 1
                      THEN 1 ELSE 0 END AS BIGINT) AS keep
          FROM sel ORDER BY doc_id""",
+    // q108's cluster labels, consumed as 1/cluster_size loss weights:
+    // per-language raw vs effective tokens in exact millionth units.
+    "q204_dup_weights" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2],' ')) shingles
+           FROM w WHERE len(words) >= 3),
+         ss AS (
+           SELECT doc_id, list_distinct(shingles) sset FROM sh),
+         hsv AS (
+           SELECT doc_id, sset, len(sset) nset,
+                  list_transform(sset, x -> CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) % 2147483647) hs
+           FROM ss),
+         m AS (
+           SELECT doc_id, sset, nset,
+             [list_aggregate(list_transform(hs, hm ->
+                ((CAST(1103515245 AS BIGINT) * (k+1) + 12345) % 2147483647 * hm + 977 * (k+1)) % 2147483647), 'min')
+              for k in range(0,12)] mh
+           FROM hsv),
+         bands AS (
+           SELECT doc_id, j, mh[2*j+1] * 2147483647 + mh[2*j+2] sig
+           FROM m, unnest(range(0,6)) t(j)),
+         cand AS (
+           SELECT DISTINCT a.doc_id da, b.doc_id db
+           FROM bands a JOIN bands b ON a.j=b.j AND a.sig=b.sig AND a.doc_id < b.doc_id),
+         pairs AS (
+           SELECT da, db
+           FROM cand JOIN hsv x ON da=x.doc_id JOIN hsv y ON db=y.doc_id
+           WHERE 5*len(list_intersect(x.sset, y.sset)) >= 3*(x.nset + y.nset - len(list_intersect(x.sset, y.sset)))),
+         edges AS (
+           SELECT da AS s, db AS t FROM pairs UNION SELECT db, da FROM pairs),
+         reach(node, r) AS (
+           SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+           UNION
+           SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.node),
+         labels AS (
+           SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+         sel AS (
+           SELECT d.doc_id, d.lang, d.n_chars // 4 AS toks,
+                  coalesce(l.cluster_id, d.doc_id) AS cluster_id
+           FROM documents d LEFT JOIN labels l ON d.doc_id = l.node),
+         cs AS (SELECT cluster_id, count(*) csz FROM sel GROUP BY 1)
+         SELECT lang, count(*) AS n_docs,
+                CAST(count(DISTINCT s.cluster_id) AS BIGINT) AS n_clusters,
+                CAST(sum(toks) AS BIGINT) AS raw_toks,
+                CAST(sum((toks * 1000000) // csz) AS BIGINT) AS eff_tok_millionths
+         FROM sel s JOIN cs ON s.cluster_id = cs.cluster_id
+         GROUP BY 1 ORDER BY 1""",
     // q18's candidate chain scored by asymmetric containment of the
     // smaller shingle set, exact-integer ppm.
     "q109_containment" ->

@@ -581,6 +581,80 @@ object RelationalQueries {
           expr("cast((cast(cents as decimal(38,0)) * 1000000) div tot as bigint)")
             .as("share_ppm"))
         .orderBy("r_name", "n_name")
+    }),
+
+    // Customer order-count distribution (TPC-H Q13 shape) — the one
+    // join flavor the surface hadn't pinned: LEFT OUTER, so customers
+    // with zero urgent orders survive into the 0 bucket (count of the
+    // non-null join key, not count(*)). The priority predicate reaches
+    // the order scan before the join; both aggregations — the
+    // customer-keyed count and the dozen-row histogram — keep partial
+    // aggregation, so at 100 TB the only data-sized exchange is the
+    // one custkey shuffle each side pays for the join.
+    "q201_custdist" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy("n_orders")
+        .agg(count(lit(1)).as("n_custs"))
+        .orderBy(col("n_custs").desc, col("n_orders").desc)
+    }),
+
+    // Dormant high-balance customers (TPC-H Q22 shape): the global
+    // positive-balance mean rides as a broadcast 1-row (Σcents, n)
+    // scalar and the "above average" test cross-multiplies in exact
+    // integers (cents·n > Σ) — no float mean to diverge between
+    // engines. "Never placed an urgent order" is a LEFT ANTI join
+    // against the filtered, key-only order projection (the anti side
+    // shuffles only custkeys); the nation rollup rides a broadcast
+    // dim. At 100 TB: one custkey shuffle for the anti join, a 25-row
+    // result — the mean never serializes more than 1 row.
+    "q202_idle_rich" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .withColumn("bal_c",
+          expr("cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint)"))
+      val stats = cust.filter(col("bal_c") > 0)
+        .agg(sum(col("bal_c").cast(DecimalType(38, 0))).as("sum_c"),
+          count(lit(1)).as("n_pos"))
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val nat = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name")))
+      cust.crossJoin(broadcast(stats))
+        .filter(expr("cast(bal_c as decimal(38,0)) * n_pos > sum_c"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("bal_c")).cast(LongType).as("bal_cents"))
+        .orderBy("n_name")
+    }),
+
+    // Large-volume orders (TPC-H Q18 shape): group-HAVING on the fact
+    // pre-aggregate — the per-order quantity rollup partial-aggs and
+    // the HAVING filter runs on the aggregated frame, so the join back
+    // to orders/customer is driven by the vanishing surviving fraction
+    // (AQE broadcasts it at runtime). Quantities are exact integer
+    // cents; top-100 rides TakeOrderedAndProject (never a full sort),
+    // ties broken by orderkey for a deterministic result set.
+    "q203_bigorders" -> ((s, d) => {
+      val bigq = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("bk"))
+        .agg(sum(expr("cast(cast(l_quantity as decimal(18,2)) * 100 as bigint)"))
+          .cast(LongType).as("qty_c"))
+        .filter(col("qty_c") > 30000)
+      Tables.orders(s, d)
+        .join(bigq, col("o_orderkey") === col("bk"))
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_orderdate"), col("qty_c"))
+        .orderBy(col("qty_c").desc, col("o_orderkey").asc)
+        .limit(100)
     })
   )
 
@@ -843,6 +917,44 @@ object RelationalQueries {
          SELECT r_name, n_name, cents,
                 CAST(CAST(cents AS HUGEINT) * 1000000 //
                      sum(CAST(cents AS HUGEINT)) OVER (PARTITION BY r_name) AS BIGINT) share_ppm
-         FROM nrev ORDER BY r_name, n_name"""
+         FROM nrev ORDER BY r_name, n_name""",
+    // TPC-H Q13 shape: left-outer order counts per customer (zero
+    // bucket included), then the order-count histogram.
+    "q201_custdist" ->
+      """WITH c AS (
+           SELECT c_custkey, count(o_orderkey) AS n_orders
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+           GROUP BY 1)
+         SELECT n_orders, count(*) AS n_custs
+         FROM c GROUP BY 1 ORDER BY n_custs DESC, n_orders DESC""",
+    // TPC-H Q22 shape: above-positive-mean balances (integer
+    // cross-multiplied) with no urgent orders (NOT EXISTS anti join).
+    "q202_idle_rich" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+                           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) bal_c
+                    FROM customer),
+         s AS (SELECT CAST(sum(bal_c) AS HUGEINT) sum_c, count(*) n_pos
+               FROM c WHERE bal_c > 0)
+         SELECT n_name, count(*) AS n_cust, CAST(sum(bal_c) AS BIGINT) AS bal_cents
+         FROM c CROSS JOIN s
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE CAST(bal_c AS HUGEINT) * n_pos > sum_c
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
+         GROUP BY 1 ORDER BY 1""",
+    // TPC-H Q18 shape: per-order quantity rollup, HAVING survivors
+    // joined back, deterministic top-100.
+    "q203_bigorders" ->
+      """WITH b AS (
+           SELECT l_orderkey AS bk,
+                  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) qty_c
+           FROM lineitem GROUP BY 1
+           HAVING sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) > 30000)
+         SELECT c_name, o_orderkey, o_orderdate, qty_c
+         FROM orders JOIN b ON o_orderkey = bk
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY qty_c DESC, o_orderkey LIMIT 100"""
   )
 }

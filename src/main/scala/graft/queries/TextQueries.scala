@@ -2006,6 +2006,36 @@ object TextQueries {
         .select(col("lang"), col("n_docs"), col("tokens"), col("dup_docs"),
           col("dup_ppm"), col("pass_docs"), col("pass_ppm"))
         .orderBy("lang")
+    }),
+
+    // Normalization-ablation dedup — the measurement behind the
+    // "normalize before you dedup" pipeline decision: per source, how
+    // many exact-dup documents exist on the RAW bytes vs after the
+    // engine's canonical text form (lower → strip non-alnum → collapse
+    // whitespace, the q24/q108 shingle normalization), and the ppm of
+    // extra duplicates normalization surfaces. Both censuses group by
+    // a 32-byte md5 — text never reaches a shuffle; the two dup-hash
+    // frames join back hash-keyed; gain_ppm is exact integer division
+    // (norm dups ⊇ raw dups by construction, so it's non-negative).
+    "q205_norm_dedup" -> ((s, d) => {
+      val per = Tables.documents(s, d)
+        .select(col("source"),
+          md5(col("text").cast(BinaryType)).as("h_raw"),
+          md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+            .cast(BinaryType)).as("h_norm"))
+      def dups(c: String, out: String) = per
+        .groupBy(col(c).as("h")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2).select(col("h").as(out))
+      per
+        .join(dups("h_raw", "dr"), col("h_raw") === col("dr"), "left")
+        .join(dups("h_norm", "dn"), col("h_norm") === col("dn"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("dr")).as("raw_dups"),
+          count(col("dn")).as("norm_dups"))
+        .select(col("source"), col("n_docs"), col("raw_dups"), col("norm_dups"),
+          expr("((norm_dups - raw_dups) * 1000000) div n_docs").as("gain_ppm"))
+        .orderBy("source")
     })
   )
 
@@ -3090,6 +3120,21 @@ object TextQueries {
                  CAST(count(CASE WHEN score >= 2 THEN 1 END) * 1000000
                       // count(*) AS BIGINT) pass_ppm
           FROM per LEFT JOIN dh ON per.h = dh.h
+          GROUP BY 1 ORDER BY 1""",
+    // raw-bytes vs canonical-form exact-dup census per source; gain
+    // in exact ppm (integer division).
+    "q205_norm_dedup" ->
+      s"""WITH per AS (
+            SELECT source, md5(text) h_raw, md5($normDuck) h_norm
+            FROM documents),
+          dr AS (SELECT h_raw h FROM per GROUP BY 1 HAVING count(*) >= 2),
+          dn AS (SELECT h_norm h FROM per GROUP BY 1 HAVING count(*) >= 2)
+          SELECT source, count(*) AS n_docs,
+                 CAST(count(dr.h) AS BIGINT) AS raw_dups,
+                 CAST(count(dn.h) AS BIGINT) AS norm_dups,
+                 CAST(((count(dn.h) - count(dr.h)) * 1000000) // count(*) AS BIGINT) AS gain_ppm
+          FROM per LEFT JOIN dr ON per.h_raw = dr.h
+                   LEFT JOIN dn ON per.h_norm = dn.h
           GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -84,7 +84,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q185_heaps", // bigram first-occurrence mins × broadcast 1-row doc count
       "q196_wau", // distinct-activity table × broadcast 1-row max-day clip
       "q197_posting_bits", // term postings × broadcast 1-row doc count
-      "q199_mixture_select") // languages-sized strata × broadcast 1-row totals (q110 shape)
+      "q199_mixture_select", // languages-sized strata × broadcast 1-row totals (q110 shape)
+      "q202_idle_rich") // customer × broadcast 1-row (Σcents, n) mean scalar
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
@@ -1024,6 +1025,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"card rollup lost map-side combine:\n$p")
     val shuffled = p.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
     assert(!shuffled.contains("text"), s"text reached a shuffle:\n$shuffled")
+  }
+
+  test("q201 custdist: priority predicate reaches the scan, left-outer join, partial aggs") {
+    val p = plan("q201_custdist")
+    assert(p.contains("LeftOuter"), s"zero bucket lost the left-outer join:\n$p")
+    assert(p.contains("1-URGENT"), s"priority predicate not pushed toward the scan:\n$p")
+    assert(p.contains("partial_count"), s"histogram lost map-side combine:\n$p")
+  }
+
+  test("q202 idle-rich: anti join ships keys only, mean rides a 1-row broadcast") {
+    val p = plan("q202_idle_rich")
+    assert(p.contains("LeftAnti"), s"never-ordered test lost the anti join:\n$p")
+    // the anti-join build side must be the projected o_custkey column,
+    // never the full order row
+    val shuffled = p.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(!shuffled.contains("o_orderdate") && !shuffled.contains("o_totalprice"),
+      s"anti join shuffled full order rows:\n$shuffled")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"mean scalar is not a 1-row broadcast:\n$p")
+  }
+
+  test("q203 bigorders: HAVING on the partial-agg'd rollup, top-100 take-ordered") {
+    val p = plan("q203_bigorders")
+    assert(p.contains("partial_sum"), s"per-order rollup lost map-side combine:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 does a full sort:\n$p")
+  }
+
+  test("q204 dup weights: id/token shuffles only — text never leaves the scan") {
+    val p = plan("q204_dup_weights")
+    val shuffled = p.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(!shuffled.contains("text"), s"text reached a shuffle:\n$shuffled")
+    assert(p.contains("partial_"), s"ledger rollup lost map-side combine:\n$p")
+  }
+
+  test("q205 norm dedup: both censuses shuffle md5 hashes, never text") {
+    val p = plan("q205_norm_dedup")
+    val shuffled = p.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(!shuffled.contains("text"), s"text reached a shuffle:\n$shuffled")
+    assert(p.contains("partial_count"), s"dup census lost map-side combine:\n$p")
   }
 
   test("q191 small-qty: brand filter reaches the part scan, branded join broadcasts") {
