@@ -162,6 +162,68 @@ object DedupQueries {
         .orderBy("lang")
     }),
 
+    // Cross-source contamination matrix — the exact companion to
+    // q117's KMV overlap ESTIMATE: which sources feed near-duplicates
+    // into each other, measured from the confirmed q18 pairs (a
+    // curation run uses this to decide which source to drop a dup
+    // from, and to catch a scrape that re-ingested another source).
+    // Unordered (least, greatest) source pair so A→B and B→A land in
+    // one cell. Scale shape: pairs are (long, long); the source
+    // attribution joins ship (doc_id, source) — never text; the
+    // matrix itself is |sources|² rows.
+    "q206_source_overlap" -> ((s, d) => {
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      minhashNearDupPairs(s, d).select("doc_a", "doc_b")
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+        .select(least(col("sa"), col("sb")).as("src_lo"),
+          greatest(col("sa"), col("sb")).as("src_hi"))
+        .groupBy("src_lo", "src_hi")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("src_lo", "src_hi")
+    }),
+
+    // LSH banding PRECISION audit — q183 measures what the banding
+    // MISSED (recall); this measures what it WASTED: per band, how
+    // many candidate pairs the band surfaced and what fraction
+    // survived the exact Jaccard gate. The per-band attribution is
+    // the tuning signal for the bands×rows trade (a band with
+    // precision near zero is pure shuffle cost; uniform precision
+    // says the signature mixing is healthy). Same signature/band/
+    // confirm kernel as q18, with the band index kept through the
+    // candidate join; intersections are computed once per (band,
+    // pair) via the sorted-merge native, counts exact-integer ppm.
+    "q208_band_precision" -> ((s, d) => {
+      val m = graft.ops.Barrier(shingleSets(s, d).select(col("doc_id"),
+        col("sset"), size(col("sset")).cast(LongType).as("nset"),
+        graft.Functions.minhash_array(col("sset")).as("mh")))
+      val bands = m.select(col("doc_id"),
+        expr(s"""explode(transform(sequence(0, 5), j ->
+                   struct(j as j, element_at(mh, 2*j+1) * ${P}L + element_at(mh, 2*j+2) as sig)))""")
+          .as("b"))
+        .select(col("doc_id"), col("b.j").as("j"), col("b.sig").as("sig"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.j") === col("b.j") && col("a.sig") === col("b.sig")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.j").as("j"), col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      val sets = m.select(col("doc_id"), col("sset"), col("nset")).hint("merge")
+      cand
+        .join(sets.select(col("doc_id").as("da"), col("sset").as("sa"), col("nset").as("na")), "da")
+        .join(sets.select(col("doc_id").as("db"), col("sset").as("sb"), col("nset").as("nb")), "db")
+        .withColumn("inter",
+          graft.Functions.sorted_intersect_count(col("sa"), col("sb")))
+        .select(col("j"),
+          when(col("inter") * 5 >= (col("na") + col("nb") - col("inter")) * 3, 1L)
+            .otherwise(0L).as("pass"))
+        .groupBy("j")
+        .agg(count(lit(1)).as("n_cand"), sum(col("pass")).cast(LongType).as("n_pass"))
+        .select(col("j").cast(LongType).as("band"), col("n_cand"), col("n_pass"),
+          expr("(n_pass * 1000000) div n_cand").as("precision_ppm"))
+        .orderBy("band")
+    }),
+
     // LSH banding-recall audit — the index-quality gate for DEDUP
     // that q77 is for ANN: q126 calibrates the estimator on pairs the
     // banding SURFACED, but only a ground-truth block can show what
@@ -1287,6 +1349,80 @@ object DedupQueries {
                 CAST(sum((toks * 1000000) // csz) AS BIGINT) AS eff_tok_millionths
          FROM sel s JOIN cs ON s.cluster_id = cs.cluster_id
          GROUP BY 1 ORDER BY 1""",
+    // q18's confirmed pairs attributed to (source, source) cells —
+    // the exact cross-source contamination matrix.
+    "q206_source_overlap" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2],' ')) shingles
+           FROM w WHERE len(words) >= 3),
+         ss AS (
+           SELECT doc_id, list_distinct(shingles) sset FROM sh),
+         hsv AS (
+           SELECT doc_id, sset, len(sset) nset,
+                  list_transform(sset, x -> CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) % 2147483647) hs
+           FROM ss),
+         m AS (
+           SELECT doc_id, sset, nset,
+             [list_aggregate(list_transform(hs, hm ->
+                ((CAST(1103515245 AS BIGINT) * (k+1) + 12345) % 2147483647 * hm + 977 * (k+1)) % 2147483647), 'min')
+              for k in range(0,12)] mh
+           FROM hsv),
+         bands AS (
+           SELECT doc_id, j, mh[2*j+1] * 2147483647 + mh[2*j+2] sig
+           FROM m, unnest(range(0,6)) t(j)),
+         cand AS (
+           SELECT DISTINCT a.doc_id da, b.doc_id db
+           FROM bands a JOIN bands b ON a.j=b.j AND a.sig=b.sig AND a.doc_id < b.doc_id),
+         pairs AS (
+           SELECT da, db
+           FROM cand JOIN hsv x ON da=x.doc_id JOIN hsv y ON db=y.doc_id
+           WHERE 5*len(list_intersect(x.sset, y.sset)) >= 3*(x.nset + y.nset - len(list_intersect(x.sset, y.sset))))
+         SELECT least(x.source, y.source) AS src_lo,
+                greatest(x.source, y.source) AS src_hi,
+                count(*) AS n_pairs
+         FROM pairs JOIN documents x ON da = x.doc_id
+                    JOIN documents y ON db = y.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // per-band candidate counts and exact-gate survival: the banding
+    // precision profile.
+    "q208_band_precision" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2],' ')) shingles
+           FROM w WHERE len(words) >= 3),
+         ss AS (
+           SELECT doc_id, list_distinct(shingles) sset FROM sh),
+         hsv AS (
+           SELECT doc_id, sset, len(sset) nset,
+                  list_transform(sset, x -> CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) % 2147483647) hs
+           FROM ss),
+         m AS (
+           SELECT doc_id, sset, nset,
+             [list_aggregate(list_transform(hs, hm ->
+                ((CAST(1103515245 AS BIGINT) * (k+1) + 12345) % 2147483647 * hm + 977 * (k+1)) % 2147483647), 'min')
+              for k in range(0,12)] mh
+           FROM hsv),
+         bands AS (
+           SELECT doc_id, j, mh[2*j+1] * 2147483647 + mh[2*j+2] sig
+           FROM m, unnest(range(0,6)) t(j)),
+         cand AS (
+           SELECT DISTINCT a.j j, a.doc_id da, b.doc_id db
+           FROM bands a JOIN bands b ON a.j=b.j AND a.sig=b.sig AND a.doc_id < b.doc_id),
+         sc AS (
+           SELECT j,
+                  CASE WHEN 5*len(list_intersect(x.sset, y.sset))
+                            >= 3*(x.nset + y.nset - len(list_intersect(x.sset, y.sset)))
+                       THEN 1 ELSE 0 END pass
+           FROM cand JOIN hsv x ON da=x.doc_id JOIN hsv y ON db=y.doc_id)
+         SELECT CAST(j AS BIGINT) AS band, count(*) AS n_cand,
+                CAST(sum(pass) AS BIGINT) AS n_pass,
+                CAST((sum(pass) * 1000000) // count(*) AS BIGINT) AS precision_ppm
+         FROM sc GROUP BY 1 ORDER BY 1""",
     // q18's candidate chain scored by asymmetric containment of the
     // smaller shingle set, exact-integer ppm.
     "q109_containment" ->

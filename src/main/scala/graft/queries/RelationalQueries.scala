@@ -655,6 +655,66 @@ object RelationalQueries {
         .select(col("c_name"), col("o_orderkey"), col("o_orderdate"), col("qty_c"))
         .orderBy(col("qty_c").desc, col("o_orderkey").asc)
         .limit(100)
+    }),
+
+    // Returned-item revenue (TPC-H Q10 shape): which customers drove
+    // the most returned revenue in a year. Both scan filters (return
+    // flag, order-date year) are pushed to the parquet scans BEFORE
+    // the fact-fact join; revenue is exact 1e-4-dollar integer units
+    // (price_cents × (100 − disc_cents) — the q190 no-rounding
+    // discipline); the per-customer rollup partial-aggs before the
+    // custkey shuffle, and the customer/nation attribution joins run
+    // on the aggregated (customer-sized) frame, never on lineitems.
+    // Top-20 rides TakeOrderedAndProject.
+    "q209_returns" -> ((s, d) => {
+      val ret = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          expr("""cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)
+                  * (100 - cast(cast(l_discount as decimal(18,2)) * 100 as bigint))""")
+            .as("rev_u"))
+      val ord = Tables.orders(s, d)
+        .filter(expr(
+          "o_orderdate >= date'1995-01-01' and o_orderdate < date'1996-01-01'"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val nat = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name")))
+      ord.join(ret, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum(col("rev_u")).cast(LongType).as("rev_u"))
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"), col("rev_u"))
+        .orderBy(col("rev_u").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // Shipping-latency priority mix (TPC-H Q12 shape, adapted to this
+    // schema's columns): conditional priority-class counts over the
+    // fact-fact join, bucketed by order-to-ship latency (≤30 / ≤90 /
+    // late). The Q12 essence — "are urgent orders actually shipping
+    // faster?" — as one orderkey shuffle join into a 3-row rollup;
+    // all three counts are conditional aggregates of the same pass,
+    // partial-agg'd before the bucket shuffle.
+    "q210_late_ship" -> ((s, d) => {
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(expr(
+          """case when datediff(l_shipdate, o_orderdate) <= 30 then 'fast'
+                  when datediff(l_shipdate, o_orderdate) <= 90 then 'normal'
+                  else 'late' end""").as("bucket"),
+          col("o_orderpriority"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_items"),
+          count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+            .as("n_high"),
+          count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+            .as("n_low"))
+        .orderBy("bucket")
     })
   )
 
@@ -955,6 +1015,36 @@ object RelationalQueries {
          SELECT c_name, o_orderkey, o_orderdate, qty_c
          FROM orders JOIN b ON o_orderkey = bk
          JOIN customer ON o_custkey = c_custkey
-         ORDER BY qty_c DESC, o_orderkey LIMIT 100"""
+         ORDER BY qty_c DESC, o_orderkey LIMIT 100""",
+    // TPC-H Q10 shape: returned revenue per customer in 1995, exact
+    // 1e-4-dollar units, top-20.
+    "q209_returns" ->
+      """WITH r AS (
+           SELECT l_orderkey,
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) rev_u
+           FROM lineitem WHERE l_returnflag = 'R'),
+         g AS (
+           SELECT o_custkey, CAST(sum(rev_u) AS BIGINT) rev_u
+           FROM orders JOIN r ON o_orderkey = l_orderkey
+           WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+           GROUP BY 1)
+         SELECT c_custkey, c_name, n_name, rev_u
+         FROM g JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY rev_u DESC, c_custkey LIMIT 20""",
+    // TPC-H Q12 shape: priority-class counts per order-to-ship
+    // latency bucket.
+    "q210_late_ship" ->
+      """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'fast'
+                     WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'normal'
+                     ELSE 'late' END AS bucket,
+                count(*) AS n_items,
+                CAST(count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                THEN 1 END) AS BIGINT) AS n_high,
+                CAST(count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                                THEN 1 END) AS BIGINT) AS n_low
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -2036,6 +2036,33 @@ object TextQueries {
         .select(col("source"), col("n_docs"), col("raw_dups"), col("norm_dups"),
           expr("((norm_dups - raw_dups) * 1000000) div n_docs").as("gain_ppm"))
         .orderBy("source")
+    }),
+
+    // Context-length truncation ladder — the measurement behind the
+    // max-sequence-length decision: for each candidate cap, how many
+    // documents get truncated and what fraction of corpus tokens is
+    // lost (q79's packer and q155's FIM consume the chosen cap). ONE
+    // map-only pass: all four caps are conditional aggregates of the
+    // same scan (count over cap, Σ min(toks, cap)), folded into a
+    // single 1-row frame and exploded to the 4-row ladder — no join,
+    // no second scan, drop ppm by exact integer division. Token
+    // convention is q200's n_chars/4.
+    "q207_trunc_ladder" -> ((s, d) => {
+      val caps = Seq(64L, 128L, 256L, 512L)
+      val aggd = Tables.documents(s, d)
+        .select(expr("n_chars div 4").as("toks"))
+        .agg(
+          sum(col("toks")).as("total"),
+          caps.flatMap(c => Seq(
+            count(when(col("toks") > c, 1)).as(s"nt_$c"),
+            sum(least(col("toks"), lit(c))).as(s"kept_$c"))): _*)
+      aggd.select(expr(
+        "explode(array(" + caps.map(c =>
+          s"struct(${c}L as cap, nt_$c as n_trunc, cast(kept_$c as bigint) as kept_toks, " +
+            s"((total - kept_$c) * 1000000) div total as drop_ppm)").mkString(", ") + "))")
+        .as("r"))
+        .select(col("r.cap"), col("r.n_trunc"), col("r.kept_toks"), col("r.drop_ppm"))
+        .orderBy("cap")
     })
   )
 
@@ -3135,6 +3162,18 @@ object TextQueries {
                  CAST(((count(dn.h) - count(dr.h)) * 1000000) // count(*) AS BIGINT) AS gain_ppm
           FROM per LEFT JOIN dr ON per.h_raw = dr.h
                    LEFT JOIN dn ON per.h_norm = dn.h
-          GROUP BY 1 ORDER BY 1"""
+          GROUP BY 1 ORDER BY 1""",
+    // per-cap truncation counts and exact token-loss ppm for the
+    // context-length ladder.
+    "q207_trunc_ladder" ->
+      """WITH t AS (SELECT n_chars // 4 AS toks FROM documents),
+          s AS (SELECT CAST(sum(toks) AS BIGINT) total FROM t),
+          caps AS (SELECT unnest([64, 128, 256, 512]) AS cap)
+          SELECT CAST(cap AS BIGINT) AS cap,
+                 CAST(count(CASE WHEN toks > cap THEN 1 END) AS BIGINT) AS n_trunc,
+                 CAST(sum(least(toks, cap)) AS BIGINT) AS kept_toks,
+                 CAST(((max(total) - sum(least(toks, cap))) * 1000000) // max(total) AS BIGINT) AS drop_ppm
+          FROM t CROSS JOIN caps CROSS JOIN s
+          GROUP BY cap ORDER BY cap"""
   )
 }

@@ -1066,6 +1066,44 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"dup census lost map-side combine:\n$p")
   }
 
+  test("q206 source overlap: pair/source shuffles only, matrix rollup partial-aggs") {
+    val p = plan("q206_source_overlap")
+    val shuffled = p.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(!shuffled.contains("text"), s"text reached a shuffle:\n$shuffled")
+    assert(p.contains("partial_count"), s"matrix rollup lost map-side combine:\n$p")
+  }
+
+  test("q207 trunc ladder: one map-only scan — no join, conditional aggs only") {
+    val p = plan("q207_trunc_ladder")
+    assert(!p.contains("Join"), s"ladder should be a single conditional-agg scan:\n$p")
+    assert(p.contains("partial_"), s"cap aggregates lost map-side combine:\n$p")
+  }
+
+  test("q208 band precision: merge-join confirm stage, per-band rollup partial-aggs") {
+    val p = plan("q208_band_precision")
+    assert(p.contains("SortMergeJoin"),
+      s"confirm stage lost the merge hint (fat shingle side must not broadcast):\n$p")
+    assert(p.contains("partial_count"), s"band rollup lost map-side combine:\n$p")
+  }
+
+  test("q209 returns: both scan filters pushed, rollup before attribution joins") {
+    val p = plan("q209_returns")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"return-flag predicate not pushed to the lineitem scan:\n$p")
+    assert(p.contains("o_orderdate"), s"date window lost:\n$p")
+    assert(p.contains("partial_sum"), s"per-customer rollup lost map-side combine:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 does a full sort:\n$p")
+  }
+
+  test("q210 late-ship: one orderkey join into a partial-agg'd 3-row rollup") {
+    val p = plan("q210_late_ship")
+    assert(p.contains("partial_count"), s"bucket rollup lost map-side combine:\n$p")
+    val joins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")
+        || l.contains("BroadcastHashJoin"))
+    assert(joins == 1, s"expected exactly one join, got $joins:\n$p")
+  }
+
   test("q191 small-qty: brand filter reaches the part scan, branded join broadcasts") {
     val p = plan("q191_small_qty")
     assert(p.contains("BroadcastHashJoin"), s"branded part filter not broadcast:\n$p")
