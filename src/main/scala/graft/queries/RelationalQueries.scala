@@ -715,6 +715,127 @@ object RelationalQueries {
           count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
             .as("n_low"))
         .orderBy("bucket")
+    }),
+
+    // Pricing summary with the FULL charge arithmetic (TPC-H Q1
+    // faithful — q13_agg is the Q1 shape on events; this is the real
+    // thing on lineitem, including the tax term): disc_price =
+    // price·(1−d) in exact 1e-4-dollar units, charge =
+    // price·(1−d)·(1+t) in exact 1e-6 units — every factor an
+    // integer, the per-row product fits a Long, and the SUMS ride
+    // Decimal(38,0) (at 100 TB a Long sum of 1e10-sized units
+    // overflows; Decimal keeps the rollup exact). Ship-date cutoff
+    // reaches the scan; one partial-agg'd 4-row rollup.
+    "q211_pricing" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= expr("date'2001-09-01'"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          expr("cast(cast(l_quantity as decimal(18,2)) * 100 as bigint)").as("qty_c"),
+          expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)").as("price_c"),
+          expr("cast(cast(l_discount as decimal(18,2)) * 100 as bigint)").as("disc_c"),
+          expr("cast(cast(l_tax as decimal(18,2)) * 100 as bigint)").as("tax_c"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("qty_c")).cast(LongType).as("sum_qty_c"),
+          sum(col("price_c")).cast(LongType).as("sum_base_c"),
+          sum((col("price_c") * (lit(100L) - col("disc_c")))
+            .cast(DecimalType(38, 0))).cast(LongType).as("sum_disc_u4"),
+          sum((col("price_c") * (lit(100L) - col("disc_c"))
+            * (lit(100L) + col("tax_c")))
+            .cast(DecimalType(38, 0))).cast(LongType).as("sum_charge_u6"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Order-status integrity audit — the referential data-quality
+    // gate a warehouse runs after ingest: an order's status must
+    // agree with its lineitems (F iff all lines F, O iff none, P
+    // otherwise — the TPC-H derivation rule) and line numbers must
+    // be dense 1..n (max = count). One partial-agg'd per-order
+    // rollup on the fact side, LEFT join so itemless orders surface
+    // as violations instead of vanishing, 3-row status report.
+    "q212_order_integrity" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          count(when(col("l_linestatus") === "F", 1)).as("n_f"),
+          max(col("l_linenumber")).cast(LongType).as("max_ln"))
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
+        .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderstatus"),
+          when(col("n_items").isNull, "NONE")
+            .when(col("n_f") === col("n_items"), "F")
+            .when(col("n_f") === 0, "O").otherwise("P").as("derived"),
+          when(col("n_items").isNull || col("max_ln") =!= col("n_items"), 1L)
+            .otherwise(0L).as("ln_bad"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          count(when(col("derived") =!= col("o_orderstatus"), 1))
+            .as("n_status_mismatch"),
+          sum(col("ln_bad")).cast(LongType).as("n_linenum_bad"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Realized-vs-list price by part-size band — merchandising's
+    // "where do discounts actually land": parts banded by size
+    // decade, realized revenue (what lineitems billed) against the
+    // list value of the same quantities (qty × retail price), ratio
+    // in exact ppm. The part attributes ride ONE broadcast; both
+    // money columns are integer 1e-4-dollar units summed in
+    // Decimal(38,0); the per-band part census joins as a second
+    // broadcast-sized frame (bands × counts).
+    "q213_size_value" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      val pp = broadcast(Tables.part(s, d)
+        .select(col("p_partkey"),
+          expr("cast((p_size - 1) div 10 as bigint)").as("size_band"),
+          expr("cast(cast(p_retailprice as decimal(18,2)) * 100 as bigint)")
+            .as("retail_c")))
+      val bands = Tables.part(s, d)
+        .groupBy(expr("cast((p_size - 1) div 10 as bigint)").as("size_band"))
+        .agg(count(lit(1)).as("n_parts"))
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"),
+          expr("cast(cast(l_quantity as decimal(18,2)) * 100 as bigint)").as("qty_c"),
+          expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)").as("price_c"))
+        .join(pp, col("l_partkey") === col("p_partkey"))
+        .groupBy("size_band")
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("price_c") * 100L).cast(dec)).cast(LongType).as("sold_u4"),
+          sum((col("qty_c") * col("retail_c")).cast(dec)).cast(LongType).as("list_u4"))
+        .join(broadcast(bands), "size_band")
+        .select(col("size_band"), col("n_parts"), col("n_items"),
+          col("sold_u4"), col("list_u4"),
+          expr("cast((cast(sold_u4 as decimal(38,0)) * 1000000) div list_u4 as bigint)")
+            .as("realized_ppm"))
+        .orderBy("size_band")
+    }),
+
+    // Supplier revenue concentration — top-10 suppliers by shipped
+    // discounted revenue with their identity/balance/nation
+    // attribution: the supplier-keyed rollup partial-aggs the fact
+    // table BEFORE any attribution join (supplier/nation join the
+    // supplier-sized frame), revenue exact 1e-4 units in
+    // Decimal(38,0), top-10 via TakeOrderedAndProject with key
+    // tie-break.
+    "q214_top_suppliers" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(expr(
+          """cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)
+             * (100 - cast(cast(l_discount as decimal(18,2)) * 100 as bigint))""")
+          .cast(DecimalType(38, 0))).cast(LongType).as("rev_u"))
+      rev.join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"),
+          expr("cast(cast(s_acctbal as decimal(18,2)) * 100 as bigint)").as("bal_c"),
+          col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          col("bal_c"), col("rev_u"))
+        .orderBy(col("rev_u").desc, col("s_suppkey").asc)
+        .limit(10)
     })
   )
 
@@ -1045,6 +1166,73 @@ object RelationalQueries {
                 CAST(count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
                                 THEN 1 END) AS BIGINT) AS n_low
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    // TPC-H Q1 faithful: exact integer qty/base/disc-price/charge
+    // sums (1e-2 / 1e-2 / 1e-4 / 1e-6 dollar units).
+    "q211_pricing" ->
+      """WITH l AS (
+           SELECT l_returnflag, l_linestatus,
+                  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) qty_c,
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) price_c,
+                  CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) disc_c,
+                  CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) tax_c
+           FROM lineitem WHERE l_shipdate <= DATE '2001-09-01')
+         SELECT l_returnflag, l_linestatus,
+                CAST(sum(qty_c) AS BIGINT) sum_qty_c,
+                CAST(sum(price_c) AS BIGINT) sum_base_c,
+                CAST(sum(CAST(price_c * (100 - disc_c) AS HUGEINT)) AS BIGINT) sum_disc_u4,
+                CAST(sum(CAST(price_c * (100 - disc_c) * (100 + tax_c) AS HUGEINT)) AS BIGINT) sum_charge_u6,
+                count(*) n
+         FROM l GROUP BY 1, 2 ORDER BY 1, 2""",
+    // order status must derive from its lineitems; line numbers must
+    // be dense 1..n.
+    "q212_order_integrity" ->
+      """WITH li AS (
+           SELECT l_orderkey, count(*) n_items,
+                  count(CASE WHEN l_linestatus = 'F' THEN 1 END) n_f,
+                  CAST(max(l_linenumber) AS BIGINT) max_ln
+           FROM lineitem GROUP BY 1),
+         j AS (
+           SELECT o_orderstatus,
+                  CASE WHEN n_items IS NULL THEN 'NONE'
+                       WHEN n_f = n_items THEN 'F'
+                       WHEN n_f = 0 THEN 'O' ELSE 'P' END derived,
+                  CASE WHEN n_items IS NULL OR max_ln <> n_items THEN 1 ELSE 0 END ln_bad
+           FROM orders LEFT JOIN li ON o_orderkey = l_orderkey)
+         SELECT o_orderstatus, count(*) n_orders,
+                CAST(count(CASE WHEN derived <> o_orderstatus THEN 1 END) AS BIGINT) n_status_mismatch,
+                CAST(sum(ln_bad) AS BIGINT) n_linenum_bad
+         FROM j GROUP BY 1 ORDER BY 1""",
+    // realized revenue vs list value of the same quantities, by
+    // part-size decade band, exact ppm.
+    "q213_size_value" ->
+      """WITH pp AS (
+           SELECT p_partkey, CAST((p_size - 1) // 10 AS BIGINT) size_band,
+                  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) retail_c
+           FROM part),
+         bands AS (SELECT size_band, count(*) n_parts FROM pp GROUP BY 1),
+         g AS (
+           SELECT size_band, count(*) n_items,
+                  CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 100 AS HUGEINT)) AS BIGINT) sold_u4,
+                  CAST(sum(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) * retail_c AS HUGEINT)) AS BIGINT) list_u4
+           FROM lineitem JOIN pp ON l_partkey = p_partkey
+           GROUP BY 1)
+         SELECT g.size_band, n_parts, n_items, sold_u4, list_u4,
+                CAST((CAST(sold_u4 AS HUGEINT) * 1000000) // list_u4 AS BIGINT) realized_ppm
+         FROM g JOIN bands ON g.size_band = bands.size_band
+         ORDER BY g.size_band""",
+    // top-10 suppliers by shipped discounted revenue, with identity
+    // and nation attribution.
+    "q214_top_suppliers" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS HUGEINT)) AS BIGINT) rev_u
+           FROM lineitem GROUP BY 1)
+         SELECT s_suppkey, s_name, n_name,
+                CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) bal_c, rev_u
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         ORDER BY rev_u DESC, s_suppkey LIMIT 10"""
   )
 }

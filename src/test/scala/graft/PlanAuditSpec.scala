@@ -1104,6 +1104,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(joins == 1, s"expected exactly one join, got $joins:\n$p")
   }
 
+  test("q211 pricing: ship-date cutoff reaches the scan, decimal sums partial-agg") {
+    val p = plan("q211_pricing")
+    assert(p.contains("l_shipdate"), s"cutoff lost from the scan side:\n$p")
+    assert(p.contains("partial_sum"), s"4-row rollup lost map-side combine:\n$p")
+    assert(!p.contains("Join"), s"pricing summary should be join-free:\n$p")
+  }
+
+  test("q212 order integrity: per-order rollup partial-aggs, left join keeps itemless orders") {
+    val p = plan("q212_order_integrity")
+    assert(p.contains("partial_count"), s"per-order rollup lost map-side combine:\n$p")
+    assert(p.contains("LeftOuter"), s"itemless orders would vanish without the left join:\n$p")
+  }
+
+  test("q213 size value: part attributes broadcast, band rollup partial-aggs") {
+    val p = plan("q213_size_value")
+    assert(p.contains("BroadcastHashJoin"), s"part attributes not broadcast:\n$p")
+    assert(p.contains("partial_sum"), s"band rollup lost map-side combine:\n$p")
+  }
+
+  test("q214 top suppliers: fact rollup before attribution joins, top-10 take-ordered") {
+    val p = plan("q214_top_suppliers")
+    assert(p.contains("partial_sum"), s"supplier rollup lost map-side combine:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 does a full sort:\n$p")
+    // the fact side must shuffle pre-aggregated (suppkey, rev) rows,
+    // never raw lineitems
+    val shuffled = p.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(!shuffled.contains("l_extendedprice"),
+      s"raw lineitems reached the attribution shuffle:\n$shuffled")
+  }
+
   test("q191 small-qty: brand filter reaches the part scan, branded join broadcasts") {
     val p = plan("q191_small_qty")
     assert(p.contains("BroadcastHashJoin"), s"branded part filter not broadcast:\n$p")
