@@ -183,6 +183,31 @@ object DedupQueries {
         .orderBy("src_lo", "src_hi")
     }),
 
+    // Train/test split LEAKAGE audit — the eval-integrity check every
+    // training pipeline needs and most skip: near-duplicate pairs
+    // that CROSS q145's deterministic split boundaries (a test doc
+    // with a near-dup twin in train inflates eval scores exactly like
+    // benchmark contamination). The split is a pure function of
+    // doc_id (q145's md5 gate), so each pair end is labeled WITHOUT
+    // joining documents — the only inputs are the (long, long)
+    // confirmed pairs; output is the unordered split×split matrix
+    // with a leak flag on the off-diagonal cells.
+    "q215_split_leakage" -> ((s, d) => {
+      def splitOf(c: String) = expr(
+        s"""case when pmod(cast(conv(substring(md5(concat('split:', cast($c as string))), 1, 15), 16, 10) as bigint), 100) < 80 then 'train'
+                 when pmod(cast(conv(substring(md5(concat('split:', cast($c as string))), 1, 15), 16, 10) as bigint), 100) < 90 then 'valid'
+                 else 'test' end""")
+      minhashNearDupPairs(s, d).select("doc_a", "doc_b")
+        .select(splitOf("doc_a").as("sp_a"), splitOf("doc_b").as("sp_b"))
+        .select(least(col("sp_a"), col("sp_b")).as("split_lo"),
+          greatest(col("sp_a"), col("sp_b")).as("split_hi"))
+        .groupBy("split_lo", "split_hi")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leak",
+          (col("split_lo") =!= col("split_hi")).cast(LongType))
+        .orderBy("split_lo", "split_hi")
+    }),
+
     // LSH banding PRECISION audit — q183 measures what the banding
     // MISSED (recall); this measures what it WASTED: per band, how
     // many candidate pairs the band surfaced and what fraction
@@ -1385,6 +1410,51 @@ object DedupQueries {
                 count(*) AS n_pairs
          FROM pairs JOIN documents x ON da = x.doc_id
                     JOIN documents y ON db = y.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q18's confirmed pairs labeled by each end's q145 split gate —
+    // the cross-split leakage matrix.
+    "q215_split_leakage" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2],' ')) shingles
+           FROM w WHERE len(words) >= 3),
+         ss AS (
+           SELECT doc_id, list_distinct(shingles) sset FROM sh),
+         hsv AS (
+           SELECT doc_id, sset, len(sset) nset,
+                  list_transform(sset, x -> CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) % 2147483647) hs
+           FROM ss),
+         m AS (
+           SELECT doc_id, sset, nset,
+             [list_aggregate(list_transform(hs, hm ->
+                ((CAST(1103515245 AS BIGINT) * (k+1) + 12345) % 2147483647 * hm + 977 * (k+1)) % 2147483647), 'min')
+              for k in range(0,12)] mh
+           FROM hsv),
+         bands AS (
+           SELECT doc_id, j, mh[2*j+1] * 2147483647 + mh[2*j+2] sig
+           FROM m, unnest(range(0,6)) t(j)),
+         cand AS (
+           SELECT DISTINCT a.doc_id da, b.doc_id db
+           FROM bands a JOIN bands b ON a.j=b.j AND a.sig=b.sig AND a.doc_id < b.doc_id),
+         pairs AS (
+           SELECT da, db
+           FROM cand JOIN hsv x ON da=x.doc_id JOIN hsv y ON db=y.doc_id
+           WHERE 5*len(list_intersect(x.sset, y.sset)) >= 3*(x.nset + y.nset - len(list_intersect(x.sset, y.sset)))),
+         spl AS (
+           SELECT doc_id,
+                  CASE WHEN hb < 80 THEN 'train' WHEN hb < 90 THEN 'valid'
+                       ELSE 'test' END sp
+           FROM (SELECT doc_id,
+                        CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 hb
+                 FROM documents))
+         SELECT least(x.sp, y.sp) AS split_lo, greatest(x.sp, y.sp) AS split_hi,
+                count(*) AS n_pairs,
+                CAST(CASE WHEN least(x.sp, y.sp) <> greatest(x.sp, y.sp)
+                     THEN 1 ELSE 0 END AS BIGINT) AS leak
+         FROM pairs JOIN spl x ON da = x.doc_id
+                    JOIN spl y ON db = y.doc_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
     // per-band candidate counts and exact-gate survival: the banding
     // precision profile.

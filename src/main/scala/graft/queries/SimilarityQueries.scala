@@ -104,6 +104,24 @@ object SimilarityQueries {
 
   private def bucketCol: Column = annBucket(col("embedding"), 4)
 
+  /** q23's scored candidate pairs — bucket-equality self-join with
+    * per-VECTOR norms computed before the join (n rows, not n²/buckets)
+    * and a single dot product per pair. Barrier (graft.ops.Barrier)
+    * keeps downstream threshold filters from collapsing into the join
+    * condition (which would re-evaluate the dot per pair inside the
+    * join loop). Shared by q23_embdup and the q216 threshold ladder. */
+  private def embDupScored(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), bucketCol.as("bucket"),
+        dot(col("embedding"), col("embedding")).as("nrm"))
+    graft.ops.Barrier(emb.as("a")
+      .join(emb.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (dot(col("a.embedding"), col("b.embedding"))
+          / (sqrt(col("a.nrm")) * sqrt(col("b.nrm")))).as("sim")))
+  }
+
   /** DuckDB rendering of the same sketch (kept adjacent so the two
     * stay in lockstep). */
   private val bucketSqlDuck =
@@ -1076,20 +1094,29 @@ object SimilarityQueries {
     // Norms are computed once per VECTOR before the join (n rows), not
     // once per PAIR (≈ n²/buckets rows); the per-pair work is a single
     // dot product. Same doubles — sqrt(na) is pair-order independent.
-    "q23_embdup" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), bucketCol.as("bucket"),
-          dot(col("embedding"), col("embedding")).as("nrm"))
-      // Barrier (graft.ops.Barrier): keeps the threshold filter from
-      // collapsing into the join condition (which would re-evaluate
-      // the dot product per pair inside the join loop).
-      val scored = graft.ops.Barrier(emb.as("a")
-        .join(emb.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          (dot(col("a.embedding"), col("b.embedding"))
-            / (sqrt(col("a.nrm")) * sqrt(col("b.nrm")))).as("sim")))
-      scored.filter(col("sim") >= 0.4).orderBy("vec_a", "vec_b")
+    "q23_embdup" -> ((s, d) =>
+      embDupScored(s, d).filter(col("sim") >= 0.4).orderBy("vec_a", "vec_b")),
+
+    // Cosine-threshold sensitivity ladder — the calibration curve
+    // behind q23's 0.4 threshold decision: for each candidate
+    // threshold, how many bucketed pairs and how many distinct
+    // vectors would be flagged. The bucket-join scoring runs ONCE
+    // (the barriered q23 kernel); the ladder is an explode of the
+    // (tiny) scored pair set across 4 thresholds plus an explode of
+    // the two pair ends — the corpus is never rescanned, the
+    // comparison is the same IEEE expression on both engines
+    // (sim·100 ≥ thr), and counts are exact (each kept pair
+    // contributes exactly 2 end rows, so n_pairs = rows/2).
+    "q216_embdup_ladder" -> ((s, d) => {
+      val e = embDupScored(s, d)
+        .select(explode(expr("array(30L, 40L, 50L, 60L)")).as("thr"),
+          col("sim"), col("vec_a"), col("vec_b"))
+        .filter(col("sim") * 100 >= col("thr"))
+        .select(col("thr"), explode(array(col("vec_a"), col("vec_b"))).as("vec"))
+      e.groupBy("thr")
+        .agg((count(lit(1)) / 2).cast(org.apache.spark.sql.types.LongType).as("n_pairs"),
+          countDistinct(col("vec")).as("n_vecs"))
+        .orderBy("thr")
     }),
 
     // Semantic dedup (the SemDeDup pipeline shape: cluster, then dedup
@@ -1527,6 +1554,22 @@ object SimilarityQueries {
           FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
           WHERE ${dCos("x.embedding", "y.embedding")} >= 0.4
           ORDER BY vec_a, vec_b""",
+    // q23's bucketed pair scoring swept across 4 thresholds: pair and
+    // distinct-vector counts per threshold.
+    "q216_embdup_ladder" ->
+      s"""WITH b AS (
+            SELECT vec_id, embedding, $bucketSqlDuck bucket FROM embeddings),
+          p AS (
+            SELECT x.vec_id vec_a, y.vec_id vec_b,
+                   ${dCos("x.embedding", "y.embedding")} sim
+            FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+          t AS (SELECT unnest([30, 40, 50, 60]) thr),
+          e AS (SELECT thr, vec_a, vec_b FROM p CROSS JOIN t WHERE sim * 100 >= thr),
+          u AS (SELECT thr, vec_a AS vec FROM e UNION ALL SELECT thr, vec_b AS vec FROM e)
+          SELECT CAST(thr AS BIGINT) AS thr,
+                 CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+                 CAST(count(DISTINCT vec) AS BIGINT) AS n_vecs
+          FROM u GROUP BY 1 ORDER BY 1""",
     "q100_semdedup" ->
       s"""WITH ${kmeansCtes(2)},
           ${kmAssign("afin", "s2")},

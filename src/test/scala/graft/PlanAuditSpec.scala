@@ -1134,6 +1134,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"raw lineitems reached the attribution shuffle:\n$shuffled")
   }
 
+  test("q215 split leakage: pair ends labeled from ids alone — no documents join") {
+    val p = plan("q215_split_leakage")
+    // the split gate is a pure function of doc_id; the visible plan
+    // (post-barrier) must not rejoin the documents table
+    assert(!p.contains("documents"), s"split labels joined documents:\n$p")
+    assert(p.contains("partial_count"), s"leak matrix lost map-side combine:\n$p")
+  }
+
+  test("q216 embdup ladder: one barriered scoring pass feeds the threshold sweep") {
+    val p = plan("q216_embdup_ladder")
+    // post-barrier plan: explodes + rollup only — the bucket self-join
+    // ran once behind the checkpoint, never per threshold
+    assert(!p.contains("embeddings"), s"ladder rescanned the corpus per threshold:\n$p")
+    assert(p.contains("Generate explode"), s"threshold sweep lost the explode form:\n$p")
+    assert(p.contains("partial_count"), s"ladder rollup lost map-side combine:\n$p")
+  }
+
   test("q191 small-qty: brand filter reaches the part scan, branded join broadcasts") {
     val p = plan("q191_small_qty")
     assert(p.contains("BroadcastHashJoin"), s"branded part filter not broadcast:\n$p")
