@@ -183,6 +183,25 @@ object DedupQueries {
         .orderBy("src_lo", "src_hi")
     }),
 
+    // Cluster-size histogram — the shape-of-duplication report on a
+    // data card (how much of the corpus sits in 2-doc twins vs big
+    // template families; q175 profiles node degrees, this profiles
+    // whole components incl. singletons): cluster labels ride the
+    // (long, long) CC output, singletons label themselves via
+    // coalesce, then two partial-agg'd integer rollups — sizes, then
+    // the size histogram.
+    "q219_cluster_size_hist" -> ((s, d) => {
+      val pairs = minhashNearDupPairs(s, d).select("doc_a", "doc_b")
+      val labels = graft.ops.ConnectedComponents(pairs)
+        .withColumnRenamed("node", "doc_id")
+      Tables.documents(s, d).select("doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .select(coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        .groupBy("cluster_id").agg(count(lit(1)).as("csz"))
+        .groupBy("csz").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("csz")
+    }),
+
     // Train/test split LEAKAGE audit — the eval-integrity check every
     // training pipeline needs and most skip: near-duplicate pairs
     // that CROSS q145's deterministic split boundaries (a test doc
@@ -1456,6 +1475,51 @@ object DedupQueries {
          FROM pairs JOIN spl x ON da = x.doc_id
                     JOIN spl y ON db = y.doc_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q108's cluster labels rolled into the component-size histogram
+    // (singletons included).
+    "q219_cluster_size_hist" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2],' ')) shingles
+           FROM w WHERE len(words) >= 3),
+         ss AS (
+           SELECT doc_id, list_distinct(shingles) sset FROM sh),
+         hsv AS (
+           SELECT doc_id, sset, len(sset) nset,
+                  list_transform(sset, x -> CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) % 2147483647) hs
+           FROM ss),
+         m AS (
+           SELECT doc_id, sset, nset,
+             [list_aggregate(list_transform(hs, hm ->
+                ((CAST(1103515245 AS BIGINT) * (k+1) + 12345) % 2147483647 * hm + 977 * (k+1)) % 2147483647), 'min')
+              for k in range(0,12)] mh
+           FROM hsv),
+         bands AS (
+           SELECT doc_id, j, mh[2*j+1] * 2147483647 + mh[2*j+2] sig
+           FROM m, unnest(range(0,6)) t(j)),
+         cand AS (
+           SELECT DISTINCT a.doc_id da, b.doc_id db
+           FROM bands a JOIN bands b ON a.j=b.j AND a.sig=b.sig AND a.doc_id < b.doc_id),
+         pairs AS (
+           SELECT da, db
+           FROM cand JOIN hsv x ON da=x.doc_id JOIN hsv y ON db=y.doc_id
+           WHERE 5*len(list_intersect(x.sset, y.sset)) >= 3*(x.nset + y.nset - len(list_intersect(x.sset, y.sset)))),
+         edges AS (
+           SELECT da AS s, db AS t FROM pairs UNION SELECT db, da FROM pairs),
+         reach(node, r) AS (
+           SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+           UNION
+           SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.node),
+         labels AS (
+           SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+         sel AS (
+           SELECT coalesce(l.cluster_id, d.doc_id) AS cluster_id
+           FROM documents d LEFT JOIN labels l ON d.doc_id = l.node),
+         cs AS (SELECT cluster_id, count(*) csz FROM sel GROUP BY 1)
+         SELECT CAST(csz AS BIGINT) AS csz, count(*) AS n_clusters
+         FROM cs GROUP BY 1 ORDER BY 1""",
     // per-band candidate counts and exact-gate survival: the banding
     // precision profile.
     "q208_band_precision" ->

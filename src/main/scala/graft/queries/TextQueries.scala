@@ -2063,6 +2063,63 @@ object TextQueries {
         .as("r"))
         .select(col("r.cap"), col("r.n_trunc"), col("r.kept_toks"), col("r.drop_ppm"))
         .orderBy("cap")
+    }),
+
+    // Language-ID confusion matrix — the classifier AUDIT the q24
+    // predictor needs before it gates a corpus: per (labeled, ?
+    // predicted) cell, counts and the row-normalized share in exact
+    // ppm (the diagonal is per-language recall). Same native
+    // bigram_scores pass as q24; the per-language totals ride a
+    // broadcast languages-sized frame — two partial-agg'd rollups,
+    // text never shuffles.
+    "q217_lang_confusion" -> ((s, d) => {
+      val spec = markers.map(_._2.mkString(",")).mkString(";")
+      val scored = withWords(s, d)
+        .withColumn("sc", graft.Functions.bigram_scores(col("words"), spec))
+      val Seq(en, fr, de, es, zh) =
+        (1 to markers.length).map(i => element_at(col("sc"), i))
+      val pred = scored.select(col("lang"),
+        when(en >= fr && en >= de && en >= es && en >= zh, "en")
+          .when(fr >= de && fr >= es && fr >= zh, "fr")
+          .when(de >= es && de >= zh, "de")
+          .when(es >= zh, "es")
+          .otherwise("zh").as("predicted"))
+      val tot = pred.groupBy("lang").agg(count(lit(1)).as("m"))
+      pred.groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+        .join(broadcast(tot), "lang")
+        .select(col("lang"), col("predicted"), col("n"),
+          expr("(n * 1000000) div m").as("cell_ppm"))
+        .orderBy("lang", "predicted")
+    }),
+
+    // Duplication × quality association — "are duplicates junk?": the
+    // q25/q200 heuristic pass rate among near-dup cluster members vs
+    // singleton documents. A strong association justifies dropping
+    // whole clusters; independence says dedup and quality gates earn
+    // their keep separately. Dup membership is the distinct union of
+    // q18's confirmed pair ends ((long) ids only); the quality score
+    // rides the text scan; the 2-row report is exact ppm.
+    "q218_quality_vs_dup" -> ((s, d) => {
+      val pairs = DedupQueries.minhashNearDupPairs(s, d)
+        .select("doc_a", "doc_b")
+      val dup = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+        .withColumn("is_dup", lit(1L))
+      withWords(s, d)
+        .select(col("doc_id"),
+          (when(size(col("words")) >= 30, 1L).otherwise(0L)
+            + when(expr("size(filter(words, x -> x in ('the', 'a'))) * 10")
+                <= size(col("words")), 1L).otherwise(0L)
+            + when(expr("(length(replace(t, ' ', '')) * 100) div size(words)")
+                .between(300, 800), 1L).otherwise(0L)).as("score"))
+        .join(dup, Seq("doc_id"), "left")
+        .select(coalesce(col("is_dup"), lit(0L)).as("is_dup"),
+          when(col("score") >= 2, 1L).otherwise(0L).as("pass"))
+        .groupBy("is_dup")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("pass")).cast(org.apache.spark.sql.types.LongType).as("n_pass"))
+        .withColumn("pass_ppm", expr("(n_pass * 1000000) div n_docs"))
+        .orderBy("is_dup")
     })
   )
 
@@ -3174,6 +3231,76 @@ object TextQueries {
                  CAST(sum(least(toks, cap)) AS BIGINT) AS kept_toks,
                  CAST(((max(total) - sum(least(toks, cap))) * 1000000) // max(total) AS BIGINT) AS drop_ppm
           FROM t CROSS JOIN caps CROSS JOIN s
-          GROUP BY cap ORDER BY cap"""
+          GROUP BY cap ORDER BY cap""",
+    // q24's predictor grouped into the (labeled, predicted) confusion
+    // matrix with row-share ppm.
+    "q217_lang_confusion" ->
+      s"""WITH n AS (SELECT doc_id, lang, $normDuck t FROM documents),
+          w AS (SELECT doc_id, lang, string_split(t, ' ') words FROM n),
+          sc AS (SELECT doc_id, lang,
+                 ${markers.map { case (l, ws) => s"${scoreDuck(ws)} AS s_$l" }.mkString(", ")}
+                 FROM w),
+          p AS (SELECT lang,
+                 CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+                      WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+                      WHEN s_de >= s_es AND s_de >= s_zh THEN 'de'
+                      WHEN s_es >= s_zh THEN 'es'
+                      ELSE 'zh' END AS predicted
+                FROM sc),
+          tot AS (SELECT lang, count(*) m FROM p GROUP BY 1)
+          SELECT p.lang, predicted, count(*) AS n,
+                 CAST((count(*) * 1000000) // max(m) AS BIGINT) AS cell_ppm
+          FROM p JOIN tot ON p.lang = tot.lang
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // near-dup membership (q18 pair ends) × q25/q200 quality pass,
+    // exact ppm per membership class.
+    "q218_quality_vs_dup" ->
+      s"""WITH w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2],' ')) shingles
+           FROM w WHERE len(words) >= 3),
+         ss AS (
+           SELECT doc_id, list_distinct(shingles) sset FROM sh),
+         hsv AS (
+           SELECT doc_id, sset, len(sset) nset,
+                  list_transform(sset, x -> CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) % 2147483647) hs
+           FROM ss),
+         m AS (
+           SELECT doc_id, sset, nset,
+             [list_aggregate(list_transform(hs, hm ->
+                ((CAST(1103515245 AS BIGINT) * (k+1) + 12345) % 2147483647 * hm + 977 * (k+1)) % 2147483647), 'min')
+              for k in range(0,12)] mh
+           FROM hsv),
+         bands AS (
+           SELECT doc_id, j, mh[2*j+1] * 2147483647 + mh[2*j+2] sig
+           FROM m, unnest(range(0,6)) t(j)),
+         cand AS (
+           SELECT DISTINCT a.doc_id da, b.doc_id db
+           FROM bands a JOIN bands b ON a.j=b.j AND a.sig=b.sig AND a.doc_id < b.doc_id),
+         pairs AS (
+           SELECT da, db
+           FROM cand JOIN hsv x ON da=x.doc_id JOIN hsv y ON db=y.doc_id
+           WHERE 5*len(list_intersect(x.sset, y.sset)) >= 3*(x.nset + y.nset - len(list_intersect(x.sset, y.sset)))),
+         dup AS (
+           SELECT DISTINCT doc_id
+           FROM (SELECT da AS doc_id FROM pairs UNION ALL SELECT db FROM pairs)),
+         nq AS (SELECT doc_id, $normDuck t FROM documents),
+         wq AS (SELECT doc_id, t, string_split(t, ' ') words FROM nq),
+         per AS (
+           SELECT doc_id,
+                  (CASE WHEN len(words) >= 30 THEN 1 ELSE 0 END
+                   + CASE WHEN len(list_filter(words, x -> x in ('the', 'a'))) * 10
+                               <= len(words) THEN 1 ELSE 0 END
+                   + CASE WHEN (length(replace(t, ' ', '')) * 100) // len(words)
+                               BETWEEN 300 AND 800 THEN 1 ELSE 0 END) score
+           FROM wq)
+         SELECT CAST(CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup,
+                count(*) AS n_docs,
+                CAST(count(CASE WHEN score >= 2 THEN 1 END) AS BIGINT) AS n_pass,
+                CAST((count(CASE WHEN score >= 2 THEN 1 END) * 1000000) // count(*) AS BIGINT) AS pass_ppm
+         FROM per LEFT JOIN dup ON per.doc_id = dup.doc_id
+         GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -1151,6 +1151,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"ladder rollup lost map-side combine:\n$p")
   }
 
+  test("q217 lang confusion: native bigram scoring, broadcast totals, no text shuffle") {
+    val p = plan("q217_lang_confusion")
+    assert(p.contains("bigram_scores"), s"scoring lost the native expression:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"per-language totals not broadcast:\n$p")
+    val shuffled = p.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(!shuffled.contains("text") && !shuffled.contains("words"),
+      s"text reached a shuffle:\n$shuffled")
+  }
+
+  test("q218 quality vs dup: membership rides id rows, 2-row rollup partial-aggs") {
+    val p = plan("q218_quality_vs_dup")
+    val shuffled = p.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(!shuffled.contains("text"), s"text reached a shuffle:\n$shuffled")
+    assert(p.contains("partial_count"), s"association rollup lost map-side combine:\n$p")
+  }
+
+  test("q219 cluster size hist: two id-only rollups, both partial-agg'd") {
+    val p = plan("q219_cluster_size_hist")
+    val shuffled = p.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(!shuffled.contains("text"), s"text reached a shuffle:\n$shuffled")
+    assert(p.contains("partial_count"), s"histogram lost map-side combine:\n$p")
+  }
+
   test("q191 small-qty: brand filter reaches the part scan, branded join broadcasts") {
     val p = plan("q191_small_qty")
     assert(p.contains("BroadcastHashJoin"), s"branded part filter not broadcast:\n$p")
