@@ -202,6 +202,20 @@ object DedupQueries {
         .orderBy("csz")
     }),
 
+    // Confirmed-pair similarity histogram — the Jaccard DISTRIBUTION
+    // above the 0.6 gate (q216 is this curve for embedding cosine):
+    // a mass near 1.0 says exact-ish copies dominate (cheap exact
+    // dedup would catch most), mass near the gate says the threshold
+    // choice is load-bearing. Bins are exact integer arithmetic on
+    // the inter/uni counts the pair kernel already carries — 5-point
+    // bins, no floats, id-count rows only.
+    "q220_jaccard_hist" -> ((s, d) => {
+      minhashNearDupPairs(s, d)
+        .select(expr("((inter * 100) div uni) div 5 * 5").as("j_bin"))
+        .groupBy("j_bin").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("j_bin")
+    }),
+
     // Train/test split LEAKAGE audit — the eval-integrity check every
     // training pipeline needs and most skip: near-duplicate pairs
     // that CROSS q145's deterministic split boundaries (a test doc
@@ -1520,6 +1534,40 @@ object DedupQueries {
          cs AS (SELECT cluster_id, count(*) csz FROM sel GROUP BY 1)
          SELECT CAST(csz AS BIGINT) AS csz, count(*) AS n_clusters
          FROM cs GROUP BY 1 ORDER BY 1""",
+    // exact-integer 5-point Jaccard bins over the confirmed pairs.
+    "q220_jaccard_hist" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2],' ')) shingles
+           FROM w WHERE len(words) >= 3),
+         ss AS (
+           SELECT doc_id, list_distinct(shingles) sset FROM sh),
+         hsv AS (
+           SELECT doc_id, sset, len(sset) nset,
+                  list_transform(sset, x -> CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) % 2147483647) hs
+           FROM ss),
+         m AS (
+           SELECT doc_id, sset, nset,
+             [list_aggregate(list_transform(hs, hm ->
+                ((CAST(1103515245 AS BIGINT) * (k+1) + 12345) % 2147483647 * hm + 977 * (k+1)) % 2147483647), 'min')
+              for k in range(0,12)] mh
+           FROM hsv),
+         bands AS (
+           SELECT doc_id, j, mh[2*j+1] * 2147483647 + mh[2*j+2] sig
+           FROM m, unnest(range(0,6)) t(j)),
+         cand AS (
+           SELECT DISTINCT a.doc_id da, b.doc_id db
+           FROM bands a JOIN bands b ON a.j=b.j AND a.sig=b.sig AND a.doc_id < b.doc_id),
+         iu AS (
+           SELECT len(list_intersect(x.sset, y.sset)) inter,
+                  x.nset + y.nset - len(list_intersect(x.sset, y.sset)) uni
+           FROM cand JOIN hsv x ON da=x.doc_id JOIN hsv y ON db=y.doc_id
+           WHERE 5*len(list_intersect(x.sset, y.sset)) >= 3*(x.nset + y.nset - len(list_intersect(x.sset, y.sset))))
+         SELECT CAST(((inter * 100) // uni) // 5 * 5 AS BIGINT) AS j_bin,
+                count(*) AS n_pairs
+         FROM iu GROUP BY 1 ORDER BY 1""",
     // per-band candidate counts and exact-gate survival: the banding
     // precision profile.
     "q208_band_precision" ->

@@ -2120,6 +2120,30 @@ object TextQueries {
           sum(col("pass")).cast(org.apache.spark.sql.types.LongType).as("n_pass"))
         .withColumn("pass_ppm", expr("(n_pass * 1000000) div n_docs"))
         .orderBy("is_dup")
+    }),
+
+    // Pack fill-rate histogram — the efficiency report on q80's
+    // sharded packer (how much of each 4096-char bin is actually
+    // used; the tail bucket over 100% is the single overflow doc a
+    // cumulative packer admits, the under-full buckets are the
+    // per-(lang, shard) stream tails): per-pack char totals rolled
+    // into exact 10%-point fill buckets — two partial-agg'd integer
+    // rollups over the (doc_id, lang, n_chars, pack_id) assignment,
+    // never the text.
+    "q221_pack_fill" -> ((s, d) => {
+      packBins(Tables.documents(s, d), 4096L, 8)
+        .groupBy(col("lang"), col("pack_id"))
+        .agg(sum(col("n_chars")).cast(org.apache.spark.sql.types.LongType)
+          .as("chars"), count(lit(1)).as("n_docs"))
+        .select(expr("(chars * 10) div 4096").as("fill_bucket"),
+          col("chars"), col("n_docs"))
+        .groupBy("fill_bucket")
+        .agg(count(lit(1)).as("n_packs"),
+          sum(col("n_docs")).cast(org.apache.spark.sql.types.LongType)
+            .as("n_docs"),
+          sum(col("chars")).cast(org.apache.spark.sql.types.LongType)
+            .as("sum_chars"))
+        .orderBy("fill_bucket")
     })
   )
 
@@ -3301,6 +3325,28 @@ object TextQueries {
                 CAST(count(CASE WHEN score >= 2 THEN 1 END) AS BIGINT) AS n_pass,
                 CAST((count(CASE WHEN score >= 2 THEN 1 END) * 1000000) // count(*) AS BIGINT) AS pass_ppm
          FROM per LEFT JOIN dup ON per.doc_id = dup.doc_id
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    // q80's pack assignment rolled into exact 10%-point fill buckets.
+    "q221_pack_fill" ->
+      """WITH s AS (
+           SELECT doc_id, lang, n_chars,
+                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard
+           FROM documents),
+         a AS (
+           SELECT doc_id, lang, n_chars,
+                  (greatest(CAST(sum(n_chars) OVER (PARTITION BY lang, shard
+                     ORDER BY n_chars DESC, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT), 1) - 1)
+                    // 4096 * 8 + shard AS pack_id
+           FROM s),
+         p AS (
+           SELECT lang, pack_id, CAST(sum(n_chars) AS BIGINT) chars,
+                  count(*) n_docs
+           FROM a GROUP BY 1, 2)
+         SELECT CAST((chars * 10) // 4096 AS BIGINT) AS fill_bucket,
+                count(*) AS n_packs,
+                CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                CAST(sum(chars) AS BIGINT) AS sum_chars
+         FROM p GROUP BY 1 ORDER BY 1"""
   )
 }

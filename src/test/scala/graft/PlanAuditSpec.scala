@@ -1174,6 +1174,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"histogram lost map-side combine:\n$p")
   }
 
+  test("q220 jaccard hist: bins off the pair kernel's counts, partial-agg'd") {
+    val p = plan("q220_jaccard_hist")
+    val shuffled = p.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(!shuffled.contains("text"), s"text reached a shuffle:\n$shuffled")
+    assert(p.contains("partial_count"), s"histogram lost map-side combine:\n$p")
+  }
+
+  test("q221 pack fill: sharded packing windows, id-row rollups partial-agg'd") {
+    val p = plan("q221_pack_fill")
+    assert(p.contains("windowspecdefinition(lang"),
+      s"packing window lost the (lang, shard) key:\n$p")
+    assert(p.contains("shard"), s"packing window lost the shard salt:\n$p")
+    assert(p.contains("partial_count"), s"fill rollup lost map-side combine:\n$p")
+    val shuffled = p.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(!shuffled.contains("text"), s"text reached a shuffle:\n$shuffled")
+  }
+
   test("q191 small-qty: brand filter reaches the part scan, branded join broadcasts") {
     val p = plan("q191_small_qty")
     assert(p.contains("BroadcastHashJoin"), s"branded part filter not broadcast:\n$p")
