@@ -56,6 +56,21 @@ object DedupQueries {
 
   private val P = 2147483647L // Mersenne prime 2^31-1 for hash mixing
 
+  /** Shared cluster-labeling tail for q51/q108/q204/q219: run the q18
+    * confirmed pairs through ConnectedComponents and append
+    * `cluster_id` to `docs` (any projection carrying `doc_id`).
+    * Singletons label themselves via coalesce — the single-sourced
+    * convention. The component step shuffles only (long, long) id
+    * pairs; whatever else `docs` carries rides its own scan. */
+  private def withClusterIds(s: SparkSession, d: String, docs: DataFrame): DataFrame = {
+    val pairs = minhashNearDupPairs(s, d).select("doc_a", "doc_b")
+    val labels = graft.ops.ConnectedComponents(pairs)
+      .withColumnRenamed("node", "doc_id")
+    docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
+      .drop("component")
+  }
+
   /** SimHash via the scalar native `simhash60` over the per-doc
     * shingle array — map-only, no shuffle (the round-2 explode +
     * 60-conditional-sum aggregation beat the interpreted nested-HOF
@@ -93,13 +108,7 @@ object DedupQueries {
     // graft.ops.ConnectedComponents for the round-complexity and
     // skew story.
     "q51_cluster" -> ((s, d) => {
-      val pairs = minhashNearDupPairs(s, d).select("doc_a", "doc_b")
-      val labels = graft.ops.ConnectedComponents(pairs)
-        .withColumnRenamed("node", "doc_id")
-      Tables.documents(s, d).select("doc_id")
-        .join(labels, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      withClusterIds(s, d, Tables.documents(s, d).select("doc_id"))
         .withColumn("keep",
           (col("cluster_id") === col("doc_id")).cast(LongType))
         .orderBy("doc_id")
@@ -118,15 +127,9 @@ object DedupQueries {
     // cluster, never the corpus.
     "q108_canonical" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val pairs = minhashNearDupPairs(s, d).select("doc_a", "doc_b")
-      val labels = graft.ops.ConnectedComponents(pairs)
-        .withColumnRenamed("node", "doc_id")
       val w = Window.partitionBy("cluster_id")
         .orderBy(desc("n_chars"), col("doc_id"))
-      Tables.documents(s, d).select("doc_id", "n_chars")
-        .join(labels, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_chars"),
-          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      withClusterIds(s, d, Tables.documents(s, d).select("doc_id", "n_chars"))
         .withColumn("keep", (row_number().over(w) === 1).cast(LongType))
         .orderBy("doc_id")
     }),
@@ -138,49 +141,26 @@ object DedupQueries {
     // 40× contributes ~1 document of gradient signal, not 40). Output
     // is the per-language token ledger a mixture planner consumes:
     // raw vs effective tokens (exact millionth units via integer
-    // division — no float weights to diverge). Scale shape: cluster
-    // labels ride the (long, long) CC output; the size rollup and the
-    // join back both shuffle cluster-keyed (id, toks) rows — text
-    // never leaves the scan; token convention is q200's n_chars/4.
+    // division — no float weights to diverge). The millionth-unit
+    // rollup accumulates in Decimal(38,0) (the q211 discipline —
+    // per-row values fit a Long, but at 100 TB a Long SUM of
+    // 1e12-sized units wraps; DuckDB's HUGEINT sum is the oracle
+    // mirror), cast to bigint only at presentation. Scale shape:
+    // cluster labels ride the (long, long) CC output; the size rollup
+    // and the join back both shuffle cluster-keyed (id, toks) rows —
+    // text never leaves the scan; token convention is q200's n_chars/4.
     "q204_dup_weights" -> ((s, d) => {
-      val pairs = minhashNearDupPairs(s, d).select("doc_a", "doc_b")
-      val labels = graft.ops.ConnectedComponents(pairs)
-        .withColumnRenamed("node", "doc_id")
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), expr("n_chars div 4").as("toks"))
-        .join(labels, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("lang"), col("toks"),
-          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      val docs = withClusterIds(s, d, Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), expr("n_chars div 4").as("toks")))
       val sizes = docs.groupBy("cluster_id").agg(count(lit(1)).as("csz"))
       docs.join(sizes, "cluster_id")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("cluster_id")).as("n_clusters"),
           sum(col("toks")).cast(LongType).as("raw_toks"),
-          sum(expr("(toks * 1000000) div csz")).cast(LongType)
-            .as("eff_tok_millionths"))
+          sum(expr("cast((toks * 1000000) div csz as decimal(38,0))"))
+            .cast(LongType).as("eff_tok_millionths"))
         .orderBy("lang")
-    }),
-
-    // Cross-source contamination matrix — the exact companion to
-    // q117's KMV overlap ESTIMATE: which sources feed near-duplicates
-    // into each other, measured from the confirmed q18 pairs (a
-    // curation run uses this to decide which source to drop a dup
-    // from, and to catch a scrape that re-ingested another source).
-    // Unordered (least, greatest) source pair so A→B and B→A land in
-    // one cell. Scale shape: pairs are (long, long); the source
-    // attribution joins ship (doc_id, source) — never text; the
-    // matrix itself is |sources|² rows.
-    "q206_source_overlap" -> ((s, d) => {
-      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
-      minhashNearDupPairs(s, d).select("doc_a", "doc_b")
-        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
-        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
-        .select(least(col("sa"), col("sb")).as("src_lo"),
-          greatest(col("sa"), col("sb")).as("src_hi"))
-        .groupBy("src_lo", "src_hi")
-        .agg(count(lit(1)).as("n_pairs"))
-        .orderBy("src_lo", "src_hi")
     }),
 
     // Cluster-size histogram — the shape-of-duplication report on a
@@ -191,12 +171,8 @@ object DedupQueries {
     // coalesce, then two partial-agg'd integer rollups — sizes, then
     // the size histogram.
     "q219_cluster_size_hist" -> ((s, d) => {
-      val pairs = minhashNearDupPairs(s, d).select("doc_a", "doc_b")
-      val labels = graft.ops.ConnectedComponents(pairs)
-        .withColumnRenamed("node", "doc_id")
-      Tables.documents(s, d).select("doc_id")
-        .join(labels, Seq("doc_id"), "left")
-        .select(coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      withClusterIds(s, d, Tables.documents(s, d).select("doc_id"))
+        .select("cluster_id")
         .groupBy("cluster_id").agg(count(lit(1)).as("csz"))
         .groupBy("csz").agg(count(lit(1)).as("n_clusters"))
         .orderBy("csz")
@@ -224,14 +200,13 @@ object DedupQueries {
     // doc_id (q145's md5 gate), so each pair end is labeled WITHOUT
     // joining documents — the only inputs are the (long, long)
     // confirmed pairs; output is the unordered split×split matrix
-    // with a leak flag on the off-diagonal cells.
+    // with a leak flag on the off-diagonal cells. The gate is
+    // TextQueries.splitName — the SAME definition q145 ships, so the
+    // audit can never drift from the split it audits.
     "q215_split_leakage" -> ((s, d) => {
-      def splitOf(c: String) = expr(
-        s"""case when pmod(cast(conv(substring(md5(concat('split:', cast($c as string))), 1, 15), 16, 10) as bigint), 100) < 80 then 'train'
-                 when pmod(cast(conv(substring(md5(concat('split:', cast($c as string))), 1, 15), 16, 10) as bigint), 100) < 90 then 'valid'
-                 else 'test' end""")
       minhashNearDupPairs(s, d).select("doc_a", "doc_b")
-        .select(splitOf("doc_a").as("sp_a"), splitOf("doc_b").as("sp_b"))
+        .select(TextQueries.splitName("doc_a").as("sp_a"),
+          TextQueries.splitName("doc_b").as("sp_b"))
         .select(least(col("sp_a"), col("sp_b")).as("split_lo"),
           greatest(col("sp_a"), col("sp_b")).as("split_hi"))
         .groupBy("split_lo", "split_hi")
@@ -247,34 +222,28 @@ object DedupQueries {
     // survived the exact Jaccard gate. The per-band attribution is
     // the tuning signal for the bands×rows trade (a band with
     // precision near zero is pure shuffle cost; uniform precision
-    // says the signature mixing is healthy). Same signature/band/
-    // confirm kernel as q18, with the band index kept through the
-    // candidate join; intersections are computed once per (band,
-    // pair) via the sorted-merge native, counts exact-integer ppm.
+    // says the signature mixing is healthy). The SAME shared kernel
+    // as q18 — [[bandSignatures]] for the banding, [[scorePairs]] for
+    // the exact confirm — with the band index kept on the candidate
+    // side; each distinct pair is scored ONCE and the per-band verdict
+    // joins back by (long, long) ids, so a pair surfacing in 3 bands
+    // costs one intersect, not three.
     "q208_band_precision" -> ((s, d) => {
       val m = graft.ops.Barrier(shingleSets(s, d).select(col("doc_id"),
         col("sset"), size(col("sset")).cast(LongType).as("nset"),
         graft.Functions.minhash_array(col("sset")).as("mh")))
-      val bands = m.select(col("doc_id"),
-        expr(s"""explode(transform(sequence(0, 5), j ->
-                   struct(j as j, element_at(mh, 2*j+1) * ${P}L + element_at(mh, 2*j+2) as sig)))""")
-          .as("b"))
-        .select(col("doc_id"), col("b.j").as("j"), col("b.sig").as("sig"))
-      val cand = bands.as("a")
+      val bands = bandSignatures(m)
+      val candB = bands.as("a")
         .join(bands.as("b"),
           col("a.j") === col("b.j") && col("a.sig") === col("b.sig")
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.j").as("j"), col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
-      val sets = m.select(col("doc_id"), col("sset"), col("nset")).hint("merge")
-      cand
-        .join(sets.select(col("doc_id").as("da"), col("sset").as("sa"), col("nset").as("na")), "da")
-        .join(sets.select(col("doc_id").as("db"), col("sset").as("sb"), col("nset").as("nb")), "db")
-        .withColumn("inter",
-          graft.Functions.sorted_intersect_count(col("sa"), col("sb")))
-        .select(col("j"),
+      val verdicts = scorePairs(m, candB.select("da", "db").distinct())
+        .select(col("doc_a").as("da"), col("doc_b").as("db"),
           when(col("inter") * 5 >= (col("na") + col("nb") - col("inter")) * 3, 1L)
             .otherwise(0L).as("pass"))
+      candB.join(verdicts, Seq("da", "db"))
         .groupBy("j")
         .agg(count(lit(1)).as("n_cand"), sum(col("pass")).cast(LongType).as("n_pass"))
         .select(col("j").cast(LongType).as("band"), col("n_cand"), col("n_pass"),
@@ -854,11 +823,7 @@ object DedupQueries {
       col("sset"),
       size(col("sset")).cast(LongType).as("nset"),
       graft.Functions.minhash_array(col("sset")).as("mh")))
-    val bands = m.select(col("doc_id"),
-      expr(s"""explode(transform(sequence(0, 5), j ->
-                 struct(j as j, element_at(mh, 2*j+1) * ${P}L + element_at(mh, 2*j+2) as sig)))""")
-        .as("b"))
-      .select(col("doc_id"), col("b.j").as("j"), col("b.sig").as("sig"))
+    val bands = bandSignatures(m)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.j") === col("b.j") && col("a.sig") === col("b.sig")
@@ -867,6 +832,19 @@ object DedupQueries {
       .distinct()
     scorePairs(m, cand)
   }
+
+  /** 6×2 band signatures of a barrier'd minhash frame: one row per
+    * (doc, band), keyed by the band's two mixed rows folded into one
+    * 64-bit signature. Shared by the q18 kernel ([[minhashScored]])
+    * and the q208 per-band precision audit, so the banding definition
+    * (band count, row grouping, P-mixing) can never drift between the
+    * pipeline and the audit that tunes it. */
+  private def bandSignatures(m: DataFrame): DataFrame =
+    m.select(col("doc_id"),
+      expr(s"""explode(transform(sequence(0, 5), j ->
+                 struct(j as j, element_at(mh, 2*j+1) * ${P}L + element_at(mh, 2*j+2) as sig)))""")
+        .as("b"))
+      .select(col("doc_id"), col("b.j").as("j"), col("b.sig").as("sig"))
 
   /** Exact-confirm tail shared by the self-join and history-probe
     * paths: join candidate (da, db) pairs back to the shingle sets
@@ -1407,43 +1385,6 @@ object DedupQueries {
                 CAST(sum((toks * 1000000) // csz) AS BIGINT) AS eff_tok_millionths
          FROM sel s JOIN cs ON s.cluster_id = cs.cluster_id
          GROUP BY 1 ORDER BY 1""",
-    // q18's confirmed pairs attributed to (source, source) cells —
-    // the exact cross-source contamination matrix.
-    "q206_source_overlap" ->
-      """WITH w AS (
-           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
-           FROM documents),
-         sh AS (
-           SELECT doc_id, list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2],' ')) shingles
-           FROM w WHERE len(words) >= 3),
-         ss AS (
-           SELECT doc_id, list_distinct(shingles) sset FROM sh),
-         hsv AS (
-           SELECT doc_id, sset, len(sset) nset,
-                  list_transform(sset, x -> CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) % 2147483647) hs
-           FROM ss),
-         m AS (
-           SELECT doc_id, sset, nset,
-             [list_aggregate(list_transform(hs, hm ->
-                ((CAST(1103515245 AS BIGINT) * (k+1) + 12345) % 2147483647 * hm + 977 * (k+1)) % 2147483647), 'min')
-              for k in range(0,12)] mh
-           FROM hsv),
-         bands AS (
-           SELECT doc_id, j, mh[2*j+1] * 2147483647 + mh[2*j+2] sig
-           FROM m, unnest(range(0,6)) t(j)),
-         cand AS (
-           SELECT DISTINCT a.doc_id da, b.doc_id db
-           FROM bands a JOIN bands b ON a.j=b.j AND a.sig=b.sig AND a.doc_id < b.doc_id),
-         pairs AS (
-           SELECT da, db
-           FROM cand JOIN hsv x ON da=x.doc_id JOIN hsv y ON db=y.doc_id
-           WHERE 5*len(list_intersect(x.sset, y.sset)) >= 3*(x.nset + y.nset - len(list_intersect(x.sset, y.sset))))
-         SELECT least(x.source, y.source) AS src_lo,
-                greatest(x.source, y.source) AS src_hi,
-                count(*) AS n_pairs
-         FROM pairs JOIN documents x ON da = x.doc_id
-                    JOIN documents y ON db = y.doc_id
-         GROUP BY 1, 2 ORDER BY 1, 2""",
     // q18's confirmed pairs labeled by each end's q145 split gate —
     // the cross-split leakage matrix.
     "q215_split_leakage" ->

@@ -19,6 +19,22 @@ import graft.Tables
   */
 object TextQueries {
 
+  /** q145's deterministic split gate: salted md5 bucket in [0, 100) as
+    * a pure function of a doc-id column (the q41 trick — stable under
+    * re-runs, a doc never migrates splits when the corpus grows).
+    * `private[graft]` because q215's leakage audit (DedupQueries)
+    * labels pair ends with the SAME gate — sharing one definition
+    * means the audited split can never silently drift from the split
+    * q145 actually ships. */
+  private[graft] def splitBucket(c: String): Column = expr(
+    s"pmod(cast(conv(substring(md5(concat('split:', cast($c as string))), 1, 15), 16, 10) as bigint), 100)")
+
+  /** The 80/10/10 split name over [[splitBucket]]. */
+  private[graft] def splitName(c: String): Column =
+    when(splitBucket(c) < 80, "train")
+      .when(splitBucket(c) < 90, "valid")
+      .otherwise("test")
+
   /** Normalized text + word array, shared by all queries. */
   private def withWords(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -1492,13 +1508,8 @@ object TextQueries {
     // Map-only assignment; the rollup shuffles |splits|·|sources|
     // groups.
     "q145_split" -> ((s, d) => {
-      val gate = expr(
-        "pmod(cast(conv(substring(md5(concat('split:', cast(doc_id as string))), 1, 15), 16, 10) as bigint), 100)")
       Tables.documents(s, d)
-        .withColumn("hb", gate)
-        .withColumn("split",
-          when(col("hb") < 80, "train").when(col("hb") < 90, "valid")
-            .otherwise("test"))
+        .withColumn("split", splitName("doc_id"))
         .groupBy("split", "source")
         .agg(count(lit(1)).as("docs"),
           sum(col("n_chars")).as("chars"),
@@ -2056,10 +2067,14 @@ object TextQueries {
           caps.flatMap(c => Seq(
             count(when(col("toks") > c, 1)).as(s"nt_$c"),
             sum(least(col("toks"), lit(c))).as(s"kept_$c"))): _*)
+      // drop_ppm cross-multiplies in Decimal(38,0) (the q211
+      // discipline): at 100 TB the dropped-token count under a small
+      // cap is ~1e13, and ×1e6 wraps a Long — DuckDB's HUGEINT
+      // arithmetic is the oracle mirror; the ppm quotient fits bigint.
       aggd.select(expr(
         "explode(array(" + caps.map(c =>
           s"struct(${c}L as cap, nt_$c as n_trunc, cast(kept_$c as bigint) as kept_toks, " +
-            s"((total - kept_$c) * 1000000) div total as drop_ppm)").mkString(", ") + "))")
+            s"cast(((cast(total as decimal(38,0)) - kept_$c) * 1000000) div total as bigint) as drop_ppm)").mkString(", ") + "))")
         .as("r"))
         .select(col("r.cap"), col("r.n_trunc"), col("r.kept_toks"), col("r.drop_ppm"))
         .orderBy("cap")
@@ -2069,9 +2084,10 @@ object TextQueries {
     // predictor needs before it gates a corpus: per (labeled, ?
     // predicted) cell, counts and the row-normalized share in exact
     // ppm (the diagonal is per-language recall). Same native
-    // bigram_scores pass as q24; the per-language totals ride a
-    // broadcast languages-sized frame — two partial-agg'd rollups,
-    // text never shuffles.
+    // bigram_scores pass as q24 — run ONCE: the per-language totals
+    // are sum(n) over the ~|langs|² matrix itself (a window on the
+    // already-aggregated frame), not a second corpus scan; text never
+    // shuffles.
     "q217_lang_confusion" -> ((s, d) => {
       val spec = markers.map(_._2.mkString(",")).mkString(";")
       val scored = withWords(s, d)
@@ -2084,11 +2100,10 @@ object TextQueries {
           .when(de >= es && de >= zh, "de")
           .when(es >= zh, "es")
           .otherwise("zh").as("predicted"))
-      val tot = pred.groupBy("lang").agg(count(lit(1)).as("m"))
       pred.groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
-        .join(broadcast(tot), "lang")
         .select(col("lang"), col("predicted"), col("n"),
-          expr("(n * 1000000) div m").as("cell_ppm"))
+          expr("(n * 1000000) div sum(n) over (partition by lang)")
+            .as("cell_ppm"))
         .orderBy("lang", "predicted")
     }),
 

@@ -1066,13 +1066,6 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"dup census lost map-side combine:\n$p")
   }
 
-  test("q206 source overlap: pair/source shuffles only, matrix rollup partial-aggs") {
-    val p = plan("q206_source_overlap")
-    val shuffled = p.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
-    assert(!shuffled.contains("text"), s"text reached a shuffle:\n$shuffled")
-    assert(p.contains("partial_count"), s"matrix rollup lost map-side combine:\n$p")
-  }
-
   test("q207 trunc ladder: one map-only scan — no join, conditional aggs only") {
     val p = plan("q207_trunc_ladder")
     assert(!p.contains("Join"), s"ladder should be a single conditional-agg scan:\n$p")
@@ -1151,10 +1144,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"ladder rollup lost map-side combine:\n$p")
   }
 
-  test("q217 lang confusion: native bigram scoring, broadcast totals, no text shuffle") {
+  test("q217 lang confusion: ONE native bigram scoring pass, totals from the matrix") {
     val p = plan("q217_lang_confusion")
-    assert(p.contains("bigram_scores"), s"scoring lost the native expression:\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"per-language totals not broadcast:\n$p")
+    // The corpus is scored exactly once — per-language totals come
+    // from a window over the ~|langs|² matrix, not a second scan.
+    assert(p.linesIterator.count(_.contains("bigram_scores")) == 1,
+      s"corpus must be scored exactly once:\n$p")
+    assert(!p.contains("Join"), s"totals should ride a window, not a join:\n$p")
+    assert(p.contains("Window"), s"per-language totals lost the matrix window:\n$p")
     val shuffled = p.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
     assert(!shuffled.contains("text") && !shuffled.contains("words"),
       s"text reached a shuffle:\n$shuffled")
