@@ -332,6 +332,50 @@ object SimilarityQueries {
          WHERE l.vec_id <> 0
          ORDER BY qsim DESC, l.vec_id LIMIT 10"""
 
+  /** The q72 trained-IVF oracle generalized to the q222 nprobe
+    * ladder: same quantize/train CTEs and centroid-distance ranking;
+    * per nprobe level, the probed lists' row count and the @10
+    * intersection with the exact integer-dot ranking. */
+  private def nprobeLadderOracle(iters: Int): String =
+    s"""WITH ${kmeansCtes(iters)},
+          ad AS (SELECT v.vec_id, s.cid,
+                   CAST(list_sum(list_transform(range(1, 65), i ->
+                     (s.c * v.q8[i] - s.s[i]) * (s.c * v.q8[i] - s.s[i]))) AS DOUBLE)
+                   / CAST(s.c * s.c AS DOUBLE) d
+                 FROM v CROSS JOIN s$iters s),
+          r AS (SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) rn
+                FROM ad),
+          lists AS (SELECT vec_id, cid FROM r WHERE rn = 1 AND vec_id <> 0),
+          pr AS (SELECT cid, rn pk FROM r WHERE vec_id = 0),
+          q AS (SELECT q8 qq FROM v WHERE vec_id = 0),
+          scored AS (SELECT l.vec_id, l.cid,
+                       CAST(list_sum(list_transform(range(1, 65), i ->
+                         v.q8[i] * q.qq[i])) AS BIGINT) qsim
+                     FROM lists l JOIN v USING (vec_id), q),
+          exact AS (SELECT vec_id FROM scored ORDER BY qsim DESC, vec_id LIMIT 10),
+          np AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) nprobe),
+          arm AS (SELECT np.nprobe, sc.vec_id,
+                    row_number() OVER (PARTITION BY np.nprobe
+                      ORDER BY sc.qsim DESC, sc.vec_id) rn
+                  FROM np JOIN pr ON pr.pk <= np.nprobe
+                       JOIN scored sc ON sc.cid = pr.cid),
+          hits AS (SELECT a.nprobe, count(*) h
+                   FROM arm a JOIN exact e ON a.vec_id = e.vec_id
+                   WHERE a.rn <= 10 GROUP BY 1),
+          sizes AS (SELECT cid, count(*) n FROM lists GROUP BY 1),
+          scanned AS (SELECT np.nprobe,
+                        CAST(coalesce(sum(sz.n), 0) AS BIGINT) n_scanned
+                      FROM np JOIN pr ON pr.pk <= np.nprobe
+                           LEFT JOIN sizes sz ON sz.cid = pr.cid
+                      GROUP BY 1),
+          tot AS (SELECT count(*) nc FROM lists)
+         SELECT s.nprobe, s.n_scanned,
+                s.n_scanned * 1000000 // t.nc AS scan_ppm,
+                CAST(coalesce(h.h, 0) AS BIGINT) AS hits10
+         FROM scanned s CROSS JOIN tot t LEFT JOIN hits h ON s.nprobe = h.nprobe
+         ORDER BY s.nprobe"""
+
   /** Product-quantization encode + ADC ranking (the q69 pipeline),
     * parameterized by the centroid predicate so [[graft.PqLookupSpec]]
     * can drive it with a NON-contiguous cid set.
@@ -955,6 +999,73 @@ object SimilarityQueries {
         .orderBy("cid")
     }),
 
+    // IVF nprobe ladder — the TUNING decision behind q72/q74's fixed
+    // nprobe=2, measured instead of assumed: per candidate probe
+    // count (1/2/4/8 of the k=8 trained lists), the fraction of the
+    // corpus the probe actually scans vs the recall@10 it buys
+    // against the exact integer-dot ranking — the cost/recall curve
+    // an operator reads before pinning nprobe in production (q216 is
+    // this ladder for the dedup cosine threshold). Shapes: the
+    // trained coarse model is q71's; assignment + query similarity
+    // ride ONE barrier'd corpus pass; each ladder arm is a pruned
+    // filter + TakeOrderedAndProject over that frame (at 100 TB cid
+    // is the partition column, so each arm prunes at listing time);
+    // scan counts come from the k-row list-size rollup joined to a
+    // 15-row broadcast (nprobe, cid) probe plan — never a re-scan.
+    "q222_nprobe_ladder" -> ((s, d) => {
+      import graft.ops.KMeans
+      import s.implicits._
+      // Barrier: the quantized corpus feeds seed collection, every
+      // training round, and the assignment pass (graft.ops.Barrier)
+      val qemb = graft.ops.Barrier(Tables.embeddings(s, d)
+        .filter(!exists(col("embedding"), _.isNull)) // see q48 note
+        .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8")))
+      val seeds = KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
+      val model = KMeans.train(qemb, "vec_id", "q8", 64, seeds, maxIter = 2)
+      // driver-side probe planning from the broadcast-sized model
+      // (the q72 discipline): centroids ranked by exact-integer
+      // distance polynomial, ties to the lower cid like the assign
+      val qVec = qemb.filter(col("vec_id") === 0)
+        .select("q8").head().getSeq[Long](0).toArray
+      val ranked = model.map(st => (KMeans.distanceTo(qVec, st), st.cid))
+        .sorted.map(_._2)
+      val q = qemb.filter(col("vec_id") === 0).select(col("q8").as("qq"))
+      // ONE corpus pass: coarse cid + exact query similarity per row,
+      // barrier'd because the exact arm, 4 ladder arms, and the
+      // list-size rollup all consume it
+      val assigned = graft.ops.Barrier(qemb
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          KMeans.assignExpr(col("q8"), model).as("cid"),
+          graft.Functions.vec_dot_int(col("q8"), col("qq")).as("qsim")))
+      val exact = assigned.orderBy(col("qsim").desc, col("vec_id")).limit(10)
+        .select("vec_id")
+      val levels = Seq(1, 2, 4, 8)
+      val arms = levels.map { np =>
+        assigned.filter(col("cid").isin(ranked.take(np): _*))
+          .orderBy(col("qsim").desc, col("vec_id")).limit(10)
+          .select(lit(np.toLong).as("nprobe"), col("vec_id"))
+      }.reduce(_.union(_))
+      val hits = arms.join(exact, "vec_id")
+        .groupBy("nprobe").agg(count(lit(1)).as("hits10"))
+      val probePlan = levels
+        .flatMap(np => ranked.take(np).map(c => (np.toLong, c)))
+        .toDF("nprobe", "cid")
+      val sizes = assigned.groupBy("cid").agg(count(lit(1)).as("n"))
+      val scanned = probePlan.join(broadcast(sizes), Seq("cid"), "left")
+        .groupBy("nprobe")
+        .agg(sum(coalesce(col("n"), lit(0L)))
+          .cast(org.apache.spark.sql.types.LongType).as("n_scanned"))
+      val tot = assigned.agg(count(lit(1)).as("n_corpus"))
+      scanned.crossJoin(broadcast(tot))
+        .join(hits, Seq("nprobe"), "left")
+        .select(col("nprobe"), col("n_scanned"),
+          expr("(n_scanned * 1000000) div n_corpus").as("scan_ppm"),
+          coalesce(col("hits10"), lit(0L)).as("hits10"))
+        .orderBy("nprobe")
+    }),
+
     // ANN recall audit — the index-quality eval a production pipeline
     // runs before trusting an approximate path: recall@10 of the
     // LSH-bucketed search (q22) against exact brute force (q16's
@@ -1453,6 +1564,7 @@ object SimilarityQueries {
                  CAST(sum(num) AS BIGINT) sse_num
           FROM pt GROUP BY cid ORDER BY cid""",
     "q72_ivf_trained" -> ivfTrainedOracle(2),
+    "q222_nprobe_ladder" -> nprobeLadderOracle(2),
     "q73_pq_trained" -> pqTrainedOracle(2),
     "q132_pq_distortion" -> pqDistortionOracle(2),
     "q74_ivfpq_trained" -> ivfPqTrainedOracle(2),

@@ -85,7 +85,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q196_wau", // distinct-activity table × broadcast 1-row max-day clip
       "q197_posting_bits", // term postings × broadcast 1-row doc count
       "q199_mixture_select", // languages-sized strata × broadcast 1-row totals (q110 shape)
-      "q202_idle_rich") // customer × broadcast 1-row (Σcents, n) mean scalar
+      "q202_idle_rich", // customer × broadcast 1-row (Σcents, n) mean scalar
+      "q222_nprobe_ladder") // corpus × broadcast 1-row query; ladder × 1-row corpus total
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
@@ -234,6 +235,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
       s"a top-k arm lost its WindowGroupLimit:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"query table not broadcast on the ANN arm:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus got shuffle-joined:\n$p")
+  }
+
+  test("q222 nprobe ladder: one assignment pass, pruned top-k arms, no corpus shuffle-join") {
+    val p = plan("q222_nprobe_ladder")
+    // exact arm + 4 ladder arms each end in a distributed partial
+    // top-k over the barrier'd assignment frame
+    // (the assignment pass itself — vec_dot_int under the trained
+    // model — sits behind the Barrier, so the visible plan starts at
+    // the materialized (vec_id, cid, qsim) scan, like q18's)
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 5,
+      s"a ladder arm lost its partial top-k:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus got shuffle-joined:\n$p")
   }
 
