@@ -1066,6 +1066,52 @@ object SimilarityQueries {
         .orderBy("nprobe")
     }),
 
+    // int8 quantization ranking-fidelity audit — the MEASUREMENT
+    // under the premise the whole trained stack stands on: q49/q71/
+    // q72/q74 all rank by the exact integer dot over vec_quant8
+    // codes in place of float cosine (4× less scan I/O, zero float
+    // surface), and nothing verified that the substitution preserves
+    // the RANKING. Per k (1/5/10/20): how many of the float-cosine
+    // top-k the integer-dot top-k retains, as exact counts + ppm —
+    // q125 audits the JL projection against the int8 arm; this audits
+    // the int8 arm against the float truth. ONE barrier'd pass scores
+    // both similarities; each arm is a TakeOrderedAndProject over the
+    // materialized 3-column frame; positions ride a 20-row window
+    // (post-limit, so the unpartitioned window is bounded); the
+    // ladder is a conditional-agg explode (q207 shape), no re-scan.
+    "q223_quant_fidelity" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.embeddings(s, d)
+        .filter(!exists(col("embedding"), _.isNull)) // see q48 note
+        .select(col("vec_id"), col("embedding"),
+          graft.Functions.vec_quant8(col("embedding")).as("q8"))
+      val q = base.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("q8").as("qq"))
+      val scored = graft.ops.Barrier(base.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          cosine("embedding", "qv").as("sim"),
+          graft.Functions.vec_dot_int(col("q8"), col("qq")).as("qsim")))
+      val fa = scored.orderBy(col("sim").desc, col("vec_id")).limit(20)
+        .withColumn("rf",
+          row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
+        .select("vec_id", "rf")
+      val ia = scored.orderBy(col("qsim").desc, col("vec_id")).limit(20)
+        .withColumn("ri",
+          row_number().over(Window.orderBy(col("qsim").desc, col("vec_id"))))
+        .select("vec_id", "ri")
+      val j = fa.join(ia, "vec_id")
+      val ks = Seq(1, 5, 10, 20)
+      val heads = ks.map(k =>
+        count(when(col("rf") <= k && col("ri") <= k, 1)).as(s"h_$k"))
+      j.agg(heads.head, heads.tail: _*)
+        .select(expr("explode(array(" + ks.map(k =>
+          s"struct(${k}L as k, h_$k as hits, (h_$k * 1000000) div ${k}L as recall_ppm)")
+          .mkString(", ") + "))").as("r"))
+        .select(col("r.k"), col("r.hits"), col("r.recall_ppm"))
+        .orderBy("k")
+    }),
+
     // ANN recall audit — the index-quality eval a production pipeline
     // runs before trusting an approximate path: recall@10 of the
     // LSH-bucketed search (q22) against exact brute force (q16's
@@ -1565,6 +1611,32 @@ object SimilarityQueries {
           FROM pt GROUP BY cid ORDER BY cid""",
     "q72_ivf_trained" -> ivfTrainedOracle(2),
     "q222_nprobe_ladder" -> nprobeLadderOracle(2),
+    // float-cosine top-k vs integer-dot top-k retention ladder: the
+    // quantization-fidelity audit over the shared null-filtered
+    // quantization CTEs.
+    "q223_quant_fidelity" ->
+      s"""WITH $quantCtes,
+            qf AS (SELECT embedding qv FROM e WHERE vec_id = 0),
+            qi AS (SELECT q8 qq FROM v WHERE vec_id = 0),
+            fa AS (SELECT vec_id,
+                     row_number() OVER (ORDER BY ${dCos("e.embedding", "qf.qv")} DESC, vec_id) rf
+                   FROM e, qf WHERE vec_id <> 0),
+            ia AS (SELECT vec_id,
+                     row_number() OVER (ORDER BY
+                       CAST(list_sum(list_transform(range(1, 65), i ->
+                         v.q8[i] * qi.qq[i])) AS BIGINT) DESC, vec_id) ri
+                   FROM v, qi WHERE vec_id <> 0),
+            j AS (SELECT fa.rf, ia.ri FROM fa JOIN ia USING (vec_id)
+                  WHERE fa.rf <= 20 AND ia.ri <= 20),
+            ks AS (SELECT CAST(unnest([1, 5, 20, 10]) AS BIGINT) k)
+           SELECT ks.k,
+                  CAST(coalesce(sum(CASE WHEN j.rf <= ks.k AND j.ri <= ks.k
+                                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits,
+                  CAST(coalesce(sum(CASE WHEN j.rf <= ks.k AND j.ri <= ks.k
+                                         THEN 1 ELSE 0 END), 0) AS BIGINT)
+                    * 1000000 // ks.k AS recall_ppm
+           FROM ks LEFT JOIN j ON true
+           GROUP BY ks.k ORDER BY ks.k""",
     "q73_pq_trained" -> pqTrainedOracle(2),
     "q132_pq_distortion" -> pqDistortionOracle(2),
     "q74_ivfpq_trained" -> ivfPqTrainedOracle(2),

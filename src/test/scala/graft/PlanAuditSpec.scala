@@ -86,7 +86,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q197_posting_bits", // term postings × broadcast 1-row doc count
       "q199_mixture_select", // languages-sized strata × broadcast 1-row totals (q110 shape)
       "q202_idle_rich", // customer × broadcast 1-row (Σcents, n) mean scalar
-      "q222_nprobe_ladder") // corpus × broadcast 1-row query; ladder × 1-row corpus total
+      "q222_nprobe_ladder", // corpus × broadcast 1-row query; ladder × 1-row corpus total
+      "q223_quant_fidelity") // corpus × broadcast 1-row (float, int8) query pair
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
@@ -248,6 +249,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("TakeOrderedAndProject".r.findAllIn(p).size >= 5,
       s"a ladder arm lost its partial top-k:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus got shuffle-joined:\n$p")
+  }
+
+  test("q223 quant fidelity: both arms partial top-k over one barrier'd pass, no shuffle-join") {
+    val p = plan("q223_quant_fidelity")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      s"an arm lost its partial top-k:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"arms got shuffle-joined:\n$p")
+    // windows are post-limit: every Window sits above a 20-row frame
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the 20-row rank windows should not repartition:\n$p")
   }
 
   test("q73 trained-PQ search is join-free: codes + ADC table lookups + top-k") {
