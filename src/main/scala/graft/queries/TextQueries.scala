@@ -2159,6 +2159,24 @@ object TextQueries {
           sum(col("chars")).cast(org.apache.spark.sql.types.LongType)
             .as("sum_chars"))
         .orderBy("fill_bucket")
+    }),
+
+    // Output-layout shard plan — the WRITE-side sizing decision q79/
+    // q80 is for training batches: per (lang, source) partition of a
+    // partitioned corpus write, exact byte totals and the
+    // ceil-division shard count that bounds every output file at the
+    // byte budget (4096 chars here, ~512 MB in production) without
+    // the small-files explosion (total files = Σ ceil(bytes/target),
+    // the minimum respecting the bound — see graft.ops.OutputLayout,
+    // whose plan() this query IS; OutputLayout.write applies it as a
+    // broadcast-join + (keys, shard) repartition so each (dir, shard)
+    // lands as exactly one task's file). One map-side-combined
+    // rollup; groups = |langs × sources|; all integer arithmetic.
+    "q224_shard_plan" -> ((s, d) => {
+      graft.ops.OutputLayout
+        .plan(Tables.documents(s, d), Seq("lang", "source"), "n_chars", 4096L)
+        .withColumn("avg_shard_bytes", expr("bytes div n_shards"))
+        .orderBy("lang", "source")
     })
   )
 
@@ -3362,6 +3380,16 @@ object TextQueries {
                 count(*) AS n_packs,
                 CAST(sum(n_docs) AS BIGINT) AS n_docs,
                 CAST(sum(chars) AS BIGINT) AS sum_chars
-         FROM p GROUP BY 1 ORDER BY 1"""
+         FROM p GROUP BY 1 ORDER BY 1""",
+    // per-(lang, source) write plan: exact byte totals + ceil-division
+    // shard counts under the 4096-byte file budget.
+    "q224_shard_plan" ->
+      """SELECT lang, source,
+                count(*) AS n_rows,
+                CAST(sum(n_chars) AS BIGINT) AS bytes,
+                CAST((sum(n_chars) + 4095) // 4096 AS BIGINT) AS n_shards,
+                CAST(sum(n_chars) // ((sum(n_chars) + 4095) // 4096) AS BIGINT)
+                  AS avg_shard_bytes
+         FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

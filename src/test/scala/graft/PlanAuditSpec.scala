@@ -261,6 +261,13 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the 20-row rank windows should not repartition:\n$p")
   }
 
+  test("q224 shard plan: one map-side-combined rollup, join-free, text never read") {
+    val p = plan("q224_shard_plan")
+    assert(!p.contains("Join"), s"the write plan is one rollup, no join:\n$p")
+    assert(p.contains("partial_count"), s"rollup lost map-side combine:\n$p")
+    assert(!p.contains("text"), s"plan read the document body for a byte census:\n$p")
+  }
+
   test("q73 trained-PQ search is join-free: codes + ADC table lookups + top-k") {
     // the ADC tables are plan-time literals; the ONLY distributed work
     // is the map-only encode and the distributed partial top-k
