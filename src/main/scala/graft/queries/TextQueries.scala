@@ -2177,6 +2177,35 @@ object TextQueries {
         .plan(Tables.documents(s, d), Seq("lang", "source"), "n_chars", 4096L)
         .withColumn("avg_shard_bytes", expr("bytes div n_shards"))
         .orderBy("lang", "source")
+    }),
+
+    // Corpus integrity digest — replication/migration validation at
+    // CONSTANT comparison cost: q129 diffs two snapshots row-by-row
+    // (a content-hash join — the right tool when you need to know
+    // WHICH rows differ); this answers "do the two copies agree AT
+    // ALL" by comparing |sources| rows instead of shipping either
+    // corpus. Per source: row count + an ORDER-INDEPENDENT content
+    // digest — sum over rows of the 60-bit md5 of the canonical
+    // field concatenation (engine-portable), accumulated exactly in
+    // Decimal(38,0) (a Long sum of 1e18-sized hashes wraps
+    // immediately; DuckDB's HUGEINT sum is the oracle mirror) and
+    // folded mod 2^61 at presentation. Order-independence means NO
+    // sort anywhere: any partitioning, any row order, any cluster
+    // size produces the same digest — two clusters compare their
+    // k-row frames and re-run q129 only on sources whose digests
+    // disagree. Map-only hash + one partial-agg'd rollup; text never
+    // leaves the scan.
+    "q225_integrity_digest" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"),
+          expr("cast(conv(substring(md5(concat_ws('', " +
+            "cast(doc_id as string), text, lang, cast(n_chars as string)" +
+            ")), 1, 15), 16, 10) as bigint)").as("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("cast(pmod(sum(cast(h as decimal(38,0))), " +
+            "2305843009213693952) as bigint)").as("digest"))
+        .orderBy("source")
     })
   )
 
@@ -3390,6 +3419,16 @@ object TextQueries {
                 CAST((sum(n_chars) + 4095) // 4096 AS BIGINT) AS n_shards,
                 CAST(sum(n_chars) // ((sum(n_chars) + 4095) // 4096) AS BIGINT)
                   AS avg_shard_bytes
-         FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+    // order-independent per-source digest: HUGEINT sum of 60-bit md5
+    // row hashes, folded mod 2^61 — the q225 replication check.
+    "q225_integrity_digest" ->
+      """SELECT source, count(*) AS n_rows,
+                CAST(sum(CAST(concat('0x', substr(md5(
+                       concat_ws(chr(1), CAST(doc_id AS VARCHAR), text,
+                                 lang, CAST(n_chars AS VARCHAR))),
+                     1, 15)) AS BIGINT)) % 2305843009213693952 AS BIGINT)
+                  AS digest
+         FROM documents GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -268,6 +268,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("text"), s"plan read the document body for a byte census:\n$p")
   }
 
+  test("q225 integrity digest: map-only hash, partial-agg rollup, no text shuffle, no sort before agg") {
+    val p = plan("q225_integrity_digest")
+    assert(!p.contains("Join"), s"digest is one rollup, no join:\n$p")
+    assert(p.contains("partial_count"), s"rollup lost map-side combine:\n$p")
+    val shuffled = p.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(!shuffled.contains("text"), s"text reached a shuffle:\n$shuffled")
+  }
+
   test("q73 trained-PQ search is join-free: codes + ADC table lookups + top-k") {
     // the ADC tables are plan-time literals; the ONLY distributed work
     // is the map-only encode and the distributed partial top-k
