@@ -40,6 +40,30 @@ object IdempotentSink {
         batch.write.mode("overwrite").parquet(target.toString)
   }
 
+  /** foreachBatch body landing `batch` under `<dir>/batch_id=<id>`
+    * with [[graft.ops.OutputLayout]]'s byte-bounded partitioned
+    * layout — the streaming INGESTION landing: exactly-once across
+    * replays (same skip-if-committed / overwrite-if-torn idempotency
+    * as [[parquetWriter]]; a replayed batch carries identical rows
+    * and the shard assignment is a pure hash of the id, so overwrite
+    * and skip converge on the same bytes AND the same file layout)
+    * and no small-files accumulation within a batch (each batch lands
+    * Σ ceil(bytes/target) files, the minimum respecting the bound,
+    * instead of shuffle-partitions × partition-dirs). The per-batch
+    * layout plan costs one extra rollup over the micro-batch — batch-
+    * sized, not corpus-sized. */
+  def layoutWriter(dir: String, keys: Seq[String], bytesCol: String,
+                   idCol: String, targetBytes: Long): (Dataset[Row], Long) => Unit = {
+    (batch: Dataset[Row], batchId: Long) =>
+      val target = new Path(s"$dir/batch_id=$batchId")
+      val fs = target.getFileSystem(
+        batch.sparkSession.sparkContext.hadoopConfiguration)
+      val complete = fs.exists(new Path(target, "_SUCCESS"))
+      if (!complete)
+        graft.ops.OutputLayout.write(batch.toDF(), target.toString,
+          keys, bytesCol, idCol, targetBytes)
+  }
+
   /** The ledger read back as one DataFrame — COMMITTED batches only.
     * A torn directory (crash mid-write, before the replay overwrote
     * it) has no `_SUCCESS` marker; globbing it in would surface

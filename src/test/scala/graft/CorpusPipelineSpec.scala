@@ -15,6 +15,7 @@ import graft.streaming.Curation
   *     → canonical-doc selection (near-dup clusters, keep best)
   *     → per-lang calibrated quality cut
   *     → sharded sequence packing
+  *     → byte-bounded partitioned landing (OutputLayout)
   */
 class CorpusPipelineSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -55,5 +56,33 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val a = buildManifest().collect().map(_.toString)
     val b = buildManifest().collect().map(_.toString)
     assert(a.sameElements(b), "composed pipeline is not deterministic")
+  }
+
+  test("stage 5: the packed corpus lands byte-bounded and deterministic on disk") {
+    // the final stage a real build runs: the surviving documents land
+    // as a partitioned parquet corpus with byte-bounded files
+    // (graft.ops.OutputLayout) — and because every upstream stage is
+    // deterministic and the shard assignment is hash-of-id, two
+    // builds produce the SAME file layout.
+    val out1 = java.nio.file.Files.createTempDirectory("cps1")
+    val out2 = java.nio.file.Files.createTempDirectory("cps2")
+    out1.toFile.deleteOnExit(); out2.toFile.deleteOnExit()
+    def land(p: java.nio.file.Path) = {
+      val kept = buildManifest().select("doc_id")
+      val body = Tables.documents(spark, sf).join(kept, "doc_id")
+      graft.ops.OutputLayout.write(body, p.resolve("corpus").toString,
+        Seq("lang"), "n_chars", "doc_id", targetBytes = 3000L)
+    }
+    val plan1 = land(out1).collect().map(_.toString).sorted
+    val plan2 = land(out2).collect().map(_.toString).sorted
+    assert(plan1.sameElements(plan2), "layout plan is not deterministic")
+    def layout(p: java.nio.file.Path) =
+      spark.read.parquet(p.resolve("corpus").toString)
+        .select("doc_id", "lang", "shard")
+        .collect().map(_.toString).sorted
+    assert(layout(out1).sameElements(layout(out2)),
+      "file layout is not deterministic across builds")
+    // the landed corpus is exactly the manifest's survivors
+    assert(layout(out1).length === buildManifest().count())
   }
 }

@@ -83,4 +83,50 @@ class IdempotentSinkSpec extends AnyFunSuite {
     assert(IdempotentSink.read(spark, ledger).count() === ledgerN,
       "uncommitted batch directory leaked into the ledger read")
   }
+
+  test("layoutWriter: byte-bounded streaming landing is replay-idempotent, one file per leaf") {
+    val ledger = tmp("idem-layout")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val writer = IdempotentSink.layoutWriter(ledger,
+      Seq("lang"), "n_chars", "doc_id", targetBytes = 3000L)
+
+    writer(docs, 0L) // batch 0 lands
+    val once = spark.read.option("basePath", ledger)
+      .parquet(s"$ledger/batch_id=0")
+      .select("doc_id", "lang", "shard").collect().map(_.toString).sorted
+    assert(once.length === docs.count())
+
+    // committed batch replay (at-least-once side effects): the writer
+    // must SKIP — directory bytes untouched
+    val leaf0 = Files.walk(Paths.get(ledger)).iterator()
+    var before = Set.empty[String]
+    leaf0.forEachRemaining(p =>
+      if (p.toString.endsWith(".parquet")) before += p.toString + ":" + Files.getLastModifiedTime(p))
+    writer(docs, 0L)
+    var after = Set.empty[String]
+    Files.walk(Paths.get(ledger)).iterator().forEachRemaining(p =>
+      if (p.toString.endsWith(".parquet")) after += p.toString + ":" + Files.getLastModifiedTime(p))
+    assert(after === before, "replay of a committed batch rewrote files")
+
+    // torn batch replay: delete the commit marker, replay → the
+    // overwrite converges on the SAME rows and the SAME file layout
+    Files.delete(Paths.get(ledger, "batch_id=0", "_SUCCESS"))
+    Files.deleteIfExists(Paths.get(ledger, "batch_id=0", "._SUCCESS.crc"))
+    writer(docs, 0L)
+    val again = spark.read.option("basePath", ledger)
+      .parquet(s"$ledger/batch_id=0")
+      .select("doc_id", "lang", "shard").collect().map(_.toString).sorted
+    assert(again.sameElements(once), "torn-batch replay changed the layout")
+
+    // every (lang, shard) leaf holds exactly one data file — the
+    // per-batch small-files bound
+    Files.walk(Paths.get(ledger)).iterator().forEachRemaining { p =>
+      if (p.getFileName.toString.startsWith("shard=") && Files.isDirectory(p)) {
+        val n = Files.list(p).iterator()
+        var c = 0
+        n.forEachRemaining(f => if (f.toString.endsWith(".parquet")) c += 1)
+        assert(c === 1, s"leaf $p has $c data files")
+      }
+    }
+  }
 }
