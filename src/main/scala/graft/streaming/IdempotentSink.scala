@@ -64,6 +64,25 @@ object IdempotentSink {
           keys, bytesCol, idCol, targetBytes)
   }
 
+  /** Ledger compaction — the job every streaming ingestion eventually
+    * runs: the batch ledger accumulates one directory per micro-batch
+    * (thousands of small-batch dirs after a week of 1-minute
+    * triggers), and downstream scans pay the listing + tiny-file tax.
+    * Compact reads the COMMITTED batches ([[read]] — torn dirs stay
+    * invisible) and lands them once through
+    * [[graft.ops.OutputLayout]]: one byte-bounded partitioned corpus,
+    * minimum file count respecting the bound. Deterministic (hash-of-
+    * id shards), so re-running a compaction reproduces the same
+    * layout; the ledger itself is left untouched — the caller swaps
+    * readers and retires the ledger on its own schedule. Returns the
+    * layout plan as the compaction manifest. */
+  def compact(spark: org.apache.spark.sql.SparkSession, ledgerDir: String,
+              outDir: String, keys: Seq[String], bytesCol: String,
+              idCol: String, targetBytes: Long): DataFrame =
+    graft.ops.OutputLayout.write(
+      read(spark, ledgerDir).drop("batch_id"),
+      outDir, keys, bytesCol, idCol, targetBytes)
+
   /** The ledger read back as one DataFrame — COMMITTED batches only.
     * A torn directory (crash mid-write, before the replay overwrote
     * it) has no `_SUCCESS` marker; globbing it in would surface

@@ -129,4 +129,35 @@ class IdempotentSinkSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("compact: many batch dirs land once as the byte-bounded corpus; torn batches stay out") {
+    val ledger = tmp("idem-compact-src")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val other = docs.filter(col("doc_id") % 2 === 1)
+    val writer = IdempotentSink.layoutWriter(ledger,
+      Seq("lang"), "n_chars", "doc_id", targetBytes = 3000L)
+    writer(half, 0L)
+    writer(other, 1L)
+    // a torn third batch (no _SUCCESS) must not reach the compaction
+    val torn = Paths.get(ledger, "batch_id=2")
+    Files.createDirectories(torn)
+
+    val out = tmp("idem-compact-out") + "/corpus"
+    val manifest = IdempotentSink.compact(spark, ledger, out,
+      Seq("lang"), "n_chars", "doc_id", targetBytes = 6000L)
+    val back = spark.read.parquet(out)
+    assert(back.count() === docs.count(),
+      "compaction lost or duplicated rows")
+    assert(!back.columns.contains("batch_id"),
+      "ledger bookkeeping column leaked into the compacted corpus")
+    // compacted leaf dirs match the manifest's planned shard total
+    val planned = manifest.agg(sum("n_shards")).head().getLong(0)
+    var leaves = 0
+    Files.walk(Paths.get(out)).iterator().forEachRemaining(p =>
+      if (p.getFileName.toString.startsWith("shard=") && Files.isDirectory(p))
+        leaves += 1)
+    assert(leaves.toLong === planned,
+      s"compacted leaves $leaves != planned shards $planned")
+  }
 }
