@@ -1087,6 +1087,45 @@ object EventQueries {
         .groupBy(col("event_type"), col("d").as("day"))
         .agg(count(lit(1)).as("wau"))
         .orderBy("event_type", "day")
+    }),
+
+    // Label-propagation communities — the THIRD graph-clustering
+    // primitive next to connected components (q51, min-propagation:
+    // any path merges) and PageRank (q97, centrality): LPA finds
+    // DENSE groups, splitting a connected graph along sparse cuts.
+    // Same user–day bipartite graph as q97; label(v) starts as v and
+    // each synchronous round becomes the MODE of neighbor labels
+    // (tie → smallest label, so the fixpoint is deterministic under
+    // any partitioning and the oracle replays both rounds as
+    // unrolled CTEs). Two rounds — the standard few-iteration LPA
+    // budget; like q97/q51, each round is one edge-sized join + a
+    // partial-agg'd (node, label) count + a node-keyed window
+    // (millions of BOUNDED partitions: state per node = its degree,
+    // never corpus-sized), shuffles carry only (long, long) pairs,
+    // Barrier truncates lineage per round. Output: the 20 largest
+    // communities via TakeOrderedAndProject.
+    "q227_labelprop" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dpairs = Tables.events(s, d)
+        .select(col("user_id").as("u"),
+          (expr("(ts_ns div 1000) div 86400000000") + 2000000L).as("v"))
+        .distinct()
+      val edges = graft.ops.Barrier(
+        dpairs.select(col("u").as("a"), col("v").as("b"))
+          .union(dpairs.select(col("v").as("a"), col("u").as("b"))))
+      var lab = edges.select(col("a").as("node")).distinct()
+        .select(col("node"), col("node").as("lab"))
+      for (_ <- 1 to 2) {
+        val w = Window.partitionBy("a").orderBy(desc("cnt"), col("lab"))
+        lab = graft.ops.Barrier(
+          edges.join(lab.withColumnRenamed("node", "b"), Seq("b"))
+            .groupBy("a", "lab").agg(count(lit(1)).as("cnt"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("a").as("node"), col("lab")))
+      }
+      lab.groupBy("lab").agg(count(lit(1)).as("n_members"))
+        .orderBy(desc("n_members"), col("lab")).limit(20)
     })
   )
 
@@ -1572,6 +1611,30 @@ object EventQueries {
                FROM ud, unnest(range(day, day + 7)) t(d), mx
                WHERE d <= maxd)
          SELECT event_type, CAST(d AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS wau
-         FROM c GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+    // two synchronous LPA rounds unrolled; mode = (count DESC, lab)
+    // argmax per node — deterministic in both engines.
+    "q227_labelprop" ->
+      """WITH dp AS (SELECT DISTINCT user_id AS u,
+                       (epoch_us(ts) // 86400000000) + 2000000 AS v
+                     FROM events),
+         e AS (SELECT u AS a, v AS b FROM dp
+               UNION ALL SELECT v, u FROM dp),
+         l0 AS (SELECT DISTINCT a AS node FROM e),
+         l0l AS (SELECT node, node AS lab FROM l0),
+         r1 AS (SELECT e.a, l.lab, count(*) cnt
+                FROM e JOIN l0l l ON e.b = l.node GROUP BY 1, 2),
+         l1 AS (SELECT a AS node, lab FROM (
+                  SELECT a, lab, row_number() OVER
+                    (PARTITION BY a ORDER BY cnt DESC, lab) rn FROM r1)
+                WHERE rn = 1),
+         r2 AS (SELECT e.a, l.lab, count(*) cnt
+                FROM e JOIN l1 l ON e.b = l.node GROUP BY 1, 2),
+         l2 AS (SELECT a AS node, lab FROM (
+                  SELECT a, lab, row_number() OVER
+                    (PARTITION BY a ORDER BY cnt DESC, lab) rn FROM r2)
+                WHERE rn = 1)
+         SELECT lab, CAST(count(*) AS BIGINT) AS n_members
+         FROM l2 GROUP BY 1 ORDER BY n_members DESC, lab LIMIT 20"""
   )
 }

@@ -2206,6 +2206,82 @@ object TextQueries {
           expr("cast(pmod(sum(cast(h as decimal(38,0))), " +
             "2305843009213693952) as bigint)").as("digest"))
         .orderBy("source")
+    }),
+
+    // Curriculum schedule — the composition of the quality ladder
+    // (q127's within-language model-score deciles) with the
+    // deterministic shuffle (q184's salted-hash order): training
+    // reads stage 0 (top-3 deciles) first, then 1 (deciles 4–7),
+    // then 2 — easy/clean → hard/noisy — while WITHIN a stage the
+    // order is uniform-random-looking, seeded, and stable under
+    // append (a doc's (stage, pos) depends only on its content
+    // score and id). Three stages through a plain window would
+    // collapse the corpus onto 3 tasks — exactly the few-group
+    // shape DistributedRank exists for (range-partition + offset
+    // arithmetic, `parts`-way parallel). Per-lang decile window is
+    // the q127 shape; q116's histogram sketch remains the
+    // documented no-rank scale path for the scoring stage.
+    "q226_curriculum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wlit = typedLit(qmWeights)
+      val bucket: Column => Column = w =>
+        (pmod(conv(substring(md5(w), 1, 15), 16, 10).cast(LongType), lit(64L))
+          + lit(1L)).cast(IntegerType)
+      val wRank = Window.partitionBy("lang").orderBy(desc("score"), col("doc_id"))
+      val staged = withWords(s, d)
+        .select(col("doc_id"), col("lang"),
+          aggregate(transform(col("words"), w => element_at(wlit, bucket(w))),
+            lit(0.0), (acc, x) => acc + x).as("score"))
+        .withColumn("decile", ntile(10).over(wRank))
+        .withColumn("stage",
+          when(col("decile") <= 3, 0L).when(col("decile") <= 7, 1L)
+            .otherwise(2L))
+      val salted = expr(
+        "cast(conv(substring(md5(concat(cast(doc_id as string), ':curriculum-seed-7')), 1, 15), 16, 10) as bigint)")
+      graft.ops.DistributedRank.rowNumber(
+          staged.select(col("doc_id"), col("lang"), col("stage"),
+            salted.as("h")),
+          "pos", Seq("stage"), Seq(col("h"), col("doc_id")))
+        .select(col("doc_id"), col("lang"), col("stage"), col("pos"))
+        .orderBy("stage", "pos")
+    }),
+
+    // Zone-map (min/max) data-skipping audit — the MEASUREMENT under
+    // the layout operators (q93 z-order tiles, q224 shard plan): how
+    // many 50-row zones a range predicate (n_chars BETWEEN 200 AND
+    // 240) must scan under the natural arrival layout (doc_id order)
+    // vs a clustered layout (n_chars order) — the exact arithmetic
+    // parquet row-group pruning performs against footer min/max
+    // stats, where "zone" = row group and clustering = the write-side
+    // ORDER BY. Zone rank comes from DistributedRank (a global
+    // row_number through a plain window is the 1-task shape); per-
+    // zone min/max/match are one partial-agg'd rollup; the final
+    // fold is zones-sized. Clustered layout scans the 1-2 zones
+    // whose [lo, hi] straddles the band; natural scans ~all — the
+    // quantified case for sorting 100 TB writes on the hot filter
+    // column.
+    "q228_zonemap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+      def zones(layout: String, order: Seq[Column]): DataFrame =
+        graft.ops.DistributedRank.rowNumber(docs, "rk", Seq.empty, order)
+          .withColumn("zone", expr("(rk - 1) div 50"))
+          .groupBy("zone")
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"),
+            sum(when(col("n_chars").between(200, 240), 1L).otherwise(0L))
+              .as("n_match"))
+          .agg(count(lit(1)).as("n_zones"),
+            sum(when(col("hi") >= 200 && col("lo") <= 240, 1L)
+              .otherwise(0L)).as("zones_scanned"),
+            sum(when(col("hi") >= 200 && col("lo") <= 240, col("n_rows"))
+              .otherwise(0L)).as("rows_scanned"),
+            sum(col("n_match")).as("n_match"))
+          .select(lit(layout).as("layout"), col("n_zones"),
+            col("zones_scanned"), col("rows_scanned"), col("n_match"))
+      zones("clustered", Seq(col("n_chars"), col("doc_id")))
+        .unionByName(zones("natural", Seq(col("doc_id"))))
+        .orderBy("layout")
     })
   )
 
@@ -3429,6 +3505,59 @@ object TextQueries {
                                  lang, CAST(n_chars AS VARCHAR))),
                      1, 15)) AS BIGINT)) % 2305843009213693952 AS BIGINT)
                   AS digest
-         FROM documents GROUP BY 1 ORDER BY 1"""
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    // q127's scoring + ntile stages, q184's salted-hash order within
+    // stage — the full curriculum schedule replayed.
+    "q226_curriculum" ->
+      s"""WITH n AS (SELECT doc_id, lang, $normDuck t FROM documents),
+          w AS (SELECT doc_id, lang, string_split(t, ' ') words FROM n),
+          wt AS (SELECT list_transform(range(0, 64), k ->
+                   CAST(concat('0x', substr(md5('w,'||CAST(k AS VARCHAR)), 1, 6)) AS BIGINT)
+                     / CAST(16777216 AS DOUBLE) - CAST(0.5 AS DOUBLE)) ws),
+          scored AS (
+            SELECT doc_id, lang,
+                   list_sum(list_transform(words, x ->
+                     ws[CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 64 + 1])) AS score
+            FROM w, wt),
+          st AS (SELECT doc_id, lang,
+                   ntile(10) OVER (PARTITION BY lang ORDER BY score DESC, doc_id) decile
+                 FROM scored),
+          stg AS (SELECT doc_id, lang,
+                   CAST(CASE WHEN decile <= 3 THEN 0
+                             WHEN decile <= 7 THEN 1 ELSE 2 END AS BIGINT) stage,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)||':curriculum-seed-7'), 1, 15)) AS BIGINT) h
+                 FROM st)
+          SELECT doc_id, lang, stage,
+                 CAST(row_number() OVER (PARTITION BY stage ORDER BY h, doc_id) AS BIGINT) pos
+          FROM stg ORDER BY stage, pos""",
+    // 50-row zones under each layout rank; scanned = zone [lo, hi]
+    // straddles the predicate band — parquet footer-pruning replayed.
+    "q228_zonemap" ->
+      """WITH base AS (SELECT doc_id, n_chars FROM documents),
+         nat AS (SELECT n_chars,
+                   (row_number() OVER (ORDER BY doc_id) - 1) // 50 AS zone
+                 FROM base),
+         clu AS (SELECT n_chars,
+                   (row_number() OVER (ORDER BY n_chars, doc_id) - 1) // 50 AS zone
+                 FROM base),
+         natz AS (SELECT zone, count(*) n_rows, min(n_chars) lo, max(n_chars) hi,
+                    sum(CASE WHEN n_chars BETWEEN 200 AND 240 THEN 1 ELSE 0 END) n_match
+                  FROM nat GROUP BY 1),
+         cluz AS (SELECT zone, count(*) n_rows, min(n_chars) lo, max(n_chars) hi,
+                    sum(CASE WHEN n_chars BETWEEN 200 AND 240 THEN 1 ELSE 0 END) n_match
+                  FROM clu GROUP BY 1),
+         f AS (
+           SELECT 'natural' layout, CAST(count(*) AS BIGINT) n_zones,
+                  CAST(sum(CASE WHEN hi >= 200 AND lo <= 240 THEN 1 ELSE 0 END) AS BIGINT) zones_scanned,
+                  CAST(sum(CASE WHEN hi >= 200 AND lo <= 240 THEN n_rows ELSE 0 END) AS BIGINT) rows_scanned,
+                  CAST(sum(n_match) AS BIGINT) n_match
+           FROM natz
+           UNION ALL
+           SELECT 'clustered', CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN hi >= 200 AND lo <= 240 THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(sum(CASE WHEN hi >= 200 AND lo <= 240 THEN n_rows ELSE 0 END) AS BIGINT),
+                  CAST(sum(n_match) AS BIGINT)
+           FROM cluz)
+         SELECT * FROM f ORDER BY layout"""
   )
 }

@@ -276,6 +276,42 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!shuffled.contains("text"), s"text reached a shuffle:\n$shuffled")
   }
 
+  test("q226 curriculum: rank engine range-partitions, offsets broadcast back") {
+    val p = plan("q226_curriculum")
+    // within-stage order comes from DistributedRank: a range exchange
+    // over (stage, h, doc_id) + a broadcast join of the tiny offset
+    // table — never a 3-partition corpus window
+    assert(p.contains("Exchange rangepartitioning"),
+      s"curriculum lost the range-partitioned rank engine:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rank offsets must broadcast, not shuffle:\n$p")
+  }
+
+  test("q227 label propagation: partial-agg'd label counts, top-k finish, no text") {
+    val p = plan("q227_labelprop")
+    assert(p.contains("partial_count"),
+      s"(node, label) counts lost map-side combine:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"community top-20 lost the distributed partial top-k:\n$p")
+    assert(!p.contains("props"), s"plan read the payload column:\n$p")
+  }
+
+  test("q228 zone-map audit: pid-partitioned rank, combined rollup, text never read") {
+    val p = plan("q228_zonemap")
+    // the range exchange itself sits behind Barrier's materialization
+    // (the q222 note); what must stay visible is that every rank
+    // window is __pid-partitioned — a global (no-partition) window
+    // would collapse the corpus onto one task
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"layout rank lost the pid-partitioned engine:\n$p")
+    assert(!p.contains("windowspecdefinition(doc_id")
+        && !p.contains("windowspecdefinition(n_chars"),
+      s"a rank window went global:\n$p")
+    assert(p.contains("partial_count") && p.contains("partial_min"),
+      s"zone rollup lost map-side combine:\n$p")
+    assert(!p.contains("text"), s"plan read the document body for a layout audit:\n$p")
+  }
+
   test("q73 trained-PQ search is join-free: codes + ADC table lookups + top-k") {
     // the ADC tables are plan-time literals; the ONLY distributed work
     // is the map-only encode and the distributed partial top-k
