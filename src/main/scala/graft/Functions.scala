@@ -222,6 +222,20 @@ object Functions {
     Shims.column(graft.functions.HllAgg(Shims.expression(h), b)
       .toAggregateExpression())
 
+  /** hll_regs(h, b): the register ARRAY itself as the aggregate value
+    * (see [[graft.functions.HllRegs]]) — land per-partition sketches,
+    * roll them up later with [[hll_union]] without rescanning. */
+  def hll_regs(h: Column, b: Int): Column =
+    Shims.column(graft.functions.HllRegs(Shims.expression(h), b)
+      .toAggregateExpression())
+
+  /** hll_union(regs, b): fold [[hll_regs]] sketches by register max
+    * into the exact-integer S ([[graft.functions.HllUnion]]);
+    * union-of-sketches ≡ sketch-of-union, bit for bit. */
+  def hll_union(regs: Column, b: Int): Column =
+    Shims.column(graft.functions.HllUnion(Shims.expression(regs), b)
+      .toAggregateExpression())
+
   import org.apache.spark.sql.catalyst.expressions.Expression
 
   /** Extract a foldable integer literal argument (k, capacity, bits). */
@@ -328,6 +342,10 @@ object Functions {
     // hll_agg(h, 6): register-count exponent must be an integer literal
     "hll_agg" -> (exprs => graft.functions.HllAgg(exprs(0),
       intLit("hll_agg", "b")(exprs(1))).toAggregateExpression()),
+    "hll_regs" -> (exprs => graft.functions.HllRegs(exprs(0),
+      intLit("hll_regs", "b")(exprs(1))).toAggregateExpression()),
+    "hll_union" -> (exprs => graft.functions.HllUnion(exprs(0),
+      intLit("hll_union", "b")(exprs(1))).toAggregateExpression()),
     // ac_count(t, array('p1', …)): dictionary must be a foldable literal
     "ac_count" -> (exprs => graft.functions.AcCount(exprs(0),
       strsLit("ac_count", "patterns")(exprs(1)))),

@@ -116,6 +116,35 @@ object EngineQueries {
         .orderBy("event_type")
     }),
 
+    // Sketch-algebra rollup — the property that makes HLL a data-
+    // engineering primitive, exercised at the query surface: the per-
+    // type distinct-user sketches are landed ONCE (hll_regs keeps the
+    // 64-byte register array as the aggregate value, Barrier
+    // materializes the 5-row sketch frame), and the corpus-wide
+    // distinct estimate comes from MERGING those sketches (hll_union,
+    // register max) — never a second scan of events. Register max is
+    // associative/commutative/idempotent, so union-of-sketches ≡
+    // sketch-of-union bit for bit, and the oracle proves it by
+    // computing the TOTAL row directly from the raw rows. At 100 TB
+    // this is the nightly pattern: per-(source, day) sketch table,
+    // every rollup a 64-byte-row merge.
+    "q229_hll_rollup" -> ((s, d) => {
+      val h = expr(
+        "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)")
+      val per = graft.ops.Barrier(
+        Tables.events(s, d)
+          .select(col("event_type"), h.as("h"))
+          .groupBy("event_type")
+          .agg(graft.Functions.hll_agg(col("h"), 6).as("hll_s"),
+            graft.Functions.hll_regs(col("h"), 6).as("regs")))
+      val total = per
+        .agg(graft.Functions.hll_union(col("regs"), 6).as("hll_s"))
+        .select(lit("TOTAL").as("scope"), col("hll_s"))
+      per.select(col("event_type").as("scope"), col("hll_s"))
+        .unionByName(total)
+        .orderBy("scope")
+    }),
+
     // Range (interval) join: events whose value falls inside each
     // customer's [acctbal-5, acctbal+5] band. Spark-first SCALABLE
     // shape: a naive theta-join is a nested-loop over every pair —
@@ -364,6 +393,35 @@ object EngineQueries {
                 ex.exact
          FROM s JOIN ex USING (event_type)
          ORDER BY event_type""",
+    // union-of-sketches ≡ sketch-of-union: the oracle computes the
+    // TOTAL row DIRECTLY from the raw rows — matching Spark's merged
+    // registers proves the algebra.
+    "q229_hll_rollup" ->
+      """WITH h AS (
+           SELECT DISTINCT event_type,
+                  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) h
+           FROM events),
+         regs AS (
+           SELECT event_type, h % 64 AS j,
+                  max(CASE WHEN h // 64 = 0 THEN 55
+                           ELSE 55 - length(bin(h // 64)) END) AS r
+           FROM h GROUP BY event_type, j),
+         s AS (
+           SELECT event_type AS scope,
+                  CAST(sum(CAST(1 AS BIGINT) << (55 - r)) +
+                       (64 - count(*)) * (CAST(1 AS BIGINT) << 55) AS BIGINT) AS hll_s
+           FROM regs GROUP BY event_type),
+         tregs AS (
+           SELECT h % 64 AS j,
+                  max(CASE WHEN h // 64 = 0 THEN 55
+                           ELSE 55 - length(bin(h // 64)) END) AS r
+           FROM (SELECT DISTINCT h FROM h) GROUP BY j),
+         ts AS (
+           SELECT 'TOTAL' AS scope,
+                  CAST(sum(CAST(1 AS BIGINT) << (55 - r)) +
+                       (64 - count(*)) * (CAST(1 AS BIGINT) << 55) AS BIGINT) AS hll_s
+           FROM tregs)
+         SELECT * FROM s UNION ALL SELECT * FROM ts ORDER BY scope""",
     "q43_range" ->
       """SELECT count(*) AS n_pairs,
                 CAST(sum(e.event_id + c.c_custkey) AS BIGINT) AS checksum

@@ -86,6 +86,38 @@ class HllAggSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("sketch algebra: union of per-group hll_regs equals the direct sketch, any split") {
+    // the q229 contract — union-of-sketches ≡ sketch-of-union, bit for
+    // bit, no matter how the rows were grouped into sketches
+    val base = hashed(5000).withColumn("g", pmod(col("h"), lit(13L))).cache()
+    try {
+      val direct = sOf(base)
+      val merged = base.groupBy("g")
+        .agg(graft.Functions.hll_regs(col("h"), 6).as("regs"))
+        .agg(graft.Functions.hll_union(col("regs"), 6).as("s"))
+        .head().getLong(0)
+      assert(merged === direct)
+      // a different grouping of the same rows merges to the same S
+      val merged2 = base.withColumn("g2", pmod(col("h"), lit(3L)))
+        .groupBy("g2")
+        .agg(graft.Functions.hll_regs(col("h"), 6).as("regs"))
+        .agg(graft.Functions.hll_union(col("regs"), 6).as("s"))
+        .head().getLong(0)
+      assert(merged2 === direct)
+    } finally { base.unpersist(); () }
+  }
+
+  test("hll_union rejects a register width that does not match b") {
+    import spark.implicits._
+    val e = intercept[Exception] {
+      hashed(100).agg(graft.Functions.hll_regs(col("h"), 6).as("regs"))
+        .agg(graft.Functions.hll_union(col("regs"), 5)).head()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("must match")), msgs(e).mkString("; "))
+  }
+
   test("rejects hashes outside [0, 2^60) loudly") {
     import spark.implicits._
     val bad = Seq(-1L).toDF("h")

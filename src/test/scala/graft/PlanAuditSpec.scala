@@ -312,6 +312,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("text"), s"plan read the document body for a layout audit:\n$p")
   }
 
+  test("q229 sketch rollup: TOTAL comes from merged registers, never a rescan") {
+    val p = plan("q229_hll_rollup")
+    // both arms read the Barrier-materialized 5-row sketch frame; the
+    // events parquet is scanned exactly once, at materialization —
+    // a parquet scan in THIS plan would mean the rollup re-read the
+    // corpus to answer a question the sketches already answer
+    assert(!p.contains("Scan parquet"),
+      s"the sketch rollup rescanned the corpus:\n$p")
+    assert(p.contains("hll_union"), s"TOTAL lost the register merge:\n$p")
+  }
+
   test("q73 trained-PQ search is join-free: codes + ADC table lookups + top-k") {
     // the ADC tables are plan-time literals; the ONLY distributed work
     // is the map-only encode and the distributed partial top-k
