@@ -2208,6 +2208,46 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Retrieval evaluation harness — the metrics layer every search/
+    // RAG stack needs over its ranking arms (q96 BM25, q104 hybrid):
+    // MRR, precision@k and recall@k of the BM25 top-20 against a
+    // deterministic relevance set (docs containing ALL three query
+    // terms — derived from the same tf pass the scorer uses, so the
+    // oracle replays it exactly). All metrics are EXACT ppm integers
+    // (1e6 div rank / counts) — no IEEE beyond the already-pinned
+    // BM25 scores. Scale shape: the corpus does one relevance pass
+    // (partial-agg'd count) + the ranking arm's own distributed
+    // top-k; ranks come from a POST-LIMIT 20-row window (q223
+    // discipline), metrics fold 20 rows, n_relevant broadcasts.
+    "q230_retrieval_eval" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rel = withWords(s, d).select(col("doc_id"),
+        (expr("size(filter(words, x -> x = 'vector')) > 0") &&
+          expr("size(filter(words, x -> x = 'scan')) > 0") &&
+          expr("size(filter(words, x -> x = 'dup')) > 0")).as("is_rel"))
+      val nrel = rel.agg(
+        sum(when(col("is_rel"), 1L).otherwise(0L)).as("n_relevant"))
+      val wR = Window.orderBy(desc("score"), col("doc_id"))
+      bm25Top20(s, d)
+        .join(rel, "doc_id")
+        .withColumn("rank", row_number().over(wR).cast(LongType))
+        .agg(
+          sum(when(col("is_rel") && col("rank") <= 5, 1L).otherwise(0L))
+            .as("hits5"),
+          sum(when(col("is_rel") && col("rank") <= 10, 1L).otherwise(0L))
+            .as("hits10"),
+          sum(when(col("is_rel"), 1L).otherwise(0L)).as("hits20"),
+          min(when(col("is_rel"), col("rank"))).as("first_rel"))
+        .crossJoin(broadcast(nrel))
+        .select(col("n_relevant"), col("hits5"), col("hits10"),
+          col("hits20"),
+          expr("(hits5 * 1000000) div 5").as("p5_ppm"),
+          expr("(hits10 * 1000000) div 10").as("p10_ppm"),
+          expr("(hits20 * 1000000) div 20").as("p20_ppm"),
+          expr("(hits20 * 1000000) div n_relevant").as("r20_ppm"),
+          coalesce(expr("1000000 div first_rel"), lit(0L)).as("mrr_ppm"))
+    }),
+
     // Curriculum schedule — the composition of the quality ladder
     // (q127's within-language model-score deciles) with the
     // deterministic shuffle (q184's salted-hash order): training
@@ -3506,6 +3546,36 @@ object TextQueries {
                      1, 15)) AS BIGINT)) % 2305843009213693952 AS BIGINT)
                   AS digest
          FROM documents GROUP BY 1 ORDER BY 1""",
+    // BM25 replay + relevance from the same tf pass; exact-ppm
+    // metric arithmetic (integer floor division both engines).
+    "q230_retrieval_eval" ->
+      s"""WITH $bm25Duck,
+          top AS (SELECT doc_id, (s0 + s1) + s2 AS score FROM sc
+                  WHERE (s0 + s1) + s2 > 0
+                  ORDER BY score DESC, doc_id LIMIT 20),
+          rel AS (SELECT doc_id,
+                    (tf0 > 0 AND tf1 > 0 AND tf2 > 0) AS is_rel FROM tf),
+          nr AS (SELECT sum(CASE WHEN is_rel THEN 1 ELSE 0 END) n_relevant
+                 FROM rel),
+          rk AS (SELECT t.doc_id,
+                   row_number() OVER (ORDER BY t.score DESC, t.doc_id) rank,
+                   r.is_rel
+                 FROM top t JOIN rel r ON t.doc_id = r.doc_id),
+          m AS (SELECT
+                  sum(CASE WHEN is_rel AND rank <= 5 THEN 1 ELSE 0 END) hits5,
+                  sum(CASE WHEN is_rel AND rank <= 10 THEN 1 ELSE 0 END) hits10,
+                  sum(CASE WHEN is_rel THEN 1 ELSE 0 END) hits20,
+                  min(CASE WHEN is_rel THEN rank END) first_rel
+                FROM rk)
+          SELECT CAST(n_relevant AS BIGINT) n_relevant,
+                 CAST(hits5 AS BIGINT) hits5, CAST(hits10 AS BIGINT) hits10,
+                 CAST(hits20 AS BIGINT) hits20,
+                 CAST((hits5 * 1000000) // 5 AS BIGINT) p5_ppm,
+                 CAST((hits10 * 1000000) // 10 AS BIGINT) p10_ppm,
+                 CAST((hits20 * 1000000) // 20 AS BIGINT) p20_ppm,
+                 CAST((hits20 * 1000000) // n_relevant AS BIGINT) r20_ppm,
+                 CAST(coalesce(1000000 // first_rel, 0) AS BIGINT) mrr_ppm
+          FROM m, nr""",
     // q127's scoring + ntile stages, q184's salted-hash order within
     // stage — the full curriculum schedule replayed.
     "q226_curriculum" ->
