@@ -2208,6 +2208,41 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Elastic-reshard planning — the data-movement audit behind every
+    // cluster/bucket-count resize: when shards grow 32 → 40, what
+    // fraction of the corpus MOVES under (a) mod assignment (h mod n:
+    // nearly everything relocates — 1 − 1/lcm-ish) vs (b) rendezvous
+    // (HRW) hashing (shard = argmax_s hash(doc, s): only docs whose
+    // argmax lands on a NEW shard move, ≈ 8/40 = 20%) — the quantified
+    // case for consistent placement of bucketed corpora (q135's
+    // bucketing, IvfIndex partitions) where a resize would otherwise
+    // re-shuffle 100 TB. Map-only per-doc arithmetic (the argmax is a
+    // bounded 40-element array fold; md5-derived weights keep the
+    // oracle engine-portable — production swaps in xxhash64), one
+    // partial-agg'd 2-row rollup. Deterministic: struct array_max
+    // breaks weight ties by shard id identically in both engines.
+    "q231_reshard" -> ((s, d) => {
+      def hrwShard(n: Int): String =
+        s"""array_max(transform(sequence(0, ${n - 1}), s -> struct(
+              cast(conv(substring(md5(concat(cast(doc_id as string), '#', cast(s as string))), 1, 15), 16, 10) as bigint) as w,
+              s as s))).s"""
+      val h = expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val modArm = docs
+        .select(lit("mod").as("method"),
+          (pmod(h, lit(32L)) =!= pmod(h, lit(40L))).as("moved"))
+      val hrwArm = docs
+        .select(lit("rendezvous").as("method"),
+          (expr(hrwShard(32)) =!= expr(hrwShard(40))).as("moved"))
+      modArm.unionByName(hrwArm)
+        .groupBy("method")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
+        .withColumn("moved_ppm", expr("(n_moved * 1000000) div n_docs"))
+        .orderBy("method")
+    }),
+
     // Retrieval evaluation harness — the metrics layer every search/
     // RAG stack needs over its ranking arms (q96 BM25, q104 hybrid):
     // MRR, precision@k and recall@k of the BM25 top-20 against a
@@ -3546,6 +3581,27 @@ object TextQueries {
                      1, 15)) AS BIGINT)) % 2305843009213693952 AS BIGINT)
                   AS digest
          FROM documents GROUP BY 1 ORDER BY 1""",
+    // both assignment rules replayed: mod compare + 40-element HRW
+    // argmax (list_max over [w, s] pairs — lexicographic, ties by
+    // shard id, matching Spark's struct array_max).
+    "q231_reshard" ->
+      """WITH h AS (SELECT doc_id,
+                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) h
+                FROM documents),
+         marm AS (SELECT 'mod' AS method, (h % 32 <> h % 40) AS moved FROM h),
+         hw AS (SELECT doc_id,
+                  list_max(list_transform(range(0, 32), s ->
+                    [CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)||'#'||CAST(s AS VARCHAR)), 1, 15)) AS BIGINT), s]))[2] s32,
+                  list_max(list_transform(range(0, 40), s ->
+                    [CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)||'#'||CAST(s AS VARCHAR)), 1, 15)) AS BIGINT), s]))[2] s40
+                FROM documents),
+         harm AS (SELECT 'rendezvous' AS method, (s32 <> s40) AS moved FROM hw),
+         u AS (SELECT * FROM marm UNION ALL SELECT * FROM harm)
+         SELECT method, CAST(count(*) AS BIGINT) n_docs,
+                CAST(sum(CASE WHEN moved THEN 1 ELSE 0 END) AS BIGINT) n_moved,
+                CAST((sum(CASE WHEN moved THEN 1 ELSE 0 END) * 1000000)
+                     // count(*) AS BIGINT) moved_ppm
+         FROM u GROUP BY method ORDER BY method""",
     // BM25 replay + relevance from the same tf pass; exact-ppm
     // metric arithmetic (integer floor division both engines).
     "q230_retrieval_eval" ->
