@@ -1126,6 +1126,35 @@ object EventQueries {
       }
       lab.groupBy("lab").agg(count(lit(1)).as("n_members"))
         .orderBy(desc("n_members"), col("lab")).limit(20)
+    }),
+
+    // k-anonymity / l-diversity release audit — the data-governance
+    // gate before publishing an interaction dataset: treat
+    // (event_type, day, value-band) as the quasi-identifier (what an
+    // attacker can observe) and user_id as the sensitive attribute. k-anonymity:
+    // every quasi-id group should contain ≥ k rows (a group of 2 rows
+    // re-identifies); l-diversity: ≥ l distinct sensitive values (a
+    // group where every row is one user leaks even when large). One
+    // partial-agg'd (type, day, band) rollup + a groups-sized fold — the
+    // same shape at any corpus size; countDistinct plans as the
+    // standard two-phase expand. Exact-integer risk metrics: rows in
+    // sub-k groups as ppm of the release.
+    "q232_kanon" -> ((s, d) => {
+      val g = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("(ts_ns div 1000) div 86400000000").as("day"),
+          expr("cast(floor(value / 10) as bigint)").as("vband"),
+          col("user_id"))
+        .groupBy("event_type", "day", "vband")
+        .agg(count(lit(1)).as("sz"), countDistinct(col("user_id")).as("l"))
+      g.agg(count(lit(1)).as("n_groups"),
+          sum(col("sz")).as("n_rows"),
+          min(col("sz")).as("min_k"),
+          sum(when(col("sz") < 10, 1L).otherwise(0L)).as("groups_lt_k10"),
+          sum(when(col("sz") < 10, col("sz")).otherwise(0L)).as("rows_lt_k10"),
+          min(col("l")).as("min_l"),
+          sum(when(col("l") < 5, 1L).otherwise(0L)).as("groups_lt_l5"))
+        .withColumn("risk_ppm", expr("(rows_lt_k10 * 1000000) div n_rows"))
     })
   )
 
@@ -1635,6 +1664,21 @@ object EventQueries {
                     (PARTITION BY a ORDER BY cnt DESC, lab) rn FROM r2)
                 WHERE rn = 1)
          SELECT lab, CAST(count(*) AS BIGINT) AS n_members
-         FROM l2 GROUP BY 1 ORDER BY n_members DESC, lab LIMIT 20"""
+         FROM l2 GROUP BY 1 ORDER BY n_members DESC, lab LIMIT 20""",
+    "q232_kanon" ->
+      """WITH g AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                           CAST(floor(value / 10) AS BIGINT) AS vband,
+                           count(*) sz, count(DISTINCT user_id) l
+                    FROM events GROUP BY 1, 2, 3)
+         SELECT CAST(count(*) AS BIGINT) n_groups,
+                CAST(sum(sz) AS BIGINT) n_rows,
+                CAST(min(sz) AS BIGINT) min_k,
+                CAST(sum(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT) groups_lt_k10,
+                CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT) rows_lt_k10,
+                CAST(min(l) AS BIGINT) min_l,
+                CAST(sum(CASE WHEN l < 5 THEN 1 ELSE 0 END) AS BIGINT) groups_lt_l5,
+                CAST((sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) * 1000000)
+                     // sum(sz) AS BIGINT) risk_ppm
+         FROM g"""
   )
 }
