@@ -84,6 +84,39 @@ object EventQueries {
 
   private val routedTypes = Seq("click", "view", "signup", "purchase")
 
+  /** The q227/q233 label-propagation kernel: (doubled edge list,
+    * 2-round LPA labels) over the user–day bipartite graph (q97's
+    * graph). Mode over neighbor labels PLUS the node's own label
+    * (the self-inclusion variant — neighbor-only LPA on a bipartite
+    * graph just swaps side labels every round and never forms a
+    * community), (count DESC, label) argmax — deterministic under
+    * any partitioning; Barrier per round. */
+  private def lpaLabels(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val dpairs = Tables.events(s, d)
+      .select(col("user_id").as("u"),
+        (expr("(ts_ns div 1000) div 86400000000") + 2000000L).as("v"))
+      .distinct()
+    val edges = graft.ops.Barrier(
+      dpairs.select(col("u").as("a"), col("v").as("b"))
+        .union(dpairs.select(col("v").as("a"), col("u").as("b"))))
+    var lab = edges.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+    for (_ <- 1 to 2) {
+      val w = Window.partitionBy("a").orderBy(desc("cnt"), col("lab"))
+      val votes = edges.join(lab.withColumnRenamed("node", "b"), Seq("b"))
+        .select(col("a"), col("lab"))
+        .union(lab.select(col("node").as("a"), col("lab")))
+      lab = graft.ops.Barrier(
+        votes.groupBy("a", "lab").agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("a").as("node"), col("lab")))
+    }
+    (edges, lab)
+  }
+
   /** O5/O6: the 5-way route switch as a single `when` chain. */
   def topicExpr(eventType: Column, userId: Column): Column =
     when(eventType === "click", lit("click-topic"))
@@ -1105,27 +1138,51 @@ object EventQueries {
     // Barrier truncates lineage per round. Output: the 20 largest
     // communities via TakeOrderedAndProject.
     "q227_labelprop" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val dpairs = Tables.events(s, d)
-        .select(col("user_id").as("u"),
-          (expr("(ts_ns div 1000) div 86400000000") + 2000000L).as("v"))
-        .distinct()
-      val edges = graft.ops.Barrier(
-        dpairs.select(col("u").as("a"), col("v").as("b"))
-          .union(dpairs.select(col("v").as("a"), col("u").as("b"))))
-      var lab = edges.select(col("a").as("node")).distinct()
-        .select(col("node"), col("node").as("lab"))
-      for (_ <- 1 to 2) {
-        val w = Window.partitionBy("a").orderBy(desc("cnt"), col("lab"))
-        lab = graft.ops.Barrier(
-          edges.join(lab.withColumnRenamed("node", "b"), Seq("b"))
-            .groupBy("a", "lab").agg(count(lit(1)).as("cnt"))
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1)
-            .select(col("a").as("node"), col("lab")))
-      }
+      val (_, lab) = lpaLabels(s, d)
       lab.groupBy("lab").agg(count(lit(1)).as("n_members"))
         .orderBy(desc("n_members"), col("lab")).limit(20)
+    }),
+
+    // Modularity score of the q227 partition — Newman's Q as EXACT
+    // integer arithmetic (the q98/q152 cross-multiplication
+    // discipline): over the doubled edge list with 2m directed
+    // edges, Q = Σ_c ein_c/(2m) − Σ_c (d_c/(2m))², so
+    // Q_ppm = (2m·Σein_c − Σd_c²)·1e6 div (2m)² — numerator and
+    // denominator in Decimal(38,0) (d_c² alone can pass 2^63 on a
+    // power-law graph). The quality gauge that tells you whether
+    // LPA's split beats random (Q > 0) — run it after every
+    // clustering change. Scale shape: one edge-sized join against
+    // the labels for ein (both sides label-joined, (long,long)-only
+    // shuffles), degree and label rollups are node-sized, final fold
+    // is communities-sized.
+    "q233_modularity" -> ((s, d) => {
+      val (edges, lab) = lpaLabels(s, d)
+      val el = edges
+        .join(lab.withColumnRenamed("node", "a")
+          .withColumnRenamed("lab", "la"), Seq("a"))
+        .join(lab.withColumnRenamed("node", "b")
+          .withColumnRenamed("lab", "lb"), Seq("b"))
+      val ein = el.filter(col("la") === col("lb"))
+        .groupBy("la").agg(count(lit(1)).as("ein"))
+        .agg(coalesce(sum(col("ein")), lit(0L)).as("sum_ein"))
+      val dc = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+        .join(lab.withColumnRenamed("node", "a"), Seq("a"))
+        .groupBy("lab").agg(sum(col("deg")).as("d_c"))
+      val dstats = dc.agg(count(lit(1)).as("n_communities"),
+        sum(col("d_c")).as("m2"),
+        sum(expr("cast(d_c as decimal(38,0)) * cast(d_c as decimal(38,0))"))
+          .as("sum_d2"))
+      // Q ∈ (−1, 1) and Spark `div` truncates while DuckDB `//`
+      // floors — shifting by +1 keeps the dividend provably positive
+      // so both engines floor identically (the packBins discipline)
+      dstats.crossJoin(broadcast(ein))
+        .select(col("n_communities"),
+          expr("m2 div 2").cast(LongType).as("m_edges"),
+          (expr("""cast(((cast(m2 as decimal(38,0)) * cast(sum_ein as decimal(38,0))
+                   - cast(sum_d2 as decimal(38,0))
+                   + cast(m2 as decimal(38,0)) * cast(m2 as decimal(38,0))) * 1000000)
+                  div (cast(m2 as decimal(38,0)) * cast(m2 as decimal(38,0)))
+                  as bigint)""") - lit(1000000L)).as("modularity_ppm"))
     }),
 
     // k-anonymity / l-diversity release audit — the data-governance
@@ -1651,20 +1708,62 @@ object EventQueries {
                UNION ALL SELECT v, u FROM dp),
          l0 AS (SELECT DISTINCT a AS node FROM e),
          l0l AS (SELECT node, node AS lab FROM l0),
-         r1 AS (SELECT e.a, l.lab, count(*) cnt
-                FROM e JOIN l0l l ON e.b = l.node GROUP BY 1, 2),
+         v1 AS (SELECT e.a, l.lab FROM e JOIN l0l l ON e.b = l.node
+                UNION ALL SELECT node, lab FROM l0l),
+         r1 AS (SELECT a, lab, count(*) cnt FROM v1 GROUP BY 1, 2),
          l1 AS (SELECT a AS node, lab FROM (
                   SELECT a, lab, row_number() OVER
                     (PARTITION BY a ORDER BY cnt DESC, lab) rn FROM r1)
                 WHERE rn = 1),
-         r2 AS (SELECT e.a, l.lab, count(*) cnt
-                FROM e JOIN l1 l ON e.b = l.node GROUP BY 1, 2),
+         v2 AS (SELECT e.a, l.lab FROM e JOIN l1 l ON e.b = l.node
+                UNION ALL SELECT node, lab FROM l1),
+         r2 AS (SELECT a, lab, count(*) cnt FROM v2 GROUP BY 1, 2),
          l2 AS (SELECT a AS node, lab FROM (
                   SELECT a, lab, row_number() OVER
                     (PARTITION BY a ORDER BY cnt DESC, lab) rn FROM r2)
                 WHERE rn = 1)
          SELECT lab, CAST(count(*) AS BIGINT) AS n_members
          FROM l2 GROUP BY 1 ORDER BY n_members DESC, lab LIMIT 20""",
+    // LPA rounds replayed + exact-integer Newman Q with the +1 shift
+    // (positive dividend → floor ≡ truncate in both engines).
+    "q233_modularity" ->
+      """WITH dp AS (SELECT DISTINCT user_id AS u,
+                       (epoch_us(ts) // 86400000000) + 2000000 AS v
+                     FROM events),
+         e AS (SELECT u AS a, v AS b FROM dp
+               UNION ALL SELECT v, u FROM dp),
+         l0 AS (SELECT DISTINCT a AS node FROM e),
+         l0l AS (SELECT node, node AS lab FROM l0),
+         v1 AS (SELECT e.a, l.lab FROM e JOIN l0l l ON e.b = l.node
+                UNION ALL SELECT node, lab FROM l0l),
+         r1 AS (SELECT a, lab, count(*) cnt FROM v1 GROUP BY 1, 2),
+         l1 AS (SELECT a AS node, lab FROM (
+                  SELECT a, lab, row_number() OVER
+                    (PARTITION BY a ORDER BY cnt DESC, lab) rn FROM r1)
+                WHERE rn = 1),
+         v2 AS (SELECT e.a, l.lab FROM e JOIN l1 l ON e.b = l.node
+                UNION ALL SELECT node, lab FROM l1),
+         r2 AS (SELECT a, lab, count(*) cnt FROM v2 GROUP BY 1, 2),
+         l2 AS (SELECT a AS node, lab FROM (
+                  SELECT a, lab, row_number() OVER
+                    (PARTITION BY a ORDER BY cnt DESC, lab) rn FROM r2)
+                WHERE rn = 1),
+         ein AS (SELECT count(*) sum_ein
+                 FROM e JOIN l2 x ON e.a = x.node
+                        JOIN l2 y ON e.b = y.node
+                 WHERE x.lab = y.lab),
+         deg AS (SELECT a, count(*) deg FROM e GROUP BY 1),
+         dc AS (SELECT l2.lab, sum(deg.deg) d_c
+                FROM deg JOIN l2 ON deg.a = l2.node GROUP BY 1),
+         ds AS (SELECT count(*) n_communities,
+                       CAST(sum(d_c) AS HUGEINT) m2,
+                       sum(CAST(d_c AS HUGEINT) * d_c) sum_d2
+                FROM dc)
+         SELECT CAST(n_communities AS BIGINT) n_communities,
+                CAST(m2 // 2 AS BIGINT) m_edges,
+                CAST(((m2 * sum_ein - sum_d2 + m2 * m2) * 1000000)
+                     // (m2 * m2) - 1000000 AS BIGINT) modularity_ppm
+         FROM ds, ein""",
     "q232_kanon" ->
       """WITH g AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
                            CAST(floor(value / 10) AS BIGINT) AS vband,
