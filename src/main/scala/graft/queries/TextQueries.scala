@@ -2208,6 +2208,119 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Blocked front-coding audit — the dictionary-compression
+    // planning measurement next to q197's posting-list bit budget:
+    // term dictionaries (q94's index, BPE vocabs) ship sorted, and
+    // front coding stores each term as (LCP-with-previous, suffix) —
+    // here over the 3-word PHRASE dictionary (phrase indexes /
+    // n-gram LM tables are where dictionaries get big and
+    // prefix-heavy; the synthetic unigram vocab is 31 terms)
+    // within prefix blocks (blocks reset the chain — exactly how
+    // Lucene/parquet dictionary pages do it, and what keeps the
+    // operator parallel: block = 2-char prefix, so the window is
+    // block-partitioned, never a global term chain). LCP via the
+    // monotone prefix-count identity (count of i where the two
+    // length-i prefixes match — no UDF, same HOF both engines).
+    // Vocab-sized work throughout; one-row rollup.
+    "q235_frontcode" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val vocab = withWords(s, d)
+        .select(explode(graft.Functions.word_shingles(col("t"), 3)).as("term"))
+        .distinct()
+        .withColumn("block", substring(col("term"), 1, 2))
+      val w = Window.partitionBy("block").orderBy("term")
+      vocab
+        .withColumn("prev", lag(col("term"), 1).over(w))
+        .withColumn("lcp", when(col("prev").isNull, 0L).otherwise(
+          expr("""cast(size(filter(sequence(1, least(length(prev), length(term))),
+                    i -> substring(prev, 1, i) = substring(term, 1, i))) as bigint)""")))
+        .agg(count(lit(1)).as("n_terms"),
+          countDistinct(col("block")).as("n_blocks"),
+          sum(length(col("term")).cast(LongType)).as("raw_bytes"),
+          sum(col("lcp")).as("lcp_bytes"))
+        .select(col("n_terms"), col("n_blocks"), col("raw_bytes"),
+          col("lcp_bytes"),
+          (col("raw_bytes") - col("lcp_bytes")).as("coded_bytes"),
+          expr("(lcp_bytes * 1000000) div raw_bytes").as("savings_ppm"))
+    }),
+
+    // Leave-one-source-out data valuation — the attribution question
+    // every mixture decision rests on: which source drags the
+    // corpus-level quality metric down (removing it RAISES the mean)
+    // and which props it up? Metric = the q84/q116 quantized model
+    // score; LOO mean for source i needs only (N, T, n_i, s_i) — ONE
+    // corpus pass (partial-agg'd per-source rollup) + a sources-sized
+    // fold, never a per-source re-scan. Exact integers: scores ride
+    // a +100000 shift so every dividend stays positive (Spark div
+    // truncates, DuckDB // floors — the packBins discipline); the
+    // shift cancels in the delta.
+    "q236_loo_source" -> ((s, d) => {
+      val wlit = typedLit(qmWeights)
+      val bucket: Column => Column = w =>
+        (pmod(conv(substring(md5(w), 1, 15), 16, 10).cast(LongType), lit(64L))
+          + lit(1L)).cast(IntegerType)
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("t"))
+        .withColumn("words", split(col("t"), " "))
+        .select(col("doc_id"), col("source"),
+          (floor(aggregate(transform(col("words"), w => element_at(wlit, bucket(w))),
+            lit(0.0), (acc, x) => acc + x) * 1000).cast(LongType)
+            + lit(100000L)).as("sqp"))
+      val per = scored.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("sqp")).as("s_i"))
+      val tot = per.agg(sum(col("n_docs")).as("n_tot"),
+        sum(col("s_i")).as("t_tot"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          expr("(t_tot * 1000000) div n_tot").as("mean_sc"),
+          expr("((t_tot - s_i) * 1000000) div (n_tot - n_docs)").as("loo_mean_sc"))
+        .withColumn("delta_sc", col("loo_mean_sc") - col("mean_sc"))
+        .orderBy("source")
+    }),
+
+    // Cross-source quantile normalization — the calibration step that
+    // makes quality scores COMPARABLE across heterogeneous sources
+    // (a web crawl's 60th percentile and a books corpus's 60th
+    // percentile should gate the same): each doc's within-source rank
+    // maps to the global score at the same quantile, g = (r·N) div
+    // n_s (clamped to ≥1), i.e. classic quantile normalization onto
+    // the pooled distribution. Scores ride the q84/q116 integer
+    // quantization (sq = floor(score·1000)); BOTH rank passes go
+    // through DistributedRank (per-source AND global — sources and
+    // "all" are exactly the few-group shapes that collapse a plain
+    // window); the remap is one integer-keyed corpus join against the
+    // global rank→score table. Deterministic: total order (sq,
+    // doc_id) everywhere.
+    "q234_qnorm" -> ((s, d) => {
+      val wlit = typedLit(qmWeights)
+      val bucket: Column => Column = w =>
+        (pmod(conv(substring(md5(w), 1, 15), 16, 10).cast(LongType), lit(64L))
+          + lit(1L)).cast(IntegerType)
+      val scored = graft.ops.Barrier(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("t"))
+          .withColumn("words", split(col("t"), " "))
+          .select(col("doc_id"), col("source"),
+            floor(aggregate(transform(col("words"), w => element_at(wlit, bucket(w))),
+              lit(0.0), (acc, x) => acc + x) * 1000).cast(LongType).as("sq")))
+      val bySrc = graft.ops.DistributedRank.rowNumber(
+        scored, "r", Seq("source"), Seq(col("sq"), col("doc_id")))
+      val glob = graft.ops.DistributedRank.rowNumber(
+          scored.select(col("sq"), col("doc_id")), "g",
+          Seq.empty, Seq(col("sq"), col("doc_id")))
+        .select(col("g"), col("sq").as("sq_norm"))
+      val counts = scored.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val nTot = scored.agg(count(lit(1)).as("n_tot"))
+      bySrc.join(broadcast(counts), "source")
+        .crossJoin(broadcast(nTot))
+        .withColumn("g", greatest(expr("(r * n_tot) div n_s"), lit(1L)))
+        .join(glob, "g")
+        .select(col("doc_id"), col("source"), col("sq"), col("sq_norm"))
+        .orderBy("doc_id")
+    }),
+
     // Elastic-reshard planning — the data-movement audit behind every
     // cluster/bucket-count resize: when shards grow 32 → 40, what
     // fraction of the corpus MOVES under (a) mod assignment (h mod n:
@@ -3581,6 +3694,78 @@ object TextQueries {
                      1, 15)) AS BIGINT)) % 2305843009213693952 AS BIGINT)
                   AS digest
          FROM documents GROUP BY 1 ORDER BY 1""",
+    // block-partitioned lag + the same monotone prefix-count LCP.
+    "q235_frontcode" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+          w AS (SELECT doc_id, string_split(t, ' ') words FROM n),
+          v AS (SELECT DISTINCT array_to_string(words[i:i+2], ' ') AS term
+                FROM w, unnest(range(1, len(words) - 1)) u(i)
+                WHERE len(words) >= 3),
+          b AS (SELECT term, substr(term, 1, 2) AS block FROM v),
+          l AS (SELECT term, block,
+                  lag(term) OVER (PARTITION BY block ORDER BY term) prev
+                FROM b),
+          c AS (SELECT term, block,
+                  CASE WHEN prev IS NULL THEN 0
+                       ELSE len(list_filter(range(1, least(length(prev), length(term)) + 1),
+                              i -> substr(prev, 1, i) = substr(term, 1, i)))
+                  END AS lcp
+                FROM l)
+          SELECT CAST(count(*) AS BIGINT) n_terms,
+                 CAST(count(DISTINCT block) AS BIGINT) n_blocks,
+                 CAST(sum(length(term)) AS BIGINT) raw_bytes,
+                 CAST(sum(lcp) AS BIGINT) lcp_bytes,
+                 CAST(sum(length(term)) - sum(lcp) AS BIGINT) coded_bytes,
+                 CAST((sum(lcp) * 1000000) // sum(length(term)) AS BIGINT) savings_ppm
+          FROM c""",
+    // one corpus pass + sources-sized LOO arithmetic; +100000 shift
+    // keeps dividends positive (floor ≡ truncate).
+    "q236_loo_source" ->
+      s"""WITH n AS (SELECT doc_id, source, $normDuck t FROM documents),
+          w AS (SELECT doc_id, source, string_split(t, ' ') words FROM n),
+          wt AS (SELECT list_transform(range(0, 64), k ->
+                   CAST(concat('0x', substr(md5('w,'||CAST(k AS VARCHAR)), 1, 6)) AS BIGINT)
+                     / CAST(16777216 AS DOUBLE) - CAST(0.5 AS DOUBLE)) ws),
+          scored AS (
+            SELECT doc_id, source,
+                   CAST(floor(list_sum(list_transform(words, x ->
+                     ws[CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 64 + 1])) * 1000) AS BIGINT)
+                     + 100000 AS sqp
+            FROM w, wt),
+          per AS (SELECT source, count(*) n_docs, sum(sqp) s_i
+                  FROM scored GROUP BY 1),
+          tot AS (SELECT sum(n_docs) n_tot, sum(s_i) t_tot FROM per)
+          SELECT source, CAST(n_docs AS BIGINT) n_docs,
+                 CAST((t_tot * 1000000) // n_tot AS BIGINT) mean_sc,
+                 CAST(((t_tot - s_i) * 1000000) // (n_tot - n_docs) AS BIGINT) loo_mean_sc,
+                 CAST(((t_tot - s_i) * 1000000) // (n_tot - n_docs)
+                      - (t_tot * 1000000) // n_tot AS BIGINT) delta_sc
+          FROM per, tot ORDER BY source""",
+    // per-source and global ranks replayed as windows; the same
+    // integer remap g = (r·N) div n_s.
+    "q234_qnorm" ->
+      s"""WITH n AS (SELECT doc_id, source, $normDuck t FROM documents),
+          w AS (SELECT doc_id, source, string_split(t, ' ') words FROM n),
+          wt AS (SELECT list_transform(range(0, 64), k ->
+                   CAST(concat('0x', substr(md5('w,'||CAST(k AS VARCHAR)), 1, 6)) AS BIGINT)
+                     / CAST(16777216 AS DOUBLE) - CAST(0.5 AS DOUBLE)) ws),
+          scored AS (
+            SELECT doc_id, source,
+                   CAST(floor(list_sum(list_transform(words, x ->
+                     ws[CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 64 + 1])) * 1000) AS BIGINT) AS sq
+            FROM w, wt),
+          bysrc AS (SELECT doc_id, source, sq,
+                      row_number() OVER (PARTITION BY source ORDER BY sq, doc_id) r,
+                      count(*) OVER (PARTITION BY source) n_s,
+                      count(*) OVER () n_tot
+                    FROM scored),
+          gq AS (SELECT sq AS sq_norm,
+                   row_number() OVER (ORDER BY sq, doc_id) g
+                 FROM scored)
+          SELECT b.doc_id, b.source, b.sq, gq.sq_norm
+          FROM bysrc b JOIN gq
+            ON gq.g = greatest((b.r * b.n_tot) // b.n_s, 1)
+          ORDER BY b.doc_id""",
     // both assignment rules replayed: mod compare + 40-element HRW
     // argmax (list_max over [w, s] pairs — lexicographic, ties by
     // shard id, matching Spark's struct array_max).
