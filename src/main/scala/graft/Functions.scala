@@ -222,6 +222,13 @@ object Functions {
     Shims.column(graft.functions.HllAgg(Shims.expression(h), b)
       .toAggregateExpression())
 
+  /** md5prefix60(bytes): the engine's portable 60-bit hash computed
+    * natively from the MD5 digest (see [[graft.functions.Md5Prefix60]]
+    * and the [[graft.plans.Md5PrefixFold]] rule that rewrites the
+    * spelled hex-conv form to this kernel). */
+  def md5prefix60(bytes: Column): Column =
+    Shims.column(graft.functions.Md5Prefix60(Shims.expression(bytes)))
+
   /** hll_regs(h, b): the register ARRAY itself as the aggregate value
     * (see [[graft.functions.HllRegs]]) — land per-partition sketches,
     * roll them up later with [[hll_union]] without rescanning. */
@@ -342,6 +349,12 @@ object Functions {
     // hll_agg(h, 6): register-count exponent must be an integer literal
     "hll_agg" -> (exprs => graft.functions.HllAgg(exprs(0),
       intLit("hll_agg", "b")(exprs(1))).toAggregateExpression()),
+    // accepts strings too: the identity/string→binary cast resolves in
+    // the analyzer (AbstractDataType is sql-private, so no
+    // ImplicitCastInputTypes here)
+    "md5prefix60" -> (exprs => graft.functions.Md5Prefix60(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        exprs(0), org.apache.spark.sql.types.BinaryType))),
     "hll_regs" -> (exprs => graft.functions.HllRegs(exprs(0),
       intLit("hll_regs", "b")(exprs(1))).toAggregateExpression()),
     "hll_union" -> (exprs => graft.functions.HllUnion(exprs(0),

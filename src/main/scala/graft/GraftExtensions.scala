@@ -28,5 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // of the cluster (AsOf.join also self-installs via
     // experimental.extraStrategies for ad-hoc driver sessions)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // semantics-preserving native-kernel substitution for the spelled
+    // portable hash (see Md5PrefixFold's scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.Md5PrefixFold)
   }
 }

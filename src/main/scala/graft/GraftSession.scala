@@ -37,7 +37,7 @@ object GraftSession {
         .config("spark.driver.maxResultSize", "4g")
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark
+    apply(spark)
   }
 
   /** Ensure session-level SQL confs hold even on a session built
@@ -47,6 +47,14 @@ object GraftSession {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Functions.register(spark)
+    // native-kernel substitutions (semantics-preserving): the spelled
+    // portable hash fuses to Md5Prefix60 (GraftExtensions installs the
+    // same rule cluster-wide); SPARK_GRAFT_NO_MD5FOLD=1 is the kill
+    // switch (and the A/B lever for measuring the rewrite)
+    if (!sys.env.contains("SPARK_GRAFT_NO_MD5FOLD") &&
+        !spark.experimental.extraOptimizations.contains(graft.plans.Md5PrefixFold))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.Md5PrefixFold
     spark
   }
 }

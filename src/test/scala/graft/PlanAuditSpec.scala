@@ -87,7 +87,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "q199_mixture_select", // languages-sized strata × broadcast 1-row totals (q110 shape)
       "q202_idle_rich", // customer × broadcast 1-row (Σcents, n) mean scalar
       "q222_nprobe_ladder", // corpus × broadcast 1-row query; ladder × 1-row corpus total
-      "q223_quant_fidelity") // corpus × broadcast 1-row (float, int8) query pair
+      "q223_quant_fidelity", // corpus × broadcast 1-row (float, int8) query pair
+      "q230_retrieval_eval", // 1-row metric fold × broadcast 1-row n_relevant
+      "q233_modularity", // communities-sized fold × broadcast 1-row Σein
+      "q234_qnorm", // per-source ranks × broadcast 1-row corpus count
+      "q236_loo_source") // sources-sized rollup × broadcast 1-row (N, T) totals
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
