@@ -1351,6 +1351,35 @@ object SimilarityQueries {
                   - cast(sum_q as decimal(38,0)) * sum_q
                   < cast(1000000 as decimal(38,0)) * n * n""").as("dead"))
         .orderBy("dim")
+    }),
+
+    // Incremental IVF maintenance — the index-APPEND path the
+    // persisted-index story (IvfIndex) needs at 100 TB: new vectors
+    // land against the EXISTING trained codebook (train on the old
+    // 90%, assign everyone — the append is a broadcast-model MAP-ONLY
+    // pass, never a retrain, never a shuffle of the indexed corpus),
+    // and the per-list growth audit is what tells you when drift has
+    // skewed the lists enough to schedule a retrain (a list growing
+    // 10× its share degrades probe cost). One k-row output: old/new
+    // occupancy and exact growth ppm (greatest(n_old, 1) guards an
+    // empty list without diverging truncate/floor).
+    "q237_ivf_append" -> ((s, d) => {
+      import graft.ops.KMeans
+      val qemb = graft.ops.Barrier(Tables.embeddings(s, d)
+        .filter(!exists(col("embedding"), _.isNull))
+        .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8")))
+      val old = qemb.filter(col("vec_id") % 10 =!= 0)
+      val seeds = KMeans.seedsFromIds(old, "vec_id", "q8", (1L to 8L))
+      val model = KMeans.train(old, "vec_id", "q8", 64, seeds, maxIter = 2)
+      qemb.select(col("vec_id"),
+          KMeans.assignExpr(col("q8"), model).as("cid"),
+          (col("vec_id") % 10 === 0).as("is_new"))
+        .groupBy("cid")
+        .agg(sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_old"),
+          sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
+        .withColumn("growth_ppm",
+          expr("(n_new * 1000000) div greatest(n_old, 1L)"))
+        .orderBy("cid")
     })
   )
 
@@ -1787,6 +1816,19 @@ object SimilarityQueries {
                      // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_q,
                 CAST(n AS HUGEINT) * sumsq_q - CAST(sum_q AS HUGEINT) * sum_q
                   < CAST(1000000 AS HUGEINT) * n * n AS dead
-         FROM m ORDER BY dim"""
+         FROM m ORDER BY dim""",
+    // train on the old 90% (same unrolled rounds), final-assign ALL
+    // vectors, per-list old/new occupancy + growth.
+    "q237_ivf_append" ->
+      s"""WITH $quantCtes,
+          vold AS (SELECT * FROM v WHERE vec_id % 10 <> 0),
+          ${kmRounds(2, "vold")},
+          ${kmAssign("afin", "s2", "v")}
+         SELECT a.cid,
+                CAST(sum(CASE WHEN a.vec_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) n_old,
+                CAST(sum(CASE WHEN a.vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) n_new,
+                CAST((sum(CASE WHEN a.vec_id % 10 = 0 THEN 1 ELSE 0 END) * 1000000)
+                     // greatest(sum(CASE WHEN a.vec_id % 10 <> 0 THEN 1 ELSE 0 END), 1) AS BIGINT) growth_ppm
+         FROM afin a GROUP BY a.cid ORDER BY a.cid"""
   )
 }
