@@ -83,6 +83,41 @@ object IdempotentSink {
       read(spark, ledgerDir).drop("batch_id"),
       outDir, keys, bytesCol, idCol, targetBytes)
 
+  /** Sketch SIDECAR landing — the q229 algebra composed into the
+    * streaming ingestion: alongside each batch's rows, land a
+    * keys-sized frame of HLL register sketches (`hll_regs` of the
+    * given 60-bit hash column, grouped by `keys`) under
+    * `<dir>/_sketches/batch_id=<id>`, with the same skip-if-committed
+    * / overwrite-if-torn idempotency as the data. Because register
+    * max is associative/commutative/IDEMPOTENT, a replayed batch's
+    * sketch lands identically, and ANY later rollup — per key, per
+    * day, corpus-wide — is a [[graft.Functions.hll_union]] over the
+    * committed sidecar rows: distinct-cardinality questions about
+    * the landed corpus answered without ever rescanning it. */
+  def sketchWriter(dir: String, keys: Seq[String], hashCol: String,
+                   b: Int, inner: (Dataset[Row], Long) => Unit)
+      : (Dataset[Row], Long) => Unit = {
+    import org.apache.spark.sql.functions._
+    (batch: Dataset[Row], batchId: Long) =>
+      inner(batch, batchId)
+      val target = new Path(s"$dir/_sketches/batch_id=$batchId")
+      val fs = target.getFileSystem(
+        batch.sparkSession.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new Path(target, "_SUCCESS")))
+        batch.toDF()
+          .groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("n_rows"),
+            graft.Functions.hll_regs(col(hashCol), b).as("regs"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(target.toString)
+  }
+
+  /** The committed sketch sidecars as one frame (same torn-batch
+    * discipline as [[read]]); fold with `hll_union(regs, b)` for any
+    * rollup. */
+  def sketches(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    read(spark, s"$dir/_sketches")
+
   /** The ledger read back as one DataFrame — COMMITTED batches only.
     * A torn directory (crash mid-write, before the replay overwrote
     * it) has no `_SUCCESS` marker; globbing it in would surface

@@ -130,6 +130,35 @@ class IdempotentSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch sidecars: replay-idempotent, union equals direct sketch of the ledger") {
+    val ledger = tmp("idem-sketch")
+    val h = expr(
+      "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("event_type"), h.as("h"))
+    val halves = Seq(ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 === 1))
+    val writer = IdempotentSink.sketchWriter(ledger, Seq("event_type"), "h", 6,
+      IdempotentSink.parquetWriter(ledger))
+    writer(halves(0), 0L)
+    writer(halves(1), 1L)
+    writer(halves(0), 0L) // replay — both data and sidecar must no-op
+
+    // any rollup off the sidecars, never rescanning the ledger rows:
+    val merged = IdempotentSink.sketches(spark, ledger)
+      .groupBy("event_type")
+      .agg(graft.Functions.hll_union(col("regs"), 6).as("s"),
+        sum(col("n_rows")).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val direct = IdempotentSink.read(spark, ledger)
+      .groupBy("event_type")
+      .agg(graft.Functions.hll_agg(col("h"), 6).as("s"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(merged === direct,
+      "sidecar union diverged from the direct sketch of the landed rows")
+  }
+
   test("compact: many batch dirs land once as the byte-bounded corpus; torn batches stay out") {
     val ledger = tmp("idem-compact-src")
     val docs = spark.read.parquet(s"$sf/documents.parquet")
