@@ -421,6 +421,34 @@ object RelationalQueries {
         .orderBy("supp_nation", "cust_nation", "yr")
     }),
 
+    // Disjunctive-predicate revenue (the TPC-H Q19 shape) — revenue
+    // from three OR'd (brand, size-band, quantity-band) arms. The
+    // optimizer exercise Q19 exists for: the disjunction straddles
+    // BOTH tables, so the planner must (a) extract the common
+    // join-independent parts for pushdown — each side's scan sees the
+    // union of its arm predicates (brand IN (...), size ≤ 15,
+    // quantity ≤ 30) instead of scanning everything — and (b) keep
+    // the cross-table OR as a post-join filter. One equi-join
+    // (broadcast at these SFs, AQE's call at 100 TB), exact
+    // 1e-4-unit revenue integers, one-row rollup.
+    "q239_disjunctive" -> ((s, d) => {
+      val arm = (b: String, smax: Int, qlo: Int, qhi: Int) =>
+        col("p_brand") === b && col("p_size").between(1, smax) &&
+          col("q_c").between(qlo * 100L, qhi * 100L)
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"),
+          expr("cast(cast(l_quantity as decimal(18,2)) * 100 as bigint)").as("q_c"),
+          expr("""cast(cast(l_extendedprice as decimal(18,2))
+                       * (cast(1 as decimal(3,2)) - cast(l_discount as decimal(18,2)))
+                       * 10000 as decimal(38,0))""").as("rev_e4"))
+        .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand"),
+          col("p_size")), col("l_partkey") === col("p_partkey"))
+        .filter(arm("Brand#12", 5, 1, 11) || arm("Brand#23", 10, 10, 20)
+          || arm("Brand#34", 15, 20, 30))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("rev_e4")).cast(LongType).as("revenue_e4"))
+    }),
+
     // Promo revenue share by month (the TPC-H Q14 shape) — what
     // fraction of each month's discounted revenue came from PROMO
     // parts: conditional aggregation over the lineitem⨝part dim
@@ -1018,6 +1046,24 @@ object RelationalQueries {
          GROUP BY 1, 2, 3
          ORDER BY 1, 2, 3""",
     // TPC-H Q14 shape: monthly PROMO revenue share, exact 1e-4 units.
+    // TPC-H Q19 shape: three OR'd (brand, size, quantity) arms over
+    // the lineitem⨝part join; same 1e-4-unit revenue integers.
+    "q239_disjunctive" ->
+      """WITH l AS (SELECT l_partkey,
+                           CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) q_c,
+                           CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                                * 10000 AS HUGEINT) rev_e4
+                    FROM lineitem)
+         SELECT CAST(count(*) AS BIGINT) n_items,
+                CAST(sum(rev_e4) AS BIGINT) revenue_e4
+         FROM l JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND q_c BETWEEN 100 AND 1100)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND q_c BETWEEN 1000 AND 2000)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                AND q_c BETWEEN 2000 AND 3000)""",
     "q190_promo_share" ->
       """WITH j AS (SELECT CAST(year(l_shipdate) AS BIGINT) yr,
                            CAST(month(l_shipdate) AS BIGINT) mo,

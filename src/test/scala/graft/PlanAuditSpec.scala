@@ -327,6 +327,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("hll_union"), s"TOTAL lost the register merge:\n$p")
   }
 
+  test("q239 disjunctive arms: per-side OR extraction reaches the part scan") {
+    // the TPC-H Q19 optimizer exercise: the cross-table OR must not
+    // block pushdown — the planner extracts each side's union of arm
+    // predicates, so the part scan's PushedFilters carries the
+    // brand/size disjunction (the quantity side is a derived column,
+    // filtered map-side above its scan by design)
+    val p = plan("q239_disjunctive")
+    val scanLine = p.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    assert(scanLine.contains("Or(") && scanLine.contains("p_brand"),
+      s"part-side disjunction not pushed:\n$scanLine")
+  }
+
   test("q73 trained-PQ search is join-free: codes + ADC table lookups + top-k") {
     // the ADC tables are plan-time literals; the ONLY distributed work
     // is the map-only encode and the distributed partial top-k
