@@ -1185,6 +1185,36 @@ object EventQueries {
                   as bigint)""") - lit(1000000L)).as("modularity_ppm"))
     }),
 
+    // Sketch-merged trailing-7-day active users — q196's documented
+    // 100 TB path made REAL surface now the sketch algebra exists:
+    // per (type, day) HLL register sketches land once (64 bytes per
+    // group), and each trailing window is a register-max merge of ≤7
+    // sketch ROWS — the contribution explosion carries 64-byte
+    // sketches per (type, day), not the distinct-activity table
+    // (q196's exact form explodes per (type, user, day) — corpus-
+    // sized·7; this explodes per (type, day)·7). Same exact-integer
+    // S contract as q102/q229, so union-of-sketches ≡
+    // sketch-of-union lets the oracle compute each window's S
+    // directly from the raw rows. The trade: S is a sketch estimate
+    // of WAU, not the exact count — q196 remains the exact form.
+    "q240_wau_sketch" -> ((s, d) => {
+      val h = expr(
+        "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)")
+      val daily = graft.ops.Barrier(Tables.events(s, d)
+        .select(col("event_type"),
+          expr("(ts_ns div 1000) div 86400000000").as("day"), h.as("h"))
+        .groupBy("event_type", "day")
+        .agg(graft.Functions.hll_regs(col("h"), 6).as("regs")))
+      val mx = daily.agg(max(col("day")).as("maxd"))
+      daily.crossJoin(broadcast(mx))
+        .select(col("event_type"), col("regs"),
+          explode(sequence(col("day"), least(col("day") + 6, col("maxd"))))
+            .as("day"))
+        .groupBy("event_type", "day")
+        .agg(graft.Functions.hll_union(col("regs"), 6).as("wau_s"))
+        .orderBy("event_type", "day")
+    }),
+
     // k-anonymity / l-diversity release audit — the data-governance
     // gate before publishing an interaction dataset: treat
     // (event_type, day, value-band) as the quasi-identifier (what an
@@ -1764,6 +1794,25 @@ object EventQueries {
                 CAST(((m2 * sum_ein - sum_d2 + m2 * m2) * 1000000)
                      // (m2 * m2) - 1000000 AS BIGINT) modularity_ppm
          FROM ds, ein""",
+    // union-of-sketches ≡ sketch-of-union: the oracle computes each
+    // trailing window's registers directly from the raw activity.
+    "q240_wau_sketch" ->
+      """WITH ud AS (SELECT DISTINCT event_type, user_id,
+                            epoch_us(ts) // 86400000000 AS day,
+                            CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) h
+                     FROM events),
+         mx AS (SELECT max(day) AS maxd FROM ud),
+         c AS (SELECT DISTINCT event_type, h, d
+               FROM ud, unnest(range(day, day + 7)) t(d), mx
+               WHERE d <= maxd),
+         regs AS (SELECT event_type, d, h % 64 AS j,
+                    max(CASE WHEN h // 64 = 0 THEN 55
+                             ELSE 55 - length(bin(h // 64)) END) AS r
+                  FROM c GROUP BY 1, 2, 3)
+         SELECT event_type, CAST(d AS BIGINT) AS day,
+                CAST(sum(CAST(1 AS BIGINT) << (55 - r)) +
+                     (64 - count(*)) * (CAST(1 AS BIGINT) << 55) AS BIGINT) AS wau_s
+         FROM regs GROUP BY 1, 2 ORDER BY 1, 2""",
     "q232_kanon" ->
       """WITH g AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
                            CAST(floor(value / 10) AS BIGINT) AS vband,
