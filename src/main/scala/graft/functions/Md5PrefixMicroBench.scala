@@ -22,6 +22,13 @@ object Md5PrefixMicroBench {
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // getOrCreate may hand back a session that already carries the
+    // fold rule (sbt console, combined runners) — then BOTH arms
+    // would run fused and the bench silently reports ~1.0×; the
+    // spelled arm must stay spelled
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_ == graft.plans.Md5PrefixFold)
     val n = 10000000L
     def spelled = spark.range(n).selectExpr(
       "cast(conv(substring(md5(cast(id as string)), 1, 15), 16, 10) as bigint) % 1000000 h")

@@ -1707,53 +1707,6 @@ object DedupQueries {
                      // ((cl.n * (cl.n - 1)) // 2) AS BIGINT) chain_ppm
          FROM cl LEFT JOIN cp USING (cluster_id)
          ORDER BY cluster_id""",
-    "q238_chain_audit" ->
-      """WITH RECURSIVE w AS (
-           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
-           FROM documents),
-         sh AS (
-           SELECT doc_id, list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2],' ')) shingles
-           FROM w WHERE len(words) >= 3),
-         ss AS (
-           SELECT doc_id, list_distinct(shingles) sset FROM sh),
-         hsv AS (
-           SELECT doc_id, sset, len(sset) nset,
-                  list_transform(sset, x -> CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) % 2147483647) hs
-           FROM ss),
-         m AS (
-           SELECT doc_id, sset, nset,
-             [list_aggregate(list_transform(hs, hm ->
-                ((CAST(1103515245 AS BIGINT) * (k+1) + 12345) % 2147483647 * hm + 977 * (k+1)) % 2147483647), 'min')
-              for k in range(0,12)] mh
-           FROM hsv),
-         bands AS (
-           SELECT doc_id, j, mh[2*j+1] * 2147483647 + mh[2*j+2] sig
-           FROM m, unnest(range(0,6)) t(j)),
-         cand AS (
-           SELECT DISTINCT a.doc_id da, b.doc_id db
-           FROM bands a JOIN bands b ON a.j=b.j AND a.sig=b.sig AND a.doc_id < b.doc_id),
-         pairs AS (
-           SELECT da, db
-           FROM cand JOIN hsv x ON da=x.doc_id JOIN hsv y ON db=y.doc_id
-           WHERE 5*len(list_intersect(x.sset, y.sset)) >= 3*(x.nset + y.nset - len(list_intersect(x.sset, y.sset)))),
-         edges AS (
-           SELECT da AS s, db AS t FROM pairs UNION SELECT db, da FROM pairs),
-         reach(node, r) AS (
-           SELECT s, s FROM (SELECT DISTINCT s FROM edges)
-           UNION
-           SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.node),
-         labels AS (
-           SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
-         cl AS (SELECT cluster_id, count(*) n FROM labels GROUP BY 1),
-         cp AS (SELECT l.cluster_id, count(*) nconf
-                FROM pairs c JOIN labels l ON c.da = l.node GROUP BY 1)
-         SELECT cl.cluster_id, CAST(cl.n AS BIGINT) n_members,
-                CAST((cl.n * (cl.n - 1)) // 2 AS BIGINT) n_possible,
-                CAST(coalesce(cp.nconf, 0) AS BIGINT) n_confirmed,
-                CAST((((cl.n * (cl.n - 1)) // 2 - coalesce(cp.nconf, 0)) * 1000000)
-                     // ((cl.n * (cl.n - 1)) // 2) AS BIGINT) chain_ppm
-         FROM cl LEFT JOIN cp USING (cluster_id)
-         ORDER BY cluster_id""",
     "q32_minhash_sig" ->
       """WITH w AS (
            SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words

@@ -108,6 +108,21 @@ object TextQueries {
     }
   }
 
+  /** The hashed-linear model score over a `words` array column — the
+    * ONE definition of the q84 scoring convention (64 md5-derived
+    * buckets, [[qmWeights]], left-fold sum: the IEEE order every
+    * oracle replays). All quality-model consumers (q84/q105/q114/
+    * q116/q127/q226/q234/q236) go through here; quantization
+    * (floor·1000 etc.) stays at the call site. */
+  private def qmScore(words: Column): Column = {
+    val wlit = typedLit(qmWeights)
+    val bucket: Column => Column = w =>
+      (pmod(conv(substring(md5(w), 1, 15), 16, 10).cast(LongType), lit(64L))
+        + lit(1L)).cast(IntegerType)
+    aggregate(transform(words, w => element_at(wlit, bucket(w))),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
   /** Sequence packing into fixed-size concatenation bins, the
     * pretraining batch-assembly step. pack_id = (greatest(cum,1) − 1)
     * div binChars over the (n_chars DESC, doc_id) longest-first order
@@ -330,14 +345,9 @@ object TextQueries {
     // pattern). Weights here are md5-derived stand-ins: deterministic
     // and re-derivable in the oracle, exactly like the LSH planes.
     "q84_quality_model" -> ((s, d) => {
-      val wlit = typedLit(qmWeights)
-      val bucket: Column => Column = w =>
-        (pmod(conv(substring(md5(w), 1, 15), 16, 10).cast(LongType), lit(64L))
-          + lit(1L)).cast(IntegerType)
       withWords(s, d)
         .select(col("doc_id"), size(col("words")).cast(LongType).as("n_tokens"),
-          aggregate(transform(col("words"), w => element_at(wlit, bucket(w))),
-            lit(0.0), (acc, x) => acc + x).as("score"))
+          qmScore(col("words")).as("score"))
         .select(col("doc_id"), col("n_tokens"), col("score"),
           (col("score") > 0).as("kept"))
         .orderBy("doc_id")
@@ -358,16 +368,11 @@ object TextQueries {
     // same decision, no corpus-wide rank.
     "q114_calib_quality" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val wlit = typedLit(qmWeights)
-      val bucket: Column => Column = w =>
-        (pmod(conv(substring(md5(w), 1, 15), 16, 10).cast(LongType), lit(64L))
-          + lit(1L)).cast(IntegerType)
       val wRank = Window.partitionBy("lang").orderBy(desc("score"), col("doc_id"))
       val wCnt = Window.partitionBy("lang")
       withWords(s, d)
         .select(col("doc_id"), col("lang"),
-          aggregate(transform(col("words"), w => element_at(wlit, bucket(w))),
-            lit(0.0), (acc, x) => acc + x).as("score"))
+          qmScore(col("words")).as("score"))
         .withColumn("rn", row_number().over(wRank))
         .withColumn("n_l", count(lit(1)).over(wCnt))
         .select(col("doc_id"), col("lang"), col("score"),
@@ -541,15 +546,10 @@ object TextQueries {
     // the q116 histogram sketch remains the no-rank scale path.
     "q127_deciles" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val wlit = typedLit(qmWeights)
-      val bucket: Column => Column = w =>
-        (pmod(conv(substring(md5(w), 1, 15), 16, 10).cast(LongType), lit(64L))
-          + lit(1L)).cast(IntegerType)
       val wRank = Window.partitionBy("lang").orderBy(desc("score"), col("doc_id"))
       withWords(s, d)
         .select(col("doc_id"), col("lang"),
-          aggregate(transform(col("words"), w => element_at(wlit, bucket(w))),
-            lit(0.0), (acc, x) => acc + x).as("score"))
+          qmScore(col("words")).as("score"))
         .withColumn("decile", ntile(10).over(wRank).cast(LongType))
         .orderBy("doc_id")
     }),
@@ -567,14 +567,9 @@ object TextQueries {
     // trade-off; decisions replay exactly because every step is
     // integer arithmetic over IEEE-identical scores.
     "q116_calib_sketch" -> ((s, d) => {
-      val wlit = typedLit(qmWeights)
-      val bucket: Column => Column = w =>
-        (pmod(conv(substring(md5(w), 1, 15), 16, 10).cast(LongType), lit(64L))
-          + lit(1L)).cast(IntegerType)
       val scored = graft.ops.Barrier(withWords(s, d)
         .select(col("doc_id"), col("lang"),
-          aggregate(transform(col("words"), w => element_at(wlit, bucket(w))),
-            lit(0.0), (acc, x) => acc + x).as("score"))
+          qmScore(col("words")).as("score"))
         .withColumn("sq", floor(col("score") * 1000).cast(LongType)))
       val th = scored.groupBy("lang")
         .agg(graft.Functions.hist_agg(col("sq"), -4000L, 4000L, 64).as("hist"))
@@ -603,14 +598,9 @@ object TextQueries {
     // gate needs no shuffle, no RNG state). Tier thresholds compare
     // IEEE-identical scores, so tiering is engine-exact.
     "q105_quality_sample" -> ((s, d) => {
-      val wlit = typedLit(qmWeights)
-      val bucket: Column => Column = w =>
-        (pmod(conv(substring(md5(w), 1, 15), 16, 10).cast(LongType), lit(64L))
-          + lit(1L)).cast(IntegerType)
       withWords(s, d)
         .select(col("doc_id"),
-          aggregate(transform(col("words"), w => element_at(wlit, bucket(w))),
-            lit(0.0), (acc, x) => acc + x).as("score"))
+          qmScore(col("words")).as("score"))
         .select(col("doc_id"), col("score"),
           when(col("score") > 0.5d, 100L).when(col("score") > 0.0d, 50L)
             .otherwise(10L).as("keep_pct"))
@@ -2255,17 +2245,12 @@ object TextQueries {
     // truncates, DuckDB // floors — the packBins discipline); the
     // shift cancels in the delta.
     "q236_loo_source" -> ((s, d) => {
-      val wlit = typedLit(qmWeights)
-      val bucket: Column => Column = w =>
-        (pmod(conv(substring(md5(w), 1, 15), 16, 10).cast(LongType), lit(64L))
-          + lit(1L)).cast(IntegerType)
       val scored = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("t"))
         .withColumn("words", split(col("t"), " "))
         .select(col("doc_id"), col("source"),
-          (floor(aggregate(transform(col("words"), w => element_at(wlit, bucket(w))),
-            lit(0.0), (acc, x) => acc + x) * 1000).cast(LongType)
+          (floor(qmScore(col("words")) * 1000).cast(LongType)
             + lit(100000L)).as("sqp"))
       val per = scored.groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("sqp")).as("s_i"))
@@ -2293,18 +2278,13 @@ object TextQueries {
     // global rank→score table. Deterministic: total order (sq,
     // doc_id) everywhere.
     "q234_qnorm" -> ((s, d) => {
-      val wlit = typedLit(qmWeights)
-      val bucket: Column => Column = w =>
-        (pmod(conv(substring(md5(w), 1, 15), 16, 10).cast(LongType), lit(64L))
-          + lit(1L)).cast(IntegerType)
       val scored = graft.ops.Barrier(
         Tables.documents(s, d)
           .select(col("doc_id"), col("source"),
             trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("t"))
           .withColumn("words", split(col("t"), " "))
           .select(col("doc_id"), col("source"),
-            floor(aggregate(transform(col("words"), w => element_at(wlit, bucket(w))),
-              lit(0.0), (acc, x) => acc + x) * 1000).cast(LongType).as("sq")))
+            floor(qmScore(col("words")) * 1000).cast(LongType).as("sq")))
       val bySrc = graft.ops.DistributedRank.rowNumber(
         scored, "r", Seq("source"), Seq(col("sq"), col("doc_id")))
       val glob = graft.ops.DistributedRank.rowNumber(
@@ -2411,15 +2391,10 @@ object TextQueries {
     // documented no-rank scale path for the scoring stage.
     "q226_curriculum" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val wlit = typedLit(qmWeights)
-      val bucket: Column => Column = w =>
-        (pmod(conv(substring(md5(w), 1, 15), 16, 10).cast(LongType), lit(64L))
-          + lit(1L)).cast(IntegerType)
       val wRank = Window.partitionBy("lang").orderBy(desc("score"), col("doc_id"))
       val staged = withWords(s, d)
         .select(col("doc_id"), col("lang"),
-          aggregate(transform(col("words"), w => element_at(wlit, bucket(w))),
-            lit(0.0), (acc, x) => acc + x).as("score"))
+          qmScore(col("words")).as("score"))
         .withColumn("decile", ntile(10).over(wRank))
         .withColumn("stage",
           when(col("decile") <= 3, 0L).when(col("decile") <= 7, 1L)

@@ -99,17 +99,24 @@ object IdempotentSink {
       : (Dataset[Row], Long) => Unit = {
     import org.apache.spark.sql.functions._
     (batch: Dataset[Row], batchId: Long) =>
-      inner(batch, batchId)
-      val target = new Path(s"$dir/_sketches/batch_id=$batchId")
-      val fs = target.getFileSystem(
-        batch.sparkSession.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new Path(target, "_SUCCESS")))
-        batch.toDF()
-          .groupBy(keys.map(col): _*)
-          .agg(count(lit(1)).as("n_rows"),
-            graft.Functions.hll_regs(col(hashCol), b).as("regs"))
-          .coalesce(1)
-          .write.mode("overwrite").parquet(target.toString)
+      // two+ actions consume this frame (the inner landing and the
+      // sidecar aggregation — three with layoutWriter's plan+write);
+      // persist so the source scan runs once per trigger, the
+      // standard foreachBatch multiple-actions discipline
+      batch.persist()
+      try {
+        inner(batch, batchId)
+        val target = new Path(s"$dir/_sketches/batch_id=$batchId")
+        val fs = target.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new Path(target, "_SUCCESS")))
+          batch.toDF()
+            .groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as("n_rows"),
+              graft.Functions.hll_regs(col(hashCol), b).as("regs"))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(target.toString)
+      } finally { batch.unpersist(); () }
   }
 
   /** The committed sketch sidecars as one frame (same torn-batch

@@ -90,6 +90,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q223_quant_fidelity", // corpus × broadcast 1-row (float, int8) query pair
       "q230_retrieval_eval", // 1-row metric fold × broadcast 1-row n_relevant
       "q233_modularity", // communities-sized fold × broadcast 1-row Σein
+      "q240_wau_sketch", // (type, day) sketch frame × broadcast 1-row max-day clip
       "q234_qnorm", // per-source ranks × broadcast 1-row corpus count
       "q236_loo_source") // sources-sized rollup × broadcast 1-row (N, T) totals
     SparkEntry.queries.keys.foreach { q =>
@@ -280,13 +281,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!shuffled.contains("text"), s"text reached a shuffle:\n$shuffled")
   }
 
-  test("q226 curriculum: rank engine range-partitions, offsets broadcast back") {
+  test("q226 curriculum: pid-partitioned rank engine, offsets broadcast back") {
     val p = plan("q226_curriculum")
-    // within-stage order comes from DistributedRank: a range exchange
-    // over (stage, h, doc_id) + a broadcast join of the tiny offset
-    // table — never a 3-partition corpus window
-    assert(p.contains("Exchange rangepartitioning"),
-      s"curriculum lost the range-partitioned rank engine:\n$p")
+    // within-stage order comes from DistributedRank: the range
+    // exchange hides behind Barrier (the q228 note), so the real pin
+    // is the __pid-partitioned rank window — a 3-partition corpus
+    // window (plain Window.partitionBy("stage")) would show
+    // windowspecdefinition(stage instead
+    // (a stage-partitioned window DOES appear — DistributedRank's own
+    // offsets prefix-sum over the counts table, parts×stages rows —
+    // so the pin is the presence of the __pid rank window, not the
+    // absence of stage partitioning)
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"curriculum lost the pid-partitioned rank engine:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"rank offsets must broadcast, not shuffle:\n$p")
   }
