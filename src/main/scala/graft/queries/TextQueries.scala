@@ -895,6 +895,27 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Repetition SCRUB — the rewrite counterpart of q45's gate:
+    // collapse every run of consecutively repeated tokens to one
+    // occurrence ("batch batch batch" → "batch"), the cheap
+    // degenerate-repetition cleanup applied before tokenization (a
+    // stuck generator or template expansion repeats in place; cross-
+    // doc boilerplate is q89's job). One indexed filter HOF per row —
+    // map-only, codegen'd, no shuffle; the cleaned text travels as an
+    // md5 witness so the corpus-sized result stays 3 longs + 32 hex
+    // chars per doc at any scale.
+    "q241_rep_scrub" -> ((s, d) => {
+      withWords(s, d)
+        .select(col("doc_id"), col("words"),
+          expr("filter(words, (x, i) -> i = 0 OR x != element_at(words, i))")
+            .as("kept"))
+        .select(col("doc_id"),
+          size(col("words")).cast(LongType).as("n_words"),
+          (size(col("words")) - size(col("kept"))).cast(LongType).as("n_removed"),
+          md5(array_join(col("kept"), " ").cast(BinaryType)).as("scrub_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Distinctive terms — TF-IDF's ranking with a float-free surface:
     // per doc, the top-3 terms ordered by (tf DESC, df ASC, term) —
     // exactly the tf·idf ordering for fixed tf since idf is monotone
@@ -2950,6 +2971,16 @@ object TextQueries {
           JOIN twc ON base.doc_id = twc.doc_id
           LEFT JOIN tbc ON base.doc_id = tbc.doc_id
           ORDER BY base.doc_id""",
+    "q241_rep_scrub" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+          w AS (SELECT doc_id, string_split(t, ' ') words FROM n),
+          k AS (SELECT doc_id, words,
+                       list_filter(words, (x, i) -> i = 1 OR words[i-1] <> x) kept
+                FROM w)
+          SELECT doc_id, CAST(len(words) AS BIGINT) n_words,
+                 CAST(len(words) - len(kept) AS BIGINT) n_removed,
+                 md5(array_to_string(kept, ' ')) scrub_md5
+          FROM k ORDER BY doc_id""",
     "q46_terms" ->
       s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
           w AS (SELECT doc_id, string_split(t, ' ') words FROM n),
