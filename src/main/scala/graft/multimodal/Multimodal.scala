@@ -134,6 +134,41 @@ object Multimodal {
       .toDF("media_id", "frame_id", "features")
   }
 
+  /** VAD-style energy segmentation over audio rows — the
+    * silence-removal pre-pass an audio corpus runs before
+    * transcription/training: fixed windows of `window` bytes (full
+    * windows only), per-window energy = Σ byte² as Long (max
+    * 255²·window ≪ 2⁶³ — no overflow at any window size that fits an
+    * Int), a window is voiced iff energy ≥ threshold, segments =
+    * maximal voiced runs. One partition-local pass with the payload
+    * bytes in hand (the q28 codec discipline); output is 4 longs per
+    * media row — the payload never leaves the map task. A real
+    * deployment swaps the byte² energy for the codec's PCM frame
+    * energy behind the same seam. */
+  def energySegments(spark: SparkSession, media: DataFrame,
+      window: Int = 64, threshold: Long = 628000L): DataFrame = {
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val nw = bytes.length / window
+          var nv = 0L; var nseg = 0L; var prev = false
+          var j = 0
+          while (j < nw) {
+            var e = 0L; var i = j * window; val end = i + window
+            while (i < end) { val b = bytes(i) & 0xff; e += b.toLong * b; i += 1 }
+            val v = e >= threshold
+            if (v) { nv += 1; if (!prev) nseg += 1 }
+            prev = v; j += 1
+          }
+          (id, nw.toLong, nv, nseg)
+        }
+      }
+      .toDF("media_id", "n_windows", "n_voiced", "n_segments")
+  }
+
   /** "Resize": new payload + updated metadata — with the fake codec a
     * byte-truncation; the real codec would re-encode. Shows the
     * binary-in/binary-out transform shape. */

@@ -172,10 +172,40 @@ object MultimodalQueries {
           (count(when(col("l1") > 24, 1)) + 1).as("n_scenes"),
           max(col("l1")).as("max_l1"))
         .orderBy("media_id")
+    }),
+
+    // VAD-style audio segmentation — the silence-removal pre-pass an
+    // audio corpus runs before transcription/training: 64-byte
+    // windows, per-window energy Σ byte² (exact Long), voiced iff
+    // energy ≥ the corpus-median 628 000 bar, segments = maximal
+    // voiced runs. One partition-local pass over the payload (the
+    // q28 codec discipline — bytes never leave the map task; output
+    // is 4 longs per audio row). Real deployments swap byte² energy
+    // for PCM frame energy behind the same `energySegments` seam.
+    "q242_audio_vad" -> ((s, d) => {
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+      Multimodal.energySegments(s, media).orderBy("media_id")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    // windowed ascii² energies replayed with nested indexed lambdas;
+    // run starts counted with the (x, i) list_filter convention
+    "q242_audio_vad" ->
+      """WITH a AS (SELECT doc_id AS media_id, text,
+                           length(text) // 64 AS nw
+                    FROM documents WHERE doc_id % 3 = 1),
+         v AS (SELECT media_id, nw,
+                      list_transform(range(0, nw), j ->
+                        list_aggregate(list_transform(range(1, 65), i ->
+                          CAST(ascii(text[CAST(j*64+i AS BIGINT):CAST(j*64+i AS BIGINT)]) AS BIGINT)
+                            * ascii(text[CAST(j*64+i AS BIGINT):CAST(j*64+i AS BIGINT)])), 'sum')
+                          >= 628000) vc
+               FROM a)
+         SELECT media_id, CAST(nw AS BIGINT) AS n_windows,
+                CAST(coalesce(len(list_filter(vc, x -> x)), 0) AS BIGINT) AS n_voiced,
+                CAST(coalesce(len(list_filter(vc, (x, i) -> x AND (i = 1 OR NOT vc[i-1]))), 0) AS BIGINT) AS n_segments
+         FROM v ORDER BY media_id""",
     "q27_mmfeat" ->
       """SELECT doc_id AS media_id, b AS bin,
                 CAST(len(list_filter(list_transform(range(1, length(text)+1), i -> ascii(text[i:i]) // 16),

@@ -56,6 +56,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("energy segmentation: windows, voiced count, run count, partial-window drop") {
+    import spark.implicits._
+    // 4-byte windows, bar 30000: V V S V S S V + 2 trailing bytes
+    // (partial window, dropped) → 7 windows, 4 voiced, 3 segments
+    val hi = Array.fill[Byte](4)(90) // 90²·4 = 32400 ≥ 30000
+    val lo = Array.fill[Byte](4)(10) // 10²·4 = 400
+    val payload = hi ++ hi ++ lo ++ hi ++ lo ++ lo ++ hi ++ Array[Byte](5, 5)
+    val media = Seq(
+      (1L, "audio", payload),
+      (2L, "video", payload), // wrong kind: excluded
+      (4L, "audio", Array[Byte](1, 2)) // shorter than one window
+    ).toDF("media_id", "kind", "bytes")
+    val out = Multimodal.energySegments(spark, media, window = 4, threshold = 30000L)
+      .orderBy("media_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 7L, 4L, 3L), (4L, 0L, 0L, 0L)))
+  }
+
   test("q140: pairs pass the integer cosine gate; exact content dupes are caught") {
     val rows = SparkEntry.queries("q140_media_neardup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
