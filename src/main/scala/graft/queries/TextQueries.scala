@@ -2172,6 +2172,47 @@ object TextQueries {
         .orderBy("fill_bucket")
     }),
 
+    // Padding-waste audit — the FINE-TUNING batch-assembly decision
+    // (q79's packing concatenates for pretraining; SFT batches pad
+    // every sequence to the batch max): batches of 32 docs under
+    // three orderings — arrival (doc_id), global length-sorted, and
+    // 64-token length BUCKETS (the production middle ground: sorted
+    // batching's fill without its epoch-long length correlation) —
+    // each scored by padded tokens and fill ppm. Ranks come from
+    // DistributedRank (range-partitioned, never a one-partition
+    // window); each arm rolls batches-sized frames into ONE row, so
+    // the union ships 3 rows total. Ratios cross-multiply in
+    // Decimal(38,0)/HUGEINT — token·1e6 products outgrow Long at
+    // real corpus sizes.
+    "q243_pad_waste" -> ((s, d) => {
+      val base = graft.ops.Barrier(withWords(s, d)
+        .select(col("doc_id"), size(col("words")).cast(LongType).as("len")))
+      def audit(ranked: DataFrame, name: String, batchKey: Seq[Column]): DataFrame =
+        ranked
+          .withColumn("batch", expr("(r - 1) div 32"))
+          .groupBy((batchKey :+ col("batch")): _*)
+          .agg(count(lit(1)).as("n"), max("len").as("mx"),
+            sum("len").cast(LongType).as("sl"))
+          .agg(count(lit(1)).as("n_batches"),
+            sum(col("mx") * col("n") - col("sl")).cast(LongType).as("padded_tokens"),
+            sum(col("sl")).cast(LongType).as("real_tokens"),
+            sum(col("mx") * col("n")).cast(LongType).as("slot_tokens"))
+          .select(lit(name).as("strategy"), col("n_batches"),
+            col("padded_tokens"),
+            expr("""cast((cast(real_tokens as decimal(38,0)) * 1000000)
+                         div cast(slot_tokens as decimal(38,0)) as bigint)""")
+              .as("fill_ppm"))
+      val withBucket = base.withColumn("bucket", expr("len div 64"))
+      audit(graft.ops.DistributedRank.rowNumber(
+          base, "r", Seq.empty, Seq(col("doc_id"))), "arrival", Seq.empty)
+        .unionAll(audit(graft.ops.DistributedRank.rowNumber(
+          base, "r", Seq.empty, Seq(col("len").desc, col("doc_id"))), "sorted", Seq.empty))
+        .unionAll(audit(graft.ops.DistributedRank.rowNumber(
+          withBucket, "r", Seq("bucket"), Seq(col("doc_id"))), "bucketed",
+          Seq(col("bucket"))))
+        .orderBy("strategy")
+    }),
+
     // Output-layout shard plan — the WRITE-side sizing decision q79/
     // q80 is for training batches: per (lang, source) partition of a
     // partitioned corpus write, exact byte totals and the
@@ -3680,6 +3721,29 @@ object TextQueries {
                 CAST(sum(n_docs) AS BIGINT) AS n_docs,
                 CAST(sum(chars) AS BIGINT) AS sum_chars
          FROM p GROUP BY 1 ORDER BY 1""",
+    // three row_number batchings (arrival / length-sorted / 64-token
+    // buckets), each rolled to one (batches, padded, fill-ppm) row.
+    "q243_pad_waste" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+          w AS (SELECT doc_id, CAST(len(string_split(t, ' ')) AS BIGINT) len FROM n),
+          arr AS (SELECT len, (row_number() OVER (ORDER BY doc_id) - 1) // 32 batch FROM w),
+          srt AS (SELECT len, (row_number() OVER (ORDER BY len DESC, doc_id) - 1) // 32 batch FROM w),
+          bkt AS (SELECT len, len // 64 bucket,
+                         (row_number() OVER (PARTITION BY len // 64 ORDER BY doc_id) - 1) // 32 batch
+                  FROM w),
+          a1 AS (SELECT batch, count(*) n, max(len) mx, sum(len) sl FROM arr GROUP BY 1),
+          a2 AS (SELECT batch, count(*) n, max(len) mx, sum(len) sl FROM srt GROUP BY 1),
+          a3 AS (SELECT bucket, batch, count(*) n, max(len) mx, sum(len) sl FROM bkt GROUP BY 1, 2)
+          SELECT 'arrival' AS strategy, CAST(count(*) AS BIGINT) n_batches,
+                 CAST(sum(mx*n - sl) AS BIGINT) padded_tokens,
+                 CAST((sum(sl) * 1000000) // sum(mx*n) AS BIGINT) fill_ppm FROM a1
+          UNION ALL
+          SELECT 'sorted', CAST(count(*) AS BIGINT), CAST(sum(mx*n - sl) AS BIGINT),
+                 CAST((sum(sl) * 1000000) // sum(mx*n) AS BIGINT) FROM a2
+          UNION ALL
+          SELECT 'bucketed', CAST(count(*) AS BIGINT), CAST(sum(mx*n - sl) AS BIGINT),
+                 CAST((sum(sl) * 1000000) // sum(mx*n) AS BIGINT) FROM a3
+          ORDER BY strategy""",
     // per-(lang, source) write plan: exact byte totals + ceil-division
     // shard counts under the 4096-byte file budget.
     "q224_shard_plan" ->
