@@ -145,6 +145,35 @@ object DedupQueries {
         .orderBy("cluster_id")
     }),
 
+    // Near-dup provenance contingency — WHERE does duplication come
+    // from: each confirmed q18 pair classified by (same_lang,
+    // same_source) into a 2×2 census with exact ppm shares.
+    // Same-source pairs are re-posts the source-level cap (q62)
+    // already dampens; cross-source same-lang pairs are scrape
+    // overlap (the case dedup exists for); cross-LANG pairs flag
+    // either language-ID errors (q217's cell) or translated copies —
+    // each cell warrants a different pipeline response, which is why
+    // the census leads the dedup runbook. Scale shape: the metadata
+    // join ships (long, lang, source) triples — never text — against
+    // collision-bounded pairs; the census is ≤4 rows and the total
+    // broadcasts back for the share.
+    "q244_dup_provenance" -> ((s, d) => {
+      val meta = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"))
+      val cells = minhashNearDupPairs(s, d).select("doc_a", "doc_b")
+        .join(meta.select(col("doc_id").as("doc_a"),
+          col("lang").as("la"), col("source").as("sa")), "doc_a")
+        .join(meta.select(col("doc_id").as("doc_b"),
+          col("lang").as("lb"), col("source").as("sb")), "doc_b")
+        .select((col("la") === col("lb")).as("same_lang"),
+          (col("sa") === col("sb")).as("same_source"))
+        .groupBy("same_lang", "same_source")
+        .agg(count(lit(1)).as("n_pairs"))
+      cells.crossJoin(broadcast(cells.agg(sum(col("n_pairs")).as("t"))))
+        .select(col("same_lang"), col("same_source"), col("n_pairs"),
+          expr("cast((n_pairs * 1000000) div t as bigint)").as("share_ppm"))
+        .orderBy("same_lang", "same_source")
+    }),
+
     // Canonical-document selection — the DECISION step that turns
     // near-dup clusters into a training corpus: within each q51
     // cluster keep exactly one representative, chosen by content
@@ -1707,6 +1736,47 @@ object DedupQueries {
                      // ((cl.n * (cl.n - 1)) // 2) AS BIGINT) chain_ppm
          FROM cl LEFT JOIN cp USING (cluster_id)
          ORDER BY cluster_id""",
+    "q244_dup_provenance" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2],' ')) shingles
+           FROM w WHERE len(words) >= 3),
+         ss AS (
+           SELECT doc_id, list_distinct(shingles) sset FROM sh),
+         hsv AS (
+           SELECT doc_id, sset, len(sset) nset,
+                  list_transform(sset, x -> CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) % 2147483647) hs
+           FROM ss),
+         m AS (
+           SELECT doc_id, sset, nset,
+             [list_aggregate(list_transform(hs, hm ->
+                ((CAST(1103515245 AS BIGINT) * (k+1) + 12345) % 2147483647 * hm + 977 * (k+1)) % 2147483647), 'min')
+              for k in range(0,12)] mh
+           FROM hsv),
+         bands AS (
+           SELECT doc_id, j, mh[2*j+1] * 2147483647 + mh[2*j+2] sig
+           FROM m, unnest(range(0,6)) t(j)),
+         cand AS (
+           SELECT DISTINCT a.doc_id da, b.doc_id db
+           FROM bands a JOIN bands b ON a.j=b.j AND a.sig=b.sig AND a.doc_id < b.doc_id),
+         pairs AS (
+           SELECT da, db
+           FROM cand JOIN hsv x ON da=x.doc_id JOIN hsv y ON db=y.doc_id
+           WHERE 5*len(list_intersect(x.sset, y.sset)) >= 3*(x.nset + y.nset - len(list_intersect(x.sset, y.sset)))),
+         cls AS (
+           SELECT (la.lang = lb.lang) same_lang, (la.source = lb.source) same_source
+           FROM pairs
+           JOIN documents la ON da = la.doc_id
+           JOIN documents lb ON db = lb.doc_id),
+         cells AS (
+           SELECT same_lang, same_source, CAST(count(*) AS BIGINT) n_pairs
+           FROM cls GROUP BY 1, 2),
+         tot AS (SELECT sum(n_pairs) t FROM cells)
+         SELECT same_lang, same_source, n_pairs,
+                CAST((n_pairs * 1000000) // t AS BIGINT) share_ppm
+         FROM cells, tot ORDER BY same_lang, same_source""",
     "q32_minhash_sig" ->
       """WITH w AS (
            SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words

@@ -91,6 +91,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q230_retrieval_eval", // 1-row metric fold × broadcast 1-row n_relevant
       "q233_modularity", // communities-sized fold × broadcast 1-row Σein
       "q240_wau_sketch", // (type, day) sketch frame × broadcast 1-row max-day clip
+      "q244_dup_provenance", // 4-row census × broadcast 1-row pair total
       "q234_qnorm", // per-source ranks × broadcast 1-row corpus count
       "q236_loo_source") // sources-sized rollup × broadcast 1-row (N, T) totals
     SparkEntry.queries.keys.foreach { q =>
