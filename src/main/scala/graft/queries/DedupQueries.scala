@@ -174,6 +174,53 @@ object DedupQueries {
         .orderBy("same_lang", "same_source")
     }),
 
+    // Prefix-filter exact set-similarity self-join (AllPairs/PPJoin
+    // prefix principle) — the DETERMINISTIC-recall alternative to
+    // q18's MinHash-LSH on the same shingle sets and threshold
+    // (Jaccard ≥ 0.6): LSH recall is probabilistic in the band
+    // parameters; the prefix filter is provably COMPLETE. Tokens get
+    // one global total order (document frequency ASC, then shingle —
+    // rarest first, the candidate-minimizing order); a set of size n
+    // indexes only its first L = n − ceil(0.6·n) + 1 tokens. Any pair
+    // with J ≥ 0.6 shares its globally-smallest common token inside
+    // BOTH prefixes (if a's prefix missed every common token, at most
+    // ceil(0.6·na) − 1 positions remain after the prefix — fewer than
+    // the ≥ ceil(0.6·na) common tokens J ≥ 0.6 forces), so the
+    // equi-join on prefix tokens plus the size-ratio prune
+    // (5·min ≥ 3·max, the J upper bound min/max) loses nothing, and
+    // the exact intersect confirms candidates exactly like q18's
+    // tail. Scale shape: df is one partial-agg'd vocabulary rollup;
+    // the ordering window is PARTITIONED BY doc (doc-length-bounded
+    // state, any corpus size); only ~0.4·n+1 prefix tokens per doc
+    // enter the self-join, and rare-first ordering keeps per-token
+    // fan-out near-minimal — corpus-boilerplate shingles land in
+    // prefixes only for docs that are mostly boilerplate. Hot prefix
+    // tokens split under AQE skew-join like q18's hot bands.
+    "q245_prefix_join" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = graft.ops.Barrier(shingleSets(s, d).select(col("doc_id"),
+        col("sset"), size(col("sset")).cast(LongType).as("nset")))
+      val toks = m.select(col("doc_id"), col("nset"), explode(col("sset")).as("tok"))
+      val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+      val pref = toks.join(dfreq, "tok")
+        .withColumn("rn", row_number().over(wDoc))
+        .filter(col("rn") <= col("nset") - expr("(3*nset + 4) div 5") + lit(1L))
+        .select(col("doc_id"), col("nset"), col("tok").as("ptok"))
+      val cand = pref.as("a")
+        .join(pref.as("b"),
+          col("a.ptok") === col("b.ptok") && col("a.doc_id") < col("b.doc_id")
+            && col("a.nset") * 5 >= col("b.nset") * 3
+            && col("b.nset") * 5 >= col("a.nset") * 3)
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      scorePairs(m, cand)
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          (col("na") + col("nb") - col("inter")).as("uni"))
+        .filter(col("inter") * 5 >= col("uni") * 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Canonical-document selection — the DECISION step that turns
     // near-dup clusters into a training corpus: within each q51
     // cluster keep exactly one representative, chosen by content
@@ -1777,6 +1824,33 @@ object DedupQueries {
          SELECT same_lang, same_source, n_pairs,
                 CAST((n_pairs * 1000000) // t AS BIGINT) share_ppm
          FROM cells, tot ORDER BY same_lang, same_source""",
+    "q245_prefix_join" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2],' ')) shingles
+           FROM w WHERE len(words) >= 3),
+         ss AS (SELECT doc_id, list_distinct(shingles) sset FROM sh),
+         sv AS (SELECT doc_id, sset, len(sset) nset FROM ss),
+         tok AS (SELECT doc_id, nset, unnest(sset) s FROM sv),
+         df AS (SELECT s, count(*) df FROM tok GROUP BY s),
+         pr AS (
+           SELECT t.doc_id, t.nset, t.s,
+                  row_number() OVER (PARTITION BY t.doc_id ORDER BY df.df, t.s) rn
+           FROM tok t JOIN df USING (s)),
+         pf AS (SELECT doc_id, nset, s FROM pr
+                WHERE rn <= nset - ((3*nset + 4) // 5) + 1),
+         cand AS (
+           SELECT DISTINCT a.doc_id da, b.doc_id db
+           FROM pf a JOIN pf b ON a.s = b.s AND a.doc_id < b.doc_id
+             AND 5*a.nset >= 3*b.nset AND 5*b.nset >= 3*a.nset)
+         SELECT da AS doc_a, db AS doc_b,
+                len(list_intersect(x.sset, y.sset)) AS inter,
+                x.nset + y.nset - len(list_intersect(x.sset, y.sset)) AS uni
+         FROM cand JOIN sv x ON da=x.doc_id JOIN sv y ON db=y.doc_id
+         WHERE 5*len(list_intersect(x.sset, y.sset)) >= 3*(x.nset + y.nset - len(list_intersect(x.sset, y.sset)))
+         ORDER BY doc_a, doc_b""",
     "q32_minhash_sig" ->
       """WITH w AS (
            SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
