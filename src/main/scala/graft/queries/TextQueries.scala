@@ -2213,6 +2213,164 @@ object TextQueries {
         .orderBy("strategy")
     }),
 
+    // Quality-model ROC AUC vs near-dup membership — the THRESHOLD-
+    // FREE evaluation of the q84 scorer that q218's fixed-cut 2×2
+    // can't give: exact Mann-Whitney U with midrank ties over the
+    // milli-quantized score, auc = P(score_dup > score_clean) + ½
+    // P(=). Pairs never materialize: group docs by quantized score
+    // (domain-bounded — the 64-weight model keeps scores in a fixed
+    // range, so buckets are ~1e5 regardless of corpus size), then
+    // U×2 = Σ_s n_pos(s)·(2·#neg_below(s) + n_neg(s)) via one
+    // cumulative window over the bucket rollup — corpus-sized work is
+    // ONE partial-agg'd groupBy; the window state is score-range-
+    // bounded. Counts cross-multiply in Decimal(38,0): P·N overflows
+    // Long at ~10^10 docs. An AUC near 0.5 means quality and
+    // duplication are independent signals (filter them separately);
+    // far from 0.5 means one subsumes the other.
+    "q246_quality_auc" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = DedupQueries.minhashNearDupPairs(s, d).select("doc_a", "doc_b")
+      val dup = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+        .withColumn("is_dup", lit(1L))
+      val cells = withWords(s, d)
+        .select(col("doc_id"),
+          floor(qmScore(col("words")) * lit(1000.0d)).cast(LongType).as("sq"))
+        .join(dup, Seq("doc_id"), "left")
+        .select(col("sq"), coalesce(col("is_dup"), lit(0L)).as("is_dup"))
+        .groupBy("sq")
+        .agg(sum(col("is_dup")).as("n_pos"),
+          sum(lit(1L) - col("is_dup")).as("n_neg"))
+      val wCum = Window.orderBy("sq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cells
+        .withColumn("cneg", coalesce(sum(col("n_neg")).over(wCum), lit(0L)))
+        .agg(sum("n_pos").cast(LongType).as("n_pos"),
+          sum("n_neg").cast(LongType).as("n_neg"),
+          sum(col("n_pos").cast(DecimalType(38, 0))
+            * (col("cneg") * 2 + col("n_neg"))).as("u2"))
+        .select(col("n_pos"), col("n_neg"),
+          expr("""cast((u2 * 1000000) div (2 * cast(n_pos as decimal(38,0))
+                       * cast(n_neg as decimal(38,0))) as bigint)""").as("auc_ppm"))
+    }),
+
+    // Inter-filter agreement (Cohen's kappa) — heuristic gate (q25's
+    // score ≥ 2) vs model gate (q84's score > 0): how much do the two
+    // quality filters agree BEYOND chance? κ near 1 means the cheap
+    // heuristic can pre-filter for the model (cascade saves the model
+    // pass on most docs); κ near 0 means they fire on different docs
+    // and both gates carry signal. One corpus scan computes both
+    // verdicts (the scorers share the words array), one partial-agg'd
+    // 2×2 census, then exact integers: κ = 2(ad−bc) /
+    // ((a+b)(b+d)+(a+c)(c+d)) in Decimal(38,0) (a·d overflows Long at
+    // ~10^10 docs), ppm with explicit sign handling so Spark's
+    // truncating `div` and DuckDB's flooring `//` agree on negatives.
+    "q247_filter_kappa" -> ((s, d) => {
+      val verdicts = withWords(s, d)
+        .select(
+          (when(size(col("words")) >= 30, 1L).otherwise(0L)
+            + when(expr("size(filter(words, x -> x in ('the', 'a'))) * 10")
+                <= size(col("words")), 1L).otherwise(0L)
+            + when(expr("(length(replace(t, ' ', '')) * 100) div size(words)")
+                .between(300, 800), 1L).otherwise(0L) >= 2L).as("hpass"),
+          (qmScore(col("words")) > 0).as("mpass"))
+      verdicts
+        .agg(
+          sum(when(col("hpass") && col("mpass"), 1L).otherwise(0L))
+            .cast(DecimalType(38, 0)).as("a"),
+          sum(when(col("hpass") && !col("mpass"), 1L).otherwise(0L))
+            .cast(DecimalType(38, 0)).as("b"),
+          sum(when(!col("hpass") && col("mpass"), 1L).otherwise(0L))
+            .cast(DecimalType(38, 0)).as("c"),
+          sum(when(!col("hpass") && !col("mpass"), 1L).otherwise(0L))
+            .cast(DecimalType(38, 0)).as("dd"))
+        .select(
+          col("a").cast(LongType).as("both_pass"),
+          col("b").cast(LongType).as("heur_only"),
+          col("c").cast(LongType).as("model_only"),
+          col("dd").cast(LongType).as("neither"),
+          expr("""cast(case when 2*(a*dd - b*c) < 0 then -1 else 1 end
+                       * ((abs(2*(a*dd - b*c)) * 1000000)
+                          div ((a+b)*(b+dd) + (a+c)*(c+dd))) as bigint)""")
+            .as("kappa_ppm"))
+    }),
+
+    // Source quality triage with Wilson lower bounds — ranking
+    // sources by RAW pass rate over-trusts small sources (a 3-doc
+    // source at 3/3 is not better evidence than 9,000/10,000); the
+    // Wilson score interval's lower bound (z = 1.96) is the standard
+    // small-sample-corrected ranking statistic. Exact integer (n, k)
+    // per source from one partial-agg'd rollup; the bound itself is
+    // a fixed IEEE expression of (n, k) — engine-identical — floored
+    // to ppm so the output stays integer. At 100 TB the rollup is
+    // sources-sized; the triage decision (drop / sample / keep per
+    // source) feeds q62's cap table.
+    "q248_wilson" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"),
+          trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("t"))
+        .withColumn("words", split(col("t"), " "))
+        .select(col("source"),
+          (when(size(col("words")) >= 30, 1L).otherwise(0L)
+            + when(expr("size(filter(words, x -> x in ('the', 'a'))) * 10")
+                <= size(col("words")), 1L).otherwise(0L)
+            + when(expr("(length(replace(t, ' ', '')) * 100) div size(words)")
+                .between(300, 800), 1L).otherwise(0L)).as("score"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") >= 2, 1L).otherwise(0L)).as("n_pass"))
+        .select(col("source"), col("n_docs"), col("n_pass"),
+          expr("cast((n_pass * 1000000) div n_docs as bigint)").as("pass_ppm"),
+          {
+            // explicit double lits: a bare 1.9208 parses as DECIMAL in
+            // both engines' SQL and would take the decimal-division
+            // path in one and not the other — the Column form pins
+            // every step to IEEE doubles, mirrored 1:1 in the oracle
+            val nD = col("n_docs").cast(DoubleType)
+            val p = col("n_pass").cast(DoubleType) / nD
+            val lb = (p + lit(1.9208d) / nD
+              - lit(1.96d) * sqrt((p * (lit(1.0d) - p) + lit(0.9604d) / nD) / nD)) /
+              (lit(1.0d) + lit(3.8416d) / nD)
+            floor(lit(1000000.0d) * lb).cast(LongType).as("wilson_lb_ppm")
+          })
+        .orderBy("source")
+    }),
+
+    // Shingle-vocabulary coverage ladder — the vocabulary-budget
+    // curve: what share of all 3-word-shingle OCCURRENCES do the
+    // top-100 / top-1k / top-10k most frequent shingle TYPES cover?
+    // Steep coverage (few types dominate) signals template/boiler-
+    // plate density (q89's scrub targets); flat coverage means
+    // genuinely diverse text. The type rollup partial-aggregates;
+    // ranking uses DistributedRank (never a one-partition corpus
+    // window); the cumulative window then runs over the top-10k
+    // SUBSET only (rung-bounded state at any corpus size) and each
+    // rung reads its exact rank row. The 1-row occurrence total
+    // broadcasts back for the exact ppm share.
+    "q249_coverage_ladder" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = graft.ops.Barrier(withWords(s, d)
+        .filter(size(col("words")) >= 3)
+        .select(explode(expr(
+          "transform(sequence(1, size(words) - 2), i -> array_join(slice(words, i, 3), ' '))"))
+          .as("sh"))
+        .groupBy("sh").agg(count(lit(1)).as("cnt")))
+      val tot = counts.agg(sum(col("cnt")).cast(LongType).as("total"))
+      val ranked = graft.ops.DistributedRank.rowNumber(
+          counts, "r", Seq.empty, Seq(col("cnt").desc, col("sh")))
+        .filter(col("r") <= 10000L)
+      val wCum = Window.orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ranked
+        .withColumn("covered", sum(col("cnt")).over(wCum).cast(LongType))
+        .filter(col("r").isin(100L, 1000L, 10000L))
+        .crossJoin(broadcast(tot))
+        .select(col("r").as("top_v"), col("covered"), col("total"),
+          expr("cast((covered * 1000000) div total as bigint)")
+            .as("coverage_ppm"))
+        .orderBy("top_v")
+    }),
+
     // Output-layout shard plan — the WRITE-side sizing decision q79/
     // q80 is for training batches: per (lang, source) partition of a
     // partitioned corpus write, exact byte totals and the
@@ -3744,6 +3902,146 @@ object TextQueries {
           SELECT 'bucketed', CAST(count(*) AS BIGINT), CAST(sum(mx*n - sl) AS BIGINT),
                  CAST((sum(sl) * 1000000) // sum(mx*n) AS BIGINT) FROM a3
           ORDER BY strategy""",
+    // q18 pair chain → dup labels, q84 scoring → milli-quantized
+    // buckets, Mann-Whitney U over the bucket rollup (ties = midrank).
+    "q246_quality_auc" ->
+      s"""WITH w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2],' ')) shingles
+           FROM w WHERE len(words) >= 3),
+         ss AS (
+           SELECT doc_id, list_distinct(shingles) sset FROM sh),
+         hsv AS (
+           SELECT doc_id, sset, len(sset) nset,
+                  list_transform(sset, x -> CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) % 2147483647) hs
+           FROM ss),
+         m AS (
+           SELECT doc_id, sset, nset,
+             [list_aggregate(list_transform(hs, hm ->
+                ((CAST(1103515245 AS BIGINT) * (k+1) + 12345) % 2147483647 * hm + 977 * (k+1)) % 2147483647), 'min')
+              for k in range(0,12)] mh
+           FROM hsv),
+         bands AS (
+           SELECT doc_id, j, mh[2*j+1] * 2147483647 + mh[2*j+2] sig
+           FROM m, unnest(range(0,6)) t(j)),
+         cand AS (
+           SELECT DISTINCT a.doc_id da, b.doc_id db
+           FROM bands a JOIN bands b ON a.j=b.j AND a.sig=b.sig AND a.doc_id < b.doc_id),
+         pairs AS (
+           SELECT da, db
+           FROM cand JOIN hsv x ON da=x.doc_id JOIN hsv y ON db=y.doc_id
+           WHERE 5*len(list_intersect(x.sset, y.sset)) >= 3*(x.nset + y.nset - len(list_intersect(x.sset, y.sset)))),
+         dup AS (
+           SELECT DISTINCT doc_id
+           FROM (SELECT da AS doc_id FROM pairs UNION ALL SELECT db FROM pairs)),
+         nq AS (SELECT doc_id, $normDuck t FROM documents),
+         wq AS (SELECT doc_id, string_split(t, ' ') words FROM nq),
+         wt AS (SELECT list_transform(range(0, 64), k ->
+                  CAST(concat('0x', substr(md5('w,'||CAST(k AS VARCHAR)), 1, 6)) AS BIGINT)
+                    / CAST(16777216 AS DOUBLE) - CAST(0.5 AS DOUBLE)) ws),
+         scored AS (
+           SELECT doc_id, CAST(floor(list_sum(list_transform(words, x ->
+                    ws[CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 64 + 1]))
+                    * CAST(1000 AS DOUBLE)) AS BIGINT) sq
+           FROM wq, wt),
+         lab AS (
+           SELECT sq, CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END is_dup
+           FROM scored LEFT JOIN dup ON scored.doc_id = dup.doc_id),
+         cells AS (
+           SELECT sq, SUM(is_dup) n_pos, SUM(1 - is_dup) n_neg
+           FROM lab GROUP BY sq),
+         cum AS (
+           SELECT sq, n_pos, n_neg,
+                  COALESCE(SUM(n_neg) OVER (ORDER BY sq
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cneg
+           FROM cells)
+         SELECT CAST(SUM(n_pos) AS BIGINT) n_pos,
+                CAST(SUM(n_neg) AS BIGINT) n_neg,
+                CAST((SUM(n_pos * (2*cneg + n_neg)) * 1000000)
+                     // (2 * SUM(n_pos) * SUM(n_neg)) AS BIGINT) auc_ppm
+         FROM cum""",
+    // one scan, both gate verdicts, 2×2 census, exact-integer kappa
+    // with explicit sign handling (floor ≡ truncate only when ≥ 0).
+    "q247_filter_kappa" ->
+      s"""WITH nq AS (SELECT doc_id, $normDuck t FROM documents),
+         wq AS (SELECT doc_id, t, string_split(t, ' ') words FROM nq),
+         wt AS (SELECT list_transform(range(0, 64), k ->
+                  CAST(concat('0x', substr(md5('w,'||CAST(k AS VARCHAR)), 1, 6)) AS BIGINT)
+                    / CAST(16777216 AS DOUBLE) - CAST(0.5 AS DOUBLE)) ws),
+         per AS (
+           SELECT (CASE WHEN len(words) >= 30 THEN 1 ELSE 0 END
+                   + CASE WHEN len(list_filter(words, x -> x in ('the', 'a'))) * 10
+                               <= len(words) THEN 1 ELSE 0 END
+                   + CASE WHEN (length(replace(t, ' ', '')) * 100) // len(words)
+                               BETWEEN 300 AND 800 THEN 1 ELSE 0 END) >= 2 hpass,
+                  list_sum(list_transform(words, x ->
+                    ws[CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 64 + 1])) > 0 mpass
+           FROM wq, wt),
+         cells AS (
+           SELECT SUM(CASE WHEN hpass AND mpass THEN 1 ELSE 0 END) a,
+                  SUM(CASE WHEN hpass AND NOT mpass THEN 1 ELSE 0 END) b,
+                  SUM(CASE WHEN NOT hpass AND mpass THEN 1 ELSE 0 END) c,
+                  SUM(CASE WHEN NOT hpass AND NOT mpass THEN 1 ELSE 0 END) dd
+           FROM per)
+         SELECT CAST(a AS BIGINT) both_pass, CAST(b AS BIGINT) heur_only,
+                CAST(c AS BIGINT) model_only, CAST(dd AS BIGINT) neither,
+                CAST((CASE WHEN 2*(a*dd - b*c) < 0 THEN -1 ELSE 1 END)
+                     * ((abs(2*(a*dd - b*c)) * 1000000)
+                        // ((a+b)*(b+dd) + (a+c)*(c+dd))) AS BIGINT) kappa_ppm
+         FROM cells""",
+    // sources-sized rollup; the Wilson bound is a fixed IEEE-double
+    // expression of (n_pass, n_docs), every literal cast to DOUBLE.
+    "q248_wilson" ->
+      s"""WITH nq AS (SELECT doc_id, source, $normDuck t FROM documents),
+         wq AS (SELECT doc_id, source, t, string_split(t, ' ') words FROM nq),
+         per AS (
+           SELECT source,
+                  (CASE WHEN len(words) >= 30 THEN 1 ELSE 0 END
+                   + CASE WHEN len(list_filter(words, x -> x in ('the', 'a'))) * 10
+                               <= len(words) THEN 1 ELSE 0 END
+                   + CASE WHEN (length(replace(t, ' ', '')) * 100) // len(words)
+                               BETWEEN 300 AND 800 THEN 1 ELSE 0 END) score
+           FROM wq),
+         g AS (
+           SELECT source, count(*) n_docs,
+                  SUM(CASE WHEN score >= 2 THEN 1 ELSE 0 END) n_pass
+           FROM per GROUP BY 1),
+         g2 AS (
+           SELECT source, n_docs, n_pass,
+                  CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE) p,
+                  CAST(n_docs AS DOUBLE) nd
+           FROM g)
+         SELECT source, CAST(n_docs AS BIGINT) n_docs,
+                CAST(n_pass AS BIGINT) n_pass,
+                CAST((n_pass * 1000000) // n_docs AS BIGINT) pass_ppm,
+                CAST(floor(CAST(1000000 AS DOUBLE) * (
+                  (p + CAST(1.9208 AS DOUBLE) / nd
+                   - CAST(1.96 AS DOUBLE) * sqrt((p * (CAST(1.0 AS DOUBLE) - p)
+                       + CAST(0.9604 AS DOUBLE) / nd) / nd))
+                  / (CAST(1.0 AS DOUBLE) + CAST(3.8416 AS DOUBLE) / nd)))
+                  AS BIGINT) wilson_lb_ppm
+         FROM g2 ORDER BY source""",
+    // occurrence-weighted shingle-type ranking; the cumulative window
+    // runs over the top-10k subset only; rungs read their rank row.
+    "q249_coverage_ladder" ->
+      s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
+         w AS (SELECT doc_id, string_split(t, ' ') words FROM n),
+         sh AS (
+           SELECT unnest(list_transform(range(1, len(words)-1),
+                    i -> array_to_string(words[i:i+2],' '))) s
+           FROM w WHERE len(words) >= 3),
+         c AS (SELECT s, count(*) cnt FROM sh GROUP BY s),
+         r AS (SELECT s, cnt, row_number() OVER (ORDER BY cnt DESC, s) r FROM c),
+         cum AS (
+           SELECT r, SUM(cnt) OVER (ORDER BY r
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) covered
+           FROM r WHERE r <= 10000),
+         tot AS (SELECT CAST(SUM(cnt) AS BIGINT) total FROM c)
+         SELECT r AS top_v, CAST(covered AS BIGINT) covered, total,
+                CAST((covered * 1000000) // total AS BIGINT) coverage_ppm
+         FROM cum, tot WHERE r IN (100, 1000, 10000) ORDER BY top_v""",
     // per-(lang, source) write plan: exact byte totals + ceil-division
     // shard counts under the 4096-byte file budget.
     "q224_shard_plan" ->

@@ -92,6 +92,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q233_modularity", // communities-sized fold × broadcast 1-row Σein
       "q240_wau_sketch", // (type, day) sketch frame × broadcast 1-row max-day clip
       "q244_dup_provenance", // 4-row census × broadcast 1-row pair total
+      "q249_coverage_ladder", // 3 rung rows × broadcast 1-row occurrence total
       "q234_qnorm", // per-source ranks × broadcast 1-row corpus count
       "q236_loo_source") // sources-sized rollup × broadcast 1-row (N, T) totals
     SparkEntry.queries.keys.foreach { q =>
@@ -645,6 +646,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p18.contains("SortMergeJoin"), s"q18 candidate-set join not merge-joined:\n$p18")
     assert(!p18.contains("CartesianProduct") && !p18.contains("BroadcastNestedLoopJoin"),
       s"q18 scoring has an unbounded join:\n$p18")
+  }
+
+  test("q245 prefix-filter join: bounded joins, partial-agg'd df, per-doc window") {
+    val p = plan("q245_prefix_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q245 has an unbounded join:\n$p")
+    // the vocabulary df rollup must map-side combine
+    assert(p.contains("partial_count"), s"q245 df rollup lost partial aggregation:\n$p")
+    // the rarest-first ordering window must be PARTITIONED (by doc_id)
+    // — an unpartitioned window here would serialize the whole token
+    // table through one task
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"q245 prefix window not partitioned by doc_id:\n$p")
   }
 
   test("q45 repetition is map-only; q46/q47 keep partial aggregation") {
