@@ -579,6 +579,49 @@ object EventQueries {
         .orderBy("day")
     }),
 
+    // CUSUM changepoint detection — the SUSTAINED-shift companion to
+    // q98's pointwise z-test (a 20% drift that never leaves the 2σ
+    // band is invisible to q98 but accumulates here): per event type,
+    // S⁺_t = max(0, S⁺_{t−1} + (x_t − μ − k)) flags upward mean
+    // shifts, S⁻ the mirrored drops, slack k = μ/2, decision bar
+    // h = 2μ. The recursion has the classic closed form S_t = P_t −
+    // min(0, min_{j≤t} P_j) over prefix sums P of the deviations —
+    // so the sequential-looking detector is TWO stacked windows
+    // (cumsum, then running min) over the per-type daily rollup, all
+    // partitioned by event_type (days-bounded state, any corpus
+    // size). Exact integers throughout: deviations scale by 2m
+    // (d̃⁺ = 2mn − 3T, d̃⁻ = T − 2mn, bar = 4T) in Decimal(38,0) —
+    // the m-day prefix of 2mn terms overflows Long for decade-long
+    // 100 TB streams. One corpus-sized partial-agg'd rollup; the
+    // (m, T) stats table broadcasts.
+    "q250_cusum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("(ts_ns div 1000) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val stats = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("m"), sum(col("n")).as("tot"))
+      val wCum = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val zero = lit(0).cast(DecimalType(38, 0))
+      daily.join(broadcast(stats), Seq("event_type"))
+        .withColumn("dup", expr("""cast(2 as decimal(38,0)) * m * n
+                                   - cast(3 as decimal(38,0)) * tot"""))
+        .withColumn("ddn", expr("""cast(1 as decimal(38,0)) * tot
+                                   - cast(2 as decimal(38,0)) * m * n"""))
+        .withColumn("pup", sum(col("dup")).over(wCum))
+        .withColumn("pdn", sum(col("ddn")).over(wCum))
+        .withColumn("cup", col("pup") - least(min(col("pup")).over(wCum), zero))
+        .withColumn("cdn", col("pdn") - least(min(col("pdn")).over(wCum), zero))
+        .select(col("event_type"), col("day"), col("n").as("n_events"),
+          col("cup").cast(LongType).as("cusum_up_x2m"),
+          col("cdn").cast(LongType).as("cusum_dn_x2m"),
+          (col("cup") > expr("cast(4 as decimal(38,0)) * tot")).as("shift_up"),
+          (col("cdn") > expr("cast(4 as decimal(38,0)) * tot")).as("shift_dn"))
+        .orderBy("event_type", "day")
+    }),
+
     // PageRank centrality — iterative graph compute beyond connected
     // components (q51), over the user–day bipartite activity graph
     // (the user-item shape recsys curation ranks): node = user or
@@ -1455,6 +1498,32 @@ object EventQueries {
                   > 4 * (CAST(m AS HUGEINT) * s2
                          - CAST(s1 AS HUGEINT) * s1) AS is_anom
          FROM daily CROSS JOIN st ORDER BY day""",
+    // per-type prefix sums + running mins: the CUSUM closed form
+    // S_t = P_t − min(0, min_{j≤t} P_j), deviations scaled ×2m.
+    "q250_cusum" ->
+      """WITH daily AS (SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
+                               count(*) n
+                        FROM events GROUP BY 1, 2),
+          st AS (SELECT event_type, count(*) m, sum(n) tot FROM daily GROUP BY 1),
+          dv AS (SELECT d.event_type, d.day, d.n, st.tot,
+                   2 * CAST(st.m AS HUGEINT) * d.n - 3 * CAST(st.tot AS HUGEINT) dup,
+                   CAST(st.tot AS HUGEINT) - 2 * CAST(st.m AS HUGEINT) * d.n ddn
+                 FROM daily d JOIN st USING (event_type)),
+          pf AS (SELECT event_type, day, n, tot,
+                   SUM(dup) OVER w pup, SUM(ddn) OVER w pdn
+                 FROM dv WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          cs AS (SELECT event_type, day, n, tot,
+                   pup - least(MIN(pup) OVER w, 0) cup,
+                   pdn - least(MIN(pdn) OVER w, 0) cdn
+                 FROM pf WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_type, day, CAST(n AS BIGINT) n_events,
+                CAST(cup AS BIGINT) cusum_up_x2m,
+                CAST(cdn AS BIGINT) cusum_dn_x2m,
+                cup > 4 * CAST(tot AS HUGEINT) shift_up,
+                cdn > 4 * CAST(tot AS HUGEINT) shift_dn
+         FROM cs ORDER BY event_type, day""",
     "q97_pagerank" ->
       """WITH d AS (SELECT DISTINCT user_id AS u,
                       (epoch_us(ts) // 86400000000) + 2000000 AS v

@@ -1319,6 +1319,50 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // Hubness audit — the k-occurrence distribution N_5(x): how often
+    // each vector appears in OTHER vectors' top-5 neighbor lists.
+    // High-dimensional spaces grow "hubs" (vectors that are everyone's
+    // neighbor) and anti-hubs (never retrieved); a right-skewed N_k
+    // histogram is the standard diagnostic that cosine retrieval
+    // quality will degrade and that q103's hard-negative mining will
+    // keep re-sampling the same hub vectors. Neighborhoods are
+    // CLUSTER-LOCAL (q100's trained-codebook contract: pair work
+    // shuffles on cid, never all-pairs; k grows with the corpus so
+    // cluster sizes stay budget-bounded); ranking is the IEEE cosine
+    // of exact integer (dot, ‖a‖²·‖b‖²) pairs — engine-identical —
+    // with vec_id tie-break, and the top-5 window partitions per
+    // QUERY vector (5-row state). The histogram is one partial-agg'd
+    // rollup; vectors retrieved by nobody land in the k_occ = 0 bin
+    // via the left join against the assignment frame.
+    "q251_hubness" -> ((s, d) => {
+      import graft.ops.KMeans
+      import org.apache.spark.sql.expressions.Window
+      val qemb = graft.ops.Barrier(Tables.embeddings(s, d)
+        .filter(!exists(col("embedding"), _.isNull))
+        .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8")))
+      val seeds = KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
+      val model = KMeans.train(qemb, "vec_id", "q8", 64, seeds, maxIter = 2)
+      val asg = graft.ops.Barrier(qemb.select(col("vec_id"), col("q8"),
+        KMeans.assignExpr(col("q8"), model).as("cid"),
+        graft.Functions.vec_dot_int(col("q8"), col("q8")).as("nrm")))
+      val wTop = Window.partitionBy("src").orderBy(desc("sim"), col("nbr"))
+      val top5 = asg.as("a")
+        .join(asg.as("b"),
+          col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("nbr"),
+          (graft.Functions.vec_dot_int(col("a.q8"), col("b.q8")).cast(org.apache.spark.sql.types.DoubleType)
+            / sqrt((col("a.nrm") * col("b.nrm"))
+              .cast(org.apache.spark.sql.types.DoubleType))).as("sim"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 5)
+      val occ = asg.select(col("vec_id"))
+        .join(top5.groupBy(col("nbr").as("vec_id"))
+          .agg(count(lit(1)).as("k_occ")), Seq("vec_id"), "left")
+        .select(coalesce(col("k_occ"), lit(0L)).as("k_occ"))
+      occ.groupBy("k_occ").agg(count(lit(1)).as("n_vectors"))
+        .orderBy("k_occ")
+    }),
+
     // Embedding dimension health audit — per-dimension quantized
     // moments over the whole corpus: the "dead/collapsed dimension"
     // check an embedding pipeline runs before committing to an index
@@ -1799,6 +1843,29 @@ object SimilarityQueries {
           SELECT n.vec_id, n.cid, dup.vec_id IS NOT NULL AS is_dup
           FROM n LEFT JOIN dup ON n.vec_id = dup.vec_id
           ORDER BY n.vec_id""",
+    // q100's trained cells → cluster-local IEEE-cosine top-5 per
+    // query vector → reverse-occurrence histogram.
+    "q251_hubness" ->
+      s"""WITH ${kmeansCtes(2)},
+          ${kmAssign("afin", "s2")},
+          n AS (SELECT v.vec_id, a.cid, v.q8,
+                  CAST(list_sum(list_transform(range(1, 65), i ->
+                    v.q8[i] * v.q8[i])) AS BIGINT) nrm
+                FROM v JOIN afin a USING (vec_id)),
+          p AS (SELECT a.vec_id src, b.vec_id nbr,
+                  CAST(list_sum(list_transform(range(1, 65), i ->
+                    a.q8[i] * b.q8[i])) AS DOUBLE)
+                    / sqrt(CAST(a.nrm * b.nrm AS DOUBLE)) sim
+                FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+          t5 AS (SELECT src, nbr FROM (
+                   SELECT src, nbr,
+                     row_number() OVER (PARTITION BY src ORDER BY sim DESC, nbr) rn
+                   FROM p) WHERE rn <= 5),
+          oc AS (SELECT n.vec_id, CAST(count(t5.src) AS BIGINT) k_occ
+                 FROM n LEFT JOIN t5 ON n.vec_id = t5.nbr
+                 GROUP BY n.vec_id)
+          SELECT k_occ, count(*) n_vectors
+          FROM oc GROUP BY 1 ORDER BY 1""",
     // per-dimension quantized moments; exact-integer variance via
     // decimal cross-multiplication (q48 floor convention).
     "q188_dim_audit" ->
