@@ -745,6 +745,37 @@ object RelationalQueries {
         .orderBy("bucket")
     }),
 
+    // Sole-late-supplier ranking (the TPC-H Q21 join shape on our
+    // schema: no commit/receipt dates, so "late" = shipped > 60 days
+    // after the order date): for each late line item, the order must
+    // involve ANOTHER supplier (EXISTS → LeftSemi) and NO other
+    // supplier may be late on it (NOT EXISTS → LeftAnti) — the
+    // stacked correlated-subquery pattern that separates a real
+    // optimizer from a scan engine, landed as two hash joins on the
+    // SAME equi key (orderkey) with the supplier inequality riding
+    // the join condition. The joined (orderkey, suppkey, late) frame
+    // materializes once (Barrier) and feeds all three roles; only
+    // 3-column rows shuffle. Top-10 via TakeOrderedAndProject.
+    "q253_sole_late" -> ((s, d) => {
+      val lines = graft.ops.Barrier(Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+          (expr("datediff(l_shipdate, o_orderdate)") > 60).as("late")))
+      val others = lines.select(col("ok").as("ok2"), col("sk").as("sk2"),
+        col("late").as("late2"))
+      lines.filter(col("late")).select(col("ok"), col("sk"))
+        .join(others, col("ok") === col("ok2") && col("sk") =!= col("sk2"),
+          "left_semi")
+        .join(others.filter(col("late2")),
+          col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_anti")
+        .groupBy(col("sk").as("s_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), col("s_suppkey"))
+        .limit(10)
+    }),
+
     // Pricing summary with the FULL charge arithmetic (TPC-H Q1
     // faithful — q13_agg is the Q1 shape on events; this is the real
     // thing on lineitem, including the tax term): disc_price =
@@ -1213,6 +1244,21 @@ object RelationalQueries {
                                 THEN 1 END) AS BIGINT) AS n_low
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1 ORDER BY 1""",
+    // EXISTS/NOT-EXISTS correlated pair over the once-joined frame.
+    "q253_sole_late" ->
+      """WITH l AS (
+           SELECT l_orderkey ok, l_suppkey sk,
+                  date_diff('day', o_orderdate, l_shipdate) > 60 late
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         w AS (SELECT ok, sk FROM l WHERE late),
+         c AS (
+           SELECT w.ok, w.sk FROM w
+           WHERE EXISTS (SELECT 1 FROM l x WHERE x.ok = w.ok AND x.sk <> w.sk)
+             AND NOT EXISTS (SELECT 1 FROM l y
+                             WHERE y.ok = w.ok AND y.sk <> w.sk AND y.late))
+         SELECT sk AS s_suppkey, count(*) AS numwait
+         FROM c GROUP BY 1
+         ORDER BY numwait DESC, s_suppkey LIMIT 10""",
     // TPC-H Q1 faithful: exact integer qty/base/disc-price/charge
     // sums (1e-2 / 1e-2 / 1e-4 / 1e-6 dollar units).
     "q211_pricing" ->

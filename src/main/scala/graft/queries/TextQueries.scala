@@ -2371,6 +2371,48 @@ object TextQueries {
         .orderBy("top_v")
     }),
 
+    // Poisson-bootstrap confidence interval — the distributed
+    // bootstrap: classical resampling needs n draws WITH replacement
+    // per replicate (a global operation), but Poisson(1) multiplicities
+    // per (row, replicate) approximate it row-LOCALLY, which is the
+    // standard way to bootstrap a 100 TB metric in one scan. Each of
+    // B = 100 replicates assigns every doc a multiplicity from the
+    // exact inverse-CDF ppm ladder over the md5 gate (deterministic —
+    // the oracle replays every draw; tail capped at 9, P < 2e-6), one
+    // partial-agg'd rollup lands B (Σm·x, Σm) rows, replicate means
+    // are one IEEE division each, and the 95% CI reads nearest-rank
+    // order statistics 3 and 98 from a B-row window. Reported against
+    // the full-corpus point estimate (1-row broadcast). The metric
+    // here is mean chars/doc; any per-row metric slots into the same
+    // harness.
+    "q252_bootstrap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val means = docs
+        .select(col("doc_id"), col("n_chars"),
+          explode(sequence(lit(0), lit(99))).as("b"))
+        .withColumn("u", expr("""pmod(cast(conv(substring(md5(concat('boot:',
+          cast(b as string), ',', cast(doc_id as string))), 1, 15), 16, 10)
+          as bigint), 1000000)"""))
+        .withColumn("m",
+          (col("u") >= 367879).cast(LongType) + (col("u") >= 735758).cast(LongType)
+            + (col("u") >= 919698).cast(LongType) + (col("u") >= 981011).cast(LongType)
+            + (col("u") >= 996340).cast(LongType) + (col("u") >= 999405).cast(LongType)
+            + (col("u") >= 999916).cast(LongType) + (col("u") >= 999989).cast(LongType)
+            + (col("u") >= 999998).cast(LongType))
+        .groupBy("b")
+        .agg(sum(col("m") * col("n_chars")).as("sx"), sum(col("m")).as("sm"))
+        .select(col("b"),
+          (col("sx").cast(DoubleType) / col("sm").cast(DoubleType)).as("mean_b"))
+      val ci = means
+        .withColumn("r", row_number().over(Window.orderBy(col("mean_b"), col("b"))))
+        .filter(col("r") === 3 || col("r") === 98)
+        .agg(min(col("mean_b")).as("ci_lo"), max(col("mean_b")).as("ci_hi"))
+      docs.agg((sum(col("n_chars")).cast(DoubleType)
+          / count(lit(1)).cast(DoubleType)).as("mean_chars"))
+        .crossJoin(broadcast(ci))
+    }),
+
     // Output-layout shard plan — the WRITE-side sizing decision q79/
     // q80 is for training batches: per (lang, source) partition of a
     // partitioned corpus write, exact byte totals and the
@@ -4042,6 +4084,29 @@ object TextQueries {
          SELECT r AS top_v, CAST(covered AS BIGINT) covered, total,
                 CAST((covered * 1000000) // total AS BIGINT) coverage_ppm
          FROM cum, tot WHERE r IN (100, 1000, 10000) ORDER BY top_v""",
+    // per-(doc, replicate) Poisson multiplicities from the same md5
+    // ppm ladder; replicate means; nearest-rank order statistics.
+    "q252_bootstrap" ->
+      """WITH reps AS (
+           SELECT b, doc_id, n_chars,
+                  CAST(concat('0x', substr(md5(concat('boot:', CAST(b AS VARCHAR),
+                    ',', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 u
+           FROM documents, unnest(range(0, 100)) t(b)),
+         mm AS (
+           SELECT b, n_chars,
+                  (CAST(u >= 367879 AS BIGINT) + CAST(u >= 735758 AS BIGINT)
+                   + CAST(u >= 919698 AS BIGINT) + CAST(u >= 981011 AS BIGINT)
+                   + CAST(u >= 996340 AS BIGINT) + CAST(u >= 999405 AS BIGINT)
+                   + CAST(u >= 999916 AS BIGINT) + CAST(u >= 999989 AS BIGINT)
+                   + CAST(u >= 999998 AS BIGINT)) m
+           FROM reps),
+         g AS (SELECT b, sum(m * n_chars) sx, sum(m) sm FROM mm GROUP BY b),
+         means AS (SELECT b, CAST(sx AS DOUBLE) / CAST(sm AS DOUBLE) mean_b FROM g),
+         rk AS (SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) r FROM means),
+         ci AS (SELECT min(mean_b) ci_lo, max(mean_b) ci_hi FROM rk WHERE r IN (3, 98)),
+         est AS (SELECT CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   mean_chars FROM documents)
+         SELECT mean_chars, ci_lo, ci_hi FROM est, ci""",
     // per-(lang, source) write plan: exact byte totals + ceil-division
     // shard counts under the 4096-byte file budget.
     "q224_shard_plan" ->

@@ -93,6 +93,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q240_wau_sketch", // (type, day) sketch frame × broadcast 1-row max-day clip
       "q244_dup_provenance", // 4-row census × broadcast 1-row pair total
       "q249_coverage_ladder", // 3 rung rows × broadcast 1-row occurrence total
+      "q252_bootstrap", // 1-row point estimate × broadcast 1-row CI pair
       "q234_qnorm", // per-source ranks × broadcast 1-row corpus count
       "q236_loo_source") // sources-sized rollup × broadcast 1-row (N, T) totals
     SparkEntry.queries.keys.foreach { q =>
