@@ -204,14 +204,26 @@ object DedupQueries {
       val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
       val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
       val pref = toks.join(dfreq, "tok")
-        .withColumn("rn", row_number().over(wDoc))
+        .withColumn("rn", row_number().over(wDoc).cast(LongType))
         .filter(col("rn") <= col("nset") - expr("(3*nset + 4) div 5") + lit(1L))
-        .select(col("doc_id"), col("nset"), col("tok").as("ptok"))
+        .select(col("doc_id"), col("nset"), col("rn"), col("tok").as("ptok"))
+      // the PPJoin POSITIONAL filter rides the join condition: a pair
+      // matching at prefix positions (i, j) can still reach
+      // inter ≥ ceil(3(na+nb)/8) (⟺ J ≥ 0.6) only if the suffixes
+      // past those positions are long enough — 1 + min(na−i, nb−j)
+      // bounds the intersection from above. Complete: the smallest
+      // common token's row always satisfies it for a qualifying pair;
+      // it prunes the high-df collision rows BEFORE the distinct and
+      // the set-verify join, which is where a capped vocabulary
+      // (synthetic testdata: ≤31³ shingle types) otherwise explodes.
       val cand = pref.as("a")
         .join(pref.as("b"),
           col("a.ptok") === col("b.ptok") && col("a.doc_id") < col("b.doc_id")
             && col("a.nset") * 5 >= col("b.nset") * 3
-            && col("b.nset") * 5 >= col("a.nset") * 3)
+            && col("b.nset") * 5 >= col("a.nset") * 3
+            && (lit(1L) + least(col("a.nset") - col("a.rn"),
+                col("b.nset") - col("b.rn"))) * 8
+              >= (col("a.nset") + col("b.nset")) * 3)
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
       scorePairs(m, cand)
@@ -1839,12 +1851,14 @@ object DedupQueries {
            SELECT t.doc_id, t.nset, t.s,
                   row_number() OVER (PARTITION BY t.doc_id ORDER BY df.df, t.s) rn
            FROM tok t JOIN df USING (s)),
-         pf AS (SELECT doc_id, nset, s FROM pr
+         pf AS (SELECT doc_id, nset, rn, s FROM pr
                 WHERE rn <= nset - ((3*nset + 4) // 5) + 1),
          cand AS (
            SELECT DISTINCT a.doc_id da, b.doc_id db
            FROM pf a JOIN pf b ON a.s = b.s AND a.doc_id < b.doc_id
-             AND 5*a.nset >= 3*b.nset AND 5*b.nset >= 3*a.nset)
+             AND 5*a.nset >= 3*b.nset AND 5*b.nset >= 3*a.nset
+             AND 8 * (1 + least(a.nset - a.rn, b.nset - b.rn))
+                 >= 3 * (a.nset + b.nset))
          SELECT da AS doc_a, db AS doc_b,
                 len(list_intersect(x.sset, y.sset)) AS inter,
                 x.nset + y.nset - len(list_intersect(x.sset, y.sset)) AS uni
