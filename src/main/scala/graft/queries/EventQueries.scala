@@ -622,6 +622,45 @@ object EventQueries {
         .orderBy("event_type", "day")
     }),
 
+    // Per-type volume trend — the SLOPE companion to q250's CUSUM
+    // (CUSUM says "a shift happened"; the OLS slope says how fast
+    // volume is drifting, the capacity-planning number): least-squares
+    // over (day-rank, daily count) in EXACT integers — slope =
+    // (m·Σxy − Σx·Σy) / (m·Σx² − (Σx)²) as Decimal(38,0) cross-
+    // products (m·Σxy overflows Long for multi-year 1e12/day streams),
+    // reported ×10⁶ with explicit sign handling (negative dividends
+    // truncate vs floor differently across engines). Day RANKS (0..m−1
+    // per type, a type-partitioned days-bounded window) rather than
+    // raw epoch days keep the sums small and make the slope invariant
+    // to the epoch origin. One partial-agg'd daily rollup; everything
+    // after is types-sized.
+    "q255_trend" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("(ts_ns div 1000) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("y"))
+      val wOrd = Window.partitionBy("event_type").orderBy("day")
+      daily
+        .withColumn("x", (row_number().over(wOrd) - 1).cast(LongType))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("m"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .filter(col("m") >= 2)
+        .select(col("event_type"), col("m").as("n_days"),
+          expr("""cast(case when cast(m as decimal(38,0)) * sxy
+                              - cast(sx as decimal(38,0)) * sy < 0
+                       then -1 else 1 end
+                  * ((abs(cast(m as decimal(38,0)) * sxy
+                          - cast(sx as decimal(38,0)) * sy) * 1000000)
+                     div (cast(m as decimal(38,0)) * sxx
+                          - cast(sx as decimal(38,0)) * sx)) as bigint)""")
+            .as("slope_ppm"))
+        .orderBy("event_type")
+    }),
+
     // PageRank centrality — iterative graph compute beyond connected
     // components (q51), over the user–day bipartite activity graph
     // (the user-item shape recsys curation ranks): node = user or
@@ -1524,6 +1563,26 @@ object EventQueries {
                 cup > 4 * CAST(tot AS HUGEINT) shift_up,
                 cdn > 4 * CAST(tot AS HUGEINT) shift_dn
          FROM cs ORDER BY event_type, day""",
+    // day-rank OLS sums per type; HUGEINT cross-products; signed ppm.
+    "q255_trend" ->
+      """WITH daily AS (SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
+                               count(*) y
+                        FROM events GROUP BY 1, 2),
+          xr AS (SELECT event_type, y,
+                   row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 x
+                 FROM daily),
+          g AS (SELECT event_type, count(*) m,
+                  sum(x) sx, sum(y) sy, sum(x * x) sxx, sum(x * y) sxy
+                FROM xr GROUP BY 1)
+         SELECT event_type, CAST(m AS BIGINT) n_days,
+                CAST((CASE WHEN CAST(m AS HUGEINT) * sxy
+                             - CAST(sx AS HUGEINT) * sy < 0
+                      THEN -1 ELSE 1 END)
+                  * ((abs(CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+                      * 1000000)
+                     // (CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx))
+                  AS BIGINT) slope_ppm
+         FROM g WHERE m >= 2 ORDER BY event_type""",
     "q97_pagerank" ->
       """WITH d AS (SELECT DISTINCT user_id AS u,
                       (epoch_us(ts) // 86400000000) + 2000000 AS v

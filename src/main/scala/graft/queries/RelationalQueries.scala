@@ -776,6 +776,34 @@ object RelationalQueries {
         .limit(10)
     }),
 
+    // Benford leading-digit forensics — the data-quality screen for
+    // fabricated or unit-mangled numeric columns (real multiplicative
+    // totals follow log10(1+1/d); synthetic/fat-fingered feeds don't):
+    // exact integer cents (round ×100 — both engines round doubles
+    // half-away-from-zero, and long→string leading digits can't
+    // diverge the way double formatting can), a 9-row partial-agg'd
+    // digit census, observed ppm via a census-window total, expected
+    // ppm a hardcoded floor(log10(1+1/d)·10⁶) table. The per-digit
+    // deviation is the audit a pipeline alerts on before training on
+    // a new numeric feed.
+    "q254_benford" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val expPpm = typedLit(Seq(301029L, 176091L, 124938L, 96910L,
+        79181L, 66946L, 57991L, 51152L, 45757L))
+      Tables.orders(s, d)
+        .select(substring(expr(
+          "cast(round(o_totalprice * 100) as bigint)").cast(StringType), 1, 1)
+          .as("digit"))
+        .groupBy("digit")
+        .agg(count(lit(1)).as("n_orders"))
+        .withColumn("total", sum(col("n_orders"))
+          .over(Window.partitionBy(lit(1))))
+        .select(col("digit"), col("n_orders"),
+          expr("cast((n_orders * 1000000) div total as bigint)").as("obs_ppm"),
+          element_at(expPpm, col("digit").cast(IntegerType)).as("exp_ppm"))
+        .orderBy("digit")
+    }),
+
     // Pricing summary with the FULL charge arithmetic (TPC-H Q1
     // faithful — q13_agg is the Q1 shape on events; this is the real
     // thing on lineitem, including the tax term): disc_price =
@@ -1259,6 +1287,19 @@ object RelationalQueries {
          SELECT sk AS s_suppkey, count(*) AS numwait
          FROM c GROUP BY 1
          ORDER BY numwait DESC, s_suppkey LIMIT 10""",
+    // integer-cents leading digit census vs floor(log10(1+1/d)·1e6).
+    "q254_benford" ->
+      """WITH c AS (
+           SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                    AS VARCHAR), 1, 1) digit
+           FROM orders),
+         g AS (SELECT digit, count(*) n_orders FROM c GROUP BY 1),
+         t AS (SELECT digit, n_orders, SUM(n_orders) OVER () total FROM g)
+         SELECT digit, n_orders,
+                CAST((n_orders * 1000000) // total AS BIGINT) obs_ppm,
+                CAST(([301029, 176091, 124938, 96910, 79181, 66946, 57991,
+                  51152, 45757])[CAST(digit AS INT)] AS BIGINT) exp_ppm
+         FROM t ORDER BY digit""",
     // TPC-H Q1 faithful: exact integer qty/base/disc-price/charge
     // sums (1e-2 / 1e-2 / 1e-4 / 1e-6 dollar units).
     "q211_pricing" ->

@@ -2413,6 +2413,42 @@ object TextQueries {
         .crossJoin(broadcast(ci))
     }),
 
+    // Neyman allocation — the survey-sampling OPTIMAL split of a
+    // labeling/eval budget across strata: n_h ∝ N_h·σ_h (allocating
+    // by size alone oversamples homogeneous strata; variance-
+    // proportional allocation minimizes the estimator variance for a
+    // fixed budget). Per-language exact integer moments give
+    // SS_h = m·Σx² − (Σx)² in Decimal(38,0) (char-count squares sum
+    // past Long at corpus scale), N_h·σ_h = √SS_h since N_h = m_h,
+    // budget B = 1000 splits by largest-remainder rounding (floor +
+    // rank-by-remainder top-up — allocations sum to B EXACTLY, ties
+    // break on lang). One partial-agg'd corpus rollup; every window
+    // after runs on the languages-sized table.
+    "q256_neyman" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tot = Window.partitionBy(lit(1))
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("m"),
+          sum(col("n_chars").cast(DecimalType(38, 0))).as("sx"),
+          sum((col("n_chars") * col("n_chars")).cast(DecimalType(38, 0)))
+            .as("sxx"))
+        .withColumn("ss", expr("cast(m as decimal(38,0)) * sxx - sx * sx"))
+        .withColumn("w", sqrt(col("ss").cast(DoubleType)))
+        .withColumn("frac",
+          col("w") * lit(1000.0d) / sum(col("w")).over(tot))
+        .withColumn("base", floor(col("frac")).cast(LongType))
+        .withColumn("rem", col("frac") - col("base").cast(DoubleType))
+        .withColumn("leftover", lit(1000L) - sum(col("base")).over(tot))
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(desc("rem"), col("lang"))).cast(LongType))
+        .select(col("lang"), col("m").as("n_docs"),
+          col("ss").cast(LongType).as("ss"),
+          (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .as("alloc"))
+        .orderBy("lang")
+    }),
+
     // Output-layout shard plan — the WRITE-side sizing decision q79/
     // q80 is for training batches: per (lang, source) partition of a
     // partitioned corpus write, exact byte totals and the
@@ -4107,6 +4143,25 @@ object TextQueries {
          est AS (SELECT CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)
                    mean_chars FROM documents)
          SELECT mean_chars, ci_lo, ci_hi FROM est, ci""",
+    // exact per-lang moments → √SS weights → largest-remainder split.
+    "q256_neyman" ->
+      """WITH g AS (
+           SELECT lang, count(*) m, sum(CAST(n_chars AS HUGEINT)) sx,
+                  sum(CAST(n_chars AS HUGEINT) * n_chars) sxx
+           FROM documents GROUP BY 1),
+         s AS (SELECT lang, m, CAST(m AS HUGEINT) * sxx - sx * sx ss FROM g),
+         w AS (SELECT lang, m, ss, sqrt(CAST(ss AS DOUBLE)) w FROM s),
+         f AS (SELECT lang, m, ss,
+                 (w * CAST(1000 AS DOUBLE)) / SUM(w) OVER () frac FROM w),
+         b AS (SELECT lang, m, ss, frac, CAST(floor(frac) AS BIGINT) base,
+                 frac - CAST(CAST(floor(frac) AS BIGINT) AS DOUBLE) rem FROM f),
+         r AS (SELECT lang, m, ss, base, rem,
+                 1000 - SUM(base) OVER () leftover,
+                 row_number() OVER (ORDER BY rem DESC, lang) rk FROM b)
+         SELECT lang, CAST(m AS BIGINT) n_docs, CAST(ss AS BIGINT) ss,
+                CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                  AS BIGINT) alloc
+         FROM r ORDER BY lang""",
     // per-(lang, source) write plan: exact byte totals + ceil-division
     // shard counts under the 4096-byte file budget.
     "q224_shard_plan" ->
