@@ -233,6 +233,51 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Blocking-scheme evaluation — the ER-textbook meta-audit of a
+    // blocking key BEFORE you trust it: reduction ratio (how many of
+    // the n(n−1)/2 comparisons the (lang, source) blocks avoid) vs
+    // pair completeness (how many TRUE near-dup pairs land inside one
+    // block — here q18's confirmed pairs as ground truth, the same
+    // ends q244 classifies). RR without PC rewards blocking that
+    // drops everything; PC without RR rewards no blocking at all —
+    // the audit reports both so the trade is explicit. Exact
+    // integers: block census → Σ c(c−1)/2 in Decimal(38,0) (block
+    // squares overflow Long at 100 TB), true-pair ends join the
+    // (long, lang, source) metadata only. Universe = docs with ≥1
+    // shingle (q18's own domain) so RR and PC count the same world.
+    "q257_blocking_eval" -> ((s, d) => {
+      val meta = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")),
+            " ")).as("nw"))
+        .filter(col("nw") >= 3)
+        .select(col("doc_id"), col("lang"), col("source"))
+      val census = meta.groupBy("lang", "source").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).cast(DecimalType(38, 0)).as("n"),
+          sum(expr("cast(c as decimal(38,0)) * (c - 1)")).as("cand2"))
+      val pairs = minhashNearDupPairs(s, d).select("doc_a", "doc_b")
+        .join(meta.select(col("doc_id").as("doc_a"),
+          col("lang").as("la"), col("source").as("sa")), "doc_a")
+        .join(meta.select(col("doc_id").as("doc_b"),
+          col("lang").as("lb"), col("source").as("sb")), "doc_b")
+        .agg(count(lit(1)).as("pairs_total"),
+          sum(when(col("la") === col("lb") && col("sa") === col("sb"), 1L)
+            .otherwise(0L)).as("pairs_found"))
+      census.crossJoin(broadcast(pairs))
+        .select(col("n").cast(LongType).as("n_docs"),
+          expr("cast(cand2 div 2 as bigint)").as("cand_pairs"),
+          expr("cast((n * (n - 1)) div 2 as bigint)").as("total_pairs"),
+          // the /2 cancels: reduction = 1 − cand2/(n(n−1)) — staying in
+          // Decimal until the single final div avoids Long overflow on
+          // the 10²²-scale pair counts a 100 TB corpus produces
+          expr("""cast(((n * (n - 1) - cand2) * 1000000)
+                       div (n * (n - 1)) as bigint)""")
+            .as("reduction_ppm"),
+          col("pairs_total"), col("pairs_found"),
+          expr("cast((pairs_found * 1000000) div pairs_total as bigint)")
+            .as("completeness_ppm"))
+    }),
+
     // Canonical-document selection — the DECISION step that turns
     // near-dup clusters into a training corpus: within each q51
     // cluster keep exactly one representative, chosen by content
@@ -1865,6 +1910,59 @@ object DedupQueries {
          FROM cand JOIN sv x ON da=x.doc_id JOIN sv y ON db=y.doc_id
          WHERE 5*len(list_intersect(x.sset, y.sset)) >= 3*(x.nset + y.nset - len(list_intersect(x.sset, y.sset)))
          ORDER BY doc_a, doc_b""",
+    "q257_blocking_eval" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2],' ')) shingles
+           FROM w WHERE len(words) >= 3),
+         ss AS (
+           SELECT doc_id, list_distinct(shingles) sset FROM sh),
+         hsv AS (
+           SELECT doc_id, sset, len(sset) nset,
+                  list_transform(sset, x -> CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) % 2147483647) hs
+           FROM ss),
+         m AS (
+           SELECT doc_id, sset, nset,
+             [list_aggregate(list_transform(hs, hm ->
+                ((CAST(1103515245 AS BIGINT) * (k+1) + 12345) % 2147483647 * hm + 977 * (k+1)) % 2147483647), 'min')
+              for k in range(0,12)] mh
+           FROM hsv),
+         bands AS (
+           SELECT doc_id, j, mh[2*j+1] * 2147483647 + mh[2*j+2] sig
+           FROM m, unnest(range(0,6)) t(j)),
+         cand AS (
+           SELECT DISTINCT a.doc_id da, b.doc_id db
+           FROM bands a JOIN bands b ON a.j=b.j AND a.sig=b.sig AND a.doc_id < b.doc_id),
+         pairs AS (
+           SELECT da, db
+           FROM cand JOIN hsv x ON da=x.doc_id JOIN hsv y ON db=y.doc_id
+           WHERE 5*len(list_intersect(x.sset, y.sset)) >= 3*(x.nset + y.nset - len(list_intersect(x.sset, y.sset)))),
+         uni AS (
+           SELECT d.doc_id, d.lang, d.source
+           FROM documents d JOIN w ON d.doc_id = w.doc_id
+           WHERE len(w.words) >= 3),
+         blk AS (SELECT lang, source, count(*) c FROM uni GROUP BY 1, 2),
+         cen AS (SELECT CAST(sum(c) AS HUGEINT) n,
+                        sum(CAST(c AS HUGEINT) * (c - 1)) cand2
+                 FROM blk),
+         tp AS (
+           SELECT count(*) pairs_total,
+                  SUM(CASE WHEN la.lang = lb.lang AND la.source = lb.source
+                      THEN 1 ELSE 0 END) pairs_found
+           FROM pairs JOIN documents la ON da = la.doc_id
+                      JOIN documents lb ON db = lb.doc_id)
+         SELECT CAST(n AS BIGINT) n_docs,
+                CAST(cand2 // 2 AS BIGINT) cand_pairs,
+                CAST((n * (n - 1)) // 2 AS BIGINT) total_pairs,
+                CAST(((n * (n - 1) - cand2) * 1000000)
+                     // (n * (n - 1)) AS BIGINT) reduction_ppm,
+                CAST(pairs_total AS BIGINT) pairs_total,
+                CAST(pairs_found AS BIGINT) pairs_found,
+                CAST((pairs_found * 1000000) // pairs_total AS BIGINT)
+                  completeness_ppm
+         FROM cen, tp""",
     "q32_minhash_sig" ->
       """WITH w AS (
            SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words

@@ -661,6 +661,45 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // Survival life table — churn analytics done right: naive "avg
+    // days active" is biased because users still active at the
+    // observation edge haven't finished their lifetimes; the life
+    // table separates churn EVENTS (last activity > 7 days before the
+    // corpus edge) from CENSORED users and reports the at-risk count
+    // and exact hazard d_t/n_t per lifetime day — the Kaplan-Meier
+    // input (S(t) itself is a trivial client-side fold over these
+    // rows; keeping the table exact-integer beats shipping a
+    // float-product column). Shape: one partial-agg'd per-user
+    // (first, last) rollup, the 1-row corpus edge broadcasts, the
+    // at-risk count is total − cum(lifetimes < t) over the lifetime-
+    // days-bounded rollup — no corpus-sized window anywhere.
+    "q258_lifetable" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val users = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(min(expr("(ts_ns div 1000) div 86400000000")).as("d0"),
+          max(expr("(ts_ns div 1000) div 86400000000")).as("d1"))
+      val edge = users.agg(max(col("d1")).as("mm"))
+      val lt = users.crossJoin(broadcast(edge))
+        .select((col("d1") - col("d0")).as("t"),
+          (col("d1") < col("mm") - 7).as("churned"))
+        .groupBy("t")
+        .agg(sum(when(col("churned"), 1L).otherwise(0L)).as("d_churn"),
+          sum(when(!col("churned"), 1L).otherwise(0L)).as("c_censored"))
+      val wAll = Window.partitionBy(lit(1))
+      val wBefore = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+      lt
+        .withColumn("total", sum(col("d_churn") + col("c_censored")).over(wAll))
+        .withColumn("before",
+          coalesce(sum(col("d_churn") + col("c_censored")).over(wBefore), lit(0L)))
+        .select(col("t").as("t_days"),
+          (col("total") - col("before")).as("n_risk"),
+          col("d_churn"), col("c_censored"),
+          expr("cast((d_churn * 1000000) div (total - before) as bigint)")
+            .as("hazard_ppm"))
+        .orderBy("t_days")
+    }),
+
     // PageRank centrality — iterative graph compute beyond connected
     // components (q51), over the user–day bipartite activity graph
     // (the user-item shape recsys curation ranks): node = user or
@@ -1583,6 +1622,30 @@ object EventQueries {
                      // (CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx))
                   AS BIGINT) slope_ppm
          FROM g WHERE m >= 2 ORDER BY event_type""",
+    // per-user span rollup, censor at the corpus edge − 7, lifetime
+    // census, at-risk by prefix subtraction.
+    "q258_lifetable" ->
+      """WITH u AS (
+           SELECT user_id, min(epoch_us(ts) // 86400000000) d0,
+                  max(epoch_us(ts) // 86400000000) d1
+           FROM events GROUP BY 1),
+         e AS (SELECT max(d1) mm FROM u),
+         l AS (SELECT d1 - d0 t, d1 < mm - 7 churned FROM u, e),
+         g AS (SELECT t,
+                 SUM(CASE WHEN churned THEN 1 ELSE 0 END) d_churn,
+                 SUM(CASE WHEN churned THEN 0 ELSE 1 END) c_censored
+               FROM l GROUP BY 1),
+         c AS (SELECT t, d_churn, c_censored,
+                 SUM(d_churn + c_censored) OVER () total,
+                 COALESCE(SUM(d_churn + c_censored) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) bfr
+               FROM g)
+         SELECT t AS t_days,
+                CAST(total - bfr AS BIGINT) n_risk,
+                CAST(d_churn AS BIGINT) d_churn,
+                CAST(c_censored AS BIGINT) c_censored,
+                CAST((d_churn * 1000000) // (total - bfr) AS BIGINT) hazard_ppm
+         FROM c ORDER BY t_days""",
     "q97_pagerank" ->
       """WITH d AS (SELECT DISTINCT user_id AS u,
                       (epoch_us(ts) // 86400000000) + 2000000 AS v

@@ -2449,6 +2449,35 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // Partition-skew planning report — the table you read BEFORE
+    // choosing a repartition/bucketing key: for each candidate key,
+    // group count, the biggest group's row share, and the Amdahl
+    // parallelism bound n_rows div max_group (the straggler task's
+    // share caps useful parallelism no matter how many executors you
+    // add — a key with bound 2 serializes the stage; this is exactly
+    // why q80/q128's packing shards by (lang, shard) not lang). Three
+    // partial-agg'd rollups union'd; each audit row is one exact-
+    // integer aggregate over its groups-sized census.
+    "q259_skew_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def audit(keyName: String, census: DataFrame): DataFrame =
+        census.agg(count(lit(1)).as("n_groups"),
+            sum(col("c")).cast(LongType).as("n_rows"),
+            max(col("c")).as("max_group"))
+          .select(lit(keyName).as("part_key"), col("n_groups"),
+            col("n_rows"), col("max_group"),
+            expr("cast((max_group * 1000000) div n_rows as bigint)")
+              .as("max_share_ppm"),
+            expr("cast(n_rows div max_group as bigint)")
+              .as("parallelism_bound"))
+      audit("lang", docs.groupBy("lang").agg(count(lit(1)).as("c")))
+        .unionAll(audit("source",
+          docs.groupBy("source").agg(count(lit(1)).as("c"))))
+        .unionAll(audit("lang_x_source",
+          docs.groupBy("lang", "source").agg(count(lit(1)).as("c"))))
+        .orderBy("part_key")
+    }),
+
     // Output-layout shard plan — the WRITE-side sizing decision q79/
     // q80 is for training batches: per (lang, source) partition of a
     // partitioned corpus write, exact byte totals and the
@@ -4162,6 +4191,25 @@ object TextQueries {
                 CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
                   AS BIGINT) alloc
          FROM r ORDER BY lang""",
+    // three key-candidate censuses, one audit row each.
+    "q259_skew_report" ->
+      """WITH l AS (SELECT lang k1, '' k2, count(*) c FROM documents GROUP BY 1, 2),
+         s AS (SELECT source k1, '' k2, count(*) c FROM documents GROUP BY 1, 2),
+         x AS (SELECT lang k1, source k2, count(*) c FROM documents GROUP BY 1, 2),
+         a AS (
+           SELECT 'lang' part_key, count(*) n_groups,
+                  CAST(sum(c) AS BIGINT) n_rows, CAST(max(c) AS BIGINT) max_group
+           FROM l
+           UNION ALL
+           SELECT 'source', count(*), CAST(sum(c) AS BIGINT),
+                  CAST(max(c) AS BIGINT) FROM s
+           UNION ALL
+           SELECT 'lang_x_source', count(*), CAST(sum(c) AS BIGINT),
+                  CAST(max(c) AS BIGINT) FROM x)
+         SELECT part_key, n_groups, n_rows, max_group,
+                CAST((max_group * 1000000) // n_rows AS BIGINT) max_share_ppm,
+                CAST(n_rows // max_group AS BIGINT) parallelism_bound
+         FROM a ORDER BY part_key""",
     // per-(lang, source) write plan: exact byte totals + ceil-division
     // shard counts under the 4096-byte file budget.
     "q224_shard_plan" ->

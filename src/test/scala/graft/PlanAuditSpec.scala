@@ -94,6 +94,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q244_dup_provenance", // 4-row census × broadcast 1-row pair total
       "q249_coverage_ladder", // 3 rung rows × broadcast 1-row occurrence total
       "q252_bootstrap", // 1-row point estimate × broadcast 1-row CI pair
+      "q257_blocking_eval", // 1-row block census × broadcast 1-row pair stats
+      "q258_lifetable", // user rollup × broadcast 1-row max-day clip (q196 shape)
       "q234_qnorm", // per-source ranks × broadcast 1-row corpus count
       "q236_loo_source") // sources-sized rollup × broadcast 1-row (N, T) totals
     SparkEntry.queries.keys.foreach { q =>
