@@ -85,6 +85,29 @@ object KMeans {
     else least(ranked: _*).getField("cid")
   }
 
+  /** Codebook size for a corpus of `n` vectors under a target cell
+    * population: k = clamp(ceil(n / targetCell), 8, 64). This is the
+    * "k grows with the corpus so E[cell size] stays bounded" dial the
+    * SemDeDup/hubness family documents — cluster-local pair work is
+    * ~n·cellSize/2, so a FIXED k is quadratic at scale while
+    * k ∝ n keeps it linear (BoundedPair.refined backstops whatever
+    * skew remains past the cap).
+    *
+    * The floor of 8 pins the oracle: every sf ≤ 0.1 corpus (≤ 2000
+    * vectors at targetCell = 256) resolves to exactly the historical
+    * 8 seeds, so sf0.01 oracle results and sf0.1 bench results are
+    * unchanged. The cap of 64 bounds the assignExpr literal codebook
+    * (k·d longs in the plan) and the per-row assignment cost (k
+    * integer dots); past the cap, cell budgets are BoundedPair's job.
+    *
+    * Driver-side: callers pass a corpus count they already hold (or
+    * one cheap count() on a barriered frame — parquet metadata at
+    * scan scale). */
+  def kForBudget(n: Long, targetCell: Long = 256L): Int = {
+    require(targetCell >= 1, s"targetCell must be positive, got $targetCell")
+    math.min(64L, math.max(8L, (n + targetCell - 1L) / targetCell)).toInt
+  }
+
   /** Seed state from the vectors whose id is in `seedIds` (count = 1,
     * sums = the vector itself, cid = the id): deterministic and
     * replayable in an oracle. A tiny driver-side collect (k rows). */

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -12,6 +12,84 @@ import graft.multimodal.Multimodal
   * binary encoding, partition-batched codec calls, frame explosion —
   * value-for-value. */
 object MultimodalQueries {
+
+  /** The ordered (bin, threshold) cut ladder behind the media shape
+    * signature: quantized histogram bin `b` cleared at threshold `t`.
+    * The first 8 cuts are the oracle-pinned q140 signature (the
+    * informative nibbles — 2 = space/punct, 3 = digits, 6/7 =
+    * lowercase bands — at two thresholds each); wider dials append
+    * finer thresholds over the same bins. Exact dupes have identical
+    * histograms, so they agree on EVERY cut — the dupes-subset
+    * invariant holds at any width (MultimodalSpec pins two widths). */
+  private val sigCuts: Seq[(Int, Int)] =
+    (for { b <- Seq(2, 3, 6, 7); t <- Seq(31, 63) } yield (b, t)) ++
+      (for { b <- Seq(2, 3, 6, 7); t <- Seq(15, 47, 95, 127) } yield (b, t))
+
+  /** Signature bits [from, from+nBits) of the cut ladder as a Long. */
+  private def sigBitsCol(q8: Column, from: Int, nBits: Int): Column =
+    sigCuts.slice(from, from + nBits).zipWithIndex.map { case ((b, t), k) =>
+      when(element_at(q8, b + 1) > t, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Perceptual media near-dup pairs at signature width `sigBits` —
+    * the pHash-style dedup pass a media corpus runs before training
+    * (near-identical images re-encoded at different sizes). Width is
+    * a REAL dial (mirroring annBucket's nBits): quantized feature
+    * histograms bucket by the first `sigBits` ladder cuts, candidates
+    * come from bucket EQUALITY (never all-pairs), and the join key is
+    * BoundedPair-refined by a hash of the quantized vector itself, so
+    * an oversize bucket sub-bands until membership fits the 512-row
+    * budget — pair work ≤ ~n·budget/2 plus the irreducible true-pair
+    * output (the fix for the measured 76× sf1 decade at the fixed
+    * 8-bit dial). Why a VALUE hash is the right refinement family
+    * here (unlike q23's extra hyperplanes): vec_quant8 is
+    * scale-invariant and the confirm bar sits at cos ≥ 1−10⁻⁶, an
+    * angle the int8 lattice cannot express between unequal vectors
+    * of these norms — confirmed pairs have IDENTICAL q8 (measured: 0
+    * unequal-q8 pairs among 52 630 confirmed at sf0.1, 497 at
+    * sf0.01; finer threshold cuts were tried first and carried ~1
+    * effective bit on the saturated histogram bins, leaving a 43k-row
+    * sf1 bucket unsplit). Identical q8 ⇒ identical hash, so the
+    * refinement is RECALL-EXACT for this gate while slicing a
+    * templated mega-bucket uniformly across its 501 distinct values.
+    * At sf ≤ 0.1 every bucket fits the budget and results are
+    * byte-identical to the unguarded historical output. Candidates
+    * confirm with an exact integer cosine² gate, cross-multiplied on
+    * the SQUARE so it stays in Long (dot²·10⁶ ≥ 999998·‖a‖²·‖b‖² ⟺
+    * cos² ≥ 0.999998 ⟺ cos ≥ 1−10⁻⁶; dot²·10⁶ tops 6.7·10¹⁶ — the
+    * DECIMAL(38,0) formulation measured 1.8× slower per pair). The
+    * bar sits at near-identity on purpose: letter-frequency
+    * histograms of same-language text all clear cos 0.9999 (that bar
+    * measured 8 302 confirmed pairs at sf0.01 — the OUTPUT went
+    * quadratic), while 1−10⁻⁶ keeps exactly the re-encode families.
+    * Norms ride the barriered row (O(n)), not the pair (O(pairs)). */
+  def mediaNearDups(feats: DataFrame, sigBits: Int = 8): DataFrame = {
+    require(sigBits >= 1 && sigBits <= sigCuts.length,
+      s"sigBits must be in [1, ${sigCuts.length}], got $sigBits")
+    val qemb = graft.ops.Barrier(feats
+      .select(col("media_id"),
+        graft.Functions.vec_quant8(col("features").cast("array<double>")).as("q8"))
+      .withColumn("bucket", sigBitsCol(col("q8"), 0, sigBits))
+      .withColumn("ref", pmod(xxhash64(col("q8")), lit(1L << graft.ops.BoundedPair.MaxBits)))
+      .withColumn("nrm", graft.Functions.vec_dot_int(col("q8"), col("q8"))))
+    // budget 512 ≥ the whole sf0.01 corpus: the media buckets are
+    // MEGA-skewed (86% of rows share one bucket at every measured sf),
+    // so unlike q23's near-uniform hyperplane buckets there is no
+    // smaller budget with a regen-proof margin at oracle scale
+    val r = graft.ops.BoundedPair.refined(qemb, "bucket", "ref", "pb",
+      budget = 512L)
+    val a = r.select(col("media_id").as("mx"), col("q8").as("qa"),
+      col("pb"), col("nrm").as("na"))
+    val b = r.select(col("media_id").as("my"), col("q8").as("qb"),
+      col("pb"), col("nrm").as("nb"))
+    a.join(b, Seq("pb")).filter(col("mx") < col("my"))
+      .select(col("mx"), col("my"),
+        graft.Functions.vec_dot_int(col("qa"), col("qb")).as("dot"),
+        col("na"), col("nb"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * lit(1000000L) >= lit(999998L) * col("na") * col("nb"))
+      .orderBy("mx", "my")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Feature extraction over binary media: 16-bin high-nibble byte
@@ -31,53 +109,14 @@ object MultimodalQueries {
         .orderBy("media_id", "frame_id")
     }),
 
-    // Perceptual media near-dup — the pHash-style dedup pass a media
-    // corpus runs before training (near-identical images re-encoded
-    // at different sizes): quantized feature histograms bucket by the
-    // q82 4-bit shape signature (candidates come from bucket
-    // EQUALITY, never all-pairs — the q23 embedding-near-dup
-    // discipline on the media track), and candidates confirm with an
-    // exact integer cosine² gate, cross-multiplied on the SQUARE so
-    // it stays in Long (dot²·10⁶ ≥ 999998·‖a‖²·‖b‖² ⟺ cos² ≥
-    // 0.999998 ⟺ cos ≥ 1−10⁻⁶; dot²·10⁶ tops 6.7·10¹⁶ — the
-    // DECIMAL(38,0) formulation of the same bar measured 1.8× slower
-    // per pair). The bar sits at near-identity on purpose:
-    // letter-frequency histograms of same-language text all clear
-    // cos 0.9999 (that bar measured 8 302 confirmed pairs at sf0.01 —
-    // the OUTPUT went quadratic), while 1−10⁻⁶ keeps exactly the
-    // re-encode families. At scale the signature widens
-    // with corpus size (the q22 pair-budget invariant) and becomes a
-    // partition column.
+    // Perceptual media near-dup at the oracle-pinned 8-bit signature
+    // width — see [[mediaNearDups]] for the full dial: width is a real
+    // argument (4 bits → ~780 k bucket pairs at sf0.1 and 5.1 s;
+    // 8 bits → ~50 k and ~1 s), and past the width the pair-budget
+    // guard sub-bands oversize buckets on the finer ladder cuts.
     "q140_media_neardup" -> ((s, d) => {
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
-      val feats = Multimodal.extractFeatures(s, media)
-      // 8-bit shape signature: the informative histogram nibbles
-      // (2 = space/punct, 3 = digits, 6/7 = lowercase bands) at TWO
-      // thresholds each — the "signature widens with the corpus"
-      // scale dial turned one notch (4 bits → ~780 k bucket pairs at
-      // sf0.1 and 5.1 s; 8 bits → ~50 k and ~1 s). Exact dupes have
-      // identical histograms, so they share every bit at ANY width —
-      // the dupes-subset invariant (MultimodalSpec) is width-proof.
-      // Norms ride the barriered row (O(n)), not the pair (O(pairs)).
-      val sig = for { b <- Seq(2, 3, 6, 7); t <- Seq(31, 63) } yield (b, t)
-      val qemb = graft.ops.Barrier(feats
-        .select(col("media_id"),
-          graft.Functions.vec_quant8(col("features").cast("array<double>")).as("q8"))
-        .withColumn("bucket", sig.zipWithIndex.map { case ((b, t), k) =>
-          when(element_at(col("q8"), b + 1) > t, lit(1L << k)).otherwise(lit(0L))
-        }.reduce(_ + _))
-        .withColumn("nrm", graft.Functions.vec_dot_int(col("q8"), col("q8"))))
-      val a = qemb.select(col("media_id").as("mx"), col("q8").as("qa"),
-        col("bucket"), col("nrm").as("na"))
-      val b = qemb.select(col("media_id").as("my"), col("q8").as("qb"),
-        col("bucket"), col("nrm").as("nb"))
-      a.join(b, Seq("bucket")).filter(col("mx") < col("my"))
-        .select(col("mx"), col("my"),
-          graft.Functions.vec_dot_int(col("qa"), col("qb")).as("dot"),
-          col("na"), col("nb"))
-        .filter(col("dot") > 0 &&
-          col("dot") * col("dot") * lit(1000000L) >= lit(999998L) * col("na") * col("nb"))
-        .orderBy("mx", "my")
+      mediaNearDups(Multimodal.extractFeatures(s, media), sigBits = 8)
     }),
 
     // Multimodal → ANN composition: media similarity as a first-class

@@ -104,22 +104,63 @@ object SimilarityQueries {
 
   private def bucketCol: Column = annBucket(col("embedding"), 4)
 
+  /** Refinement bits for k-means CELL pair guards (q100/q251): the 16
+    * ±1 JL sign rows reused as integer random hyperplanes over the
+    * int8 vector — exact integer dots, deterministic, and the same
+    * locality family as the cell itself (exact dupes share every
+    * sign), so BoundedPair sub-banding keeps LSH-grade recall inside
+    * an oversize cell. */
+  private def q8RefBits(q8: Column): Column =
+    rpSigns.zipWithIndex.map { case (row, j) =>
+      when(graft.Functions.vec_dot_int(typedLit(row), q8) > 0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Refinement bits for the pair-budget guard on the 4-bit bucket:
+    * hyperplane signs 4..19 — the annBucket ladder CONTINUED past the
+    * oracle-pinned 4 planes, so refining an oversize bucket by e of
+    * these bits is exactly annBucket at (4+e) planes restricted to
+    * that bucket. Same locality family as the bucket itself: exact
+    * dupes share every sign, near-dupes most — LSH-grade recall
+    * inside the refined key (see graft.ops.BoundedPair). */
+  private def bucketRefBits: Column =
+    planes(4 + graft.ops.BoundedPair.MaxBits).drop(4).zipWithIndex
+      .map { case (plane, j) =>
+        when(graft.Functions.vec_dot(typedLit(plane), col("embedding")) > 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+
   /** q23's scored candidate pairs — bucket-equality self-join with
     * per-VECTOR norms computed before the join (n rows, not n²/buckets)
-    * and a single dot product per pair. Barrier (graft.ops.Barrier)
-    * keeps downstream threshold filters from collapsing into the join
-    * condition (which would re-evaluate the dot per pair inside the
-    * join loop). Shared by q23_embdup and the q216 threshold ladder. */
-  private def embDupScored(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
+    * and a single dot product per pair. The join key is the
+    * BoundedPair-refined bucket: identical to the raw bucket wherever
+    * membership fits the 256-row budget (all of sf ≤ 0.1, so the
+    * oracle and the driver bench see the historical results), sub-
+    * banded by extra hyperplane bits past it (sf1's ~1300-row buckets
+    * — the measured 31× decade). Barriers (graft.ops.Barrier): the
+    * per-vector frame feeds the census and both join sides; the
+    * scored output keeps downstream threshold filters from collapsing
+    * into the join condition (which would re-evaluate the dot per
+    * pair inside the join loop). Shared by q23_embdup and the q216
+    * threshold ladder. */
+  private def embDupScored(s: SparkSession, d: String): DataFrame =
+    graft.ops.Barrier(embDupScoredPlan(s, d))
+
+  /** Pre-barrier q23 scoring pipeline — `private[graft]` for plan
+    * audits (the final q23/q216 plans start at the post-barrier
+    * checkpoint scan and show none of the joins). */
+  private[graft] def embDupScoredPlan(s: SparkSession, d: String): DataFrame = {
+    val emb = graft.ops.Barrier(Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), bucketCol.as("bucket"),
-        dot(col("embedding"), col("embedding")).as("nrm"))
-    graft.ops.Barrier(emb.as("a")
-      .join(emb.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        bucketRefBits.as("ref"),
+        dot(col("embedding"), col("embedding")).as("nrm")))
+    val r = graft.ops.BoundedPair.refined(emb, "bucket", "ref", "pb")
+    r.as("a")
+      .join(r.as("b"),
+        col("a.pb") === col("b.pb") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         (dot(col("a.embedding"), col("b.embedding"))
-          / (sqrt(col("a.nrm")) * sqrt(col("b.nrm")))).as("sim")))
+          / (sqrt(col("a.nrm")) * sqrt(col("b.nrm")))).as("sim"))
   }
 
   /** DuckDB rendering of the same sketch (kept adjacent so the two
@@ -600,7 +641,11 @@ object SimilarityQueries {
       val qemb = graft.ops.Barrier(Tables.embeddings(s, d)
         .filter(!exists(col("embedding"), _.isNull)) // see q48 note
         .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8")))
-      val seeds = graft.ops.KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
+      // corpus-scaled codebook (KMeans.kForBudget): 8 cells at every
+      // oracle/bench sf, growing past sf0.1 so per-cell SSE state and
+      // the q100-family cell populations stay budget-bounded
+      val seeds = graft.ops.KMeans.seedsFromIds(qemb, "vec_id", "q8",
+        (1L to graft.ops.KMeans.kForBudget(qemb.count()).toLong))
       val model = graft.ops.KMeans.train(qemb, "vec_id", "q8", 64, seeds, maxIter = 2)
       import s.implicits._
       val modelDf = model.map(st =>
@@ -982,7 +1027,11 @@ object SimilarityQueries {
       val qemb = graft.ops.Barrier(Tables.embeddings(s, d)
         .filter(!exists(col("embedding"), _.isNull)) // see q48 note
         .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8")))
-      val seeds = KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
+      // corpus-scaled codebook (KMeans.kForBudget, q100's dial): drift
+      // buckets track cells, so the audit keeps cell-sized resolution
+      // as the corpus grows instead of diluting into 8 giant cells
+      val seeds = KMeans.seedsFromIds(qemb, "vec_id", "q8",
+        (1L to KMeans.kForBudget(qemb.count()).toLong))
       val model = KMeans.train(qemb, "vec_id", "q8", 64, seeds, maxIter = 2)
       val counts = KMeans.assign(qemb, "vec_id", "q8", model)
         .groupBy("cid").agg(
@@ -1287,27 +1336,38 @@ object SimilarityQueries {
     // vectors: cos ≥ 1/2 ⇔ dot > 0 ∧ 4·dot² ≥ na·nb (dot ≤ 127²·64 ≈
     // 2^20, so 4·dot² ≤ 2^42 — no overflow, no floats, engines can't
     // diverge). At 100 TB: the pair join shuffles on cid (cluster-local,
-    // never all-pairs); k grows with the corpus so E[cluster size] stays
-    // bounded (the same pair-budget invariant as the LSH buckets), and a
-    // cluster over budget sub-buckets on an annBucket bit before
-    // pairing. Production τ is ~0.95; 1/2 here so the tiny test corpus
-    // exercises the drop path.
+    // never all-pairs); k grows with the corpus (KMeans.kForBudget — 8
+    // at every oracle/bench sf, scaling past sf0.1) so E[cluster size]
+    // stays bounded, and a cell still over budget sub-bands on JL-sign
+    // refinement bits before pairing (graft.ops.BoundedPair) — total
+    // pair work is ≤ ~n·budget/2 at any corpus size. Production τ is
+    // ~0.95; 1/2 here so the tiny test corpus exercises the drop path.
     "q100_semdedup" -> ((s, d) => {
       import graft.ops.KMeans
       val qemb = graft.ops.Barrier(Tables.embeddings(s, d)
         .filter(!exists(col("embedding"), _.isNull)) // see q48 note
         .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8")))
-      val seeds = KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
+      val k = KMeans.kForBudget(qemb.count())
+      val seeds = KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to k.toLong))
       val model = KMeans.train(qemb, "vec_id", "q8", 64, seeds, maxIter = 2)
       // Barrier: the assignment feeds both pair arms and the final
       // projection — materialize once (norms ride the row: computed per
       // VECTOR here, not per PAIR inside the join)
       val asg = graft.ops.Barrier(qemb.select(col("vec_id"), col("q8"),
         KMeans.assignExpr(col("q8"), model).as("cid"),
-        graft.Functions.vec_dot_int(col("q8"), col("q8")).as("nrm")))
-      val dup = asg.as("a")
-        .join(asg.as("b"),
-          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+        graft.Functions.vec_dot_int(col("q8"), col("q8")).as("nrm"),
+        q8RefBits(col("q8")).as("ref")))
+      // pair join key: the budget-bounded cell. Budget 512 ≥ the whole
+      // sf0.01 corpus, so at oracle scale the guard is quiet BY
+      // CONSTRUCTION (k-means cells are data-driven and can skew, so
+      // a measured margin under a smaller budget would not survive a
+      // testdata regen); past sf0.1 the kForBudget dial keeps cells
+      // near 256 anyway and the guard only catches skewed ones
+      val asgR = graft.ops.BoundedPair.refined(asg, "cid", "ref", "pcid",
+        budget = 512L)
+      val dup = asgR.as("a")
+        .join(asgR.as("b"),
+          col("a.pcid") === col("b.pcid") && col("a.vec_id") < col("b.vec_id"))
         .select(col("b.vec_id").as("vec_id"),
           graft.Functions.vec_dot_int(col("a.q8"), col("b.q8")).as("dp"),
           (col("a.nrm") * col("b.nrm")).as("nn"))
@@ -1340,15 +1400,25 @@ object SimilarityQueries {
       val qemb = graft.ops.Barrier(Tables.embeddings(s, d)
         .filter(!exists(col("embedding"), _.isNull))
         .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8")))
-      val seeds = KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
+      // q100's scale dials: k grows with the corpus (8 at every
+      // oracle/bench sf) and an over-budget cell sub-bands on the JL
+      // refinement bits before pairing — neighborhoods stay CELL-local
+      // by contract, so the bounded key narrows them, never widens
+      val k = KMeans.kForBudget(qemb.count())
+      val seeds = KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to k.toLong))
       val model = KMeans.train(qemb, "vec_id", "q8", 64, seeds, maxIter = 2)
       val asg = graft.ops.Barrier(qemb.select(col("vec_id"), col("q8"),
         KMeans.assignExpr(col("q8"), model).as("cid"),
-        graft.Functions.vec_dot_int(col("q8"), col("q8")).as("nrm")))
+        graft.Functions.vec_dot_int(col("q8"), col("q8")).as("nrm"),
+        q8RefBits(col("q8")).as("ref")))
+      // budget 512 ≥ the whole sf0.01 corpus — provably quiet at
+      // oracle scale (q100's rationale: data-driven cells can skew)
+      val asgR = graft.ops.BoundedPair.refined(asg, "cid", "ref", "pcid",
+        budget = 512L)
       val wTop = Window.partitionBy("src").orderBy(desc("sim"), col("nbr"))
-      val top5 = asg.as("a")
-        .join(asg.as("b"),
-          col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id"))
+      val top5 = asgR.as("a")
+        .join(asgR.as("b"),
+          col("a.pcid") === col("b.pcid") && col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("src"), col("b.vec_id").as("nbr"),
           (graft.Functions.vec_dot_int(col("a.q8"), col("b.q8")).cast(org.apache.spark.sql.types.DoubleType)
             / sqrt((col("a.nrm") * col("b.nrm"))

@@ -171,4 +171,20 @@ class KMeansSpec extends AnyFunSuite {
     }
     assert(rows.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
   }
+
+  test("kForBudget: oracle-pinned floor, corpus-scaled middle, literal-codebook cap") {
+    // every shipped oracle/bench corpus resolves to the historical 8
+    assert(KMeans.kForBudget(500) == 8)   // sf0.01 embeddings
+    assert(KMeans.kForBudget(2000) == 8)  // sf0.1 embeddings
+    // past the floor, k tracks ceil(n / targetCell)
+    assert(KMeans.kForBudget(10000) == 40)
+    assert(KMeans.kForBudget(10001) == 40)
+    assert(KMeans.kForBudget(10241) == 41)
+    // capped so the plan-time literal codebook stays broadcast-sized
+    assert(KMeans.kForBudget(20000) == 64)
+    assert(KMeans.kForBudget(100000000L) == 64)
+    // monotone non-decreasing in n
+    val ks = Seq(1L, 100L, 1000L, 5000L, 30000L, 1000000L).map(KMeans.kForBudget(_))
+    assert(ks == ks.sorted)
+  }
 }

@@ -97,4 +97,29 @@ class MultimodalSpec extends AnyFunSuite {
     // identical-histogram pairs (cos = 1 exactly) must exist regardless
     assert(rows.exists { case (_, _, dot, na, nb) => dot * dot == na * nb })
   }
+
+  test("q140: dupes-subset invariant holds at two signature widths") {
+    // exact content dupes have identical histograms, hence identical
+    // quantized vectors: they share every ladder cut AND the hash
+    // refinement key, so they must surface at ANY sigBits width — the
+    // width dial (and the pair-budget guard behind it) trades away
+    // only near-misses, never exact dupes
+    val dupPairs = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .collect().map(r => r.getString(1) -> r.getLong(0)).groupBy(_._1)
+      .values.filter(_.length > 1)
+      .flatMap(g => g.map(_._2).sorted.combinations(2).map(p => (p(0), p(1))))
+      .toSet
+    assert(dupPairs.nonEmpty || sf.endsWith("sf0.001"), "want dupes at larger sf")
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf))
+    val feats = Multimodal.extractFeatures(spark, media)
+    val at4 = graft.queries.MultimodalQueries.mediaNearDups(feats, sigBits = 4)
+      .select("mx", "my").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val at8 = graft.queries.MultimodalQueries.mediaNearDups(feats, sigBits = 8)
+      .select("mx", "my").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dupPairs.subsetOf(at4), s"dupes missing at width 4: ${dupPairs -- at4}")
+    assert(dupPairs.subsetOf(at8), s"dupes missing at width 8: ${dupPairs -- at8}")
+    // a wider signature only ever NARROWS the candidate set
+    assert(at8.subsetOf(at4), "width-8 pairs must be a subset of width-4 pairs")
+  }
 }

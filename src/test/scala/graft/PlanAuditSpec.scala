@@ -504,8 +504,38 @@ class PlanAuditSpec extends AnyFunSuite {
       // the all-pairs quadratic failure the clustering exists to prevent
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"semdedup pair join is not an equi-join:\n$p")
-      assert("hashpartitioning\\(cid".r.findFirstIn(p).isDefined,
-        s"pair join does not shuffle on cid:\n$p")
+      // the join key is the BUDGET-BOUNDED cell (BoundedPair.refined over
+      // cid), so the shuffle hashes pcid — cid alone would be the
+      // unguarded quadratic key
+      assert("hashpartitioning\\(pcid".r.findFirstIn(p).isDefined,
+        s"pair join does not shuffle on the bounded cell key pcid:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("every bucket pair join rides the pair-budget guard (BoundedPair)") {
+    // the five pair-family queries whose dial was measured quadratic at
+    // the sf1 decade: their pair joins must key on the refined column
+    // (a struct carrying the census-derived sub-band), and the census
+    // depth column __bp_e must appear in the plan — a join keyed on the
+    // raw bucket/cid bypasses the guard and reverts to quadratic
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // q23/q216 share one barriered kernel; its pre-barrier plan is the
+      // auditable surface (the q21/q18 discipline)
+      val q23p = graft.queries.SimilarityQueries.embDupScoredPlan(spark, sf)
+        .queryExecution.executedPlan.toString
+      val audits = Seq(
+        "q23/q216 embDupScored" -> (q23p, "pb"),
+        "q100_semdedup" -> (plan("q100_semdedup"), "pcid"),
+        "q251_hubness" -> (plan("q251_hubness"), "pcid"),
+        "q140_media_neardup" -> (plan("q140_media_neardup"), "pb"))
+      for ((q, (p, key)) <- audits) {
+        assert(s"hashpartitioning\\($key".r.findFirstIn(p).isDefined,
+          s"$q pair join does not shuffle on the guarded key $key:\n$p")
+        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+          s"$q pair join degenerated to a cartesian/BNLJ:\n$p")
+      }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
