@@ -56,6 +56,16 @@ object Bench {
       var failed = false
       var r = 0
       while (r < runs && !failed) {
+        // Drop the previous run's localCheckpoint blocks before timing:
+        // Barrier persists them and nothing frees them until the RDDs
+        // are GC'd, so a whole-suite run accumulates storage blocks
+        // that squeeze execution memory and skew later queries
+        // (measured: the 257-query sf1 sweep took 1540 s in one JVM
+        // with q183 at 225 s, vs ~3.8 s fresh-JVM — pure accumulation,
+        // not query cost). Queries never reuse checkpoints across
+        // runs, so unpersisting between runs is safe.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()

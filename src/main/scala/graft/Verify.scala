@@ -34,6 +34,12 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      // free the previous query's localCheckpoint blocks (the Bench
+      // discipline): Barrier persists them and a 257-query run would
+      // otherwise accumulate storage blocks that squeeze execution
+      // memory; queries are independent, so unpersisting is safe
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       // repartition(1), not coalesce(1): coalesce narrows the UPSTREAM
       // computation to one task; repartition keeps the query parallel
       // and only funnels the (small) result for the single-file write.
