@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
 /** The shared pair-budget guard for every bucket-equality pair join
   * (LSH buckets, k-means cells, signature buckets). Bucket-local
@@ -74,15 +73,23 @@ object BoundedPair {
     *
     * `refCol` must be a non-negative integer column with ≥ MaxBits
     * locality-signature bits (see object doc). */
+  /** The refinement depth for a bucket of `bn` rows: the smallest e
+    * with bn ≤ budget·2^e, capped at MaxBits — ceil(log2(bn/budget))
+    * computed as an EXACT integer CASE ladder (MaxBits+1 arms), never
+    * a float log: floating log2 can land a power-of-two ratio an ulp
+    * above the integer and bump e differently per engine/libm, which
+    * would make the guard's sub-banding irreproducible in an oracle
+    * (q261 replays this ladder in DuckDB verbatim). */
+  private[graft] def depthExpr(bn: Column, budget: Long): Column =
+    (1 to MaxBits).foldLeft(when(bn <= budget, lit(0))) { case (acc, e) =>
+      acc.when(bn <= (budget << e), lit(e))
+    }.otherwise(lit(MaxBits))
+
   def refined(df: DataFrame, bucketCol: String, refCol: String, outCol: String,
               budget: Long = DefaultBudget): DataFrame = {
     require(budget >= 1, s"pair budget must be positive, got $budget")
     val census = df.groupBy(col(bucketCol)).agg(count(lit(1)).as("__bp_bn"))
-      .select(col(bucketCol),
-        when(col("__bp_bn") <= budget, lit(0))
-          .otherwise(least(lit(MaxBits),
-            ceil(log(2.0, col("__bp_bn").cast(DoubleType) / lit(budget.toDouble)))
-              .cast(IntegerType))).as("__bp_e"))
+      .select(col(bucketCol), depthExpr(col("__bp_bn"), budget).as("__bp_e"))
     df.join(broadcast(census), Seq(bucketCol))
       .withColumn(outCol,
         struct(col(bucketCol).as("b"),

@@ -171,6 +171,23 @@ object SimilarityQueries {
          * CAST(embedding[i] AS DOUBLE))) > 0
        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(0, 4)]) AS BIGINT)"""
 
+  /** DuckDB rendering of [[bucketRefBits]] — the 16 continuation
+    * hyperplanes (j in 4..19), bit (j−4) each: the same md5-derived
+    * plane formula as [[bucketSqlDuck]], so the guard's refinement key
+    * is engine-replayable (q261 is the parity gate). */
+  private val refSqlDuck =
+    """CAST(list_sum([CASE WHEN list_sum(list_transform(range(1, 65), i ->
+         (CAST(concat('0x', substr(md5(CAST(j AS VARCHAR)||','||CAST(i AS VARCHAR)), 1, 6)) AS BIGINT) / CAST(16777216 AS DOUBLE) - CAST(0.5 AS DOUBLE))
+         * CAST(embedding[i] AS DOUBLE))) > 0
+       THEN (CAST(1 AS BIGINT) << (j - 4)) ELSE 0 END for j in range(4, 20)]) AS BIGINT)"""
+
+  /** DuckDB rendering of BoundedPair.depthExpr's integer CASE ladder. */
+  private def depthSqlDuck(bn: String, budget: Long): String =
+    (1 to graft.ops.BoundedPair.MaxBits)
+      .foldLeft(s"CASE WHEN $bn <= $budget THEN 0") { case (acc, e) =>
+        acc + s" WHEN $bn <= ${budget << e} THEN $e"
+      } + s" ELSE ${graft.ops.BoundedPair.MaxBits} END"
+
   private val dotDuck =
     "list_sum(list_transform(range(1, len(%A)+1), i -> CAST(%A[i] AS DOUBLE) * CAST(%B[i] AS DOUBLE)))"
 
@@ -1494,6 +1511,53 @@ object SimilarityQueries {
         .withColumn("growth_ppm",
           expr("(n_new * 1000000) div greatest(n_old, 1L)"))
         .orderBy("cid")
+    }),
+
+    // Pair-budget census — the guard-sizing dashboard an operator
+    // reads before trusting a bucket family at a new corpus size: per
+    // 4-bit annBucket, the membership, whether it exceeds q23's
+    // production budget (256), the refinement depth the guard would
+    // apply, and the expected refined sub-bucket size. Exact integers
+    // end to end (the depth is BoundedPair's integer CASE ladder — no
+    // float log anywhere), so the oracle replays the guard's planning
+    // math verbatim. Scale shape: one partial-agg'd census
+    // (≤ 2^nBits rows), no joins, embeddings never leave the scan.
+    "q260_pair_budget_census" -> ((s, d) => {
+      Tables.embeddings(s, d).select(bucketCol.as("bucket"))
+        .filter(col("bucket").isNotNull)
+        .groupBy("bucket").agg(count(lit(1)).as("bn"))
+        .select(col("bucket"), col("bn"),
+          (col("bn") > 256L).as("over_budget"),
+          graft.ops.BoundedPair.depthExpr(col("bn"), 256L)
+            .cast(org.apache.spark.sql.types.LongType).as("e"))
+        .withColumn("sub_expect", expr("bn div shiftleft(1L, cast(e as int))"))
+        .orderBy("bucket")
+    }),
+
+    // Pair-work audit — the with-vs-without-the-guard comparison at a
+    // deliberately undersized STRESS budget (16), so the sub-banding
+    // engages even on the 500-row oracle corpus and the oracle must
+    // replay the entire refinement machinery cross-engine: the 16
+    // continuation hyperplanes (planes 4..19, the first DuckDB
+    // validation of bucketRefBits parity), the integer depth ladder,
+    // the masked-ref regrouping, and the pair-count algebra. Reports
+    // raw bucket pairs, guarded pairs, and kept_ppm — the cost dial
+    // an operator reads next to q260's census when sizing a budget.
+    // Scale shape: two censuses off one barriered pass; the 1-row
+    // totals meet on a broadcast.
+    "q261_pair_work_audit" -> ((s, d) => {
+      val emb = graft.ops.Barrier(Tables.embeddings(s, d)
+        .select(col("vec_id"), bucketCol.as("bucket"), bucketRefBits.as("ref"))
+        .filter(col("bucket").isNotNull))
+      val r = graft.ops.BoundedPair.refined(emb, "bucket", "ref", "pb",
+        budget = 16L)
+      val guarded = r.groupBy("pb").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as("pairs_guarded"))
+      val raw = emb.groupBy("bucket").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as("pairs_raw"))
+      raw.crossJoin(broadcast(guarded))
+        .select(col("pairs_raw"), col("pairs_guarded"),
+          expr("(pairs_guarded * 1000000) div pairs_raw").as("kept_ppm"))
     })
   )
 
@@ -1966,6 +2030,37 @@ object SimilarityQueries {
                 CAST(sum(CASE WHEN a.vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) n_new,
                 CAST((sum(CASE WHEN a.vec_id % 10 = 0 THEN 1 ELSE 0 END) * 1000000)
                      // greatest(sum(CASE WHEN a.vec_id % 10 <> 0 THEN 1 ELSE 0 END), 1) AS BIGINT) growth_ppm
-         FROM afin a GROUP BY a.cid ORDER BY a.cid"""
+         FROM afin a GROUP BY a.cid ORDER BY a.cid""",
+
+    "q260_pair_budget_census" ->
+      s"""WITH c AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) bn FROM (
+              SELECT $bucketSqlDuck bucket FROM embeddings)
+            WHERE bucket IS NOT NULL GROUP BY 1),
+          g AS (
+            SELECT bucket, bn, bn > 256 AS over_budget,
+                   CAST(${depthSqlDuck("bn", 256L)} AS BIGINT) e
+            FROM c)
+          SELECT bucket, bn, over_budget, e,
+                 bn // (CAST(1 AS BIGINT) << CAST(e AS INT)) AS sub_expect
+          FROM g ORDER BY bucket""",
+
+    "q261_pair_work_audit" ->
+      s"""WITH b AS (
+            SELECT vec_id, $bucketSqlDuck bucket, $refSqlDuck AS refbits
+            FROM embeddings),
+          bb AS (SELECT * FROM b WHERE bucket IS NOT NULL),
+          c AS (SELECT bucket, CAST(count(*) AS BIGINT) bn FROM bb GROUP BY 1),
+          g AS (SELECT bucket, CAST(${depthSqlDuck("bn", 16L)} AS INT) e FROM c),
+          k AS (SELECT bb.bucket, bb.refbits & ((CAST(1 AS BIGINT) << g.e) - 1) sub
+                FROM bb JOIN g USING (bucket)),
+          gc AS (SELECT CAST(count(*) AS BIGINT) c FROM k GROUP BY bucket, sub),
+          rc AS (SELECT CAST(count(*) AS BIGINT) c FROM bb GROUP BY bucket),
+          t AS (SELECT
+            (SELECT CAST(COALESCE(sum(c * (c - 1) // 2), 0) AS BIGINT) FROM rc) pairs_raw,
+            (SELECT CAST(COALESCE(sum(c * (c - 1) // 2), 0) AS BIGINT) FROM gc) pairs_guarded)
+          SELECT pairs_raw, pairs_guarded,
+                 (pairs_guarded * 1000000) // pairs_raw AS kept_ppm
+          FROM t"""
   )
 }

@@ -97,7 +97,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q257_blocking_eval", // 1-row block census × broadcast 1-row pair stats
       "q258_lifetable", // user rollup × broadcast 1-row max-day clip (q196 shape)
       "q234_qnorm", // per-source ranks × broadcast 1-row corpus count
-      "q236_loo_source") // sources-sized rollup × broadcast 1-row (N, T) totals
+      "q236_loo_source", // sources-sized rollup × broadcast 1-row (N, T) totals
+      "q261_pair_work_audit") // 1-row raw total × broadcast 1-row guarded total
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
