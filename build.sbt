@@ -17,6 +17,11 @@ run / fork := true
 // bench record's `parsed` field was null for three rounds because of
 // that prefix).
 run / outputStrategy := Some(StdoutOutput)
+// ...and suppress the "[success] Total time: ..." epilogue sbt appends
+// after the forked main exits: the driver json-parses the tail of the
+// run's stdout, and that trailing line corrupted the bench record
+// (BENCH_r13.json parsed:null) even after the [info] prefix fix.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -64,8 +64,13 @@ object Bench {
         // with q183 at 225 s, vs ~3.8 s fresh-JVM — pure accumulation,
         // not query cost). Queries never reuse checkpoints across
         // runs, so unpersisting between runs is safe.
+        // blocking = true: with blocking = false the eviction runs
+        // asynchronously INSIDE the timed region that follows, leaking
+        // the cleanup cost into exactly the measurement this unpersist
+        // exists to stabilize. (Verify keeps blocking = false — no
+        // timing there.)
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -130,6 +130,52 @@ object SimilarityQueries {
           lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
 
+  /** Oracle validity-domain audit (ADVICE round 13): the DuckDB
+    * oracles for q23/q216 replay the RAW 4-plane bucket join, and the
+    * ones for q100/q251 hardcode kForBudget's floor of 8 seeds with a
+    * raw-cid pair join — exact only where the BoundedPair guard is
+    * provably QUIET. Outside that domain the Spark plans are working
+    * as designed (sub-banding oversize buckets) while the oracles are
+    * not, and a plain Verify run would report hash mismatches with
+    * nothing flagging why. This one census pass (the q260 shape)
+    * returns an explanatory message per affected query instead:
+    *  - q23/q216: quiet iff every 4-plane bucket fits the 256-row
+    *    budget;
+    *  - q100/q251: quiet iff corpus ≤ 512 vectors — n ≤ 2048 keeps
+    *    kForBudget at the oracle's 8 seeds, and n ≤ 512 makes the
+    *    data-driven 512-row CELL budget quiet by construction (no
+    *    k-means cell can exceed the corpus; a measured cell margin
+    *    would not survive a testdata regen, so the proof bound is the
+    *    check). Verify fails these queries loudly and runs the rest. */
+  def oracleDomainViolations(s: SparkSession, d: String): Map[String, String] = {
+    val r = Tables.embeddings(s, d).select(bucketCol.as("bucket"))
+      .filter(col("bucket").isNotNull)
+      .groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .agg(coalesce(max(col("bn")), lit(0L)).as("maxb"),
+        coalesce(sum(col("bn")), lit(0L)).as("n"))
+      .collect()(0)
+    val (maxb, n) = (r.getLong(0), r.getLong(1))
+    val budget = graft.ops.BoundedPair.DefaultBudget
+    val hyper = if (maxb <= budget) Map.empty[String, String] else {
+      val msg = s"oracle domain exceeded: max 4-plane bucket $maxb > " +
+        s"budget $budget, so the BoundedPair guard sub-bands the pair " +
+        "join while the DuckDB oracle replays the raw-bucket join — " +
+        "mismatches would be by design, not bugs. Verify at sf <= 0.1, " +
+        "or render the guard into the oracle (q261 shows depthSqlDuck/" +
+        "refSqlDuck make this possible)."
+      Map("q23_embdup" -> msg, "q216_embdup_ladder" -> msg)
+    }
+    val cells = if (n <= 512L) Map.empty[String, String] else {
+      val msg = s"oracle domain exceeded: $n vectors > 512, so the " +
+        "512-row k-means cell budget is no longer quiet by construction" +
+        (if (n > 2048L) s" and kForBudget($n) > the oracle's 8 seeds" else "") +
+        " — the Spark plan guards/scales while the DuckDB oracle " +
+        "hardcodes the raw-cid join with 8 seeds. Verify at sf <= 0.1."
+      Map("q100_semdedup" -> msg, "q251_hubness" -> msg)
+    }
+    hyper ++ cells
+  }
+
   /** q23's scored candidate pairs — bucket-equality self-join with
     * per-VECTOR norms computed before the join (n rows, not n²/buckets)
     * and a single dot product per pair. The join key is the

@@ -115,11 +115,22 @@ class MultimodalSpec extends AnyFunSuite {
     val feats = Multimodal.extractFeatures(spark, media)
     val at4 = graft.queries.MultimodalQueries.mediaNearDups(feats, sigBits = 4)
       .select("mx", "my").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val at8 = graft.queries.MultimodalQueries.mediaNearDups(feats, sigBits = 8)
-      .select("mx", "my").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val at8Rows = graft.queries.MultimodalQueries.mediaNearDups(feats, sigBits = 8)
+      .select("mx", "my", "dot", "na", "nb").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val at8 = at8Rows.map(t => (t._1, t._2)).toSet
     assert(dupPairs.subsetOf(at4), s"dupes missing at width 4: ${dupPairs -- at4}")
     assert(dupPairs.subsetOf(at8), s"dupes missing at width 8: ${dupPairs -- at8}")
-    // a wider signature only ever NARROWS the candidate set
-    assert(at8.subsetOf(at4), "width-8 pairs must be a subset of width-4 pairs")
+    // the narrowing guarantee is STRUCTURAL only for identical-histogram
+    // pairs (cos = 1 ⟺ dot² = na·nb ⟹ identical q8 ⟹ equal refinement
+    // keys at every depth): a confirmed near-miss with unequal q8 can
+    // legally flip sub-buckets between widths when the budget guard's
+    // masks differ, so containment is asserted on the cos = 1 pairs,
+    // not the full candidate sets (which today happen to coincide)
+    val identAt8 = at8Rows.collect {
+      case (mx, my, dot, na, nb) if dot * dot == na * nb => (mx, my)
+    }.toSet
+    assert(identAt8.subsetOf(at4),
+      s"width-8 identical-histogram pairs missing at width 4: ${identAt8 -- at4}")
   }
 }
