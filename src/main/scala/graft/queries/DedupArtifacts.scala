@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.ops.Bucketing
+
+/** Persisted near-dup artifacts — the pair set and the connected-
+  * component label table, landed ONCE per corpus and probed by every
+  * consumer.
+  *
+  * Why this exists: the dedup analytics surface (cluster histograms,
+  * canonical selection, duplicate-discounted weights, chain audits,
+  * provenance matrices, graph QA) all start from the same two relations
+  * — q18's confirmed pairs and q51's cluster labels. Self-contained
+  * queries each re-ran the MinHash pair kernel + ConnectedComponents,
+  * which at 100 TB means re-shuffling the corpus once per REPORT. The
+  * production shape is land-once/probe-many (the q64
+  * [[DedupQueries.writeNearDupHistory]] / [[graft.ops.IvfIndex]]
+  * lifecycle): one write pays the kernel + CC + a hash-distribution
+  * pass, after which every consumer reads a bucketed table whose probe
+  * side joins with NO exchange on the artifact (PlanAuditSpec pins the
+  * bucketed scan and the absence of the pair kernel in consumer plans;
+  * DedupArtifactsSpec proves probe ≡ recompute row-for-row).
+  *
+  * Artifact schemas:
+  *  - pairs:  (doc_a, doc_b, inter, uni) — q18's confirmed pairs with
+  *    their exact intersection/union counts, bucketed + sorted on
+  *    doc_a. Collision-bounded size (tiny next to the corpus).
+  *  - labels: (doc_id, cluster_id, keep) for EVERY document —
+  *    singletons label themselves (cluster_id = doc_id) and the
+  *    representative convention is q51's min-id (keep = 1 on the
+  *    member whose id equals the cluster id), bucketed + sorted on
+  *    doc_id. One row per document: this is the table a 100 TB
+  *    pipeline semi-joins to drop duplicates.
+  *
+  * Build-on-first-use: [[pairs]]/[[labels]] memoize per (Spark app,
+  * corpus dir) and rebuild in any fresh JVM, so results can never go
+  * stale against a regenerated corpus while a long session (Bench's
+  * min-of-N, a Verify sweep, a notebook) pays the kernel exactly once.
+  *
+  * Reference scope note: the reference (kafka-firehose-nozzle) has no
+  * dedup surface; this lifecycle belongs to the training-data-pipeline
+  * extension (SURVEY §2.2).
+  */
+object DedupArtifacts {
+
+  /** Bucket count for both artifacts — matches the
+    * [[DedupQueries.writeNearDupHistory]] layout so doc-keyed artifact
+    * tables co-join exchange-free where bucket counts align. */
+  val Buckets = 8
+
+  // (applicationId, dir) pairs whose artifacts this JVM already landed —
+  // guarded so parallel test suites sharing one session build once.
+  private val built = scala.collection.mutable.HashSet.empty[(String, String)]
+
+  /** Table-name slug for a corpus dir: managed-table names survive only
+    * [a-z0-9_], so keep the basename and disambiguate with a hash of
+    * the full path (sf0.01 vs sf0.1 vs a spec fixture must never share
+    * an artifact). */
+  private[graft] def slug(d: String): String = {
+    val base = d.replaceAll("[^a-zA-Z0-9]+", "_").toLowerCase
+      .replaceAll("^_+|_+$", "").takeRight(32)
+    val h = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(d))
+    s"${base}_$h"
+  }
+
+  private[graft] def pairsTable(d: String): String = s"graft_neardup_pairs_${slug(d)}"
+  private[graft] def labelsTable(d: String): String = s"graft_cluster_labels_${slug(d)}"
+
+  /** Drop a stale artifact: the catalog is per-JVM (in-memory) but the
+    * managed-table LOCATION under spark-warehouse persists, so a fresh
+    * JVM's saveAsTable would die with LOCATION_ALREADY_EXISTS on the
+    * previous JVM's directory. Drop the catalog entry if any, then the
+    * orphaned directory. */
+  private def dropStale(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
+  }
+
+  /** Land both artifacts for corpus `d` (unconditionally — callers
+    * wanting the memoized form use [[pairs]]/[[labels]]). One pair-
+    * kernel pass + one CC run + two bucketed writes. */
+  def write(s: SparkSession, d: String): Unit = {
+    dropStale(s, pairsTable(d))
+    dropStale(s, labelsTable(d))
+    Bucketing.writeBucketed(
+      DedupQueries.minhashNearDupPairs(s, d)
+        .select("doc_a", "doc_b", "inter", "uni"),
+      pairsTable(d), "doc_a", Buckets)
+    // CC over the just-landed pairs (reads the artifact back — cheap,
+    // and guarantees labels are consistent with the landed pair set
+    // even if the kernel were nondeterministic), then label EVERY
+    // document: singletons coalesce to themselves.
+    val cc = graft.ops.ConnectedComponents(
+      s.table(pairsTable(d)).select("doc_a", "doc_b"))
+      .withColumnRenamed("node", "doc_id")
+    val labels = Tables.documents(s, d).select("doc_id")
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", (col("cluster_id") === col("doc_id")).cast(LongType))
+    Bucketing.writeBucketed(labels, labelsTable(d), "doc_id", Buckets)
+  }
+
+  private def ensure(s: SparkSession, d: String): Unit = {
+    val key = (s.sparkContext.applicationId, d)
+    val need = built.synchronized { !built.contains(key) }
+    if (need) {
+      // build OUTSIDE the lock would double-build under a race; the
+      // kernel is minutes-cheap at test scale and single-caller in
+      // Bench/Verify, so hold the lock for the build.
+      built.synchronized {
+        if (!built.contains(key)) { write(s, d); built += key }
+      }
+    }
+  }
+
+  /** Confirmed near-dup pairs (doc_a, doc_b, inter, uni) — probe form.
+    * First call per (app, dir) lands the artifact. */
+  def pairs(s: SparkSession, d: String): DataFrame = {
+    ensure(s, d); s.table(pairsTable(d))
+  }
+
+  /** Full-corpus cluster labels (doc_id, cluster_id, keep) — probe
+    * form. First call per (app, dir) lands the artifact. */
+  def labels(s: SparkSession, d: String): DataFrame = {
+    ensure(s, d); s.table(labelsTable(d))
+  }
+}

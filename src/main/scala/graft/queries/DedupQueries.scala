@@ -43,7 +43,7 @@ object DedupQueries {
     * transform/array_join HOF chain the oracle mirrors, measured
     * ~2.8 s of the q18 wall at sf0.1 as HOFs. ≥3 words ⟺ ≥1
     * shingle, so the row set matches the oracle's `len(words) >= 3`. */
-  private def shingleSets(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingleSets(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
         graft.Functions.word_shingles3(
@@ -62,14 +62,16 @@ object DedupQueries {
     * Singletons label themselves via coalesce — the single-sourced
     * convention. The component step shuffles only (long, long) id
     * pairs; whatever else `docs` carries rides its own scan. */
-  private def withClusterIds(s: SparkSession, d: String, docs: DataFrame): DataFrame = {
-    val pairs = minhashNearDupPairs(s, d).select("doc_a", "doc_b")
-    val labels = graft.ops.ConnectedComponents(pairs)
-      .withColumnRenamed("node", "doc_id")
-    docs.join(labels, Seq("doc_id"), "left")
-      .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
-      .drop("component")
-  }
+  /** Cluster-label lookup for the dedup analytics family: probes the
+    * persisted [[DedupArtifacts.labels]] table (doc_id, cluster_id for
+    * EVERY document, singletons self-labeled) instead of re-running the
+    * pair kernel + ConnectedComponents per consumer — the land-once/
+    * probe-many posture a 100 TB corpus forces (one kernel pass per
+    * corpus version, not per report). Inner join: the label table
+    * covers every doc_id by construction. */
+  private def withClusterIds(s: SparkSession, d: String, docs: DataFrame): DataFrame =
+    docs.join(DedupArtifacts.labels(s, d).select("doc_id", "cluster_id"),
+      Seq("doc_id"))
 
   /** SimHash via the scalar native `simhash60` over the per-doc
     * shingle array — map-only, no shuffle (the round-2 explode +
@@ -108,10 +110,9 @@ object DedupQueries {
     // graft.ops.ConnectedComponents for the round-complexity and
     // skew story.
     "q51_cluster" -> ((s, d) => {
-      withClusterIds(s, d, Tables.documents(s, d).select("doc_id"))
-        .withColumn("keep",
-          (col("cluster_id") === col("doc_id")).cast(LongType))
-        .orderBy("doc_id")
+      // the artifact IS this query's output contract: (doc_id,
+      // cluster_id, keep) for every document, min-id representative
+      DedupArtifacts.labels(s, d).orderBy("doc_id")
     }),
 
     // Chain-inflation audit — the honesty check on transitive
@@ -127,12 +128,15 @@ object DedupQueries {
     // confirmed count; everything after the pair kernel shuffles only
     // (long, long) ids; cluster-sized output.
     "q238_chain_audit" -> ((s, d) => {
-      val pairs = graft.ops.Barrier(
-        minhashNearDupPairs(s, d).select("doc_a", "doc_b"))
-      val labels = graft.ops.ConnectedComponents(pairs)
-        .withColumnRenamed("node", "doc_id")
-        .withColumnRenamed("component", "cluster_id")
+      // both inputs are artifact probes (land-once/probe-many): the
+      // full-corpus label table narrows to multi-member clusters —
+      // exactly the components CC emitted (every component has ≥ 2
+      // members; singletons self-label with their own id, which can
+      // never collide with a component's min-id label on another doc)
+      val pairs = DedupArtifacts.pairs(s, d).select("doc_a", "doc_b")
+      val labels = DedupArtifacts.labels(s, d).select("doc_id", "cluster_id")
       val cl = labels.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+        .filter(col("n_members") >= 2)
       val conf = pairs
         .join(labels.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .groupBy("cluster_id").agg(count(lit(1)).as("n_confirmed"))
@@ -159,7 +163,7 @@ object DedupQueries {
     // broadcasts back for the share.
     "q244_dup_provenance" -> ((s, d) => {
       val meta = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"))
-      val cells = minhashNearDupPairs(s, d).select("doc_a", "doc_b")
+      val cells = DedupArtifacts.pairs(s, d).select("doc_a", "doc_b")
         .join(meta.select(col("doc_id").as("doc_a"),
           col("lang").as("la"), col("source").as("sa")), "doc_a")
         .join(meta.select(col("doc_id").as("doc_b"),
@@ -196,42 +200,12 @@ object DedupQueries {
     // fan-out near-minimal — corpus-boilerplate shingles land in
     // prefixes only for docs that are mostly boilerplate. Hot prefix
     // tokens split under AQE skew-join like q18's hot bands.
-    "q245_prefix_join" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val m = graft.ops.Barrier(shingleSets(s, d).select(col("doc_id"),
-        col("sset"), size(col("sset")).cast(LongType).as("nset")))
-      val toks = m.select(col("doc_id"), col("nset"), explode(col("sset")).as("tok"))
-      val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-      val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
-      val pref = toks.join(dfreq, "tok")
-        .withColumn("rn", row_number().over(wDoc).cast(LongType))
-        .filter(col("rn") <= col("nset") - expr("(3*nset + 4) div 5") + lit(1L))
-        .select(col("doc_id"), col("nset"), col("rn"), col("tok").as("ptok"))
-      // the PPJoin POSITIONAL filter rides the join condition: a pair
-      // matching at prefix positions (i, j) can still reach
-      // inter ≥ ceil(3(na+nb)/8) (⟺ J ≥ 0.6) only if the suffixes
-      // past those positions are long enough — 1 + min(na−i, nb−j)
-      // bounds the intersection from above. Complete: the smallest
-      // common token's row always satisfies it for a qualifying pair;
-      // it prunes the high-df collision rows BEFORE the distinct and
-      // the set-verify join, which is where a capped vocabulary
-      // (synthetic testdata: ≤31³ shingle types) otherwise explodes.
-      val cand = pref.as("a")
-        .join(pref.as("b"),
-          col("a.ptok") === col("b.ptok") && col("a.doc_id") < col("b.doc_id")
-            && col("a.nset") * 5 >= col("b.nset") * 3
-            && col("b.nset") * 5 >= col("a.nset") * 3
-            && (lit(1L) + least(col("a.nset") - col("a.rn"),
-                col("b.nset") - col("b.rn"))) * 8
-              >= (col("a.nset") + col("b.nset")) * 3)
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .distinct()
-      scorePairs(m, cand)
-        .select(col("doc_a"), col("doc_b"), col("inter"),
-          (col("na") + col("nb") - col("inter")).as("uni"))
-        .filter(col("inter") * 5 >= col("uni") * 3)
-        .orderBy("doc_a", "doc_b")
-    }),
+    // FEASIBILITY GATE ([[prefixJoin]]): a census over the prefix
+    // tokens bounds the candidate-pair count BEFORE the join; past
+    // [[prefixJoinBudget]] the query refuses in seconds with a
+    // pointer to q18 instead of dying in GC (the recorded sf10
+    // envelope on the capped-vocabulary synthetic corpus).
+    "q245_prefix_join" -> ((s, d) => prefixJoin(s, d)),
 
     // Blocking-scheme evaluation — the ER-textbook meta-audit of a
     // blocking key BEFORE you trust it: reduction ratio (how many of
@@ -255,7 +229,7 @@ object DedupQueries {
       val census = meta.groupBy("lang", "source").agg(count(lit(1)).as("c"))
         .agg(sum(col("c")).cast(DecimalType(38, 0)).as("n"),
           sum(expr("cast(c as decimal(38,0)) * (c - 1)")).as("cand2"))
-      val pairs = minhashNearDupPairs(s, d).select("doc_a", "doc_b")
+      val pairs = DedupArtifacts.pairs(s, d).select("doc_a", "doc_b")
         .join(meta.select(col("doc_id").as("doc_a"),
           col("lang").as("la"), col("source").as("sa")), "doc_a")
         .join(meta.select(col("doc_id").as("doc_b"),
@@ -350,7 +324,7 @@ object DedupQueries {
     // the inter/uni counts the pair kernel already carries — 5-point
     // bins, no floats, id-count rows only.
     "q220_jaccard_hist" -> ((s, d) => {
-      minhashNearDupPairs(s, d)
+      DedupArtifacts.pairs(s, d)
         .select(expr("((inter * 100) div uni) div 5 * 5").as("j_bin"))
         .groupBy("j_bin").agg(count(lit(1)).as("n_pairs"))
         .orderBy("j_bin")
@@ -368,7 +342,7 @@ object DedupQueries {
     // TextQueries.splitName — the SAME definition q145 ships, so the
     // audit can never drift from the split it audits.
     "q215_split_leakage" -> ((s, d) => {
-      minhashNearDupPairs(s, d).select("doc_a", "doc_b")
+      DedupArtifacts.pairs(s, d).select("doc_a", "doc_b")
         .select(TextQueries.splitName("doc_a").as("sp_a"),
           TextQueries.splitName("doc_b").as("sp_b"))
         .select(least(col("sp_a"), col("sp_b")).as("split_lo"),
@@ -511,7 +485,7 @@ object DedupQueries {
     // aggregate is sources²-sized; the corpus itself is read only by
     // the shared signature pipeline.
     "q113_overlap" -> ((s, d) => {
-      val pairs = minhashNearDupPairs(s, d).select("doc_a", "doc_b")
+      val pairs = DedupArtifacts.pairs(s, d).select("doc_a", "doc_b")
       val meta = Tables.documents(s, d).select(col("doc_id"), col("source"))
       pairs
         .join(meta.toDF("doc_a", "src_a"), "doc_a")
@@ -616,7 +590,7 @@ object DedupQueries {
     // distribution; shuffles carry (long, long, long) rows only.
     "q119_triangles" -> ((s, d) => {
       graft.ops.Triangles(
-        minhashNearDupPairs(s, d).select(col("doc_a").as("u"), col("doc_b").as("v")))
+        DedupArtifacts.pairs(s, d).select(col("doc_a").as("u"), col("doc_b").as("v")))
         .orderBy("a", "b", "c")
     }),
 
@@ -763,8 +737,10 @@ object DedupQueries {
     // set; Barrier per round keeps the lineage flat. Output = the
     // surviving nodes with their in-core degree.
     "q149_kcore" -> ((s, d) => {
-      var edges = graft.ops.Barrier(minhashNearDupPairs(s, d)
-        .select(col("doc_a").as("u"), col("doc_b").as("v")))
+      // artifact probe: the bucketed pair table is already materialized,
+      // so round 0 needs no Barrier of its own
+      var edges = DedupArtifacts.pairs(s, d)
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
       for (_ <- 1 to 8) {
         val keep = edges.select(col("u").as("node"))
           .unionAll(edges.select(col("v").as("node")))
@@ -787,7 +763,7 @@ object DedupQueries {
     // trick (length(bin(deg))), bucket-sized rollup. Shuffles carry
     // (long, long) degree pairs then ⌈log₂⌉-many groups.
     "q175_degree_dist" -> ((s, d) => {
-      val pairs = minhashNearDupPairs(s, d).select("doc_a", "doc_b")
+      val pairs = DedupArtifacts.pairs(s, d).select("doc_a", "doc_b")
       pairs.select(col("doc_a").as("node"))
         .unionAll(pairs.select(col("doc_b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -1025,6 +1001,87 @@ object DedupQueries {
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         graft.Functions.sorted_intersect_count(col("sa"), col("sb")).as("inter"),
         col("na"), col("nb"))
+  }
+
+  /** q245's exact-enumeration pair budget: the prefix-token census
+    * upper bound Σ_tok c·(c−1)/2 must stay under this or the query
+    * REFUSES fast instead of dying in GC. Exactness is the query's
+    * point, so there is no recall-trading fallback to dial — the only
+    * honest behaviors outside the envelope are a loud refusal or a
+    * deliberate operator override (SPARK_GRAFT_Q245_BUDGET). Measured
+    * on the synthetic corpus (capped 31³ shingle domain): sf1 ≈ 4.1e7
+    * candidate UB (runs fine), sf10 ≈ 4.3e9 (the recorded 15-minute
+    * GC death, BENCH_NOTES round 13) — 2^28 splits the decades with
+    * ~6× headroom on each side. */
+  private[graft] def prefixJoinBudget: Long =
+    sys.env.get("SPARK_GRAFT_Q245_BUDGET").map(_.toLong).getOrElse(1L << 28)
+
+  /** Pre-barrier prefix-token pipeline (doc_id, nset, rn, ptok) for a
+    * barriered shingle frame: df rollup (partial-agg'd) → rarest-first
+    * per-doc ordering window → prefix cut. `private[graft]` so plan
+    * audits can inspect the rollup and the window the final
+    * (post-barrier) q245 plan hides. */
+  private[graft] def prefixTokensOf(m: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = m.select(col("doc_id"), col("nset"), explode(col("sset")).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    toks.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(wDoc).cast(LongType))
+      .filter(col("rn") <= col("nset") - expr("(3*nset + 4) div 5") + lit(1L))
+      .select(col("doc_id"), col("nset"), col("rn"), col("tok").as("ptok"))
+  }
+
+  /** q245's gated exact prefix join: census the prefix tokens FIRST
+    * (one cheap rollup over the barriered prefix table — the same
+    * BoundedPair census shape) and refuse fast when the hot-token
+    * mass exceeds [[prefixJoinBudget]]; otherwise run the exact
+    * AllPairs/PPJoin enumeration. The census accumulates in
+    * Decimal(38,0): hot-token c² exceeds Long at 100 TB. */
+  private[graft] def prefixJoin(s: SparkSession, d: String,
+      budget: Long = prefixJoinBudget): DataFrame = {
+    val m = graft.ops.Barrier(shingleSets(s, d).select(col("doc_id"),
+      col("sset"), size(col("sset")).cast(LongType).as("nset")))
+    // Barrier: the prefix table feeds the census AND both join sides —
+    // without it the df rollup + window re-run three times
+    val pref = graft.ops.Barrier(prefixTokensOf(m))
+    val ub2 = pref.groupBy("ptok").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("cast(c as decimal(38,0)) * (c - 1)")),
+        lit(java.math.BigDecimal.ZERO)).as("ub2"))
+      .collect()(0).getDecimal(0)
+    val lim = new java.math.BigDecimal(budget).multiply(new java.math.BigDecimal(2))
+    if (ub2.compareTo(lim) > 0)
+      throw new IllegalStateException(
+        s"q245_prefix_join refused: prefix-token hot mass admits up to " +
+        s"${ub2.divide(new java.math.BigDecimal(2))} candidate pairs > " +
+        s"exact-enumeration budget $budget. Exact AllPairs/PPJoin is " +
+        "superquadratic when every posting list is hot (capped shingle " +
+        "domains); use q18_minhash (LSH, probabilistic recall) at this " +
+        "scale, or raise SPARK_GRAFT_Q245_BUDGET deliberately.")
+    // the PPJoin POSITIONAL filter rides the join condition: a pair
+    // matching at prefix positions (i, j) can still reach
+    // inter ≥ ceil(3(na+nb)/8) (⟺ J ≥ 0.6) only if the suffixes
+    // past those positions are long enough — 1 + min(na−i, nb−j)
+    // bounds the intersection from above. Complete: the smallest
+    // common token's row always satisfies it for a qualifying pair;
+    // it prunes the high-df collision rows BEFORE the distinct and
+    // the set-verify join, which is where a capped vocabulary
+    // (synthetic testdata: ≤31³ shingle types) otherwise explodes.
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.ptok") === col("b.ptok") && col("a.doc_id") < col("b.doc_id")
+          && col("a.nset") * 5 >= col("b.nset") * 3
+          && col("b.nset") * 5 >= col("a.nset") * 3
+          && (lit(1L) + least(col("a.nset") - col("a.rn"),
+              col("b.nset") - col("b.rn"))) * 8
+            >= (col("a.nset") + col("b.nset")) * 3)
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    scorePairs(m, cand)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"))
+      .filter(col("inter") * 5 >= col("uni") * 3)
+      .orderBy("doc_a", "doc_b")
   }
 
   // ---------------------------------------------------------------------

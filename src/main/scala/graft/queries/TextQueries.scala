@@ -2126,7 +2126,7 @@ object TextQueries {
     // q18's confirmed pair ends ((long) ids only); the quality score
     // rides the text scan; the 2-row report is exact ppm.
     "q218_quality_vs_dup" -> ((s, d) => {
-      val pairs = DedupQueries.minhashNearDupPairs(s, d)
+      val pairs = DedupArtifacts.pairs(s, d)
         .select("doc_a", "doc_b")
       val dup = pairs.select(col("doc_a").as("doc_id"))
         .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
@@ -2229,7 +2229,7 @@ object TextQueries {
     // far from 0.5 means one subsumes the other.
     "q246_quality_auc" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val pairs = DedupQueries.minhashNearDupPairs(s, d).select("doc_a", "doc_b")
+      val pairs = DedupArtifacts.pairs(s, d).select("doc_a", "doc_b")
       val dup = pairs.select(col("doc_a").as("doc_id"))
         .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
         .withColumn("is_dup", lit(1L))

@@ -148,4 +148,24 @@ class DedupQueriesSpec extends AnyFunSuite {
         s"planted near-dup pair ($k) lost by the guarded path")
     }
   }
+
+  test("q245 feasibility gate: refuses fast past the budget, quiet within it") {
+    import graft.queries.DedupQueries
+    // undersized budget → loud refusal naming the hot mass, the budget,
+    // and the LSH alternative — the sf10 envelope as a fast error
+    // instead of 15 minutes of GC death
+    val ex = intercept[IllegalStateException] {
+      DedupQueries.prefixJoin(spark, sf, budget = 1L)
+    }
+    assert(ex.getMessage.contains("refused")
+      && ex.getMessage.contains("budget 1")
+      && ex.getMessage.contains("q18_minhash"), ex.getMessage)
+    // within budget the gate must not perturb the result (oracle
+    // parity is the full check; this pins gated ≡ declared entry)
+    val gated = DedupQueries.prefixJoin(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val declared = SparkEntry.queries("q245_prefix_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gated === declared)
+  }
 }

@@ -107,6 +107,144 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  /** Self-join equi-keys that are neither id-like nor BoundedPair-
+    * guarded, per query — the auto-enrolment classifier behind the
+    * pair-budget invariant (see the enrolment test below). */
+  private def unguardedSelfJoinKeys(
+      lp: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Set[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualNullSafe, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.StructType
+    // leaf identity: parquet root paths, barrier RDD ids, range specs.
+    // SELF-join = both subtrees read exactly the SAME leaf set (a
+    // relation joined to itself or to a filtered slice of itself) —
+    // intersection alone would flag every shared small dimension
+    // (nation on both sides of a lineitem⋈orders tree).
+    def leafIds(p: LogicalPlan): Set[String] = p.collect {
+      case r: LogicalRelation => r.relation match {
+        case f: HadoopFsRelation => f.location.rootPaths.map(_.toString).toSet
+        case other => Set(other.toString)
+      }
+      case l: LogicalRDD => Set(s"rdd:${l.rdd.id}")
+      case rg: org.apache.spark.sql.catalyst.plans.logical.Range =>
+        Set(s"range:${rg.start}:${rg.end}:${rg.step}")
+    }.flatten.toSet
+    // a pre-aggregated join side is a rollup (≤1 row per group key):
+    // joined on its group key it has multiplicity ~1, so the raw×raw
+    // quadratic-pair shape the audit hunts is absent when EITHER side
+    // aggregates first (tripwire judgment, not a proof: a groupBy that
+    // doesn't reduce cardinality, or a join on a strict subset of the
+    // group key, would slip through — the barriered pair kernels the
+    // audit exists for checkpoint BEFORE the join, so their raw sides
+    // carry no Aggregate and always stay in scope)
+    def aggregated(p: LogicalPlan): Boolean = p.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+      case _ => false
+    }
+    // keys that can't go quadratic: near-unique ids (join fan-out is
+    // key multiplicity, ~1) and DistributedRank's structural __pid
+    // partition-boundary join — everything else on a self-join is a
+    // BUCKET key and must be guarded or consciously allowlisted
+    val idLike = Set("doc_id", "vec_id", "media_id", "doc_a", "doc_b",
+      "da", "db", "u", "v", "node", "id", "event_id", "__pid")
+    def keyName(e: Expression): String = e match {
+      case a: AttributeReference => a.name
+      case other => s"<${other.sql}>"
+    }
+    def guarded(e: Expression): Boolean = e.dataType match {
+      case st: StructType =>
+        st.fieldNames.contains("b") && st.fieldNames.contains("sub")
+      case _ => false
+    }
+    lp.collect {
+      case j: Join if leafIds(j.left) == leafIds(j.right) &&
+          leafIds(j.left).nonEmpty &&
+          !aggregated(j.left) && !aggregated(j.right) =>
+        val conj = j.condition.toSeq.flatMap(c =>
+          c.collect { case eq: EqualTo => (eq.left, eq.right)
+                      case eq: EqualNullSafe => (eq.left, eq.right) })
+        val eqKeys = conj.filter { case (l, r) =>
+          l.references.subsetOf(j.left.outputSet) &&
+            r.references.subsetOf(j.right.outputSet) ||
+          l.references.subsetOf(j.right.outputSet) &&
+            r.references.subsetOf(j.left.outputSet)
+        }
+        val names = eqKeys.map { case (l, r) =>
+          Seq(keyName(l), keyName(r)).distinct.sorted.mkString("=") }
+        val benign = eqKeys.exists { case (l, r) => guarded(l) || guarded(r) } ||
+          eqKeys.exists { case (l, r) =>
+            idLike.contains(keyName(l)) || idLike.contains(keyName(r)) }
+        if (eqKeys.nonEmpty && !benign) names.toSet else Set.empty[String]
+    }.flatten.toSet
+  }
+
+  test("pair-join auto-enrolment: new self-joins on bucket keys must be guarded") {
+    // DEFAULT-DENY: every query's optimized plan is scanned for
+    // self-joins whose equi-keys are neither near-unique ids nor a
+    // BoundedPair-guarded struct. Whatever the scan flags must appear
+    // in the reviewed allowlist below with its reason — so query 262+
+    // cannot ship an unguarded bucket-keyed pair join without either
+    // wrapping it in BoundedPair.refined or consciously enrolling here.
+    val allow: Map[String, Set[String]] = Map(
+      // ANN probe joins: the non-corpus side is a ≤5-row query set
+      // (vec_id-filtered) — corpus × tiny-probe on the bucket key is
+      // probe-local, linear in the corpus
+      "q22_ann" -> Set("bucket=qbucket"),
+      "q44_multiprobe" -> Set("bucket"),
+      "q77_recall" -> Set("bucket=qbucket"),
+      "q78_batch_ann" -> Set("bucket=qbucket"),
+      "q81_batch_recall" -> Set("bucket=qbucket"),
+      "q82_media_ann" -> Set("bucket=qbucket"),
+      "q103_hardneg" -> Set("label=qlabel"), // corpus × broadcast 5-anchor batch
+      // LSH band joins: sig is a P²-wide signature — collision-bounded
+      // by the banding design itself; hot bands split under AQE skew
+      // (q18's own band join checkpoints before return and is audited
+      // by its dedicated pre-barrier plan pin above)
+      "q126_minhash_est" -> Set("j", "sig"),
+      "q208_band_precision" -> Set("j", "sig"),
+      "q183_lsh_recall" -> Set("blk", "j", "sig"), // + blk-blocked exact arm
+      // carries its OWN budget machinery, reviewed in its spec:
+      "q20_simdup" -> Set("b", "sig", "j", "sub"), // exact-recall MIH sub-banding
+      "q245_prefix_join" -> Set("ptok"), // census-gated (prefixJoinBudget refusal)
+      "q146_editdup" -> Set("lang", "band"), // length-band blocking, block-budget test
+      // hash-wide content keys (md5-derived, ~unique per content):
+      "q63_incdedup" -> Set("bow"),
+      // natural keys with bounded per-key multiplicity:
+      "q141_cooccur" -> Set("user_id"), // per-user event sets, session-bounded
+      "q165_trigger" -> Set("bu=user_id"), // same
+      "q253_sole_late" -> Set("ok=ok2", "sk=sk2") // lines-per-order ≤ 7 (TPC-H Q21 shape)
+    )
+    val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val keys = unguardedSelfJoinKeys(
+        SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan)
+      if (keys.nonEmpty) Some(q -> keys) else None
+    }.toMap
+    val unreviewed = flagged.filter { case (q, keys) =>
+      !allow.get(q).exists(a => keys.subsetOf(a)) }
+    assert(unreviewed.isEmpty,
+      "unguarded self-join keys shipped without review — wrap the join " +
+      "key with graft.ops.BoundedPair.refined or enroll it in the " +
+      s"allowlist with a reason:\n${unreviewed.map { case (q, k) =>
+        s"  $q -> ${k.mkString(", ")}" }.mkString("\n")}")
+    // the classifier itself must catch a deliberately unguarded
+    // bucket self-join (the fixture the audit exists for)
+    import org.apache.spark.sql.functions.col
+    val base = spark.range(100).withColumn("bucket", col("id") % 4)
+    val bad = base.as("x").join(base.as("y"),
+      col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+    assert(unguardedSelfJoinKeys(bad.queryExecution.optimizedPlan).nonEmpty,
+      "classifier missed a plainly unguarded bucket self-join")
+    // ...and must NOT flag the guarded form of the same join
+    val g = graft.ops.BoundedPair.refined(base, "bucket", "id", "pb", budget = 8L)
+    val good = g.as("x").join(g.as("y"),
+      col("x.pb") === col("y.pb") && col("x.id") < col("y.id"))
+    assert(unguardedSelfJoinKeys(good.queryExecution.optimizedPlan).isEmpty,
+      "classifier flagged a BoundedPair-guarded join")
+  }
+
   test("aggregations keep map-side partial aggregation") {
     // one-pass counter queries must show partial_ functions (partial
     // aggregation = map-side combine before the shuffle)
@@ -686,13 +824,23 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q245_prefix_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"q245 has an unbounded join:\n$p")
+    // the prefix pipeline now sits behind a Barrier (it feeds the
+    // feasibility census AND both join sides) — audit its PRE-barrier
+    // plan, the established pattern for barriered kernels
+    import org.apache.spark.sql.functions.{col, size}
+    import org.apache.spark.sql.types.LongType
+    val m = graft.ops.Barrier(graft.queries.DedupQueries.shingleSets(spark, sf)
+      .select(col("doc_id"), col("sset"),
+        size(col("sset")).cast(LongType).as("nset")))
+    val pp = graft.queries.DedupQueries.prefixTokensOf(m)
+      .queryExecution.executedPlan.toString
     // the vocabulary df rollup must map-side combine
-    assert(p.contains("partial_count"), s"q245 df rollup lost partial aggregation:\n$p")
+    assert(pp.contains("partial_count"), s"q245 df rollup lost partial aggregation:\n$pp")
     // the rarest-first ordering window must be PARTITIONED (by doc_id)
     // — an unpartitioned window here would serialize the whole token
     // table through one task
-    assert(p.contains("hashpartitioning(doc_id"),
-      s"q245 prefix window not partitioned by doc_id:\n$p")
+    assert(pp.contains("hashpartitioning(doc_id"),
+      s"q245 prefix window not partitioned by doc_id:\n$pp")
   }
 
   test("q45 repetition is map-only; q46/q47 keep partial aggregation") {
@@ -782,15 +930,42 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("q113 overlap matrix: pairs ride broadcasts onto the metadata joins") {
     val p = plan("q113_overlap")
-    // the collision-bounded pair set broadcasts against the source
-    // metadata; the corpus is read only by the signature pipeline
-    // (post-barrier here: Scan ExistingRDD)
-    assert(p.contains("Scan ExistingRDD"),
-      s"overlap matrix re-derives the scored pairs:\n$p")
+    // the collision-bounded pair set is an ARTIFACT PROBE (bucketed
+    // table scan — no kernel re-run) broadcast against source metadata
+    assert(p.contains("graft_neardup_pairs"),
+      s"overlap matrix re-derives the pairs instead of probing the artifact:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"metadata joins should broadcast the pair side:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"overlap matrix sort-merges a tiny pair set:\n$p")
+  }
+
+  test("dedup consumers probe the landed artifacts — no pair-kernel recompute") {
+    // the land-once/probe-many contract (DedupArtifacts): every
+    // report-shaped consumer of q18's pairs / q51's labels must scan
+    // the bucketed artifact tables and must NOT replay the MinHash
+    // pipeline (minhash_array / sorted_intersect_count in the plan =
+    // a per-report corpus re-shuffle at 100 TB). q119/q149 consume
+    // the artifact through graph kernels whose internal Barriers hide
+    // the scan from the final plan — for those the no-kernel assert
+    // is the meaningful half.
+    val tableVisible = Seq("q51_cluster", "q108_canonical", "q113_overlap",
+      "q175_degree_dist", "q204_dup_weights", "q215_split_leakage",
+      "q218_quality_vs_dup", "q219_cluster_size_hist", "q220_jaccard_hist",
+      "q238_chain_audit", "q244_dup_provenance", "q246_quality_auc",
+      "q257_blocking_eval")
+    tableVisible.foreach { q =>
+      val p = plan(q)
+      assert(p.contains("graft_neardup_pairs") || p.contains("graft_cluster_labels"),
+        s"$q does not scan a dedup artifact:\n$p")
+      assert(!p.contains("minhash_array") && !p.contains("sorted_intersect"),
+        s"$q re-runs the pair kernel instead of probing the artifact:\n$p")
+    }
+    Seq("q119_triangles", "q149_kcore").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("minhash_array") && !p.contains("sorted_intersect"),
+        s"$q re-runs the pair kernel instead of probing the artifact:\n$p")
+    }
   }
 
   test("q114 calibrated quality: both lang windows share one exchange") {
