@@ -27,6 +27,16 @@ object GraftSession {
     .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
     .config("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+    // ContextCleaner-starvation A/B lever (BENCH_NOTES round 14): the
+    // hypothesis was that GC-driven broadcast/shuffle cleanup starves
+    // on a large heap and inflates long sweeps. MEASURED at sf1, full
+    // 259-query sweep: forcing 1min periodic GC is a 1.08× net LOSS
+    // (795.6 s vs 739.7 s) — the r13 in-suite spikes were execution-
+    // memory pressure from repeated pair-kernel+CC recomputes, fixed
+    // by DedupArtifacts, not cleaner debt. Default stays at Spark's
+    // 30min; the env var remains for re-testing on other heap sizes.
+    .config("spark.cleaner.periodicGC.interval",
+      sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "30min"))
 
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
     val spark = tune(

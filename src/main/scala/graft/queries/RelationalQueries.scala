@@ -745,33 +745,44 @@ object RelationalQueries {
         .orderBy("bucket")
     }),
 
-    // Sole-late-supplier ranking (the TPC-H Q21 join shape on our
-    // schema: no commit/receipt dates, so "late" = shipped > 60 days
-    // after the order date): for each late line item, the order must
-    // involve ANOTHER supplier (EXISTS → LeftSemi) and NO other
-    // supplier may be late on it (NOT EXISTS → LeftAnti) — the
-    // stacked correlated-subquery pattern that separates a real
-    // optimizer from a scan engine, landed as two hash joins on the
-    // SAME equi key (orderkey) with the supplier inequality riding
-    // the join condition. The joined (orderkey, suppkey, late) frame
-    // materializes once (Barrier) and feeds all three roles; only
-    // 3-column rows shuffle. Top-10 via TakeOrderedAndProject.
+    // Sole-late-supplier ranking (TPC-H Q21 on our schema: no
+    // commit/receipt dates, so "late" = shipped > 60 days after the
+    // order date): a late line's supplier qualifies iff the order
+    // involves ANOTHER supplier (EXISTS) and NO other supplier is
+    // late on it (NOT EXISTS). Landed as the AGGREGATE decorrelation
+    // of the stacked correlated subqueries: per-(order, supplier)
+    // late-line counts — the ONLY line-grain shuffle — then the
+    // orders-grain census (suppliers on the order, late suppliers
+    // among them) as a window PARTITIONED BY order over the supplier-
+    // order frame (state = suppliers-per-order ≤ 7, millions of
+    // partitions → full parallelism; no self-join, no second pass, no
+    // checkpoint); qualify iff n_supp ≥ 2 (another supplier exists)
+    // and n_late_supp = 1 (the 1 being the supplier itself, so no
+    // OTHER late one exists). Replaces the round-13 Barrier +
+    // LeftSemi/LeftAnti self-join pair, which shuffled line-grain
+    // rows three times and measured 13.6×/decade at sf10 where its
+    // 60M-row checkpoint also OOM-flirted with the 8g bench heap.
+    // The semi/anti JOIN patterns stay covered by q37_semijoin.
+    // Top-10 via TakeOrderedAndProject; numwait = late line items,
+    // exactly the rows the semi/anti form counted.
     "q253_sole_late" -> ((s, d) => {
-      val lines = graft.ops.Barrier(Tables.lineitem(s, d)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("ok")
+      Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
         .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
-          (expr("datediff(l_shipdate, o_orderdate)") > 60).as("late")))
-      val others = lines.select(col("ok").as("ok2"), col("sk").as("sk2"),
-        col("late").as("late2"))
-      lines.filter(col("late")).select(col("ok"), col("sk"))
-        .join(others, col("ok") === col("ok2") && col("sk") =!= col("sk2"),
-          "left_semi")
-        .join(others.filter(col("late2")),
-          col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_anti")
+          (expr("datediff(l_shipdate, o_orderdate)") > 60).as("late"))
+        .groupBy("ok", "sk")
+        .agg(count(when(col("late"), 1)).as("nll"))
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_late_supp",
+          sum(when(col("nll") > 0, 1L).otherwise(0L)).over(w))
+        .filter(col("nll") > 0 && col("n_supp") >= 2
+          && col("n_late_supp") === 1)
         .groupBy(col("sk").as("s_suppkey"))
-        .agg(count(lit(1)).as("numwait"))
+        .agg(sum(col("nll")).cast(LongType).as("numwait"))
         .orderBy(desc("numwait"), col("s_suppkey"))
         .limit(10)
     }),

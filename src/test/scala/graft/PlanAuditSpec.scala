@@ -214,8 +214,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q63_incdedup" -> Set("bow"),
       // natural keys with bounded per-key multiplicity:
       "q141_cooccur" -> Set("user_id"), // per-user event sets, session-bounded
-      "q165_trigger" -> Set("bu=user_id"), // same
-      "q253_sole_late" -> Set("ok=ok2", "sk=sk2") // lines-per-order ≤ 7 (TPC-H Q21 shape)
+      "q165_trigger" -> Set("bu=user_id") // same
     )
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val keys = unguardedSelfJoinKeys(
