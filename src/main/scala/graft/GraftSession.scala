@@ -27,6 +27,13 @@ object GraftSession {
     .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
     .config("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+    // Scan-split sizing lever: Spark's 128m default gives a 1.3 GB
+    // single-file fact table only ~11 scan partitions — a third of
+    // local[32]'s cores sit idle through every sf10 table scan. The
+    // A/B lever for measuring split size against core count; see
+    // BENCH_NOTES round 14 for the measured decision.
+    .config("spark.sql.files.maxPartitionBytes",
+      sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"))
     // ContextCleaner-starvation A/B lever (BENCH_NOTES round 14): the
     // hypothesis was that GC-driven broadcast/shuffle cleanup starves
     // on a large heap and inflates long sweeps. MEASURED at sf1, full
