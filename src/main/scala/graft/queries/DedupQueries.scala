@@ -1005,16 +1005,22 @@ object DedupQueries {
 
   /** q245's exact-enumeration pair budget: the prefix-token census
     * upper bound Σ_tok c·(c−1)/2 must stay under this or the query
-    * REFUSES fast instead of dying in GC. Exactness is the query's
-    * point, so there is no recall-trading fallback to dial — the only
-    * honest behaviors outside the envelope are a loud refusal or a
-    * deliberate operator override (SPARK_GRAFT_Q245_BUDGET). Measured
-    * on the synthetic corpus (capped 31³ shingle domain): sf1 ≈ 4.1e7
-    * candidate UB (runs fine), sf10 ≈ 4.3e9 (the recorded 15-minute
-    * GC death, BENCH_NOTES round 13) — 2^28 splits the decades with
-    * ~6× headroom on each side. */
+    * REFUSES fast instead of running for hours. Exactness is the
+    * query's point, so there is no recall-trading fallback to dial —
+    * the only honest behaviors outside the envelope are a loud refusal
+    * or a deliberate operator override (SPARK_GRAFT_Q245_BUDGET).
+    *
+    * Calibration: with the 128-bit bitmap filter pruning candidates
+    * INSIDE the streamed join (see [[prefixJoin]]), enumeration costs
+    * a measured ~1 µs·core per census-UB pair (sf10: 4.3e9 UB → 137 s
+    * wall on local[32]; sf1: 4.1e7 UB → 8.1 s — both on the 8 GiB
+    * bench heap, memory-flat, where the pre-bitmap shape GC-died at
+    * sf10). 2^33 ≈ 8.6e9 admits the measured decades with 2× headroom
+    * and refuses the next one (sf100 ≈ 4e11 UB ≈ 3.5 h wall) — past
+    * that scale the exact join needs a deliberate override, a bigger
+    * cluster, or q18's LSH recall trade. */
   private[graft] def prefixJoinBudget: Long =
-    sys.env.get("SPARK_GRAFT_Q245_BUDGET").map(_.toLong).getOrElse(1L << 28)
+    sys.env.get("SPARK_GRAFT_Q245_BUDGET").map(_.toLong).getOrElse(1L << 33)
 
   /** Pre-barrier prefix-token pipeline (doc_id, nset, rn, ptok) for a
     * barriered shingle frame: df rollup (partial-agg'd) → rarest-first
@@ -1023,13 +1029,19 @@ object DedupQueries {
     * (post-barrier) q245 plan hides. */
   private[graft] def prefixTokensOf(m: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = m.select(col("doc_id"), col("nset"), explode(col("sset")).as("tok"))
+    // pass the per-doc filter bitmaps ([[prefixJoin]]) through the
+    // explode when the caller computed them — they ride the source row,
+    // so carrying them costs 16 bytes/row and no extra join
+    val carry = Seq("bm0", "bm1").filter(m.columns.contains).map(col)
+    val toks = m.select(col("doc_id") +: col("nset") +: carry
+      :+ explode(col("sset")).as("tok"): _*)
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
     toks.join(dfreq, "tok")
       .withColumn("rn", row_number().over(wDoc).cast(LongType))
       .filter(col("rn") <= col("nset") - expr("(3*nset + 4) div 5") + lit(1L))
-      .select(col("doc_id"), col("nset"), col("rn"), col("tok").as("ptok"))
+      .select(col("doc_id") +: col("nset") +: col("rn")
+        +: col("tok").as("ptok") +: carry: _*)
   }
 
   /** q245's gated exact prefix join: census the prefix tokens FIRST
@@ -1040,8 +1052,32 @@ object DedupQueries {
     * Decimal(38,0): hot-token c² exceeds Long at 100 TB. */
   private[graft] def prefixJoin(s: SparkSession, d: String,
       budget: Long = prefixJoinBudget): DataFrame = {
+    // 128-bit token-bucket bitmap per doc (two longs): bucket k of a
+    // doc is set iff some set token hashes to k. Exact-safe pair
+    // filter: every bucket set in a but clear in b holds ≥1 a-token
+    // that b cannot share, so
+    //   inter ≤ na − popcount(bma &~ bmb)   (and symmetrically for b)
+    // — an UPPER bound, so the filter can only drop pairs that
+    // provably miss the Jaccard threshold; completeness (and hence
+    // oracle parity) is untouched. Measured at sf1: 10.53M distinct
+    // candidates → 3.1k survivors (true pairs 2.5k), i.e. it removes
+    // 99.97% of the exact-verify work — the expensive stage, since a
+    // verify row carries two ~100-element shingle arrays where the
+    // bitmaps ride the already-joined prefix rows as 16 bytes. Long
+    // docs saturate the bitmap and degrade gracefully to "verify
+    // everything" (the bound approaches min(na, nb)), never to a
+    // wrong answer.
+    def half(lo: Boolean) = {
+      val rng = if (lo) "< 64" else ">= 64"
+      val off = if (lo) "" else " - 64"
+      expr(s"""aggregate(sset, 0L, (acc, t) ->
+        acc | CASE WHEN pmod(xxhash64(t), 128) $rng
+              THEN shiftleft(1L, cast(pmod(xxhash64(t), 128) as int)$off)
+              ELSE 0L END)""")
+    }
     val m = graft.ops.Barrier(shingleSets(s, d).select(col("doc_id"),
-      col("sset"), size(col("sset")).cast(LongType).as("nset")))
+      col("sset"), size(col("sset")).cast(LongType).as("nset"),
+      half(lo = true).as("bm0"), half(lo = false).as("bm1")))
     // Barrier: the prefix table feeds the census AND both join sides —
     // without it the df rollup + window re-run three times
     val pref = graft.ops.Barrier(prefixTokensOf(m))
@@ -1067,6 +1103,15 @@ object DedupQueries {
     // it prunes the high-df collision rows BEFORE the distinct and
     // the set-verify join, which is where a capped vocabulary
     // (synthetic testdata: ≤31³ shingle types) otherwise explodes.
+    // bitmap bound (see above): cheapest-last conjunct order — length
+    // and positional integer compares prune most rows before the four
+    // bit_counts run; what survives all three is ~the true pair set,
+    // so the distinct and the array-verify joins downstream are tiny.
+    def missed(x: String, y: String) =
+      bit_count(col(s"$x.bm0").bitwiseAND(bitwise_not(col(s"$y.bm0")))) +
+        bit_count(col(s"$x.bm1").bitwiseAND(bitwise_not(col(s"$y.bm1"))))
+    val bmUb = least(col("a.nset") - missed("a", "b"),
+      col("b.nset") - missed("b", "a"))
     val cand = pref.as("a")
       .join(pref.as("b"),
         col("a.ptok") === col("b.ptok") && col("a.doc_id") < col("b.doc_id")
@@ -1074,7 +1119,8 @@ object DedupQueries {
           && col("b.nset") * 5 >= col("a.nset") * 3
           && (lit(1L) + least(col("a.nset") - col("a.rn"),
               col("b.nset") - col("b.rn"))) * 8
-            >= (col("a.nset") + col("b.nset")) * 3)
+            >= (col("a.nset") + col("b.nset")) * 3
+          && bmUb * 8 >= (col("a.nset") + col("b.nset")) * 3)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
     scorePairs(m, cand)

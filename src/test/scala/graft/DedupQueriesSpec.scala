@@ -149,6 +149,39 @@ class DedupQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q245 bitmap filter bound: never below the true intersection (exhaustive sf0.001)") {
+    import graft.queries.DedupQueries
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    // Re-derive every doc's shingle set + the 128-bit bucket bitmaps
+    // exactly as prefixJoin builds them, then check the filter's
+    // inequality  inter ≤ min(na − |bits(a)\bits(b)|, nb − |bits(b)\bits(a)|)
+    // over ALL doc pairs (not just join candidates) — the completeness
+    // proof as an exhaustive check on the small corpus. A single
+    // violation would mean the filter can drop a qualifying pair.
+    val m = DedupQueries.shingleSets(spark, sf).select(col("doc_id"),
+      col("sset"), size(col("sset")).cast(LongType).as("nset"),
+      expr("""aggregate(sset, 0L, (acc, t) ->
+        acc | CASE WHEN pmod(xxhash64(t), 128) < 64
+              THEN shiftleft(1L, cast(pmod(xxhash64(t), 128) as int))
+              ELSE 0L END)""").as("bm0"),
+      expr("""aggregate(sset, 0L, (acc, t) ->
+        acc | CASE WHEN pmod(xxhash64(t), 128) >= 64
+              THEN shiftleft(1L, cast(pmod(xxhash64(t), 128) as int) - 64)
+              ELSE 0L END)""").as("bm1"))
+    def missed(x: String, y: String) =
+      bit_count(col(s"$x.bm0").bitwiseAND(bitwise_not(col(s"$y.bm0")))) +
+        bit_count(col(s"$x.bm1").bitwiseAND(bitwise_not(col(s"$y.bm1"))))
+    val viol = m.as("a").join(m.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(
+        graft.Functions.sorted_intersect_count(col("a.sset"), col("b.sset")).as("inter"),
+        least(col("a.nset") - missed("a", "b"),
+          col("b.nset") - missed("b", "a")).as("ub"))
+      .filter(col("inter") > col("ub"))
+      .count()
+    assert(viol === 0L, s"bitmap bound under-counted on $viol pairs")
+  }
+
   test("q245 feasibility gate: refuses fast past the budget, quiet within it") {
     import graft.queries.DedupQueries
     // undersized budget → loud refusal naming the hot mass, the budget,
