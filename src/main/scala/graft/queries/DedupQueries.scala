@@ -467,7 +467,10 @@ object DedupQueries {
     // integer ppm. Same shuffle posture as q18: signatures and id
     // pairs only, shingle sets re-joined per candidate.
     "q109_containment" -> ((s, d) => {
-      graft.ops.Barrier(minhashScored(s, d))
+      // ubKeep states q109's OWN gate: containment ≥ 0.9 on the
+      // smaller set (inter ≥ ⌈0.9·min(na,nb)⌉) — NOT q18's Jaccard
+      graft.ops.Barrier(minhashScored(s, d,
+        ubKeep = (ub, na, nb) => ub * 10 >= least(na, nb) * 9))
         .withColumn("n_small", least(col("na"), col("nb")))
         .filter(col("inter") * 10 >= col("n_small") * 9)
         .select(col("doc_a"), col("doc_b"), col("inter"), col("n_small"),
@@ -638,7 +641,7 @@ object DedupQueries {
     // shape.
     "q64_incneardup" -> ((s, d) => {
       val scored = graft.ops.Barrier(minhashScored(s, d,
-        (a, b) => a % 10 < 8 && b % 10 >= 8))
+        (a, b) => a % 10 < 8 && b % 10 >= 8, ubKeep = keepJaccard06))
       scored
         .select(col("doc_a").as("hist_doc"), col("doc_b").as("new_doc"),
           col("inter"), (col("na") + col("nb") - col("inter")).as("uni"))
@@ -934,7 +937,7 @@ object DedupQueries {
     * plan audits can see the joins the barrier hides from the final
     * plan. */
   private[graft] def minhashNearDupPairs(s: SparkSession, d: String): DataFrame = {
-    val scored = graft.ops.Barrier(minhashScored(s, d))
+    val scored = graft.ops.Barrier(minhashScored(s, d, ubKeep = keepJaccard06))
     scored
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("na") + col("nb") - col("inter")).as("uni"))
@@ -956,22 +959,60 @@ object DedupQueries {
     * no explode/shuffle/group-by/join-back; cross-validated against
     * the streaming minhash_agg aggregate in MinHashAggSpec.
     * sset arrives sorted from word_shingles3 — no re-sort needed. */
+  /** q245's 128-bit token-bucket bitmap halves — an exact-safe
+    * intersection UPPER bound usable as an in-join candidate prune:
+    *   inter ≤ min(na − popcount(bma &~ bmb), nb − popcount(bmb &~ bma))
+    * (every bucket set in a but clear in b holds ≥1 a-token b cannot
+    * share). Shared by [[prefixJoin]] and [[minhashScored]]. */
+  private def bitmapHalf(lo: Boolean): Column = {
+    val rng = if (lo) "< 64" else ">= 64"
+    val off = if (lo) "" else " - 64"
+    expr(s"""aggregate(sset, 0L, (acc, t) ->
+      acc | CASE WHEN pmod(xxhash64(t), 128) $rng
+            THEN shiftleft(1L, cast(pmod(xxhash64(t), 128) as int)$off)
+            ELSE 0L END)""")
+  }
+
+  /** The bitmap intersection bound over two aliased join sides (each
+    * carrying nset, bm0, bm1). */
+  private def bitmapUb(a: String, b: String): Column = {
+    def missed(x: String, y: String) =
+      bit_count(col(s"$x.bm0").bitwiseAND(bitwise_not(col(s"$y.bm0")))) +
+        bit_count(col(s"$x.bm1").bitwiseAND(bitwise_not(col(s"$y.bm1"))))
+    least(col(s"$a.nset") - missed(a, b), col(s"$b.nset") - missed(b, a))
+  }
+
   private[graft] def minhashScored(
       s: SparkSession, d: String,
-      pairPred: (Column, Column) => Column = _ < _): DataFrame = {
+      pairPred: (Column, Column) => Column = _ < _,
+      // per-CONSUMER candidate prune: given the exact-safe bitmap
+      // upper bound on inter and the two set sizes, keep the pair iff
+      // the consumer's own downstream threshold could still pass. Each
+      // caller states its gate explicitly because the kernel cannot
+      // know it (q18/q64 prune at Jaccard ≥ 0.6; q109 at containment
+      // ≥ 0.9 — a 0.6-Jaccard prune here would eat q109's pairs).
+      // Default keeps everything (the audit-faithful raw LSH surface).
+      ubKeep: (Column, Column, Column) => Column = (_, _, _) => lit(true)): DataFrame = {
     val m = graft.ops.Barrier(shingleSets(s, d).select(col("doc_id"),
       col("sset"),
       size(col("sset")).cast(LongType).as("nset"),
-      graft.Functions.minhash_array(col("sset")).as("mh")))
+      graft.Functions.minhash_array(col("sset")).as("mh"),
+      bitmapHalf(lo = true).as("bm0"), bitmapHalf(lo = false).as("bm1")))
     val bands = bandSignatures(m)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.j") === col("b.j") && col("a.sig") === col("b.sig")
-          && pairPred(col("a.doc_id"), col("b.doc_id")))
+          && pairPred(col("a.doc_id"), col("b.doc_id"))
+          && ubKeep(bitmapUb("a", "b"), col("a.nset"), col("b.nset")))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
     scorePairs(m, cand)
   }
+
+  /** The Jaccard-≥-0.6 form of [[minhashScored]]'s candidate prune:
+    * inter ≥ ⌈3(na+nb)/8⌉ ⟺ J ≥ 0.6. */
+  private[graft] val keepJaccard06: (Column, Column, Column) => Column =
+    (ub, na, nb) => ub * 8 >= (na + nb) * 3
 
   /** 6×2 band signatures of a barrier'd minhash frame: one row per
     * (doc, band), keyed by the band's two mixed rows folded into one
@@ -979,12 +1020,18 @@ object DedupQueries {
     * and the q208 per-band precision audit, so the banding definition
     * (band count, row grouping, P-mixing) can never drift between the
     * pipeline and the audit that tunes it. */
-  private def bandSignatures(m: DataFrame): DataFrame =
-    m.select(col("doc_id"),
-      expr(s"""explode(transform(sequence(0, 5), j ->
+  private def bandSignatures(m: DataFrame): DataFrame = {
+    // carry the candidate-prune columns ([[minhashScored]]'s ubKeep)
+    // through the band explode when the caller computed them — 24
+    // bytes per band row, no extra join; audit callers (q208) band a
+    // bare frame and stay byte-identical
+    val carry = Seq("nset", "bm0", "bm1").filter(m.columns.contains).map(col)
+    m.select(col("doc_id") +: carry
+        :+ expr(s"""explode(transform(sequence(0, 5), j ->
                  struct(j as j, element_at(mh, 2*j+1) * ${P}L + element_at(mh, 2*j+2) as sig)))""")
-        .as("b"))
-      .select(col("doc_id"), col("b.j").as("j"), col("b.sig").as("sig"))
+          .as("b"): _*)
+      .select(col("doc_id") +: col("b.j").as("j") +: col("b.sig").as("sig") +: carry: _*)
+  }
 
   /** Exact-confirm tail shared by the self-join and history-probe
     * paths: join candidate (da, db) pairs back to the shingle sets
@@ -1052,32 +1099,20 @@ object DedupQueries {
     * Decimal(38,0): hot-token c² exceeds Long at 100 TB. */
   private[graft] def prefixJoin(s: SparkSession, d: String,
       budget: Long = prefixJoinBudget): DataFrame = {
-    // 128-bit token-bucket bitmap per doc (two longs): bucket k of a
-    // doc is set iff some set token hashes to k. Exact-safe pair
-    // filter: every bucket set in a but clear in b holds ≥1 a-token
-    // that b cannot share, so
-    //   inter ≤ na − popcount(bma &~ bmb)   (and symmetrically for b)
-    // — an UPPER bound, so the filter can only drop pairs that
-    // provably miss the Jaccard threshold; completeness (and hence
-    // oracle parity) is untouched. Measured at sf1: 10.53M distinct
-    // candidates → 3.1k survivors (true pairs 2.5k), i.e. it removes
-    // 99.97% of the exact-verify work — the expensive stage, since a
-    // verify row carries two ~100-element shingle arrays where the
-    // bitmaps ride the already-joined prefix rows as 16 bytes. Long
+    // 128-bit token-bucket bitmaps ([[bitmapHalf]]): the exact-safe
+    // intersection upper bound prunes candidates INSIDE the streamed
+    // join, so completeness (and hence oracle parity) is untouched
+    // while false candidates die before the distinct and before any
+    // shingle array is shuffled. Measured at sf1: 10.53M distinct
+    // candidates → 3.1k survivors (true pairs 2.5k) — 99.97% of the
+    // exact-verify work removed (151.9 s → 8.1 s); sf10's exact
+    // enumeration went from GC death to 137 s on the same heap. Long
     // docs saturate the bitmap and degrade gracefully to "verify
     // everything" (the bound approaches min(na, nb)), never to a
     // wrong answer.
-    def half(lo: Boolean) = {
-      val rng = if (lo) "< 64" else ">= 64"
-      val off = if (lo) "" else " - 64"
-      expr(s"""aggregate(sset, 0L, (acc, t) ->
-        acc | CASE WHEN pmod(xxhash64(t), 128) $rng
-              THEN shiftleft(1L, cast(pmod(xxhash64(t), 128) as int)$off)
-              ELSE 0L END)""")
-    }
     val m = graft.ops.Barrier(shingleSets(s, d).select(col("doc_id"),
       col("sset"), size(col("sset")).cast(LongType).as("nset"),
-      half(lo = true).as("bm0"), half(lo = false).as("bm1")))
+      bitmapHalf(lo = true).as("bm0"), bitmapHalf(lo = false).as("bm1")))
     // Barrier: the prefix table feeds the census AND both join sides —
     // without it the df rollup + window re-run three times
     val pref = graft.ops.Barrier(prefixTokensOf(m))
@@ -1103,15 +1138,12 @@ object DedupQueries {
     // it prunes the high-df collision rows BEFORE the distinct and
     // the set-verify join, which is where a capped vocabulary
     // (synthetic testdata: ≤31³ shingle types) otherwise explodes.
-    // bitmap bound (see above): cheapest-last conjunct order — length
-    // and positional integer compares prune most rows before the four
-    // bit_counts run; what survives all three is ~the true pair set,
-    // so the distinct and the array-verify joins downstream are tiny.
-    def missed(x: String, y: String) =
-      bit_count(col(s"$x.bm0").bitwiseAND(bitwise_not(col(s"$y.bm0")))) +
-        bit_count(col(s"$x.bm1").bitwiseAND(bitwise_not(col(s"$y.bm1"))))
-    val bmUb = least(col("a.nset") - missed("a", "b"),
-      col("b.nset") - missed("b", "a"))
+    // bitmap bound ([[bitmapUb]]): cheapest-last conjunct order —
+    // length and positional integer compares prune most rows before
+    // the four bit_counts run; what survives all three is ~the true
+    // pair set, so the distinct and the array-verify joins downstream
+    // are tiny.
+    val bmUb = bitmapUb("a", "b")
     val cand = pref.as("a")
       .join(pref.as("b"),
         col("a.ptok") === col("b.ptok") && col("a.doc_id") < col("b.doc_id")
