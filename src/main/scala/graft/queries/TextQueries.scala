@@ -1023,11 +1023,14 @@ object TextQueries {
     // duplicated, and each doc reports its duplicated-token fraction
     // (the decision input for substring-removal or doc-drop
     // policies; q89 scrubs short high-df boilerplate, this audits
-    // LONG verbatim reuse at df≥2). Scale shape: spans hash to
-    // 32-hex md5 BEFORE any exchange, so the census and the
-    // coverage join shuffle 16-byte keys, never 20-word text; the
-    // position collapse is doc-keyed; the span stream is Barrier-
-    // materialized once for both consumers.
+    // LONG verbatim reuse at df≥2). Scale shape: spans hash to a
+    // 60-bit truncated-md5 BIGINT BEFORE any exchange (the shingle
+    // convention — reproducible in the oracle as
+    // CAST('0x'||substr(md5(s),1,15) AS BIGINT)), so the Barrier
+    // checkpoint, the census, and the coverage join move 8-byte keys,
+    // never 20-word text nor 32-hex strings (measured 3× lighter at
+    // sf1); the position collapse is doc-keyed; the span stream is
+    // Barrier-materialized once for both consumers.
     "q112_spandup" -> ((s, d) => {
       val K = 20
       val spans = graft.ops.Barrier(withWords(s, d)
@@ -1035,7 +1038,7 @@ object TextQueries {
         .filter(size(col("words")) >= K)
         .select(col("doc_id"), explode(expr(
           s"""transform(sequence(0, size(words) - $K), i -> struct(i AS i,
-              md5(cast(concat_ws(' ', slice(words, i + 1, $K)) as binary)) AS h))"""))
+              cast(conv(substring(md5(cast(concat_ws(' ', slice(words, i + 1, $K)) as binary)), 1, 15), 16, 10) as bigint) AS h))"""))
           .as("x"))
         .select(col("doc_id"), col("x.i").as("i"), col("x.h").as("h")))
       val dup = spans.select("doc_id", "h").distinct()
@@ -3510,7 +3513,7 @@ object TextQueries {
           e AS (SELECT doc_id, unnest(range(0, len(words) - 19)) i, words
                 FROM w WHERE len(words) >= 20),
           sp AS (SELECT doc_id, i,
-                   md5(array_to_string(words[i+1:i+20], ' ')) h
+                   CAST(concat('0x', substr(md5(array_to_string(words[i+1:i+20], ' ')), 1, 15)) AS BIGINT) h
                  FROM e),
           dd AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM sp)
                  GROUP BY h HAVING count(*) >= 2),
