@@ -894,6 +894,14 @@ object DedupQueries {
     * warning, so the planned join was not the one the code asked for
     * (BENCH_r04 tail; PlanAuditSpec now pins it). */
   private[graft] def ngramScored(docs: DataFrame, maxBlock: Long): DataFrame = {
+    // NO bitmap prune here, by measurement: char-4-gram sets (~280
+    // grams) saturate the 128-bit map (W=2 pruned 0%), and the W=8
+    // variant measured q21 sf1 7.7 → 10.7 s — the 8 per-doc HOF
+    // bitmap builds cost ~3 s while the capped synthetic gram domain
+    // leaves random pairs sharing too many grams for the bound to
+    // separate near the J ≥ 0.5 gate. The bound family pays off on
+    // SPARSE-overlap token spaces (q245/q18 word shingles); gram
+    // blocks keep the plain guarded all-pairs + merge walk.
     val g2 = graft.ops.Barrier(gramSets(docs))
     val (small0, big) = splitByBlockSize(g2, maxBlock)
     val small = small0.hint("merge")
@@ -964,22 +972,33 @@ object DedupQueries {
     *   inter ≤ min(na − popcount(bma &~ bmb), nb − popcount(bmb &~ bma))
     * (every bucket set in a but clear in b holds ≥1 a-token b cannot
     * share). Shared by [[prefixJoin]] and [[minhashScored]]. */
-  private def bitmapHalf(lo: Boolean): Column = {
-    val rng = if (lo) "< 64" else ">= 64"
-    val off = if (lo) "" else " - 64"
-    expr(s"""aggregate(sset, 0L, (acc, t) ->
-      acc | CASE WHEN pmod(xxhash64(t), 128) $rng
-            THEN shiftleft(1L, cast(pmod(xxhash64(t), 128) as int)$off)
-            ELSE 0L END)""")
-  }
+  /** The 64·`words`-bit bucket bitmap as `words` separate long
+    * columns bm0..bm{words−1} — separate COLUMNS, not an array,
+    * so the pair-filter below stays plain codegen'd bitwise ops in
+    * the join's hot loop (an array + zip_with HOF is interpreted per
+    * PAIR — the repo's measured 6-12× pair-path penalty). Width is
+    * sized to the set cardinality: a bitmap saturates (every bit set
+    * → bound degrades to min(na, nb), prunes nothing) once sets
+    * approach the bucket count — 128 bits fit ~100-token word-shingle
+    * sets; ~280-gram char-4-gram sets need 512 (measured: W=2 pruned
+    * 0% on q21's gram sets while cutting q245's shingle candidates
+    * 3000×). */
+  private def bitmapCols(setCol: String, words: Int): Seq[Column] =
+    (0 until words).map { w =>
+      expr(s"""aggregate($setCol, 0L, (acc, t) ->
+        acc | CASE WHEN pmod(xxhash64(t), ${64 * words}) div 64 = $w
+              THEN shiftleft(1L, cast(pmod(xxhash64(t), 64) as int))
+              ELSE 0L END)""").as(s"bm$w")
+    }
 
   /** The bitmap intersection bound over two aliased join sides (each
-    * carrying nset, bm0, bm1). */
-  private def bitmapUb(a: String, b: String): Column = {
-    def missed(x: String, y: String) =
-      bit_count(col(s"$x.bm0").bitwiseAND(bitwise_not(col(s"$y.bm0")))) +
-        bit_count(col(s"$x.bm1").bitwiseAND(bitwise_not(col(s"$y.bm1"))))
-    least(col(s"$a.nset") - missed(a, b), col(s"$b.nset") - missed(b, a))
+    * carrying `sizeCol` and bm0..bm{words−1}). */
+  private def bitmapUb(a: String, b: String, sizeCol: String = "nset",
+      words: Int = 2): Column = {
+    def missed(x: String, y: String) = (0 until words).map { w =>
+      bit_count(col(s"$x.bm$w").bitwiseAND(bitwise_not(col(s"$y.bm$w"))))
+    }.reduce(_ + _)
+    least(col(s"$a.$sizeCol") - missed(a, b), col(s"$b.$sizeCol") - missed(b, a))
   }
 
   private[graft] def minhashScored(
@@ -993,11 +1012,11 @@ object DedupQueries {
       // ≥ 0.9 — a 0.6-Jaccard prune here would eat q109's pairs).
       // Default keeps everything (the audit-faithful raw LSH surface).
       ubKeep: (Column, Column, Column) => Column = (_, _, _) => lit(true)): DataFrame = {
-    val m = graft.ops.Barrier(shingleSets(s, d).select(col("doc_id"),
+    val m = graft.ops.Barrier(shingleSets(s, d).select(Seq(col("doc_id"),
       col("sset"),
       size(col("sset")).cast(LongType).as("nset"),
-      graft.Functions.minhash_array(col("sset")).as("mh"),
-      bitmapHalf(lo = true).as("bm0"), bitmapHalf(lo = false).as("bm1")))
+      graft.Functions.minhash_array(col("sset")).as("mh"))
+      ++ bitmapCols("sset", 2): _*))
     val bands = bandSignatures(m)
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -1110,9 +1129,9 @@ object DedupQueries {
     // docs saturate the bitmap and degrade gracefully to "verify
     // everything" (the bound approaches min(na, nb)), never to a
     // wrong answer.
-    val m = graft.ops.Barrier(shingleSets(s, d).select(col("doc_id"),
-      col("sset"), size(col("sset")).cast(LongType).as("nset"),
-      bitmapHalf(lo = true).as("bm0"), bitmapHalf(lo = false).as("bm1")))
+    val m = graft.ops.Barrier(shingleSets(s, d).select(Seq(col("doc_id"),
+      col("sset"), size(col("sset")).cast(LongType).as("nset"))
+      ++ bitmapCols("sset", 2): _*))
     // Barrier: the prefix table feeds the census AND both join sides —
     // without it the df rollup + window re-run three times
     val pref = graft.ops.Barrier(prefixTokensOf(m))
