@@ -178,6 +178,40 @@ object DedupQueries {
         .orderBy("same_lang", "same_source")
     }),
 
+    // Deletion propagation ("right to be forgotten" / takedown
+    // compliance) — what a retention request does to the LANDED dedup
+    // artifacts, not just the corpus: tombstoned documents (a
+    // deterministic ~2% md5 gate standing in for the legal list) are
+    // removed from their clusters, and every touched cluster re-elects
+    // its canonical under the same min-id convention q51/q108 pin —
+    // new_keep = min surviving member, NULL when the whole cluster is
+    // wiped. This is the table a 100 TB pipeline needs BEFORE it
+    // rewrites anything: which label rows change, which canonicals
+    // move (retrain/re-embed triggers), which clusters vanish.
+    // Scale shape: the tombstone list is tiny next to the corpus, so
+    // affected cluster ids (≤ tombstones) BROADCAST back against the
+    // bucketed label table — the full-corpus scan is map-only against
+    // the broadcast set and only affected-cluster rows (≈ tombstones ×
+    // mean cluster size) reach the re-election aggregate; untouched
+    // clusters are never shuffled. q263_repack_plan is the same
+    // tombstone set's blast radius on the packing artifact.
+    "q262_forget" -> ((s, d) => {
+      val del = expr(
+        "pmod(cast(conv(substring(md5(concat('tomb:', cast(doc_id as string))), " +
+          "1, 15), 16, 10) as bigint), 50) = 0")
+      val lab = DedupArtifacts.labels(s, d)
+        .select(col("doc_id"), col("cluster_id"), del.as("del"))
+      val touched = lab.filter(col("del")).select("cluster_id").distinct()
+      lab.join(broadcast(touched), Seq("cluster_id"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_before"),
+          sum(col("del").cast(LongType)).as("n_del"),
+          min(when(!col("del"), col("doc_id"))).as("new_keep"))
+        .select(col("cluster_id"), col("n_before"), col("n_del"),
+          (col("n_before") - col("n_del")).as("n_after"), col("new_keep"))
+        .orderBy("cluster_id")
+    }),
+
     // Prefix-filter exact set-similarity self-join (AllPairs/PPJoin
     // prefix principle) — the DETERMINISTIC-recall alternative to
     // q18's MinHash-LSH on the same shingle sets and threshold
@@ -2035,6 +2069,59 @@ object DedupQueries {
          SELECT same_lang, same_source, n_pairs,
                 CAST((n_pairs * 1000000) // t AS BIGINT) share_ppm
          FROM cells, tot ORDER BY same_lang, same_source""",
+    // q51's full-corpus labels (singletons self-labeled), a 'tomb:'
+    // md5 gate (~2%) as the deletion list, then per touched cluster:
+    // size before/after and the re-elected min surviving canonical
+    // (NULL when wiped).
+    "q262_forget" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2],' ')) shingles
+           FROM w WHERE len(words) >= 3),
+         ss AS (
+           SELECT doc_id, list_distinct(shingles) sset FROM sh),
+         hsv AS (
+           SELECT doc_id, sset, len(sset) nset,
+                  list_transform(sset, x -> CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) % 2147483647) hs
+           FROM ss),
+         m AS (
+           SELECT doc_id, sset, nset,
+             [list_aggregate(list_transform(hs, hm ->
+                ((CAST(1103515245 AS BIGINT) * (k+1) + 12345) % 2147483647 * hm + 977 * (k+1)) % 2147483647), 'min')
+              for k in range(0,12)] mh
+           FROM hsv),
+         bands AS (
+           SELECT doc_id, j, mh[2*j+1] * 2147483647 + mh[2*j+2] sig
+           FROM m, unnest(range(0,6)) t(j)),
+         cand AS (
+           SELECT DISTINCT a.doc_id da, b.doc_id db
+           FROM bands a JOIN bands b ON a.j=b.j AND a.sig=b.sig AND a.doc_id < b.doc_id),
+         pairs AS (
+           SELECT da, db
+           FROM cand JOIN hsv x ON da=x.doc_id JOIN hsv y ON db=y.doc_id
+           WHERE 5*len(list_intersect(x.sset, y.sset)) >= 3*(x.nset + y.nset - len(list_intersect(x.sset, y.sset)))),
+         edges AS (
+           SELECT da AS s, db AS t FROM pairs UNION SELECT db, da FROM pairs),
+         reach(node, r) AS (
+           SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+           UNION
+           SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.node),
+         labels AS (
+           SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+         lab AS (
+           SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+                  (CAST(concat('0x', substr(md5('tomb:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 50 = 0) AS del
+           FROM documents d LEFT JOIN labels l ON d.doc_id = l.node),
+         tc AS (SELECT DISTINCT cluster_id FROM lab WHERE del)
+         SELECT g.cluster_id,
+                CAST(count(*) AS BIGINT) AS n_before,
+                CAST(sum(CASE WHEN g.del THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
+                CAST(count(*) - sum(CASE WHEN g.del THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+                min(CASE WHEN NOT g.del THEN g.doc_id END) AS new_keep
+         FROM lab g JOIN tc ON g.cluster_id = tc.cluster_id
+         GROUP BY 1 ORDER BY 1""",
     "q245_prefix_join" ->
       """WITH w AS (
            SELECT doc_id, string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') words

@@ -233,6 +233,36 @@ object TextQueries {
     // lang, deterministic under any partitioning.
     "q80_packing_sharded" -> ((s, d) => packBins(Tables.documents(s, d), 4096L, 8)),
 
+    // Deletion blast radius on the PACKED artifact — q262's tombstone
+    // set (same 'tomb:' md5 gate, ~2%) intersected with q80's sharded
+    // pack assignment: every pack that holds ≥1 tombstoned document
+    // must be re-assembled (a packed sequence is a concatenation — you
+    // can't hole-punch it), so the repack plan lists, per touched
+    // pack, the docs/chars deleted and the survivor mass that gets
+    // re-packed. With a ~2% deletion rate and ~3-doc packs the plan
+    // touches ~6% of packs — the table that turns "delete these docs"
+    // into a bounded rewrite instead of a full re-pack. Scale shape:
+    // the pack manifest at 100 TB is a LANDED artifact (q80 defines
+    // it; here it's recomputed inline because oracle queries are
+    // self-contained), and the aggregate ships only (lang, pack_id,
+    // 4 longs) per pack with map-side partial agg — document text
+    // never moves; the HAVING-style n_del filter prunes untouched
+    // packs before the presentation sort.
+    "q263_repack_plan" -> ((s, d) => {
+      val del = expr(
+        "pmod(cast(conv(substring(md5(concat('tomb:', cast(doc_id as string))), " +
+          "1, 15), 16, 10) as bigint), 50) = 0")
+      packBins(Tables.documents(s, d), 4096L, 8)
+        .withColumn("del", del)
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("del").cast(LongType)).as("n_del"),
+          sum(when(col("del"), col("n_chars")).otherwise(lit(0L))).as("chars_del"),
+          sum(when(!col("del"), col("n_chars")).otherwise(lit(0L))).as("chars_left"))
+        .filter(col("n_del") >= 1)
+        .orderBy("lang", "pack_id")
+    }),
+
     // Pack ASSEMBLY — the step after q79/q80: turn pack assignments
     // into the actual concatenated training sequences (newline-joined,
     // in packing order). The only data movement is each document
@@ -2902,6 +2932,31 @@ object TextQueries {
                   // 4096 * 8 + shard AS pack_id
          FROM s
          ORDER BY lang, pack_id, doc_id""",
+    // q80's sharded pack assignment joined with the q262 'tomb:' gate:
+    // per pack holding >= 1 tombstoned doc, the deleted/surviving
+    // doc and char mass.
+    "q263_repack_plan" ->
+      """WITH s AS (
+           SELECT doc_id, lang, n_chars,
+                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard
+           FROM documents),
+         p AS (
+           SELECT doc_id, lang, n_chars,
+                  (greatest(CAST(sum(n_chars) OVER (PARTITION BY lang, shard
+                     ORDER BY n_chars DESC, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT), 1) - 1)
+                    // 4096 * 8 + shard AS pack_id,
+                  (CAST(concat('0x', substr(md5('tomb:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 50 = 0) AS del
+           FROM s)
+         SELECT lang, pack_id,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
+                CAST(sum(CASE WHEN del THEN n_chars ELSE 0 END) AS BIGINT) AS chars_del,
+                CAST(sum(CASE WHEN NOT del THEN n_chars ELSE 0 END) AS BIGINT) AS chars_left
+         FROM p
+         GROUP BY 1, 2
+         HAVING sum(CASE WHEN del THEN 1 ELSE 0 END) >= 1
+         ORDER BY 1, 2""",
     "q85_bpe_pairs" ->
       s"""WITH n AS (SELECT doc_id, $normDuck t FROM documents),
           w AS (SELECT doc_id, string_split(t, ' ') words FROM n),
