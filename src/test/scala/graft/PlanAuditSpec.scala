@@ -952,7 +952,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q175_degree_dist", "q204_dup_weights", "q215_split_leakage",
       "q218_quality_vs_dup", "q219_cluster_size_hist", "q220_jaccard_hist",
       "q238_chain_audit", "q244_dup_provenance", "q246_quality_auc",
-      "q257_blocking_eval")
+      "q257_blocking_eval", "q262_forget")
     tableVisible.foreach { q =>
       val p = plan(q)
       assert(p.contains("graft_neardup_pairs") || p.contains("graft_cluster_labels"),
@@ -965,6 +965,30 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!p.contains("minhash_array") && !p.contains("sorted_intersect"),
         s"$q re-runs the pair kernel instead of probing the artifact:\n$p")
     }
+  }
+
+  test("q262 forget: touched clusters broadcast back — the label scan never sort-merges") {
+    // the deletion list (and so the touched-cluster id set) is tiny
+    // next to the corpus: the re-election join must be a broadcast
+    // hash join against the bucketed label scan, not a corpus-wide
+    // sort-merge on cluster_id
+    val p = plan("q262_forget")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q262 lost the broadcast join on touched cluster ids:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q262 sort-merges the corpus against a tombstone-sized set:\n$p")
+  }
+
+  test("q263 repack plan: sharded packing window + map-side-combined rollup") {
+    val p = plan("q263_repack_plan")
+    // q80's de-skew contract carries over: the prefix-sum window keys
+    // on (lang, shard), never lang alone (half the corpus in 1 task)
+    assert("windowspecdefinition\\(lang[^,]*, shard".r.findFirstIn(p).isDefined,
+      s"q263 packing window lost the (lang, shard) key:\n$p")
+    // the pack census partial-aggregates map-side — the exchange
+    // ships (lang, pack_id, counters), not documents
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"q263 rollup lost map-side partial aggregation:\n$p")
   }
 
   test("q114 calibrated quality: both lang windows share one exchange") {
