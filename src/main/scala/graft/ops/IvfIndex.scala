@@ -39,8 +39,83 @@ object IvfIndex {
   /** Probe scan: only the `probes` partitions are listed and read.
     * (The filter binds to the raw partition column BEFORE the cast so
     * it stays a PartitionFilter; directory-name inference types the
-    * partition column INT, cast back to the model's LONG cids.) */
-  def probe(spark: SparkSession, path: String, probes: Seq[Long]): DataFrame =
-    spark.read.parquet(path).filter(col("cid").isin(probes: _*))
+    * partition column INT, cast back to the model's LONG cids.)
+    * Pending deletions ([[delete]]) are masked merge-on-read: the
+    * tombstone side-table broadcasts into a left-anti join, so a
+    * delete is visible immediately without touching index files. */
+  def probe(spark: SparkSession, path: String, probes: Seq[Long]): DataFrame = {
+    val base = spark.read.parquet(path).filter(col("cid").isin(probes: _*))
       .withColumn("cid", col("cid").cast(org.apache.spark.sql.types.LongType))
+    tombstones(spark, path) match {
+      case Some(t) => base.join(broadcast(t), Seq("vec_id"), "left_anti")
+      case None => base
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Deletion lifecycle (right-to-be-forgotten on the landed index):
+  // merge-on-read tombstones + partition-pruned copy-on-write compaction.
+  // A 100 TB index cannot rewrite itself per deletion request; it also
+  // cannot serve deleted vectors while waiting for a rewrite. So:
+  // delete() lands ids in an underscore-prefixed side-table (invisible
+  // to the index's own partition discovery — Spark's file listing
+  // skips `_`-prefixed paths) and probes mask them immediately;
+  // compact() then rewrites ONLY the cid partitions that actually hold
+  // tombstoned vectors (located by a column-pruned (vec_id, cid) scan
+  // — 16 bytes/row, no text/vector bytes read) and clears the side
+  // table. Untouched partitions keep their files byte-for-byte.
+  // -------------------------------------------------------------------
+
+  private def tombDir(path: String): String = s"$path/_tombstones"
+
+  private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The pending-deletion set, if any deletes landed since the last
+    * [[compact]]. */
+  def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(tombDir(path))
+    if (fs(spark, p).exists(p)) Some(spark.read.parquet(tombDir(path)))
+    else None
+  }
+
+  /** Register deletions. Append-only and tiny (one long per deleted
+    * vector); batches accumulate until [[compact]]. */
+  def delete(spark: SparkSession, path: String, vecIds: Seq[Long]): Unit = {
+    import spark.implicits._
+    vecIds.toDF("vec_id").repartition(1)
+      .write.mode("append").parquet(tombDir(path))
+  }
+
+  /** Copy-on-write compaction, partition-pruned: rewrite only the cid
+    * partitions holding tombstoned vectors (dynamic partition
+    * overwrite), drop partitions left empty, clear the tombstone set.
+    * No-op when nothing is pending. */
+  def compact(spark: SparkSession, path: String): Unit =
+    tombstones(spark, path).foreach { t =>
+      val tombs = broadcast(t)
+      // locate: column-pruned scan, ships (vec_id, cid) only
+      val touched = spark.read.parquet(path).select("vec_id", "cid")
+        .join(tombs, "vec_id").select("cid").distinct()
+        .collect().map(_.getAs[Number]("cid").longValue).toSeq
+      if (touched.nonEmpty) {
+        val survivors = spark.read.parquet(path)
+          .filter(col("cid").isin(touched: _*)) // PartitionFilters prune the read
+          .join(tombs, Seq("vec_id"), "left_anti")
+        val survivorCids = survivors.select("cid").distinct()
+          .collect().map(_.getAs[Number]("cid").longValue).toSet
+        survivors
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic") // touched dirs only
+          .partitionBy("cid").parquet(path)
+        // dynamic overwrite never visits a partition with zero
+        // surviving rows — drop fully-wiped directories explicitly
+        (touched.toSet -- survivorCids).foreach { cid =>
+          val dir = new org.apache.hadoop.fs.Path(s"$path/cid=$cid")
+          fs(spark, dir).delete(dir, true)
+        }
+      }
+      val td = new org.apache.hadoop.fs.Path(tombDir(path))
+      fs(spark, td).delete(td, true)
+    }
 }

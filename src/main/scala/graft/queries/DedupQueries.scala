@@ -1256,6 +1256,38 @@ object DedupQueries {
     Bucketing.writeBucketed(bandKeys(s, d, col("doc_id") % 10 < 8),
       table, "bkey", buckets)
 
+  private def tombTable(table: String): String = s"${table}_tombs"
+
+  /** Deletion lifecycle for the persisted band history — the
+    * right-to-be-forgotten path on the incremental-dedup artifact.
+    * A doc's band rows scatter across ALL bkey buckets, so per-request
+    * rewrite is a full-table pass — wrong at 100 TB. Instead:
+    * tombstones land in a tiny side table, every probe masks them
+    * merge-on-read ([[nearDupsAgainstHistoryOf]]'s broadcast
+    * anti-join), and [[compactNearDupHistory]] folds them in on a
+    * schedule. Mirrors [[graft.ops.IvfIndex.delete]] — the
+    * partitioned-index sibling where compaction CAN partition-prune. */
+  def tombNearDupHistory(s: SparkSession, table: String, tombs: DataFrame): Unit =
+    tombs.select(col("doc_id").cast(LongType)).repartition(1)
+      .write.mode("append").format("parquet").saveAsTable(tombTable(table))
+
+  /** Fold pending tombstones into the history: rewrite the bucketed
+    * table minus tombstoned docs (Barrier materializes survivors
+    * before the in-place drop), then drop the side table. A full
+    * rewrite by design — band rows hash by bkey, not doc — which is
+    * exactly why the merge-on-read mask above carries the latency and
+    * compaction runs on a schedule, amortized over many deletions. */
+  def compactNearDupHistory(s: SparkSession, table: String,
+      buckets: Int = 8): Unit =
+    if (s.catalog.tableExists(tombTable(table))) {
+      val survivors = graft.ops.Barrier(
+        s.table(table).join(broadcast(s.table(tombTable(table))),
+          Seq("doc_id"), "left_anti"))
+      s.sql(s"DROP TABLE $table")
+      Bucketing.writeBucketed(survivors, table, "bkey", buckets)
+      s.sql(s"DROP TABLE ${tombTable(table)}")
+    }
+
   /** Probe a new batch (doc_id % 10 >= 8, q64's split) against the
     * persisted history band table: bucket-local candidate join →
     * distinct pairs → exact confirm — same semantics and output as
@@ -1279,7 +1311,16 @@ object DedupQueries {
     * history size. */
   def nearDupsAgainstHistoryOf(s: SparkSession, newDocs: DataFrame,
       d: String, table: String): DataFrame = {
-    val hist = s.table(table)
+    // merge-on-read deletion mask ([[tombNearDupHistory]]): pending
+    // tombstones broadcast into a left-anti join on the history side —
+    // a BroadcastHashJoin adds no Exchange, so the bucketed-history
+    // no-shuffle contract (DedupHistorySpec) is untouched, and a
+    // deleted document stops matching the moment its tombstone lands.
+    val hist0 = s.table(table)
+    val hist =
+      if (s.catalog.tableExists(tombTable(table)))
+        hist0.join(broadcast(s.table(tombTable(table))), Seq("doc_id"), "left_anti")
+      else hist0
     val batchSets = graft.ops.Barrier(shingleSetsOf(newDocs)
       .select(col("doc_id"), col("sset"),
         size(col("sset")).cast(LongType).as("nset")))
