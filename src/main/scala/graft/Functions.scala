@@ -214,6 +214,14 @@ object Functions {
     Shims.column(graft.functions.HistAgg(Shims.expression(v), lo, hi, nbins)
       .toAggregateExpression())
 
+  /** gram3_agg(t): exact char-trigram counts over the normalized
+    * [a-z0-9 ] alphabet as ARRAY<BIGINT>(37³) — one byte walk per row,
+    * array-indexed bumps, element-wise-add merge (see
+    * [[graft.functions.Gram3Agg]]). */
+  def gram3_agg(t: Column): Column =
+    Shims.column(graft.functions.Gram3Agg(Shims.expression(t))
+      .toAggregateExpression())
+
   /** hll_agg(h, b): HyperLogLog registers over the 60-bit md5-prefix
     * hash domain, 2^b-byte mergeable state; returns the exact-integer
     * register sum S (see [[graft.functions.HllAgg]] — the estimate is
@@ -367,7 +375,9 @@ object Functions {
       graft.functions.HistAgg(exprs(0),
         longLit("hist_agg", "lo")(exprs(1)),
         longLit("hist_agg", "hi")(exprs(2)),
-        intLit("hist_agg", "nbins")(exprs(3))).toAggregateExpression())
+        intLit("hist_agg", "nbins")(exprs(3))).toAggregateExpression()),
+    "gram3_agg" -> (exprs =>
+      graft.functions.Gram3Agg(exprs(0)).toAggregateExpression())
   )
 
   def register(spark: SparkSession): Unit = {
