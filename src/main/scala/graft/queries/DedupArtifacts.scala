@@ -133,4 +133,58 @@ object DedupArtifacts {
   def labels(s: SparkSession, d: String): DataFrame = {
     ensure(s, d); s.table(labelsTable(d))
   }
+
+  /** Apply a deletion list to BOTH landed artifacts, with bounded
+    * recompute — the write-side of q262's change-table, exact where
+    * the report form cannot be: removing a document can SPLIT its
+    * cluster (connected components merged A–B–C through B; delete the
+    * bridge B and A, C must part ways), so canonical re-election
+    * alone (q262's min-surviving rule) is not rebuild-equivalent.
+    *
+    * Deletion cannot perturb a cluster that holds no tombstone
+    * (components only lose nodes/edges; other components' pair sets
+    * are untouched), so the CC re-run is restricted to the surviving
+    * pairs INSIDE tombstone-holding clusters — work is O(affected
+    * cluster mass), not corpus mass, at any scale. Surviving docs of
+    * untouched clusters keep their label rows verbatim;
+    * `ForgetArtifactsSpec` proves the result ≡ artifacts rebuilt from
+    * scratch on the corpus-minus-tombstones, bridge-split included.
+    *
+    * Pairs rewrite-in-place is survivors-only (both ends live); both
+    * rewrites are Barrier-materialized before the in-place drop (the
+    * [[DedupQueries.compactNearDupHistory]] discipline). */
+  def applyForget(s: SparkSession, d: String, tombs: DataFrame): Unit = {
+    ensure(s, d)
+    val t = broadcast(
+      graft.ops.Barrier(tombs.select(col("doc_id").cast(LongType))))
+    val pairs = s.table(pairsTable(d))
+    val labels = s.table(labelsTable(d))
+    val touched = broadcast(
+      labels.join(t, "doc_id").select("cluster_id").distinct())
+    val pSurv = graft.ops.Barrier(pairs
+      .join(t.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
+      .join(t.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti"))
+    val labSurv = labels.join(t, Seq("doc_id"), "left_anti")
+    // surviving members of touched clusters re-cluster over their
+    // surviving pairs (a pair's ends share a cluster by construction,
+    // so membership of doc_a alone selects the subgraph)
+    val affDocs = labSurv.join(touched, "cluster_id")
+    val affCc = graft.ops.ConnectedComponents(
+      pSurv.select("doc_a", "doc_b")
+        .join(affDocs.select(col("doc_id").as("doc_a")), "doc_a"))
+      .withColumnRenamed("node", "doc_id")
+    val relabeled = affDocs.select("doc_id")
+      .join(affCc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", (col("cluster_id") === col("doc_id")).cast(LongType))
+    val newLabels = graft.ops.Barrier(
+      labSurv.join(touched, Seq("cluster_id"), "left_anti")
+        .select("doc_id", "cluster_id", "keep")
+        .unionByName(relabeled.select("doc_id", "cluster_id", "keep")))
+    dropStale(s, pairsTable(d))
+    Bucketing.writeBucketed(pSurv, pairsTable(d), "doc_a", Buckets)
+    dropStale(s, labelsTable(d))
+    Bucketing.writeBucketed(newLabels, labelsTable(d), "doc_id", Buckets)
+  }
 }

@@ -70,6 +70,82 @@ class ForgetArtifactsSpec extends AnyFunSuite {
     }
   }
 
+  test("applyForget \u2261 full rebuild on the filtered corpus \u2014 bridge deletion splits the cluster") {
+    import graft.queries.DedupArtifacts
+    // union-find for the client-side reference rebuild
+    def components(nodes: Set[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n).toSeq: _*)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        if (nodes(a) && nodes(b)) {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+      }
+      nodes.map(n => n -> find(n)).toMap
+    }
+    // Deterministic chain fixture: three docs that are SLIDING WINDOWS
+    // of one 30-word sequence. With 3-word shingles, windows at word
+    // offsets 0/4/8 (22 words each -> 20 shingles {1..20}/{5..24}/
+    // {9..28}) give J(A,B) = J(B,C) = 16/24 = 0.67 >= 0.6 but
+    // J(A,C) = 12/28 = 0.43 < 0.6 \u2014 a guaranteed A\u2013B\u2013C chain whose
+    // middle doc is a bridge. Three chains over disjoint vocabularies
+    // hedge LSH banding luck (a pair whose bands all miss never enters
+    // the artifact); the test uses the first chain the kernel fully
+    // confirmed. Plus filler singletons so the corpus isn't all-dup.
+    val tmp = java.nio.file.Files.createTempDirectory("forgetapply").toString
+    val s2 = spark
+    import s2.implicits._
+    val rows = (0 until 3).flatMap { c =>
+      val base = (0 until 30).map(w => s"chain${c}word$w")
+      (0 until 3).map { k =>
+        val id = (c * 3 + k + 1).toLong
+        val text = base.slice(4 * k, 4 * k + 22).mkString(" ")
+        (id, text, "en", s"src$c", text.length.toLong)
+      }
+    } ++ (100L until 110L).map(i =>
+      (i, (0 until 25).map(w => s"solo${i}w$w").mkString(" "), "en", "solo", 25L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val dir = tmp
+    try {
+      val pairsBefore = DedupArtifacts.pairs(spark, dir)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // a usable chain: both rungs confirmed, no direct A\u2013C edge
+      val bridge = (0 until 3).map(c => (3 * c + 1).toLong).collectFirst {
+        case a if pairsBefore.contains((a, a + 1)) &&
+          pairsBefore.contains((a + 1, a + 2)) &&
+          !pairsBefore.contains((a, a + 2)) => a + 1
+      }.getOrElse(fail(s"no intact chain in the fixture pair set: $pairsBefore"))
+      val docs = rows.map(_._1).toSet
+      DedupArtifacts.applyForget(spark, dir, Seq(bridge).toDF("doc_id"))
+
+      // reference rebuild: union-find over the corpus minus the bridge
+      val liveDocs = docs - bridge
+      val liveEdges = pairsBefore.filterNot(p => p._1 == bridge || p._2 == bridge)
+      val comp = components(liveDocs, liveEdges)
+      val want = liveDocs.map(n => (n, comp(n), if (comp(n) == n) 1L else 0L))
+      val got = spark.table(DedupArtifacts.labelsTable(dir))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want, "applyForget labels diverge from the filtered-corpus rebuild")
+      // the split REALLY happened: the bridge's neighbors now sit in
+      // two different clusters, each its own canonical
+      val gotMap = got.map(t => t._1 -> t._2).toMap
+      assert(gotMap(bridge - 1) !== gotMap(bridge + 1),
+        s"deleting bridge $bridge did not split its chain")
+      // pairs artifact: survivors only
+      val pairsAfter = spark.table(DedupArtifacts.pairsTable(dir))
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairsAfter === liveEdges.toSet)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${DedupArtifacts.pairsTable(dir)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${DedupArtifacts.labelsTable(dir)}")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("history tombstones mask probes immediately; compaction folds them in") {
     try {
       DedupQueries.writeNearDupHistory(spark, sf, "faspec_hist", buckets = 8)

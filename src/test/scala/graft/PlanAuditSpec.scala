@@ -1325,12 +1325,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"running sum is not cohort-partitioned:\n$p")
   }
 
-  test("q194 trigram profile: native generator, dictionary-sized rollup, group limit") {
+  test("q194 trigram profile: closed-domain aggregate, constant-size exchange, group limit") {
     val p = plan("q194_trigram_profile")
-    assert(p.contains("Generate char_ngrams"),
-      s"trigram stream is not the native generator:\n$p")
-    assert(p.contains("partial_count"),
-      s"(lang, gram) rollup lost map-side combine:\n$p")
+    // the rollup is the gram3_agg byte-walk aggregate with map-side
+    // partials — the exchange ships langs × 37³-long arrays, never a
+    // per-position row stream (the old char_ngrams explode shape)
+    assert(p.contains("partial_gram3_agg"),
+      s"trigram rollup lost the gram3_agg map-side partial:\n$p")
+    assert(!p.contains("Generate char_ngrams"),
+      s"q194 regressed to the per-position generator rollup:\n$p")
+    // the posexplode of count arrays runs ABOVE the aggregate, on
+    // ≤ langs × 37³ rows — exactly one data exchange (on lang)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"q194 should shuffle once, on lang:\n$p")
     assert(p.contains("WindowGroupLimit"),
       s"top-20 rank lost the group-limit push-down:\n$p")
   }
