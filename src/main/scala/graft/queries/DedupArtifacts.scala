@@ -187,4 +187,63 @@ object DedupArtifacts {
     dropStale(s, labelsTable(d))
     Bucketing.writeBucketed(newLabels, labelsTable(d), "doc_id", Buckets)
   }
+
+  /** Fold LATE-ARRIVING confirmed pairs into both artifacts — the
+    * cluster-MERGE counterpart of [[applyForget]], completing the
+    * maintenance algebra on the label artifact (build / forget /
+    * merge). New pairs show up after the initial land in every real
+    * pipeline: an incremental-probe batch (q64), a second modality
+    * confirming what text LSH missed, a manual duplicate report. A
+    * pair joining two clusters must MERGE them under the min-id
+    * convention — which can relabel every member of both — so, as in
+    * applyForget, connected components re-run ONLY over the pairs
+    * inside clusters an endpoint touches; untouched clusters keep
+    * their rows verbatim, and the pair table gains the new edges
+    * (idempotent: already-present edges dedup on the key).
+    *
+    * `newPairs` must carry (doc_a, doc_b, inter, uni) with both ends
+    * already labeled (they are corpus members); unknown ids fail
+    * loudly rather than landing edges the label table cannot see. */
+  def applyNewPairs(s: SparkSession, d: String, newPairs: DataFrame): Unit = {
+    ensure(s, d)
+    val np = graft.ops.Barrier(newPairs
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+        col("inter").cast(LongType), col("uni").cast(LongType))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b"))
+    val labels = s.table(labelsTable(d))
+    val ends = np.select(col("doc_a").as("doc_id"))
+      .union(np.select(col("doc_b").as("doc_id"))).distinct()
+    val unknown = ends.join(labels, Seq("doc_id"), "left_anti").count()
+    require(unknown == 0,
+      s"applyNewPairs: $unknown pair endpoint(s) are not labeled corpus members")
+    val pairs = s.table(pairsTable(d))
+    val touched = broadcast(
+      labels.join(ends, "doc_id").select("cluster_id").distinct())
+    val affDocs = labels.join(touched, "cluster_id")
+    // the merge subgraph: every artifact pair inside a touched
+    // cluster (both ends share the cluster, so doc_a membership
+    // selects it) plus the new cross-cluster edges themselves
+    val affEdges = pairs.select("doc_a", "doc_b")
+      .join(affDocs.select(col("doc_id").as("doc_a")), "doc_a")
+      .unionByName(np.select("doc_a", "doc_b"))
+    val affCc = graft.ops.ConnectedComponents(affEdges)
+      .withColumnRenamed("node", "doc_id")
+    val relabeled = affDocs.select("doc_id")
+      .join(affCc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", (col("cluster_id") === col("doc_id")).cast(LongType))
+    val newLabels = graft.ops.Barrier(
+      labels.join(touched, Seq("cluster_id"), "left_anti")
+        .select("doc_id", "cluster_id", "keep")
+        .unionByName(relabeled.select("doc_id", "cluster_id", "keep")))
+    val newPairTable = graft.ops.Barrier(
+      pairs.unionByName(np).dropDuplicates("doc_a", "doc_b"))
+    dropStale(s, pairsTable(d))
+    Bucketing.writeBucketed(newPairTable, pairsTable(d), "doc_a", Buckets)
+    dropStale(s, labelsTable(d))
+    Bucketing.writeBucketed(newLabels, labelsTable(d), "doc_id", Buckets)
+  }
 }

@@ -146,6 +146,70 @@ class ForgetArtifactsSpec extends AnyFunSuite {
     }
   }
 
+  test("applyNewPairs merges clusters with bounded recompute and stays idempotent") {
+    import graft.queries.DedupArtifacts
+    // corpus: two twin-pairs over disjoint vocabularies -> clusters
+    // {1,2} and {11,12} (offsets 0/1 of a 23-word run: J = 19/21),
+    // plus singletons. A late cross-modality pair (2, 11) must merge
+    // the two clusters under min-id and leave the singletons verbatim.
+    val tmp = java.nio.file.Files.createTempDirectory("mergepairs").toString
+    val s2 = spark
+    import s2.implicits._
+    def twin(vocab: String, ids: Seq[Long]) = {
+      val base = (0 until 23).map(w => s"$vocab$w")
+      ids.zipWithIndex.map { case (id, k) =>
+        val text = base.slice(k, k + 22).mkString(" ")
+        (id, text, "en", vocab, text.length.toLong)
+      }
+    }
+    val rows = twin("alpha", Seq(1L, 2L)) ++ twin("beta", Seq(11L, 12L)) ++
+      (100L until 106L).map(i =>
+        (i, (0 until 25).map(w => s"solo${i}w$w").mkString(" "), "en", "solo", 25L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    try {
+      val before = DedupArtifacts.labels(spark, tmp)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val bmap = before.map(t => t._1 -> t._2).toMap
+      assert(bmap(2L) === 1L && bmap(12L) === 11L,
+        s"fixture twins did not cluster as expected: $before")
+
+      DedupArtifacts.applyNewPairs(spark, tmp,
+        Seq((2L, 11L, 5L, 20L)).toDF("doc_a", "doc_b", "inter", "uni"))
+      val after = spark.table(DedupArtifacts.labelsTable(tmp))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val amap = after.map(t => t._1 -> t._2).toMap
+      // the two clusters merged to the global min id; canonicals moved
+      Seq(1L, 2L, 11L, 12L).foreach(id => assert(amap(id) === 1L))
+      assert(after.contains((1L, 1L, 1L)) && after.contains((11L, 1L, 0L)),
+        "keep flags must re-elect exactly the merged cluster's min id")
+      // untouched rows (singletons) are verbatim
+      assert(after.filter(_._1 >= 100L) === before.filter(_._1 >= 100L))
+      // the new edge landed in the pair table
+      val pairKeys = spark.table(DedupArtifacts.pairsTable(tmp))
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairKeys.contains((2L, 11L)))
+
+      // idempotent: folding the same pair again changes nothing
+      DedupArtifacts.applyNewPairs(spark, tmp,
+        Seq((11L, 2L, 5L, 20L)).toDF("doc_a", "doc_b", "inter", "uni"))
+      val again = spark.table(DedupArtifacts.labelsTable(tmp))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(again === after)
+
+      // unknown endpoints refuse loudly instead of desyncing the tables
+      intercept[IllegalArgumentException] {
+        DedupArtifacts.applyNewPairs(spark, tmp,
+          Seq((2L, 999L, 5L, 20L)).toDF("doc_a", "doc_b", "inter", "uni"))
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${DedupArtifacts.pairsTable(tmp)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${DedupArtifacts.labelsTable(tmp)}")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("history tombstones mask probes immediately; compaction folds them in") {
     try {
       DedupQueries.writeNearDupHistory(spark, sf, "faspec_hist", buckets = 8)
