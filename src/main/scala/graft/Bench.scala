@@ -93,7 +93,7 @@ object Bench {
     val errJson = errors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"stat":"min","queries":$qs,"queries_max":$qsMax,"errors":$errJson,"sf":"$sfDir"}"""
     println(json)
-    // The driver captures only a truncated stdout tail (BENCH_r01-r06
+    // The driver captures only a truncated stdout tail (BENCH_r01-r14
     // all arrived with parsed:null) — persist the full line to a file
     // so each round's numbers survive whole.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_out.json")
@@ -101,6 +101,15 @@ object Bench {
       java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    // Compact summary printed LAST: the full 261-query line above is
+    // ~15 KB, which overflows the driver's ~2 KB stdout-tail capture, so
+    // every BENCH_r*.json through r14 recorded parsed:null. This line
+    // carries the headline number plus only the slowest queries and stays
+    // well under the tail window, so the last-JSON-line parse succeeds.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"stat":"min","n":${results.size},"queries":$slowest,"queries_note":"10 slowest of ${results.size}; full per-query line precedes this one and is persisted to $outPath","errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -31,23 +31,13 @@ object Verify {
     // correctness artifacts diverged exactly this way when a testdata
     // schema change broke the events family).
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // Guard-quiescence audit (ADVICE round 13): the q23/q216/q100/q251
-    // oracles are valid only where the BoundedPair guard is provably
-    // quiet; outside that domain fail THOSE queries with an explanatory
-    // message instead of dumping results that hash-mismatch by design.
-    val domainErrs = {
-      val affected = Set("q23_embdup", "q216_embdup_ladder",
-        "q100_semdedup", "q251_hubness")
-      if (only.nonEmpty && only.intersect(affected).isEmpty) Map.empty[String, String]
-      else graft.queries.SimilarityQueries.oracleDomainViolations(spark, sfDir)
-    }
+    // (The round-13/14 guard-quiescence gate lived here; round 15
+    // rendered the BoundedPair guard into the q23/q216/q100/q251
+    // oracles themselves, so they verify at any sf and the gate is
+    // gone — see SimilarityQueries' oracle-domain note.)
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      if (domainErrs.contains(name)) {
-        System.err.println(s"[verify] $name SKIPPED: ${domainErrs(name)}")
-        errors(name) = domainErrs(name)
-      } else {
         // free the previous query's localCheckpoint blocks (the Bench
         // discipline): Barrier persists them and a 257-query run would
         // otherwise accumulate storage blocks that squeeze execution
@@ -64,7 +54,6 @@ object Verify {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         }
       }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -71,12 +71,24 @@ object IvfIndex {
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Data files currently in the tombstone side-table. File-level (not
+    * dir-level) listing so [[compact]] can snapshot exactly the set it
+    * consumes and leave later-arriving files pending. */
+  private def tombDataFiles(spark: SparkSession, path: String): Seq[org.apache.hadoop.fs.Path] = {
+    val td = new org.apache.hadoop.fs.Path(tombDir(path))
+    val tfs = fs(spark, td)
+    if (!tfs.exists(td)) Seq.empty
+    else tfs.listStatus(td).map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      .toSeq
+  }
+
   /** The pending-deletion set, if any deletes landed since the last
-    * [[compact]]. */
+    * [[compact]]. Reads by explicit file list so a dir holding only a
+    * leftover _SUCCESS marker reads as "no pending deletions". */
   def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(tombDir(path))
-    if (fs(spark, p).exists(p)) Some(spark.read.parquet(tombDir(path)))
-    else None
+    val files = tombDataFiles(spark, path)
+    if (files.isEmpty) None else Some(spark.read.parquet(files.map(_.toString): _*))
   }
 
   /** Register deletions. Append-only and tiny (one long per deleted
@@ -89,19 +101,39 @@ object IvfIndex {
 
   /** Copy-on-write compaction, partition-pruned: rewrite only the cid
     * partitions holding tombstoned vectors (dynamic partition
-    * overwrite), drop partitions left empty, clear the tombstone set.
-    * No-op when nothing is pending. */
-  def compact(spark: SparkSession, path: String): Unit =
-    tombstones(spark, path).foreach { t =>
-      val tombs = broadcast(t)
+    * overwrite), drop partitions left empty, clear the consumed
+    * tombstones. No-op when nothing is pending.
+    *
+    * Concurrency contract: the tombstone FILE set is snapshotted up
+    * front and only those files are applied and removed — a [[delete]]
+    * landing while compaction runs (the streaming tombstone path) stays
+    * pending for the next compact instead of being discarded unapplied,
+    * and probes keep masking it throughout via [[tombstones]]. */
+  // test seam: ForgetArtifactsSpec injects a concurrent delete() between
+  // the tombstone snapshot and its consumption to prove the late arrival
+  // stays pending; receives the index path so a spec can scope its
+  // injection to its own fixture (suites share the JVM); never set
+  // outside tests
+  private[graft] var afterSnapshotHook: Option[String => Unit] = None
+
+  def compact(spark: SparkSession, path: String): Unit = {
+    val consumed = tombDataFiles(spark, path)
+    afterSnapshotHook.foreach(f => f(path))
+    if (consumed.nonEmpty) {
+      val tombs = broadcast(spark.read.parquet(consumed.map(_.toString): _*))
       // locate: column-pruned scan, ships (vec_id, cid) only
       val touched = spark.read.parquet(path).select("vec_id", "cid")
         .join(tombs, "vec_id").select("cid").distinct()
         .collect().map(_.getAs[Number]("cid").longValue).toSeq
       if (touched.nonEmpty) {
-        val survivors = spark.read.parquet(path)
+        // Barrier BEFORE the overwrite: the write targets the same
+        // parquet path the plan reads, so materialize survivors first
+        // (self-overwrite of a live read path is fragile across Spark
+        // versions / late task retries); the materialized blocks also
+        // serve the survivorCids collect, so the plan executes once.
+        val survivors = Barrier(spark.read.parquet(path)
           .filter(col("cid").isin(touched: _*)) // PartitionFilters prune the read
-          .join(tombs, Seq("vec_id"), "left_anti")
+          .join(tombs, Seq("vec_id"), "left_anti"))
         val survivorCids = survivors.select("cid").distinct()
           .collect().map(_.getAs[Number]("cid").longValue).toSet
         survivors
@@ -115,7 +147,10 @@ object IvfIndex {
           fs(spark, dir).delete(dir, true)
         }
       }
-      val td = new org.apache.hadoop.fs.Path(tombDir(path))
-      fs(spark, td).delete(td, true)
+      // remove exactly the snapshot consumed above; later-arriving
+      // tombstone files (and the shared _SUCCESS marker) survive
+      val tfs = fs(spark, new org.apache.hadoop.fs.Path(tombDir(path)))
+      consumed.foreach(f => tfs.delete(f, false))
     }
+  }
 }

@@ -134,6 +134,61 @@ object DedupArtifacts {
     ensure(s, d); s.table(labelsTable(d))
   }
 
+  // -------------------------------------------------------------------
+  // Maintenance ledger — crash-safe, replayable two-table updates.
+  //
+  // applyForget/applyNewPairs rewrite BOTH artifacts; a naive in-place
+  // rewrite crashing between the two writes leaves them desynced (pairs
+  // updated, labels stale). The fix is the IdempotentSink discipline
+  // (skip-if-committed / overwrite-if-torn, keyed by an operation id):
+  // the op computes both new frames from one consistent input snapshot
+  // and STAGES them as plain parquet under an opId-keyed ledger dir,
+  // then PUBLISHES both bucketed tables from the committed stage.
+  // Replaying the same opId after a crash anywhere converges:
+  //  - crash mid-stage → stage has no _SUCCESS → replay recomputes
+  //    (inputs untouched: publish never started);
+  //  - crash mid-publish → stage committed → replay skips compute and
+  //    re-publishes BOTH tables from the same staged bytes.
+  // Streaming callers pass the micro-batch id as opId (the layoutWriter
+  // pattern); batch callers replaying a failed op reuse its opId.
+  // `MaintReplaySpec` proves convergence under an injected crash.
+  // -------------------------------------------------------------------
+
+  private def hadoopFs(s: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def stageDir(s: SparkSession, d: String, op: String, opId: Long) =
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+      s"_graft_maint/${slug(d)}/$op/op_id=$opId")
+
+  private def committed(s: SparkSession, stage: org.apache.hadoop.fs.Path): Boolean = {
+    val fs = hadoopFs(s, stage)
+    Seq("pairs", "labels").forall(t =>
+      fs.exists(new org.apache.hadoop.fs.Path(stage, s"$t/_SUCCESS")))
+  }
+
+  // test seam: MaintReplaySpec injects a crash between the two table
+  // publishes to prove the replay path; receives the corpus dir so a
+  // spec can scope its injection to its own fixture (suites share the
+  // JVM); never set outside tests
+  private[graft] var crashBetweenPublishes: Option[String => Unit] = None
+
+  /** Publish both artifacts from a committed stage: idempotent — a
+    * replay re-reads the same staged bytes, so re-running after a
+    * partial publish converges on the staged state. */
+  private def publish(s: SparkSession, d: String,
+      stage: org.apache.hadoop.fs.Path): Unit = {
+    val pairsNew = s.read.parquet(new org.apache.hadoop.fs.Path(stage, "pairs").toString)
+    dropStale(s, pairsTable(d))
+    Bucketing.writeBucketed(pairsNew, pairsTable(d), "doc_a", Buckets)
+    crashBetweenPublishes.foreach(f => f(d))
+    val labelsNew = s.read.parquet(new org.apache.hadoop.fs.Path(stage, "labels").toString)
+    dropStale(s, labelsTable(d))
+    Bucketing.writeBucketed(labelsNew, labelsTable(d), "doc_id", Buckets)
+    hadoopFs(s, stage).delete(stage, true) // retire the consumed ledger entry
+  }
+
   /** Apply a deletion list to BOTH landed artifacts, with bounded
     * recompute — the write-side of q262's change-table, exact where
     * the report form cannot be: removing a document can SPLIT its
@@ -150,42 +205,47 @@ object DedupArtifacts {
     * `ForgetArtifactsSpec` proves the result ≡ artifacts rebuilt from
     * scratch on the corpus-minus-tombstones, bridge-split included.
     *
-    * Pairs rewrite-in-place is survivors-only (both ends live); both
-    * rewrites are Barrier-materialized before the in-place drop (the
-    * [[DedupQueries.compactNearDupHistory]] discipline). */
-  def applyForget(s: SparkSession, d: String, tombs: DataFrame): Unit = {
+    * Pairs rewrite is survivors-only (both ends live). Both tables
+    * land via the maintenance ledger above: staged under `opId`, then
+    * published — a crashed run replayed with the same `opId` finishes
+    * exactly once. */
+  def applyForget(s: SparkSession, d: String, tombs: DataFrame,
+      opId: Long = 0L): Unit = {
     ensure(s, d)
-    val t = broadcast(
-      graft.ops.Barrier(tombs.select(col("doc_id").cast(LongType))))
-    val pairs = s.table(pairsTable(d))
-    val labels = s.table(labelsTable(d))
-    val touched = broadcast(
-      labels.join(t, "doc_id").select("cluster_id").distinct())
-    val pSurv = graft.ops.Barrier(pairs
-      .join(t.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
-      .join(t.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti"))
-    val labSurv = labels.join(t, Seq("doc_id"), "left_anti")
-    // surviving members of touched clusters re-cluster over their
-    // surviving pairs (a pair's ends share a cluster by construction,
-    // so membership of doc_a alone selects the subgraph)
-    val affDocs = labSurv.join(touched, "cluster_id")
-    val affCc = graft.ops.ConnectedComponents(
-      pSurv.select("doc_a", "doc_b")
-        .join(affDocs.select(col("doc_id").as("doc_a")), "doc_a"))
-      .withColumnRenamed("node", "doc_id")
-    val relabeled = affDocs.select("doc_id")
-      .join(affCc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("component"), col("doc_id")).as("cluster_id"))
-      .withColumn("keep", (col("cluster_id") === col("doc_id")).cast(LongType))
-    val newLabels = graft.ops.Barrier(
-      labSurv.join(touched, Seq("cluster_id"), "left_anti")
+    val stage = stageDir(s, d, "forget", opId)
+    if (!committed(s, stage)) {
+      val t = broadcast(
+        graft.ops.Barrier(tombs.select(col("doc_id").cast(LongType))))
+      val pairs = s.table(pairsTable(d))
+      val labels = s.table(labelsTable(d))
+      val touched = broadcast(
+        labels.join(t, "doc_id").select("cluster_id").distinct())
+      val pSurv = graft.ops.Barrier(pairs
+        .join(t.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
+        .join(t.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti"))
+      val labSurv = labels.join(t, Seq("doc_id"), "left_anti")
+      // surviving members of touched clusters re-cluster over their
+      // surviving pairs (a pair's ends share a cluster by construction,
+      // so membership of doc_a alone selects the subgraph)
+      val affDocs = labSurv.join(touched, "cluster_id")
+      val affCc = graft.ops.ConnectedComponents(
+        pSurv.select("doc_a", "doc_b")
+          .join(affDocs.select(col("doc_id").as("doc_a")), "doc_a"))
+        .withColumnRenamed("node", "doc_id")
+      val relabeled = affDocs.select("doc_id")
+        .join(affCc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        .withColumn("keep", (col("cluster_id") === col("doc_id")).cast(LongType))
+      val newLabels = labSurv.join(touched, Seq("cluster_id"), "left_anti")
         .select("doc_id", "cluster_id", "keep")
-        .unionByName(relabeled.select("doc_id", "cluster_id", "keep")))
-    dropStale(s, pairsTable(d))
-    Bucketing.writeBucketed(pSurv, pairsTable(d), "doc_a", Buckets)
-    dropStale(s, labelsTable(d))
-    Bucketing.writeBucketed(newLabels, labelsTable(d), "doc_id", Buckets)
+        .unionByName(relabeled.select("doc_id", "cluster_id", "keep"))
+      pSurv.write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(stage, "pairs").toString)
+      newLabels.write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(stage, "labels").toString)
+    }
+    publish(s, d, stage)
   }
 
   /** Fold LATE-ARRIVING confirmed pairs into both artifacts — the
@@ -203,47 +263,60 @@ object DedupArtifacts {
     *
     * `newPairs` must carry (doc_a, doc_b, inter, uni) with both ends
     * already labeled (they are corpus members); unknown ids fail
-    * loudly rather than landing edges the label table cannot see. */
-  def applyNewPairs(s: SparkSession, d: String, newPairs: DataFrame): Unit = {
+    * loudly rather than landing edges the label table cannot see.
+    * When a resubmitted edge carries a DIFFERENT (inter, uni) payload
+    * than the landed artifact row, the landed row wins (anti-join
+    * before the union): re-applying a pair batch can never silently
+    * flip the exact-count payload downstream consumers (q220's exact
+    * Jaccard etc.) already reported. Both tables land via the
+    * maintenance ledger (see [[applyForget]]) keyed by `opId`. */
+  def applyNewPairs(s: SparkSession, d: String, newPairs: DataFrame,
+      opId: Long = 0L): Unit = {
     ensure(s, d)
-    val np = graft.ops.Barrier(newPairs
-      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
-        greatest(col("doc_a"), col("doc_b")).as("doc_b"),
-        col("inter").cast(LongType), col("uni").cast(LongType))
-      .filter(col("doc_a") =!= col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b"))
-    val labels = s.table(labelsTable(d))
-    val ends = np.select(col("doc_a").as("doc_id"))
-      .union(np.select(col("doc_b").as("doc_id"))).distinct()
-    val unknown = ends.join(labels, Seq("doc_id"), "left_anti").count()
-    require(unknown == 0,
-      s"applyNewPairs: $unknown pair endpoint(s) are not labeled corpus members")
-    val pairs = s.table(pairsTable(d))
-    val touched = broadcast(
-      labels.join(ends, "doc_id").select("cluster_id").distinct())
-    val affDocs = labels.join(touched, "cluster_id")
-    // the merge subgraph: every artifact pair inside a touched
-    // cluster (both ends share the cluster, so doc_a membership
-    // selects it) plus the new cross-cluster edges themselves
-    val affEdges = pairs.select("doc_a", "doc_b")
-      .join(affDocs.select(col("doc_id").as("doc_a")), "doc_a")
-      .unionByName(np.select("doc_a", "doc_b"))
-    val affCc = graft.ops.ConnectedComponents(affEdges)
-      .withColumnRenamed("node", "doc_id")
-    val relabeled = affDocs.select("doc_id")
-      .join(affCc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("component"), col("doc_id")).as("cluster_id"))
-      .withColumn("keep", (col("cluster_id") === col("doc_id")).cast(LongType))
-    val newLabels = graft.ops.Barrier(
-      labels.join(touched, Seq("cluster_id"), "left_anti")
+    val stage = stageDir(s, d, "newpairs", opId)
+    if (!committed(s, stage)) {
+      val np0 = graft.ops.Barrier(newPairs
+        .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+          col("inter").cast(LongType), col("uni").cast(LongType))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .dropDuplicates("doc_a", "doc_b"))
+      val labels = s.table(labelsTable(d))
+      val ends = np0.select(col("doc_a").as("doc_id"))
+        .union(np0.select(col("doc_b").as("doc_id"))).distinct()
+      val unknown = ends.join(labels, Seq("doc_id"), "left_anti").count()
+      require(unknown == 0,
+        s"applyNewPairs: $unknown pair endpoint(s) are not labeled corpus members")
+      val pairs = s.table(pairsTable(d))
+      // landed-wins: an edge already in the artifact keeps its landed
+      // (inter, uni) regardless of the resubmitted payload — the
+      // deterministic rule the bit-identical discipline requires
+      val np = graft.ops.Barrier(
+        np0.join(pairs.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti"))
+      val touched = broadcast(
+        labels.join(ends, "doc_id").select("cluster_id").distinct())
+      val affDocs = labels.join(touched, "cluster_id")
+      // the merge subgraph: every artifact pair inside a touched
+      // cluster (both ends share the cluster, so doc_a membership
+      // selects it) plus the new cross-cluster edges themselves
+      val affEdges = pairs.select("doc_a", "doc_b")
+        .join(affDocs.select(col("doc_id").as("doc_a")), "doc_a")
+        .unionByName(np.select("doc_a", "doc_b"))
+      val affCc = graft.ops.ConnectedComponents(affEdges)
+        .withColumnRenamed("node", "doc_id")
+      val relabeled = affDocs.select("doc_id")
+        .join(affCc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        .withColumn("keep", (col("cluster_id") === col("doc_id")).cast(LongType))
+      val newLabels = labels.join(touched, Seq("cluster_id"), "left_anti")
         .select("doc_id", "cluster_id", "keep")
-        .unionByName(relabeled.select("doc_id", "cluster_id", "keep")))
-    val newPairTable = graft.ops.Barrier(
-      pairs.unionByName(np).dropDuplicates("doc_a", "doc_b"))
-    dropStale(s, pairsTable(d))
-    Bucketing.writeBucketed(newPairTable, pairsTable(d), "doc_a", Buckets)
-    dropStale(s, labelsTable(d))
-    Bucketing.writeBucketed(newLabels, labelsTable(d), "doc_id", Buckets)
+        .unionByName(relabeled.select("doc_id", "cluster_id", "keep"))
+      pairs.unionByName(np).write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(stage, "pairs").toString)
+      newLabels.write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(stage, "labels").toString)
+    }
+    publish(s, d, stage)
   }
 }

@@ -1273,19 +1273,44 @@ object DedupQueries {
 
   /** Fold pending tombstones into the history: rewrite the bucketed
     * table minus tombstoned docs (Barrier materializes survivors
-    * before the in-place drop), then drop the side table. A full
-    * rewrite by design — band rows hash by bkey, not doc — which is
-    * exactly why the merge-on-read mask above carries the latency and
-    * compaction runs on a schedule, amortized over many deletions. */
+    * before the in-place drop), then clear the consumed tombstones. A
+    * full rewrite by design — band rows hash by bkey, not doc — which
+    * is exactly why the merge-on-read mask above carries the latency
+    * and compaction runs on a schedule, amortized over many deletions.
+    *
+    * Concurrency contract (mirrors [[graft.ops.IvfIndex.compact]]):
+    * the tombstone FILE set is snapshotted up front and only those
+    * files are applied and removed — a [[tombNearDupHistory]] landing
+    * while compaction runs (the streaming tombstone path) stays pending
+    * for the next compact instead of being discarded unapplied, and
+    * probes keep masking it throughout. The side table itself persists
+    * (empty reads are a no-op broadcast in the probe mask). */
+  // test seam: ForgetArtifactsSpec injects a concurrent tombstone land
+  // between the snapshot and its consumption; receives the table name so
+  // a spec can scope its injection to its own fixture (suites share the
+  // JVM); never set outside tests
+  private[graft] var afterSnapshotHook: Option[String => Unit] = None
+
   def compactNearDupHistory(s: SparkSession, table: String,
       buckets: Int = 8): Unit =
     if (s.catalog.tableExists(tombTable(table))) {
-      val survivors = graft.ops.Barrier(
-        s.table(table).join(broadcast(s.table(tombTable(table))),
-          Seq("doc_id"), "left_anti"))
-      s.sql(s"DROP TABLE $table")
-      Bucketing.writeBucketed(survivors, table, "bkey", buckets)
-      s.sql(s"DROP TABLE ${tombTable(table)}")
+      val consumed = s.table(tombTable(table)).inputFiles
+      afterSnapshotHook.foreach(f => f(table))
+      if (consumed.nonEmpty) {
+        val tombs = s.read.parquet(consumed.toIndexedSeq: _*)
+        val survivors = graft.ops.Barrier(
+          s.table(table).join(broadcast(tombs), Seq("doc_id"), "left_anti"))
+        s.sql(s"DROP TABLE $table")
+        Bucketing.writeBucketed(survivors, table, "bkey", buckets)
+        // remove exactly the snapshot consumed above; later-arriving
+        // tombstone files stay pending in the side table
+        val conf = s.sparkContext.hadoopConfiguration
+        consumed.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(conf).delete(p, false)
+        }
+        s.catalog.refreshTable(tombTable(table))
+      }
     }
 
   /** Probe a new batch (doc_id % 10 >= 8, q64's split) against the

@@ -130,51 +130,16 @@ object SimilarityQueries {
           lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
 
-  /** Oracle validity-domain audit (ADVICE round 13): the DuckDB
-    * oracles for q23/q216 replay the RAW 4-plane bucket join, and the
-    * ones for q100/q251 hardcode kForBudget's floor of 8 seeds with a
-    * raw-cid pair join — exact only where the BoundedPair guard is
-    * provably QUIET. Outside that domain the Spark plans are working
-    * as designed (sub-banding oversize buckets) while the oracles are
-    * not, and a plain Verify run would report hash mismatches with
-    * nothing flagging why. This one census pass (the q260 shape)
-    * returns an explanatory message per affected query instead:
-    *  - q23/q216: quiet iff every 4-plane bucket fits the 256-row
-    *    budget;
-    *  - q100/q251: quiet iff corpus ≤ 512 vectors — n ≤ 2048 keeps
-    *    kForBudget at the oracle's 8 seeds, and n ≤ 512 makes the
-    *    data-driven 512-row CELL budget quiet by construction (no
-    *    k-means cell can exceed the corpus; a measured cell margin
-    *    would not survive a testdata regen, so the proof bound is the
-    *    check). Verify fails these queries loudly and runs the rest. */
-  def oracleDomainViolations(s: SparkSession, d: String): Map[String, String] = {
-    val r = Tables.embeddings(s, d).select(bucketCol.as("bucket"))
-      .filter(col("bucket").isNotNull)
-      .groupBy("bucket").agg(count(lit(1)).as("bn"))
-      .agg(coalesce(max(col("bn")), lit(0L)).as("maxb"),
-        coalesce(sum(col("bn")), lit(0L)).as("n"))
-      .collect()(0)
-    val (maxb, n) = (r.getLong(0), r.getLong(1))
-    val budget = graft.ops.BoundedPair.DefaultBudget
-    val hyper = if (maxb <= budget) Map.empty[String, String] else {
-      val msg = s"oracle domain exceeded: max 4-plane bucket $maxb > " +
-        s"budget $budget, so the BoundedPair guard sub-bands the pair " +
-        "join while the DuckDB oracle replays the raw-bucket join — " +
-        "mismatches would be by design, not bugs. Verify at sf <= 0.1, " +
-        "or render the guard into the oracle (q261 shows depthSqlDuck/" +
-        "refSqlDuck make this possible)."
-      Map("q23_embdup" -> msg, "q216_embdup_ladder" -> msg)
-    }
-    val cells = if (n <= 512L) Map.empty[String, String] else {
-      val msg = s"oracle domain exceeded: $n vectors > 512, so the " +
-        "512-row k-means cell budget is no longer quiet by construction" +
-        (if (n > 2048L) s" and kForBudget($n) > the oracle's 8 seeds" else "") +
-        " — the Spark plan guards/scales while the DuckDB oracle " +
-        "hardcodes the raw-cid join with 8 seeds. Verify at sf <= 0.1."
-      Map("q100_semdedup" -> msg, "q251_hubness" -> msg)
-    }
-    hyper ++ cells
-  }
+  // Oracle validity domain (rounds 13-14 history): the q23/q216/q100/
+  // q251 oracles once replayed the RAW bucket/cid joins with a
+  // hardcoded k = 8, valid only where the BoundedPair guard was
+  // provably quiet, so Verify carried a quiescence gate
+  // (oracleDomainViolations) that REFUSED them past sf0.1. Round 15
+  // rendered the guard itself into those oracles (census →
+  // depthSqlDuck ladder → refinement-bit sub key, kForBudgetSql for
+  // the k dial), making them valid at every sf — where the guard is
+  // quiet they reduce algebraically to the historical raw oracles —
+  // and the gate was removed.
 
   /** q23's scored candidate pairs — bucket-equality self-join with
     * per-VECTOR norms computed before the join (n rows, not n²/buckets)
@@ -270,12 +235,15 @@ object SimilarityQueries {
 
   /** Seeds + `iters` unrolled training rounds over table `v` (columns
     * vec_id, q8 of length `dim`); all CTE names carry `sfx`. Leaves
-    * `s$iters$sfx` (final centroid state) bound. */
+    * `s$iters$sfx` (final centroid state) bound. `kSql` is the seed
+    * count as a SQL expression — the default 8 pins the historical
+    * oracles; the guarded q100/q251 oracles pass KMeans.kForBudget
+    * rendered data-driven so k tracks the corpus like the Spark side. */
   private def kmRounds(iters: Int, v: String = "v", dim: Int = 64,
-                       sfx: String = ""): String = {
+                       sfx: String = "", kSql: String = "8"): String = {
     val seed =
       s"""s0$sfx AS (SELECT vec_id cid, q8 s, CAST(1 AS BIGINT) c FROM $v
-                 WHERE vec_id BETWEEN 1 AND 8)"""
+                 WHERE vec_id BETWEEN 1 AND ($kSql))"""
     val rounds = (0 until iters).map(n =>
       s"${kmAssign(s"a$n$sfx", s"s$n$sfx", v, dim)},\n          " +
         kmUpdate(s"$sfx$n", s"a$n$sfx", s"s$n$sfx", s"s${n + 1}$sfx", v, dim))
@@ -302,8 +270,25 @@ object SimilarityQueries {
   /** Quantization + seeding + `iters` unrolled training rounds: the
     * WITH-body prefix shared by the q71/q72 oracles. Leaves `v`
     * (quantized vectors) and `s$iters` (final centroid state) bound. */
-  private def kmeansCtes(iters: Int): String =
-    s"$quantCtes,\n          ${kmRounds(iters)}"
+  private def kmeansCtes(iters: Int, kSql: String = "8"): String =
+    s"$quantCtes,\n          ${kmRounds(iters, kSql = kSql)}"
+
+  /** KMeans.kForBudget(n, 256) rendered data-driven over `v` — the
+    * guarded q100/q251 oracles' seed count, in lockstep with the Spark
+    * side's `kForBudget(qemb.count())`. */
+  private val kForBudgetSql =
+    "SELECT least(64, greatest(8, (count(*) + 255) // 256)) FROM v"
+
+  /** DuckDB rendering of [[q8RefBits]] — the 16 JL-sign integer
+    * hyperplanes over the int8 vector (q123's md5-parity ±1 matrix),
+    * bit j set iff the exact integer dot is positive; the guard's
+    * cell-refinement key is engine-replayable. */
+  private val refBitsQ8Duck =
+    """CAST(list_sum(list_transform(range(0, 16), j ->
+         CASE WHEN list_sum(list_transform(range(1, 65), i -> q8[i] *
+           (CASE WHEN CAST(concat('0x', substr(md5('rp,' || CAST(i-1 AS VARCHAR) || ',' || CAST(j AS VARCHAR)), 1, 1)) AS INT) % 2 = 0
+                 THEN 1 ELSE -1 END))) > 0
+         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"""
 
   /** Trained-PQ oracle (q73): per 16-dim subspace m — slice, train
     * `iters` rounds, final-assign (the per-vector code), and an ADC
@@ -1983,23 +1968,45 @@ object SimilarityQueries {
           FROM afin a JOIN lbl l USING (vec_id)
           GROUP BY a.cid, l.label
           ORDER BY a.cid, l.label""",
+    // The pair-budget guard is RENDERED into the oracle (census →
+    // exact-integer depth ladder → low-e refinement bits on the join
+    // key — q261's machinery), so this oracle is valid at EVERY sf:
+    // where buckets fit the 256 budget e = 0 and the key reduces to
+    // the raw bucket (bit-identical to the historical oracle); where
+    // they don't (sf1+), both engines sub-band identically.
     "q23_embdup" ->
       s"""WITH b AS (
-            SELECT vec_id, embedding, $bucketSqlDuck bucket FROM embeddings)
+            SELECT vec_id, embedding, $bucketSqlDuck bucket, $refSqlDuck AS refbits
+            FROM embeddings),
+          c AS (SELECT bucket, CAST(count(*) AS BIGINT) bn FROM b
+                WHERE bucket IS NOT NULL GROUP BY 1),
+          g AS (SELECT bucket, CAST(${depthSqlDuck("bn", 256L)} AS INT) e FROM c),
+          k AS (SELECT b.vec_id, b.embedding, b.bucket,
+                       b.refbits & ((CAST(1 AS BIGINT) << g.e) - 1) sub
+                FROM b JOIN g USING (bucket))
           SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
                  ${dCos("x.embedding", "y.embedding")} AS sim
-          FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+          FROM k x JOIN k y ON x.bucket = y.bucket AND x.sub = y.sub
+                           AND x.vec_id < y.vec_id
           WHERE ${dCos("x.embedding", "y.embedding")} >= 0.4
           ORDER BY vec_a, vec_b""",
     // q23's bucketed pair scoring swept across 4 thresholds: pair and
-    // distinct-vector counts per threshold.
+    // distinct-vector counts per threshold (guard rendered, as in q23).
     "q216_embdup_ladder" ->
       s"""WITH b AS (
-            SELECT vec_id, embedding, $bucketSqlDuck bucket FROM embeddings),
+            SELECT vec_id, embedding, $bucketSqlDuck bucket, $refSqlDuck AS refbits
+            FROM embeddings),
+          c AS (SELECT bucket, CAST(count(*) AS BIGINT) bn FROM b
+                WHERE bucket IS NOT NULL GROUP BY 1),
+          g AS (SELECT bucket, CAST(${depthSqlDuck("bn", 256L)} AS INT) e FROM c),
+          kk AS (SELECT b.vec_id, b.embedding, b.bucket,
+                        b.refbits & ((CAST(1 AS BIGINT) << g.e) - 1) sub
+                 FROM b JOIN g USING (bucket)),
           p AS (
             SELECT x.vec_id vec_a, y.vec_id vec_b,
                    ${dCos("x.embedding", "y.embedding")} sim
-            FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+            FROM kk x JOIN kk y ON x.bucket = y.bucket AND x.sub = y.sub
+                               AND x.vec_id < y.vec_id),
           t AS (SELECT unnest([30, 40, 50, 60]) thr),
           e AS (SELECT thr, vec_a, vec_b FROM p CROSS JOIN t WHERE sim * 100 >= thr),
           u AS (SELECT thr, vec_a AS vec FROM e UNION ALL SELECT thr, vec_b AS vec FROM e)
@@ -2007,36 +2014,53 @@ object SimilarityQueries {
                  CAST(count(*) // 2 AS BIGINT) AS n_pairs,
                  CAST(count(DISTINCT vec) AS BIGINT) AS n_vecs
           FROM u GROUP BY 1 ORDER BY 1""",
+    // Guard + scale dials rendered: k = kForBudget(n) data-driven (8 at
+    // every historical sf, growing past it like the Spark side), and the
+    // 512-budget cell guard sub-bands on the JL refinement bits — valid
+    // at every sf, reducing to the historical oracle where quiet.
     "q100_semdedup" ->
-      s"""WITH ${kmeansCtes(2)},
+      s"""WITH ${kmeansCtes(2, kForBudgetSql)},
           ${kmAssign("afin", "s2")},
           n AS (SELECT v.vec_id, a.cid, v.q8,
                   CAST(list_sum(list_transform(range(1, 65), i ->
-                    v.q8[i] * v.q8[i])) AS BIGINT) nrm
+                    v.q8[i] * v.q8[i])) AS BIGINT) nrm,
+                  $refBitsQ8Duck refbits
                 FROM v JOIN afin a USING (vec_id)),
+          cg AS (SELECT cid, CAST(count(*) AS BIGINT) bn FROM n GROUP BY 1),
+          gg AS (SELECT cid, CAST(${depthSqlDuck("bn", 512L)} AS INT) e FROM cg),
+          kk AS (SELECT n.*, n.refbits & ((CAST(1 AS BIGINT) << gg.e) - 1) sub
+                 FROM n JOIN gg USING (cid)),
           p AS (SELECT b.vec_id,
                   CAST(list_sum(list_transform(range(1, 65), i ->
                     a.q8[i] * b.q8[i])) AS BIGINT) dp,
                   a.nrm * b.nrm nn
-                FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+                FROM kk a JOIN kk b ON a.cid = b.cid AND a.sub = b.sub
+                                   AND a.vec_id < b.vec_id),
           dup AS (SELECT DISTINCT vec_id FROM p WHERE dp > 0 AND 4 * dp * dp >= nn)
           SELECT n.vec_id, n.cid, dup.vec_id IS NOT NULL AS is_dup
           FROM n LEFT JOIN dup ON n.vec_id = dup.vec_id
           ORDER BY n.vec_id""",
     // q100's trained cells → cluster-local IEEE-cosine top-5 per
-    // query vector → reverse-occurrence histogram.
+    // query vector → reverse-occurrence histogram (guard + k dial
+    // rendered as in q100).
     "q251_hubness" ->
-      s"""WITH ${kmeansCtes(2)},
+      s"""WITH ${kmeansCtes(2, kForBudgetSql)},
           ${kmAssign("afin", "s2")},
           n AS (SELECT v.vec_id, a.cid, v.q8,
                   CAST(list_sum(list_transform(range(1, 65), i ->
-                    v.q8[i] * v.q8[i])) AS BIGINT) nrm
+                    v.q8[i] * v.q8[i])) AS BIGINT) nrm,
+                  $refBitsQ8Duck refbits
                 FROM v JOIN afin a USING (vec_id)),
+          cg AS (SELECT cid, CAST(count(*) AS BIGINT) bn FROM n GROUP BY 1),
+          gg AS (SELECT cid, CAST(${depthSqlDuck("bn", 512L)} AS INT) e FROM cg),
+          kk AS (SELECT n.*, n.refbits & ((CAST(1 AS BIGINT) << gg.e) - 1) sub
+                 FROM n JOIN gg USING (cid)),
           p AS (SELECT a.vec_id src, b.vec_id nbr,
                   CAST(list_sum(list_transform(range(1, 65), i ->
                     a.q8[i] * b.q8[i])) AS DOUBLE)
                     / sqrt(CAST(a.nrm * b.nrm AS DOUBLE)) sim
-                FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+                FROM kk a JOIN kk b ON a.cid = b.cid AND a.sub = b.sub
+                                   AND a.vec_id <> b.vec_id),
           t5 AS (SELECT src, nbr FROM (
                    SELECT src, nbr,
                      row_number() OVER (PARTITION BY src ORDER BY sim DESC, nbr) rn

@@ -231,8 +231,11 @@ class ForgetArtifactsSpec extends AnyFunSuite {
 
       val rowsBefore = spark.table("faspec_hist").count()
       DedupQueries.compactNearDupHistory(spark, "faspec_hist", buckets = 8)
-      assert(!spark.catalog.tableExists("faspec_hist_tombs"),
-        "compaction must consume the tombstone table")
+      // the side table persists (so a tombstone landing DURING compaction
+      // stays pending — see the concurrency test) but the consumed
+      // tombstones are gone
+      assert(spark.table("faspec_hist_tombs").isEmpty,
+        "compaction must consume the pending tombstones")
       // the doc's 6 band rows left the table; probe output is unchanged
       assert(spark.table("faspec_hist").count() === rowsBefore - 6)
       val after = DedupQueries.incNearDupsAgainstHistory(spark, sf, "faspec_hist")
@@ -242,6 +245,90 @@ class ForgetArtifactsSpec extends AnyFunSuite {
     } finally {
       spark.sql("DROP TABLE IF EXISTS faspec_hist")
       spark.sql("DROP TABLE IF EXISTS faspec_hist_tombs")
+    }
+  }
+
+  test("IVF delete landing DURING compaction stays pending and keeps masking") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfrace").toString
+    try {
+      val seeds = KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
+      val model = KMeans.train(qemb, "vec_id", "q8", 64, seeds, maxIter = 2)
+      IvfIndex.write(qemb, model, dir)
+      val byCid = qemb.select(col("vec_id"),
+          KMeans.assignExpr(col("q8"), model).as("cid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val cids = byCid.map(_._2).distinct.sorted.toSeq
+      val all = byCid.map(_._1).toSet
+      val sortedIds = byCid.map(_._1).sorted
+      val (vecA, vecB) = (sortedIds(0), sortedIds(1))
+
+      IvfIndex.delete(spark, dir, Seq(vecA))
+      // the "concurrent" delete: lands between the compaction's
+      // tombstone-file snapshot and its consumption
+      IvfIndex.afterSnapshotHook = Some(p =>
+        if (p == dir) IvfIndex.delete(spark, dir, Seq(vecB)))
+      try IvfIndex.compact(spark, dir)
+      finally IvfIndex.afterSnapshotHook = None
+
+      // vecA is consumed (physically gone); vecB must NOT have been
+      // discarded unapplied — it stays pending and probes keep masking
+      val pending = IvfIndex.tombstones(spark, dir)
+        .map(_.collect().map(_.getLong(0)).toSet).getOrElse(Set.empty)
+      assert(pending === Set(vecB),
+        s"the late-arriving tombstone must survive compaction: $pending")
+      val probed = IvfIndex.probe(spark, dir, cids)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(probed === all - vecA - vecB,
+        "both deletions must stay invisible after the raced compaction")
+
+      // the next scheduled compaction consumes the pending one
+      IvfIndex.compact(spark, dir)
+      assert(IvfIndex.tombstones(spark, dir).isEmpty)
+      val finalProbe = IvfIndex.probe(spark, dir, cids)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(finalProbe === all - vecA - vecB)
+    } finally {
+      IvfIndex.afterSnapshotHook = None
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("history tombstone landing DURING compaction stays pending and keeps masking") {
+    val s2 = spark
+    import s2.implicits._
+    try {
+      DedupQueries.writeNearDupHistory(spark, sf, "faspec_race", buckets = 8)
+      val base = DedupQueries.incNearDupsAgainstHistory(spark, sf, "faspec_race")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val histDocs = base.map(_._1).distinct
+      assert(histDocs.size >= 2, "need two matched history docs for the race test")
+      val (docA, docB) = (histDocs(0), histDocs(1))
+
+      DedupQueries.tombNearDupHistory(spark, "faspec_race", Seq(docA).toDF("doc_id"))
+      DedupQueries.afterSnapshotHook = Some(t =>
+        if (t == "faspec_race")
+          DedupQueries.tombNearDupHistory(spark, "faspec_race", Seq(docB).toDF("doc_id")))
+      try DedupQueries.compactNearDupHistory(spark, "faspec_race", buckets = 8)
+      finally DedupQueries.afterSnapshotHook = None
+
+      val pending = spark.table("faspec_race_tombs")
+        .collect().map(_.getLong(0)).toSet
+      assert(pending === Set(docB),
+        s"the late-arriving tombstone must survive compaction: $pending")
+      val masked = DedupQueries.incNearDupsAgainstHistory(spark, sf, "faspec_race")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(masked === base.filterNot(p => p._1 == docA || p._1 == docB),
+        "both deletions must stay invisible after the raced compaction")
+
+      DedupQueries.compactNearDupHistory(spark, "faspec_race", buckets = 8)
+      assert(spark.table("faspec_race_tombs").isEmpty)
+      val after = DedupQueries.incNearDupsAgainstHistory(spark, sf, "faspec_race")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(after === base.filterNot(p => p._1 == docA || p._1 == docB))
+    } finally {
+      DedupQueries.afterSnapshotHook = None
+      spark.sql("DROP TABLE IF EXISTS faspec_race")
+      spark.sql("DROP TABLE IF EXISTS faspec_race_tombs")
     }
   }
 }
