@@ -434,12 +434,21 @@ object DedupQueries {
     // exact-Jaccard-≥-0.6 pairs WITHIN a block (block-local pairs are
     // an unbiased pair sample, and the all-pairs work stays inside
     // blocks — an equi-join on blk, never a corpus cartesian);
-    // found = those pairs q18's band join also surfaced. At 100 TB
-    // the modulus grows ∝ corpus so block size (and per-block pair
-    // budget) stays constant — the q146 guard discipline.
+    // found = those pairs q18's band join also surfaced. The modulus
+    // GROWS ∝ corpus (max(200, ceil(n/250)) — 200 at every sf ≤ 1,
+    // keeping history bit-identical; 2000 at sf10) so block size and
+    // the per-block all-pairs budget stay ~250 docs / ~31k pairs at
+    // any scale — the q146 guard discipline, previously promised by
+    // this comment but hardcoded at 200 (measured 22×/decade at sf10
+    // in the r15 full-suite sweep; constant-work now). The audit
+    // sample is blocks 0-7: a fixed ~2000-doc unbiased pair sample,
+    // which is the statistical contract of a recall AUDIT, not a
+    // corpus-sized recompute. The oracle derives the same modulus
+    // from count(documents).
     "q183_lsh_recall" -> ((s, d) => {
+      val mod = math.max(200L, (Tables.documents(s, d).count() + 249L) / 250L)
       val blkCol = expr(
-        "pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint), 200)")
+        s"pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint), $mod)")
       val sampled = graft.ops.Barrier(shingleSets(s, d)
         .withColumn("blk", blkCol).filter(col("blk") < 8)
         .select(col("blk"), col("doc_id"), col("sset"),
@@ -717,11 +726,12 @@ object DedupQueries {
     "q20_simdup" -> ((s, d) => simdupNearDups(simhashDF(s, d))),
 
     // Character-4-gram Jaccard near-dup, blocked by (lang, source)
-    // with a block-size guard: blocks above `maxBlock` docs fall back
-    // to MinHash-LSH candidate generation (q18's machinery) instead of
-    // all-pairs — see [[ngramNearDups]]. Threshold 0.5 (2*inter >=
-    // uni). At this SF every block is under the guard, so the oracle
-    // is the exact all-pairs formulation.
+    // with a block-size guard: blocks above `maxBlock` (2048 — a
+    // per-block pair budget, see [[ngramNearDups]]) fall back to
+    // MinHash-LSH candidate generation (q18's machinery) instead of
+    // all-pairs. Threshold 0.5 (2*inter >= uni). At every sf ≤ 1
+    // every block is under the guard, so the oracle is the exact
+    // all-pairs formulation.
     "q21_ngram" -> ((s, d) => ngramNearDups(Tables.documents(s, d))),
 
     // Winnowing shared-fingerprint audit (the MOSS shape: winnow, then
@@ -845,7 +855,7 @@ object DedupQueries {
     * allocation — the string HOF formulation measured ~5 s of
     * gram-building alone at sf0.1, ~20× slower than this end to
     * end. */
-  private def gramSets(docs: DataFrame): DataFrame =
+  private[graft] def gramSets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"), col("source"),
         trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("t"))
       .filter(length(col("t")) >= 4)
@@ -870,33 +880,69 @@ object DedupQueries {
     * 2-row bands would admit ~40% of all pairs at J=0.3 vs ~3% for
     * 3-row bands — the S-curve must sit above the background
     * similarity. Recall at the 0.5 threshold: ~41% at J=0.5, 94% at
-    * J=0.8, 100% for identical docs. Pairs only form inside a
-    * (block, band, sig) bucket: collision-bound, not block-bound.
+    * J=0.8, 100% for identical docs.
+    *
+    * The (block, band, sig) buckets are additionally BoundedPair-
+    * guarded: on 0.3-background data a 3-row band still admits a
+    * constant FRACTION of block pairs (measured r15: 94M candidates
+    * at sf10 = 7.5% of 1.25e9 block pairs — quadratic with a smaller
+    * constant, 566 s), so bucket membership must be a budget, not a
+    * corpus artifact. Refinement bits are the parity bits of the
+    * doc's own 12-minhash signature — (1+J)/2 per-bit agreement for
+    * a J-similar pair (≥0.75 at the 0.5 gate), and identical docs
+    * share every bit, so the dupes-subset invariant survives any
+    * depth. Sub-banding engages only in buckets past 512 docs —
+    * quiet at every sf ≤ 1 (max measured band bucket there is far
+    * smaller) — and inside an engaged bucket retains ~0.75^e of
+    * J=0.5 collisions: the documented BoundedPair recall trade,
+    * bounding total candidate work at ~rows·512/2 per band.
     * Exposed (with [[ngramCandidates]]) for the degenerate-corpus
     * budget test. */
-  private def lshPairs(big: DataFrame): DataFrame = {
+  private def lshRefined(big: DataFrame, carryGs: Boolean): DataFrame = {
     // gram codes are ints: xxhash64 spreads them over the minhash
     // domain (no oracle on this path — properties are spec-asserted)
-    val sigs = big
-      .select(col("lang"), col("source"), col("doc_id"),
-        explode(col("gs")).as("g"))
-      .select(col("lang"), col("source"), col("doc_id"),
-        expr(s"pmod(xxhash64(g), $P)").as("hm"))
-      .groupBy("lang", "source", "doc_id")
+    val mh = big
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+      .select(col("doc_id"), expr(s"pmod(xxhash64(g), $P)").as("hm"))
+      .groupBy("doc_id")
       .agg(graft.Functions.minhash_agg(col("hm")).as("mh"))
-    val bands = sigs.select(col("lang"), col("source"), col("doc_id"),
+    val carried = if (carryGs) Seq(col("gs"), col("ng")) else Seq.empty
+    val bands = big.join(mh, "doc_id")
+      .select(Seq(col("doc_id"), col("lang"), col("source"),
+        expr("""aggregate(transform(sequence(0, 11), k ->
+                  shiftleft(element_at(mh, k + 1) & 1L, k)), 0L, (a, b) -> a + b)""")
+          .as("ref"),
         expr("""explode(transform(sequence(0, 3), j ->
                   struct(j as j, xxhash64(element_at(mh, 3*j+1), element_at(mh, 3*j+2), element_at(mh, 3*j+3)) as sig)))""")
-          .as("b"))
-      .select(col("lang"), col("source"), col("doc_id"),
-        col("b.j").as("j"), col("b.sig").as("sig"))
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.lang") === col("b.lang") && col("a.source") === col("b.source")
-          && col("a.j") === col("b.j") && col("a.sig") === col("b.sig")
-          && col("a.doc_id") < col("b.doc_id"))
+          .as("b")) ++ carried: _*)
+      .select(Seq(col("doc_id"), col("ref"),
+        struct(col("lang"), col("source"), col("b.j").as("j"),
+          col("b.sig").as("sig")).as("bkt")) ++ carried: _*)
+    graft.ops.BoundedPair.refined(bands, "bkt", "ref", "pb", budget = 512L)
+  }
+
+  private def lshPairs(big: DataFrame): DataFrame = {
+    val r = lshRefined(big, carryGs = false)
+    r.as("a")
+      .join(r.as("b"),
+        col("a.pb") === col("b.pb") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
+  }
+
+  /** Collision-time scoring for the oversize blocks: the band self-join
+    * carries both gram sets and evaluates the exact merge walk in its
+    * own projection — per-CANDIDATE set shipping eliminated (see the
+    * call site in [[ngramScored]] for the r15 measurements). Emits one
+    * scored row per band collision; callers dedup on (doc_a, doc_b). */
+  private def lshScoredCollisions(big: DataFrame): DataFrame = {
+    val r = lshRefined(big, carryGs = true)
+    r.as("a")
+      .join(r.as("b"),
+        col("a.pb") === col("b.pb") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        graft.Functions.sorted_intersect_count(col("a.gs"), col("b.gs")).as("inter"),
+        col("a.ng").as("na"), col("b.ng").as("nb"))
   }
 
   /** Candidate pairs under the block-size guard: all-pairs inside
@@ -946,13 +992,25 @@ object DedupQueries {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         graft.Functions.sorted_intersect_count(col("a.gs"), col("b.gs")).as("inter"),
         col("a.ng").as("na"), col("b.ng").as("nb"))
-    val sets = g2.select(col("doc_id"), col("gs"), col("ng")).hint("merge")
-    val bigScored = lshPairs(big)
-      .join(sets.select(col("doc_id").as("da"), col("gs").as("ga"), col("ng").as("na")), "da")
-      .join(sets.select(col("doc_id").as("db"), col("gs").as("gb"), col("ng").as("nb")), "db")
-      .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        graft.Functions.sorted_intersect_count(col("ga"), col("gb")).as("inter"),
-        col("na"), col("nb"))
+    // Big-block path: score AT COLLISION TIME — the gram sets ride the
+    // band rows into the self-join (4 bands × corpus ≈ linear set
+    // volume) and the merge walk runs in the join's own projection, so
+    // no set ever ships per CANDIDATE. The r15 sf10 measurement that
+    // forced this shape: 83.5M candidates × two set-attach joins moved
+    // ~100 GB (269 s of a 566 s query); collision-time scoring ships
+    // 2.2 GB and dedups the (compact, post-scoring) pair rows instead.
+    // inter/na/nb are pure functions of the pair, so dropDuplicates
+    // picks identical payloads — deterministic. The J ≥ 0.5 threshold
+    // applies AT collision time, in the join's own stage: unlike the
+    // small path (whose Barrier-then-filter discipline prevents the
+    // filter from re-executing the upstream kernel), the collision rows
+    // exist only inside this stage, so filtering here is one evaluation
+    // per collision and cuts the dedup shuffle from every-candidate
+    // (83.5M rows at sf10) to confirmed-pairs (~1M). The caller's
+    // threshold re-check is idempotent on these rows.
+    val bigScored = lshScoredCollisions(big)
+      .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
+      .dropDuplicates("doc_a", "doc_b")
     smallScored.union(bigScored)
   }
 
@@ -961,8 +1019,20 @@ object DedupQueries {
     * oversize blocks only). Barriers (graft.ops.Barrier): gram sets
     * feed multiple consumers, and the threshold filter must not
     * collapse into the scoring join's condition (measured 30×
-    * slower). */
-  def ngramNearDups(docs: DataFrame, maxBlock: Long = 10000L): DataFrame = {
+    * slower).
+    *
+    * maxBlock is a PAIR budget in disguise: an exact block costs
+    * bn²/2 merge walks, so the cap bounds per-block work at
+    * ~2048²/2 ≈ 2.1M pairs and total exact work at blocks × 2.1M —
+    * growing with block COUNT (data diversity), not corpus size. The
+    * old 10000 cap was sized when the largest measured block was
+    * 1120 rows (sf1); at sf10 it admitted 7.6e8 in-block pairs and
+    * q21 ran 1444 s (184×/decade — the round-15 full-suite sf10
+    * sweep's worst cliff). 2048 keeps every sf ≤ 1 block exact
+    * (sf1 max 1120 — results bit-identical there, oracle untouched)
+    * and routes sf10's ≥2400-row blocks to the documented LSH
+    * fallback, which is collision-bound. */
+  def ngramNearDups(docs: DataFrame, maxBlock: Long = 2048L): DataFrame = {
     val scored = graft.ops.Barrier(ngramScored(docs, maxBlock))
     scored
       .select(col("doc_a"), col("doc_b"), col("inter"),
@@ -1475,11 +1545,13 @@ object DedupQueries {
            SELECT da, db
            FROM cand JOIN hsv x ON da=x.doc_id JOIN hsv y ON db=y.doc_id
            WHERE 5*len(list_intersect(x.sset, y.sset)) >= 3*(x.nset + y.nset - len(list_intersect(x.sset, y.sset)))),
+         md AS (
+           SELECT greatest(200, (count(*) + 249) // 250) m FROM documents),
          samp AS (
            SELECT doc_id, sset, nset,
-                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 200 blk
-           FROM hsv
-           WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 200 < 8),
+                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % md.m blk
+           FROM hsv, md
+           WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % md.m < 8),
          truth AS (
            SELECT a.blk, a.doc_id da, b.doc_id db
            FROM samp a JOIN samp b ON a.blk = b.blk AND a.doc_id < b.doc_id

@@ -147,26 +147,40 @@ object EngineQueries {
 
     // Range (interval) join: events whose value falls inside each
     // customer's [acctbal-5, acctbal+5] band. Spark-first SCALABLE
-    // shape: a naive theta-join is a nested-loop over every pair —
-    // instead both sides map to fixed-width buckets (intervals
-    // replicated to each covered bucket, ≤2 here), the join is a
-    // plain EQUI-join on the bucket id, and the exact predicate
-    // re-filters the candidates. Pair work is bucket-local at any
-    // scale; bucket width tunes replication vs selectivity.
+    // shape, two layers:
+    //  1. bucketed equi-join (intervals replicated to each covered
+    //     fixed-width bucket, ≤2 here) + exact re-filter — never a
+    //     nested-loop theta-join;
+    //  2. both sides aggregate to their VALUE DOMAIN first. The
+    //     matching PAIR set is quadratic in corpus size (acctbal is
+    //     uniform over an 11000-wide band, so ~n_e·n_c/1100 pairs —
+    //     2.6e10 bucket candidates at sf10, 110 s measured in the
+    //     r15 sweep), but the query returns aggregates, which are
+    //     BILINEAR in per-value rollups: count = Σ n_v·m_a and
+    //     checksum = Σ (Σeid_v·m_a + n_v·Σck_a) over matching
+    //     (v, a). Joining the rollups bounds pair work by the value
+    //     domains (≤56k distinct event values — they SATURATE, so
+    //     cost stops growing with the corpus), and the exact-integer
+    //     Decimal(38,0) accumulation matches the oracle's HUGEINT
+    //     sum at any scale.
     "q43_range" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val pts = Tables.events(s, d)
-        .select(col("event_id"), col("value"))
+        .groupBy(col("value"))
+        .agg(count(lit(1)).as("n_v"), sum(col("event_id").cast(dec)).as("s_eid"))
         .withColumn("b", floor(col("value") / 10).cast("long"))
       val iv = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_acctbal"))
+        .groupBy(col("c_acctbal"))
+        .agg(count(lit(1)).as("m_a"), sum(col("c_custkey").cast(dec)).as("s_ck"))
         .withColumn("b", explode(sequence(
           floor((col("c_acctbal") - 5) / 10).cast("long"),
           floor((col("c_acctbal") + 5) / 10).cast("long"))))
       pts.join(iv, "b")
         .filter(col("value") >= col("c_acctbal") - 5
           && col("value") <= col("c_acctbal") + 5)
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(col("event_id") + col("c_custkey")).as("checksum"))
+        .agg(coalesce(sum(col("n_v") * col("m_a")), lit(0L)).as("n_pairs"),
+          sum(col("s_eid") * col("m_a") + col("n_v") * col("s_ck"))
+            .cast(org.apache.spark.sql.types.LongType).as("checksum"))
     }),
 
     // As-of join: for every purchase, the user's most recent STRICTLY

@@ -1674,11 +1674,18 @@ object TextQueries {
         bg.groupBy("u", "v").agg(count(lit(1)).as("cb")))
       val uc = bc.groupBy("u").agg(sum(col("cb")).as("cu"))
       val vs = bc.agg(countDistinct(col("v")).as("vn"))
-      val surp = bc.join(uc, Seq("u")).crossJoin(broadcast(vs))
+      // hint("merge") on the vocabulary-sized sides: both uc (distinct
+      // unigrams) and surp (distinct bigrams) grow with the corpus, but
+      // they derive from a checkpointed frame whose post-agg size
+      // Catalyst underestimates — at sf10 the planner auto-broadcast
+      // the multi-GB bigram table and died building it on the driver
+      // (the scorePairs computed-array precedent). The 1-row vs/glob
+      // broadcasts stay explicit.
+      val surp = bc.join(uc.hint("merge"), Seq("u")).crossJoin(broadcast(vs))
         .select(col("u"), col("v"),
           (length(bin(col("cu") + col("vn"))) - length(bin(col("cb") + 1)))
             .cast(LongType).as("surp"))
-      val perDoc = graft.ops.Barrier(bg.join(surp, Seq("u", "v"))
+      val perDoc = graft.ops.Barrier(bg.join(surp.hint("merge"), Seq("u", "v"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"), sum(col("surp")).as("surp")))
       val glob = perDoc.agg(sum(col("surp")).as("gs"),
