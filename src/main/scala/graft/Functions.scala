@@ -96,6 +96,14 @@ object Functions {
     Shims.column(graft.functions.CmsAgg(Shims.expression(h), depth, width)
       .toAggregateExpression())
 
+  /** qsample_agg(h, tie, v, k): mergeable quantile sketch — the k
+    * values whose (h, tie) key is smallest, ascending by value;
+    * quantile p is `element_at(result, 1 + floor(p * (size - 1)))`
+    * (see [[graft.functions.QsampleAgg]]). */
+  def qsample_agg(h: Column, tie: Column, v: Column, k: Int): Column =
+    Shims.column(graft.functions.QsampleAgg(Shims.expression(h),
+      Shims.expression(tie), Shims.expression(v), k).toAggregateExpression())
+
   /** rolling_hash(s): 31-polynomial byte hash mod 2^31-1 (document
     * fingerprinting). */
   def rolling_hash(s: Column): Column =
@@ -305,6 +313,10 @@ object Functions {
     "cms_agg" -> (exprs =>
       graft.functions.CmsAgg(exprs(0), intLit("cms_agg", "depth")(exprs(1)),
         intLit("cms_agg", "width")(exprs(2))).toAggregateExpression()),
+    // qsample_agg(h, tie, v, 128): k must be a foldable integer literal
+    "qsample_agg" -> (exprs =>
+      graft.functions.QsampleAgg(exprs(0), exprs(1), exprs(2),
+        intLit("qsample_agg", "k")(exprs(3))).toAggregateExpression()),
     "rolling_hash" -> (exprs => RollingHash(exprs.head)),
     // centroid_topk(e, cb, 2): k must be a foldable integer literal
     "centroid_topk" -> (exprs =>

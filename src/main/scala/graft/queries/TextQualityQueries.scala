@@ -792,6 +792,38 @@ object TextQualityQueries {
             .as("alloc"))
         .orderBy("lang")
     }),
+
+    // Per-language length-distribution quantiles from the MERGEABLE
+    // quantile sketch (qsample_agg) — the sketch family's missing
+    // member next to HLL/KMV/CMS/Misra-Gries/hist_agg. A bottom-k-by-
+    // hash row sample (k = 128, keyed by the engine's md5-prefix hash
+    // with doc_id as the unique tiebreak) is a uniform sample fixed by
+    // the data, not the partitioning, so p50/p90/p99 read off the
+    // sample's order statistics bit-identically in any engine — where
+    // KLL/t-digest are compaction-order-dependent and could never sit
+    // under the hash-match gate. Index arithmetic is exact-integer
+    // (1 + (p·(n−1)) div 100), never a float rank. Scale shape: one
+    // partial-agg'd groupBy — each map task emits ≤ k triples per
+    // language, so a 100 TB per-language distribution costs a
+    // languages-sized shuffle, never a sort or a corpus window
+    // (contrast q137's percentile_cont, which is exact but sorts).
+    "q264_qsketch" -> ((s, d) => {
+      val h = expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
+      def pick(p: Int, as: String) = expr(
+        s"element_at(samp, cast(1 + ($p * (size(samp) - 1)) div 100 as int))")
+        .as(as)
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), col("n_chars"), h.as("h"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          graft.Functions.qsample_agg(col("h"), col("doc_id"),
+            col("n_chars"), 128).as("samp"))
+        .select(col("lang"), col("n_docs"),
+          size(col("samp")).cast(LongType).as("n_sample"),
+          pick(50, "p50"), pick(90, "p90"), pick(99, "p99"))
+        .orderBy("lang")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1369,5 +1401,29 @@ object TextQualityQueries {
                 CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
                   AS BIGINT) alloc
          FROM r ORDER BY lang""",
+    // bottom-128-by-hash sample per language, order-statistic quantiles
+    // at exact-integer ranks — replays qsample_agg as two row_number
+    // windows.
+    "q264_qsketch" ->
+      """WITH h AS (
+           SELECT lang, doc_id, n_chars,
+                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) hv
+           FROM documents),
+         r AS (SELECT lang, n_chars,
+                 row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) rn
+               FROM h),
+         s AS (SELECT lang, n_chars FROM r WHERE rn <= 128),
+         o AS (SELECT lang, n_chars,
+                 row_number() OVER (PARTITION BY lang ORDER BY n_chars) orn,
+                 count(*) OVER (PARTITION BY lang) ns
+               FROM s),
+         q AS (SELECT lang, max(ns) n_sample,
+                 max(CASE WHEN orn = 1 + (50 * (ns - 1)) // 100 THEN n_chars END) p50,
+                 max(CASE WHEN orn = 1 + (90 * (ns - 1)) // 100 THEN n_chars END) p90,
+                 max(CASE WHEN orn = 1 + (99 * (ns - 1)) // 100 THEN n_chars END) p99
+               FROM o GROUP BY lang),
+         c AS (SELECT lang, count(*) n_docs FROM documents GROUP BY lang)
+         SELECT c.lang, c.n_docs, q.n_sample, q.p50, q.p90, q.p99
+         FROM c JOIN q USING (lang) ORDER BY lang""",
   )
 }

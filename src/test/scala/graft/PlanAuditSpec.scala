@@ -630,6 +630,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"sketch quantiles should not join:\n$p")
   }
 
+  test("q264 quantile sketch: one lang exchange with map-side partial samples") {
+    val p = plan("q264_qsketch")
+    // qsample_agg is a TypedImperativeAggregate: partial bottom-k
+    // samples build map-side, so the lang exchange carries <= k
+    // (h, tie, v) triples per (task, group), never corpus rows
+    assert(p.contains("ObjectHashAggregate"),
+      s"qsample_agg should plan as an object hash aggregate:\n$p")
+    assert("Exchange hashpartitioning\\(lang".r.findFirstIn(p).isDefined,
+      s"sketch exchange should key on lang:\n$p")
+    // exactly one hash exchange (the languages-keyed sketch merge); the
+    // only other exchange is the 5-row presentation orderBy's range
+    // partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"quantile sketch should hash-shuffle exactly once:\n$p")
+    assert(!p.contains("Window"),
+      s"sample quantiles must not window the corpus:\n$p")
+  }
+
   test("q100 semdedup pairs form an equi-join on cid, never all-pairs") {
     // force the no-broadcast path: at test SF the pair join's build side
     // fits a broadcast, which would hide the at-scale join distribution
