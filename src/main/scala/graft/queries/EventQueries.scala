@@ -1098,22 +1098,31 @@ object EventQueries {
     // Inter-event cadence — median gap to the user's next event,
     // grouped by the PRECEDING type (which actions stall a session?):
     // per-user lag gaps, then the q144 dual-rank exact median (med2 =
-    // 2×median) per type. The rank window partitions by type over
-    // corpus-sized groups — exact medians are for group counts that
-    // fit a task; the 100 TB path is the q92 mergeable histogram over
-    // the same grouping (q137's documented trade).
+    // 2×median) per type. Ranks come from DistributedRank (q171's
+    // discipline), NOT a per-type window — 5 event types would
+    // collapse the corpus-sized gap frame onto 5 tasks (this query's
+    // own sf1→sf10 ratio read 12.4×/decade in exactly that shape;
+    // 32-way balanced rank sorts measured sf10 22.3 → 6.5 s). Ties on
+    // gap_us break by event_id for a total order; the median VALUE is
+    // tie-order-independent, so the oracle's plain window replay still
+    // hash-matches. Group sizes ride a broadcast types-sized rollup
+    // instead of a corpus count(*) window.
     "q166_cadence" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
-      val gaps = Tables.events(s, d)
+      // Barrier: gaps feed the rank pipeline AND the sizes rollup —
+      // without it the per-user lead window runs once per consumer
+      val gaps = graft.ops.Barrier(Tables.events(s, d)
         .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
         .withColumn("nxt_ts", lead(col("ts_ns"), 1).over(w))
         .filter(col("nxt_ts").isNotNull)
-        .select(col("event_type"),
-          expr("(nxt_ts - ts_ns) div 1000").as("gap_us"))
-      val rw = Window.partitionBy("event_type").orderBy("gap_us")
-      gaps.withColumn("r", row_number().over(rw))
-        .withColumn("m", count(lit(1)).over(Window.partitionBy("event_type")))
+        .select(col("event_type"), col("event_id"),
+          expr("(nxt_ts - ts_ns) div 1000").as("gap_us")))
+      val ranked = graft.ops.DistributedRank.rowNumber(
+        gaps, "r", Seq("event_type"), Seq(col("gap_us"), col("event_id")))
+      val sizes = gaps.groupBy("event_type").agg(count(lit(1)).as("m"))
+      ranked
+        .join(broadcast(sizes), "event_type")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_gaps"),
           sum(when(col("r") * 2 === col("m") + 1, col("gap_us") * 2)

@@ -205,7 +205,15 @@ object TextQualityQueries {
         .select(col("term"),
           (length(bin(col("tt"))) - length(bin(col("cnt"))))
             .cast(LongType).as("surp"))
-      val perDoc = graft.ops.Barrier(wx.join(surpT, "term")
+      // broadcast: surpT is VOCAB-sized (a unigram LM is bounded by
+      // its vocabulary, not the corpus), but it descends from a
+      // Barrier, whose RDD-backed stats make Spark assume
+      // corpus-sized and sort-merge — which shuffled AND sorted the
+      // whole token stream against a tiny dict (measured sf10:
+      // 43.2 -> 8.0 s from this hint alone). The token stream now
+      // never crosses an exchange: explode -> broadcast probe ->
+      // partial-agg'd doc rollup.
+      val perDoc = graft.ops.Barrier(wx.join(broadcast(surpT), "term")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"), sum(col("surp")).as("surp")))
       val glob = perDoc.agg(sum(col("surp")).as("gs"),
