@@ -587,6 +587,146 @@ object TextRetrievalQueries {
         .unionByName(zones("natural", Seq(col("doc_id"))))
         .orderBy("layout")
     }),
+
+    // Per-source KEYNESS — the distinctive-vocabulary extraction a
+    // curation pass runs before deciding what a source contributes to
+    // the mix (the corpus-linguistics log-likelihood/keyness family,
+    // here as an EXACT Laplace-smoothed relative-frequency ratio):
+    // keyness_ppm = ((a+1)(T_rest+V)·1e6) div ((b+1)(T_src+V)) where
+    // a/b are the term's in/out-of-source counts and T/V are token/
+    // vocab totals — all-integer cross-multiplication (q98's
+    // discipline), so DuckDB replays it bit-for-bit where a float
+    // log-ratio never could. Scale shape: ONE corpus scan feeds the
+    // (source, term) partial-agg'd rollup (Barrier); everything after
+    // runs on CLOSED domains — source totals broadcast
+    // (sources-sized), term totals sort-merged (vocab-sized, the q148
+    // computed-frame precedent: never driver-built), the 1-row
+    // (total, vocab) frame broadcast, and the top-10 rank window
+    // partitions on source over the vocab×sources grid, which
+    // saturates as the corpus grows (the q43 value-domain argument) —
+    // at 100 TB the only corpus-sized work is the scan.
+    "q265_keyness" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = graft.ops.Barrier(Tables.documents(s, d)
+        .select(col("source"),
+          explode(split(trim(regexp_replace(lower(col("text")),
+            "[^a-z0-9]+", " ")), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("source", "term").agg(count(lit(1)).as("cnt_in")))
+      val st = counts.groupBy("source").agg(sum(col("cnt_in")).as("ts"))
+      val tt = counts.groupBy("term").agg(sum(col("cnt_in")).as("g"))
+      val glob = counts.agg(sum(col("cnt_in")).as("tot"),
+        countDistinct(col("term")).as("v"))
+      counts.join(broadcast(st), Seq("source"))
+        .join(tt.hint("merge"), Seq("term"))
+        .crossJoin(broadcast(glob))
+        .withColumn("cnt_rest", col("g") - col("cnt_in"))
+        .withColumn("keyness_ppm", expr(
+          "cast(((cast(cnt_in as decimal(38,0)) + 1)" +
+            " * cast(tot - ts + v as decimal(38,0)) * 1000000)" +
+            " div ((cast(cnt_rest as decimal(38,0)) + 1)" +
+            " * cast(ts + v as decimal(38,0))) as bigint)"))
+        .withColumn("rn", row_number().over(Window.partitionBy("source")
+          .orderBy(desc("keyness_ppm"), col("term"))).cast(LongType))
+        .filter(col("rn") <= 10)
+        .select(col("source"), col("term"), col("cnt_in"), col("cnt_rest"),
+          col("keyness_ppm"), col("rn"))
+        .orderBy("source", "rn")
+    }),
+
+    // Per-language ZIPF rank-frequency slope — the q185 Heaps-law
+    // sibling: a language whose slope flattens under growth is
+    // accumulating templated/duplicated text, so the slope is a
+    // corpus-health dial curation tracks per ingest wave. Frequencies
+    // rank per language (cnt desc, term — deterministic), both axes
+    // take the EXACT floor-log2 surrogate (length(bin(x)) − 1, the
+    // q148 integer-log discipline), and the least-squares slope is
+    // the all-integer cov/var ratio with the sign handled explicitly
+    // so both engines only ever divide positives. Scale shape: one
+    // corpus scan → (lang, term) partial-agg'd rollup (Barrier); the
+    // rank window partitions on lang over the vocab-sized, domain-
+    // saturating table; the fit is a languages-sized aggregate of 5
+    // integer sums. Degenerate 1-term languages (den = 0) are
+    // filtered in both engines.
+    "q266_zipf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = graft.ops.Barrier(withWords(s, d)
+        .select(col("lang"), explode(col("words")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("lang", "term").agg(count(lit(1)).as("cnt")))
+      val ranked = counts
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy(desc("cnt"), col("term"))))
+        .select(col("lang"),
+          (length(bin(col("rk"))) - 1).cast(LongType).as("lr"),
+          (length(bin(col("cnt"))) - 1).cast(LongType).as("lf"))
+      ranked.groupBy("lang").agg(
+          count(lit(1)).as("n_terms"),
+          sum(col("lr")).as("sx"), sum(col("lf")).as("sy"),
+          sum(col("lr") * col("lf")).as("sxy"),
+          sum(col("lr") * col("lr")).as("sxx"))
+        .filter(col("n_terms") >= 2)
+        .withColumn("num", expr(
+          "cast(n_terms as decimal(38,0)) * cast(sxy as decimal(38,0))" +
+            " - cast(sx as decimal(38,0)) * cast(sy as decimal(38,0))"))
+        .withColumn("den", expr(
+          "cast(n_terms as decimal(38,0)) * cast(sxx as decimal(38,0))" +
+            " - cast(sx as decimal(38,0)) * cast(sx as decimal(38,0))"))
+        .select(col("lang"), col("n_terms"), col("sy").as("sum_lf"),
+          expr("cast(case when num >= 0 then (num * 1000000) div den" +
+            " else -((-num * 1000000) div den) end as bigint)")
+            .as("slope_ppm"))
+        .orderBy("lang")
+    }),
+
+    // Pairwise TOTAL-VARIATION distance between source unigram
+    // distributions — the mixture-design distance matrix (which
+    // sources are redundant, which add coverage) that q110/q199's
+    // mixture selection reads. TV = ½·Σ|p_a − p_b| is computed EXACTLY
+    // by cross-multiplying against both token totals: shared terms
+    // contribute |c_a·T_b − c_b·T_a|, and each side's unshared mass
+    // adds (T_a − Σshared_a)·T_b (resp. mirrored) — so only the
+    // shared-term inner join is ever evaluated, no dense grid. Scale
+    // shape: one corpus scan → (source, term) partial-agg'd rollup
+    // (Barrier); source totals broadcast onto both join sides; the
+    // self-join keys on term over the PRE-AGGREGATED vocab-domain
+    // rollup (multiplicity ≤ |sources| — the aggregated-side shape the
+    // pair audit exempts); the pair frame itself is the sources-sized
+    // totals table self-paired (S² rows where S saturates — the one
+    // deliberate BNLJ, enrolled in PlanAuditSpec with this reason).
+    "q267_tvd" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      val counts = graft.ops.Barrier(Tables.documents(s, d)
+        .select(col("source"),
+          explode(split(trim(regexp_replace(lower(col("text")),
+            "[^a-z0-9]+", " ")), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("source", "term").agg(count(lit(1)).as("cnt")))
+      val st = counts.groupBy("source").agg(sum(col("cnt")).as("ts"))
+      val cx = counts.join(broadcast(st), Seq("source"))
+        .select(col("source").as("src_a"), col("term"),
+          col("cnt").as("ca"), col("ts").as("ta"))
+      val cy = counts.join(broadcast(st), Seq("source"))
+        .select(col("source").as("src_b"), col("term"),
+          col("cnt").as("cb"), col("ts").as("tb"))
+      val shared = cx.join(cy, Seq("term"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(sum(abs(col("ca").cast(dec) * col("tb").cast(dec)
+            - col("cb").cast(dec) * col("ta").cast(dec))).as("d_shared"),
+          sum(col("ca")).as("sa"), sum(col("cb")).as("sb"))
+      val pairs = st.select(col("source").as("src_a"), col("ts").as("ta"))
+        .join(st.select(col("source").as("src_b"), col("ts").as("tb")),
+          col("src_a") < col("src_b"))
+      pairs.join(shared, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"),
+          expr("cast(((coalesce(d_shared, 0)" +
+            " + cast(ta - coalesce(sa, 0) as decimal(38,0)) * tb" +
+            " + cast(tb - coalesce(sb, 0) as decimal(38,0)) * ta)" +
+            " * 1000000) div (2 * cast(ta as decimal(38,0)) * tb)" +
+            " as bigint)").as("tvd_ppm"))
+        .orderBy("src_a", "src_b")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -925,5 +1065,76 @@ object TextRetrievalQueries {
                   CAST(sum(n_match) AS BIGINT)
            FROM cluz)
          SELECT * FROM f ORDER BY layout""",
+    // same smoothed cross-multiplied ratio, HUGEINT mirroring
+    // DECIMAL(38,0); same (keyness DESC, term) rank tie-break.
+    "q265_keyness" ->
+      s"""WITH n AS (SELECT source, $normDuck t FROM documents),
+          w AS (SELECT source, unnest(string_split(t, ' ')) term FROM n),
+          c AS (SELECT source, term, count(*) cnt_in FROM w
+                WHERE term <> '' GROUP BY 1, 2),
+          st AS (SELECT source, CAST(sum(cnt_in) AS BIGINT) ts FROM c GROUP BY 1),
+          tt AS (SELECT term, CAST(sum(cnt_in) AS BIGINT) g FROM c GROUP BY 1),
+          gl AS (SELECT CAST(sum(cnt_in) AS BIGINT) tot,
+                        CAST(count(DISTINCT term) AS BIGINT) v FROM c),
+          k AS (SELECT c.source, c.term, cnt_in, g - cnt_in AS cnt_rest,
+                  CAST(((CAST(cnt_in AS HUGEINT) + 1) * (tot - ts + v) * 1000000)
+                    // ((CAST(g - cnt_in AS HUGEINT) + 1) * (ts + v)) AS BIGINT)
+                    keyness_ppm
+                FROM c JOIN st USING (source) JOIN tt USING (term), gl),
+          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY keyness_ppm DESC, term) AS BIGINT) rn FROM k)
+          SELECT source, term, CAST(cnt_in AS BIGINT) cnt_in,
+                 CAST(cnt_rest AS BIGINT) cnt_rest, keyness_ppm, rn
+          FROM r WHERE rn <= 10 ORDER BY source, rn""",
+    // same floor-log2 axes (length(bin(x)) - 1), same all-integer
+    // least-squares fit with the explicit positive-divide sign split.
+    "q266_zipf" ->
+      s"""WITH n AS (SELECT lang, $normDuck t FROM documents),
+          w AS (SELECT lang, unnest(string_split(t, ' ')) term FROM n),
+          c AS (SELECT lang, term, count(*) cnt FROM w
+                WHERE term <> '' GROUP BY 1, 2),
+          r AS (SELECT lang,
+                  CAST(length(bin(row_number() OVER (PARTITION BY lang
+                    ORDER BY cnt DESC, term))) - 1 AS BIGINT) lr,
+                  CAST(length(bin(cnt)) - 1 AS BIGINT) lf FROM c),
+          a AS (SELECT lang, CAST(count(*) AS BIGINT) n_terms,
+                  CAST(sum(lr) AS HUGEINT) sx, CAST(sum(lf) AS HUGEINT) sy,
+                  CAST(sum(lr * lf) AS HUGEINT) sxy,
+                  CAST(sum(lr * lr) AS HUGEINT) sxx
+                FROM r GROUP BY 1),
+          f AS (SELECT lang, n_terms, sy,
+                  n_terms * sxy - sx * sy AS num,
+                  n_terms * sxx - sx * sx AS den
+                FROM a WHERE n_terms >= 2)
+          SELECT lang, n_terms, CAST(sy AS BIGINT) sum_lf,
+                 CAST(CASE WHEN num >= 0 THEN (num * 1000000) // den
+                      ELSE -((-num * 1000000) // den) END AS BIGINT) slope_ppm
+          FROM f ORDER BY lang""",
+    // same shared-term cross-multiplication + unshared-mass closure;
+    // HUGEINT products mirror DECIMAL(38,0).
+    "q267_tvd" ->
+      s"""WITH n AS (SELECT source, $normDuck t FROM documents),
+          w AS (SELECT source, unnest(string_split(t, ' ')) term FROM n),
+          c AS (SELECT source, term, count(*) cnt FROM w
+                WHERE term <> '' GROUP BY 1, 2),
+          st AS (SELECT source, CAST(sum(cnt) AS HUGEINT) ts FROM c GROUP BY 1),
+          sh AS (SELECT x.source src_a, y.source src_b,
+                   CAST(sum(abs(CAST(x.cnt AS HUGEINT) * ty.ts
+                     - CAST(y.cnt AS HUGEINT) * tx.ts)) AS HUGEINT) d_shared,
+                   CAST(sum(x.cnt) AS HUGEINT) sa,
+                   CAST(sum(y.cnt) AS HUGEINT) sb
+                 FROM c x JOIN c y ON x.term = y.term AND x.source < y.source
+                 JOIN st tx ON tx.source = x.source
+                 JOIN st ty ON ty.source = y.source
+                 GROUP BY 1, 2),
+          p AS (SELECT a.source src_a, b.source src_b, a.ts ta, b.ts tb
+                FROM st a JOIN st b ON a.source < b.source)
+          SELECT src_a, src_b,
+                 CAST(((coalesce(d_shared, 0)
+                   + (ta - coalesce(sa, 0)) * tb
+                   + (tb - coalesce(sb, 0)) * ta) * 1000000)
+                   // (2 * ta * tb) AS BIGINT) tvd_ppm
+          FROM p LEFT JOIN sh USING (src_a, src_b)
+          ORDER BY src_a, src_b""",
   )
 }

@@ -178,4 +178,85 @@ class CorpusMetricsSpec extends AnyFunSuite {
       assert(want((r.getString(0), r.getString(1))) == r.getLong(6))
     }
   }
+
+  private def sourceTermCounts(): Map[(String, String), Long] =
+    docs().flatMap { case (_, src, t) => norm(t).filter(_.nonEmpty).map(src -> _) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  test("q265: top-10 keyness rows match an exact BigInt replay") {
+    val c = sourceTermCounts()
+    val ts = c.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val g = c.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val tot = c.values.sum
+    val v = g.size.toLong
+    val want = c.toSeq.map { case ((src, term), a) =>
+      val b = g(term) - a
+      val k = (BigInt(a + 1) * BigInt(tot - ts(src) + v) * 1000000) /
+        (BigInt(b + 1) * BigInt(ts(src) + v))
+      (src, term, a, b, k.toLong)
+    }.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._5, r._2)).zipWithIndex.take(10)
+        .map { case ((src, term, a, b, k), i) => (src, term, a, b, k, i + 1L) }
+    }.toSet
+    val got = SparkEntry.queries("q265_keyness")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == want)
+  }
+
+  test("q266: slope matches the integer least-squares replay and is negative") {
+    def lg2(x: Long) = java.lang.Long.toBinaryString(x).length - 1L
+    // lang isn't in docs()'s projection — re-read with the lang column
+    val rows = Tables.documents(spark, sf).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val counts = rows.flatMap { case (lang, t) =>
+      norm(t).filter(_.nonEmpty).map(lang -> _) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = counts.groupBy(_._1._1).map { case (lang, m) =>
+      val ranked = m.toSeq.map { case ((_, term), cnt) => (term, cnt) }
+        .sortBy { case (term, cnt) => (-cnt, term) }.zipWithIndex
+        .map { case ((_, cnt), i) => (lg2(i + 1L), lg2(cnt)) }
+      val n = BigInt(ranked.size)
+      val sx = ranked.map(r => BigInt(r._1)).sum
+      val sy = ranked.map(r => BigInt(r._2)).sum
+      val sxy = ranked.map(r => BigInt(r._1) * BigInt(r._2)).sum
+      val sxx = ranked.map(r => BigInt(r._1) * BigInt(r._1)).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      val slope = if (num >= 0) (num * 1000000) / den
+        else -((-num * 1000000) / den)
+      lang -> (ranked.size.toLong, sy.toLong, slope.toLong)
+    }
+    val got = SparkEntry.queries("q266_zipf")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == want)
+    got.values.foreach { case (_, _, slope) =>
+      assert(slope < 0, "zipf slope must be negative on a natural rank curve")
+    }
+  }
+
+  test("q267: tvd matches the exact distribution distance and its bounds") {
+    val c = sourceTermCounts()
+    val ts = c.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val srcs = ts.keys.toSeq.sorted
+    val terms = c.keys.map(_._2).toSet
+    val want = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.size
+      a = srcs(i); b = srcs(j)
+    } yield {
+      val (ta, tb) = (BigInt(ts(a)), BigInt(ts(b)))
+      val num = terms.toSeq.map { t =>
+        (BigInt(c.getOrElse((a, t), 0L)) * tb -
+          BigInt(c.getOrElse((b, t), 0L)) * ta).abs
+      }.sum
+      (a, b) -> ((num * 1000000) / (2 * ta * tb)).toLong
+    }).toMap
+    val got = SparkEntry.queries("q267_tvd")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    assert(got.size == srcs.size * (srcs.size - 1) / 2,
+      "every ordered source pair must appear, shared terms or not")
+    got.values.foreach(v => assert(v >= 0 && v <= 1000000))
+  }
 }

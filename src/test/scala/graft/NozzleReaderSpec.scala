@@ -83,9 +83,14 @@ class NozzleReaderSpec extends AnyFunSuite {
     val received = new CopyOnWriteArrayList[String]()
 
     try {
+      // idle deadline: must be far under the server's 5 s silence (it
+      // is what frees the client from conn 0) but wide enough that a
+      // GC/descheduling pause on a loaded box can't fire it BETWEEN
+      // frames mid-connection — at 250 ms a >250 ms stall mid-conn 2
+      // produced a legitimate 4th dial and a one-off test failure
       val result = NozzleReader.run(
         "127.0.0.1", server.getLocalPort, fetcher, backoff,
-        idleTimeoutMs = 250, maxFrames = 7, onFrame = received.add(_))
+        idleTimeoutMs = 1500, maxFrames = 7, onFrame = received.add(_))
 
       val stats = result.fold(e => fail(s"reader failed: $e"), identity)
       assert(stats.frames === 7, "3 + 4 transport frames (malformed included)")

@@ -98,7 +98,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q258_lifetable", // user rollup × broadcast 1-row max-day clip (q196 shape)
       "q234_qnorm", // per-source ranks × broadcast 1-row corpus count
       "q236_loo_source", // sources-sized rollup × broadcast 1-row (N, T) totals
-      "q261_pair_work_audit") // 1-row raw total × broadcast 1-row guarded total
+      "q261_pair_work_audit", // 1-row raw total × broadcast 1-row guarded total
+      "q265_keyness", // vocab rollup × broadcast 1-row (total, vocab) frame
+      "q267_tvd") // sources-DOMAIN totals self-pair (S² rows, S saturates)
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
@@ -646,6 +648,42 @@ class PlanAuditSpec extends AnyFunSuite {
       s"quantile sketch should hash-shuffle exactly once:\n$p")
     assert(!p.contains("Window"),
       s"sample quantiles must not window the corpus:\n$p")
+  }
+
+  test("q265 keyness: domain-sized joins — totals broadcast, vocab merged, rank on source") {
+    val p = plan("q265_keyness")
+    // source totals and the 1-row (tot, v) frame ride broadcasts; the
+    // vocab-sized term-totals join must be a sort-merge (the q148
+    // computed-frame precedent: a corpus-grown vocab table is never
+    // driver-built), and the top-10 rank window keys on source over
+    // the domain-saturating vocab×sources grid
+    assert(p.contains("BroadcastExchange"),
+      s"source/global totals should broadcast:\n$p")
+    assert(p.contains("SortMergeJoin"),
+      s"the vocab-sized term-totals join should sort-merge:\n$p")
+    assert("Window.*source".r.findFirstIn(p).isDefined ||
+      "windowspecdefinition\\(source".r.findFirstIn(p).isDefined,
+      s"rank window should partition on source:\n$p")
+  }
+
+  test("q266 zipf: rank window on lang over the domain rollup, no joins") {
+    val p = plan("q266_zipf")
+    assert("windowspecdefinition\\(lang".r.findFirstIn(p).isDefined ||
+      "Window.*lang".r.findFirstIn(p).isDefined,
+      s"rank window should partition on lang:\n$p")
+    assert(!p.contains("Join"),
+      s"the zipf fit is rollup-only, no joins:\n$p")
+  }
+
+  test("q267 tvd: shared-term join on the aggregated rollup; pair frame is the one BNLJ") {
+    val p = plan("q267_tvd")
+    // the self-join keys on term over the PRE-AGGREGATED (source,
+    // term) rollup (multiplicity ≤ |sources|); the S²-row pair frame
+    // is the deliberate sources-domain BNLJ enrolled above
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the sources-domain totals self-pair is the documented BNLJ:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian on data-sized frames:\n$p")
   }
 
   test("q100 semdedup pairs form an equi-join on cid, never all-pairs") {
