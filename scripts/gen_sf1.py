@@ -40,7 +40,15 @@ con = duckdb.connect()
 def src(t):
     return f"read_parquet('{SRC}/{t}.parquet')"
 
+# GEN_TABLES=documents,embeddings restricts generation to a table
+# subset — the next decade of the corpus-side tables costs ~10x the
+# prior one, so a text/dedup/ANN-only rehearsal shouldn't pay for a
+# lineitem rewrite it won't read. Default: every table.
+_only = {t.strip() for t in os.environ.get("GEN_TABLES", "").split(",") if t.strip()}
+
 def write(t, sql):
+    if _only and t not in _only:
+        return
     out = f"{DST}/{t}.parquet"
     con.execute(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
     n = con.execute(f"SELECT count(*) FROM read_parquet('{out}')").fetchone()[0]
