@@ -395,27 +395,35 @@ object DedupQueries {
     // the tuning signal for the bands×rows trade (a band with
     // precision near zero is pure shuffle cost; uniform precision
     // says the signature mixing is healthy). The SAME shared kernel
-    // as q18 — [[bandSignatures]] for the banding, [[scorePairs]] for
-    // the exact confirm — with the band index kept on the candidate
-    // side; each distinct pair is scored ONCE and the per-band verdict
-    // joins back by (long, long) ids, so a pair surfacing in 3 bands
-    // costs one intersect, not three.
+    // as q18 — [[bandSignatures]] for the banding — with the shingle
+    // sets riding the band rows so the exact confirm runs AT COLLISION
+    // TIME in the band join's own stage (q21's measured shape: the
+    // former candidate-distinct + scorePairs verdict join shipped
+    // every candidate through a pair-grain exchange and re-sorted the
+    // corpus-sized set relation twice; here nothing pair-grain ever
+    // crosses an exchange — the collision rows reduce straight into
+    // the 6-row per-band rollup via map-side partial agg). A pair
+    // surfacing in 3 bands now pays 3 merge walks instead of 1 — the
+    // measured q21 trade: ~100 extra integer compares per duplicate
+    // collision against two corpus-sized sort+shuffle rounds. Each
+    // (j, da, db) collision row is unique by construction (one
+    // signature per doc per band), so counting rows = counting
+    // candidate pairs, as before.
     "q208_band_precision" -> ((s, d) => {
       val m = graft.ops.Barrier(shingleSets(s, d).select(col("doc_id"),
         col("sset"), size(col("sset")).cast(LongType).as("nset"),
         graft.Functions.minhash_array(col("sset")).as("mh")))
-      val bands = bandSignatures(m)
-      val candB = bands.as("a")
+      val bands = bandSignatures(m, carrySets = true).hint("merge")
+      bands.as("a")
         .join(bands.as("b"),
           col("a.j") === col("b.j") && col("a.sig") === col("b.sig")
             && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.j").as("j"), col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .distinct()
-      val verdicts = scorePairs(m, candB.select("da", "db").distinct())
-        .select(col("doc_a").as("da"), col("doc_b").as("db"),
-          when(col("inter") * 5 >= (col("na") + col("nb") - col("inter")) * 3, 1L)
+        .select(col("a.j").as("j"),
+          graft.Functions.sorted_intersect_count(col("a.sset"), col("b.sset")).as("inter"),
+          (col("a.nset") + col("b.nset")).as("nsumab"))
+        .select(col("j"),
+          when(col("inter") * 5 >= (col("nsumab") - col("inter")) * 3, 1L)
             .otherwise(0L).as("pass"))
-      candB.join(verdicts, Seq("da", "db"))
         .groupBy("j")
         .agg(count(lit(1)).as("n_cand"), sum(col("pass")).cast(LongType).as("n_pass"))
         .select(col("j").cast(LongType).as("band"), col("n_cand"), col("n_pass"),
@@ -582,37 +590,48 @@ object DedupQueries {
     // behind q18's threshold choice: for every band-collision
     // candidate pair, the signature-agreement estimate (matching
     // components / 12 — E[match] = true Jaccard) NEXT TO the exact
-    // Jaccard, both in ppm. This is how a corpus team picks band/row
+    // Jaccard, both in ppm. This is how a corpus team picks band/rows
     // counts for a new domain: plot est vs exact, see the S-curve.
-    // Same shuffle posture as q18 (signatures + id pairs; shingle
-    // sets re-joined per candidate); emitting ALL candidates, not
-    // just confirmed ones, is the point — the estimator's behavior
-    // below threshold is what calibration needs.
+    // Emitting ALL candidates, not just confirmed ones, is the point —
+    // the estimator's behavior below threshold is what calibration
+    // needs — so q18's bitmap prune cannot apply here. Instead the
+    // shuffle posture is q21's collision-time scoring: sets and
+    // signatures RIDE the band rows into the self-join and the exact
+    // intersect + estimator run in the join's own stage, so the only
+    // pair-grain exchange carries (da, db, inter, nsum, est12) — ~40
+    // bytes — where the candidate-distinct + two corpus-sized
+    // sorted-set attach joins previously shipped every candidate next
+    // to two ~100-element shingle arrays (the measured 100 GB shape
+    // that killed q21 at sf10). Multi-band duplicates fold in the
+    // same aggregate (values are pair-functional, so max = the value).
     "q126_minhash_est" -> ((s, d) => {
       val m = graft.ops.Barrier(shingleSets(s, d).select(col("doc_id"),
         col("sset"), size(col("sset")).cast(LongType).as("nset"),
         graft.Functions.minhash_array(col("sset")).as("mh")))
-      val bands = m.select(col("doc_id"),
+      val bands = m.select(col("doc_id"), col("sset"), col("nset"), col("mh"),
         expr(s"""explode(transform(sequence(0, 5), j ->
                    struct(j as j, element_at(mh, 2*j+1) * ${P}L + element_at(mh, 2*j+2) as sig)))""")
           .as("b"))
-        .select(col("doc_id"), col("b.j").as("j"), col("b.sig").as("sig"))
-      val cand = bands.as("a")
+        .select(col("doc_id"), col("sset"), col("nset"), col("mh"),
+          col("b.j").as("j"), col("b.sig").as("sig"))
+        // merge hint: the band rows now carry the shingle arrays, so a
+        // Catalyst size underestimate (computed columns over the
+        // barriered scan) must not broadcast a multi-GB relation —
+        // same discipline as scorePairs/ngramScored
+        .hint("merge")
+      bands.as("a")
         .join(bands.as("b"),
           col("a.j") === col("b.j") && col("a.sig") === col("b.sig")
             && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .distinct()
-      val sides = m.hint("merge")
-      cand
-        .join(sides.toDF("da", "sa", "na", "ma"), "da")
-        .join(sides.toDF("db", "sb", "nb", "mb"), "db")
-        .select(col("da").as("doc_a"), col("db").as("doc_b"),
-          graft.Functions.sorted_intersect_count(col("sa"), col("sb")).as("inter"),
-          (col("na") + col("nb")).as("nsum"),
-          aggregate(zip_with(col("ma"), col("mb"),
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          graft.Functions.sorted_intersect_count(col("a.sset"), col("b.sset")).as("inter"),
+          (col("a.nset") + col("b.nset")).as("nsum"),
+          aggregate(zip_with(col("a.mh"), col("b.mh"),
               (x, y) => when(x === y, 1L).otherwise(0L)),
-            lit(0L), (a, x) => a + x).as("est12"))
+            lit(0L), (acc, x) => acc + x).as("est12"))
+        .groupBy(col("da").as("doc_a"), col("db").as("doc_b"))
+        .agg(max(col("est12")).as("est12"), max(col("inter")).as("inter"),
+          max(col("nsum")).as("nsum"))
         .select(col("doc_a"), col("doc_b"), col("est12"),
           expr("(est12 * 1000000) div 12").as("est_ppm"),
           expr("(inter * 1000000) div (nsum - inter)").as("jac_ppm"))
@@ -1143,12 +1162,17 @@ object DedupQueries {
     * and the q208 per-band precision audit, so the banding definition
     * (band count, row grouping, P-mixing) can never drift between the
     * pipeline and the audit that tunes it. */
-  private def bandSignatures(m: DataFrame): DataFrame = {
+  private def bandSignatures(m: DataFrame, carrySets: Boolean = false): DataFrame = {
     // carry the candidate-prune columns ([[minhashScored]]'s ubKeep)
     // through the band explode when the caller computed them — 24
-    // bytes per band row, no extra join; audit callers (q208) band a
-    // bare frame and stay byte-identical
-    val carry = Seq("nset", "bm0", "bm1").filter(m.columns.contains).map(col)
+    // bytes per band row, no extra join. carrySets additionally rides
+    // the shingle array on each band row for collision-time scoring
+    // callers (q208); the q18 kernel keeps the narrow rows (its
+    // bitmap prune makes the post-distinct scorePairs attach cheap,
+    // and fattening its band exchange 6× would tax the common path
+    // for nothing).
+    val carry = (Seq("nset", "bm0", "bm1") ++ (if (carrySets) Seq("sset") else Nil))
+      .filter(m.columns.contains).map(col)
     m.select(col("doc_id") +: carry
         :+ expr(s"""explode(transform(sequence(0, 5), j ->
                  struct(j as j, element_at(mh, 2*j+1) * ${P}L + element_at(mh, 2*j+2) as sig)))""")

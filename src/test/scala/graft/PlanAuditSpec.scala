@@ -1157,15 +1157,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"projected ANN sort-merges:\n$p")
   }
 
-  test("q126 estimator audit keeps the q18 shuffle posture (signatures + id pairs)") {
+  test("q126 estimator audit scores at collision time: one band join, no set attach") {
     val p = plan("q126_minhash_est")
-    // the candidate join keys on (band, signature); the shingle sets
-    // join back per candidate via the merge hint — never broadcast
-    // (computed-array size underestimate) and never all-pairs
+    // sets ride the band rows into ONE (j, sig)-keyed self-join and the
+    // intersect/estimator run in its stage; the only pair-grain exchange
+    // is the narrow groupBy(doc_a, doc_b) dedup. The merge hint keeps a
+    // computed-array size underestimate from broadcasting the fat band
+    // relation (the q148 death shape), and never all-pairs.
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"estimator audit goes all-pairs:\n$p")
+    val joins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")
+        || l.contains("BroadcastHashJoin"))
+    assert(joins == 1, s"expected exactly the band self-join, got $joins:\n$p")
     assert(p.contains("SortMergeJoin"),
-      s"candidate set-lookup lost the merge hint:\n$p")
+      s"fat band relation must sort-merge, not broadcast:\n$p")
+    assert(p.contains("partial_max"), s"pair dedup lost map-side combine:\n$p")
   }
 
   test("q127 deciles window on lang with ONE exchange") {
@@ -1492,10 +1499,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"cap aggregates lost map-side combine:\n$p")
   }
 
-  test("q208 band precision: merge-join confirm stage, per-band rollup partial-aggs") {
+  test("q208 band precision: collision-time confirm, per-band rollup partial-aggs") {
     val p = plan("q208_band_precision")
+    // one (j, sig)-keyed band self-join with the sets riding; the
+    // confirm verdict reduces into the 6-row rollup with map-side
+    // combine — nothing pair-grain crosses an exchange
+    val joins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")
+        || l.contains("BroadcastHashJoin"))
+    assert(joins == 1, s"expected exactly the band self-join, got $joins:\n$p")
     assert(p.contains("SortMergeJoin"),
-      s"confirm stage lost the merge hint (fat shingle side must not broadcast):\n$p")
+      s"fat band relation must sort-merge, not broadcast:\n$p")
     assert(p.contains("partial_count"), s"band rollup lost map-side combine:\n$p")
   }
 
