@@ -187,24 +187,34 @@ object KMeans {
   /** All-subspace variant of [[aggregateStep]] for PQ training: ONE
     * scan computes every (subspace, cluster) sum+count. Each row
     * assigns all M subspaces map-side, then fans out M (m, cid)
-    * structs — the shuffle key becomes (m, cid) and the aggregate is
+    * pairs — the shuffle key becomes (m, cid) and the aggregate is
     * an ordinary subDim+1-column groupBy with map-side combine (a
     * giant conditional-aggregate formulation blew past the codegen
     * method limits and ran SLOWER; this shape stays small). Exact
     * integers ⇒ bit-identical to M separate [[aggregateStep]] passes
     * (KMeansSpec pins this); at 100 TB this is 1 scan per training
-    * round instead of M. */
+    * round instead of M.
+    *
+    * Shape note (the r15 7× fix): the assignments are computed in a
+    * PROJECTION and only the M already-computed cid longs feed the
+    * posexplode. The previous form inlined the M assignExprs into the
+    * generator input itself (explode(array(struct(m, assignExpr…)))),
+    * which pushed GenerateExec past the whole-stage-codegen limits and
+    * dropped the entire argmin subtree to interpreted eval per row —
+    * measured 25.3 s vs 3.6 s per round on 200k×64 int8 at sf10 for
+    * bit-identical output. Generate is not a Project, so CollapseProject
+    * cannot re-inline the assignment columns (the q186 trap). */
   def aggregateStepMulti(vecs: DataFrame, vecCol: String, subDim: Int,
                          states: Seq[Seq[Centroid]]): Seq[Map[Long, Centroid]] = {
-    val mc = explode(array(states.zipWithIndex.map { case (st, m) =>
-      struct(lit(m).as("m"),
-        assignExpr(expr(s"slice($vecCol, ${m * subDim + 1}, $subDim)"), st).as("cid"))
-    }: _*))
+    val withCids = vecs.select(col(vecCol) +: states.zipWithIndex.map { case (st, m) =>
+      assignExpr(expr(s"slice($vecCol, ${m * subDim + 1}, $subDim)"), st).as(s"_cid$m")
+    }: _*)
     val sumCols = (0 until subDim).map(j =>
       sum(expr(s"element_at($vecCol, _m * $subDim + ${j + 1})")).as(s"_s$j"))
-    val rows = vecs
-      .select(col(vecCol), mc.as("_mc"))
-      .select(col(vecCol), col("_mc.m").as("_m"), col("_mc.cid").as("_cid"))
+    val rows = withCids
+      .select(col(vecCol),
+        posexplode(array(states.indices.map(m => col(s"_cid$m")): _*))
+          .as(Seq("_m", "_cid")))
       .groupBy("_m", "_cid")
       .agg(count(lit(1)).as("_c"), sumCols: _*)
       .collect()

@@ -365,15 +365,23 @@ object RelationalQueries {
     // sourcing pattern every inventory/WIP dashboard runs: the only
     // corpus-sized work is the per-order completion rollup; the
     // running sum's unpartitioned window rides the days-sized table
-    // (q66's documented bound).
+    // (q66's documented bound). The completion rollup aggregates
+    // lineitem BEFORE meeting orders (guide §2.3, aggregate before
+    // you shuffle): max(l_shipdate) per l_orderkey partial-aggs
+    // map-side (~4 lines/order collapse pre-exchange), and the
+    // orders probe is a LEFT SEMI on the already-aggregated rows —
+    // algebraically identical to the oracle's join-then-group
+    // because o_orderkey is unique (join multiplicity 1), while the
+    // old shape shuffled every lineitem row into the join first.
     "q181_backlog" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val placed = Tables.orders(s, d)
         .select(to_date(col("o_orderdate")).as("day"), lit(1L).as("delta"))
-      val completed = Tables.orders(s, d)
-        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_orderkey"))
+      val completed = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
         .agg(max(to_date(col("l_shipdate"))).as("day"))
+        .join(Tables.orders(s, d).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
         .select(col("day"), lit(-1L).as("delta"))
       val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
       placed.unionAll(completed)
