@@ -122,6 +122,14 @@ object Functions {
     Shims.column(graft.functions.CentroidTopK(
       Shims.expression(emb), Shims.expression(codebook), k))
 
+  /** pq_codes(emb, codebook, subDim): per-subspace argmin-L2 PQ
+    * encoding — one call returns all emb.length/subDim codes; same
+    * sequential-fold arithmetic and (d2, cid) tie order as the HOF
+    * formulation it replaces (see [[graft.functions.PqCodes]]). */
+  def pq_codes(emb: Column, codebook: Column, subDim: Int): Column =
+    Shims.column(graft.functions.PqCodes(
+      Shims.expression(emb), Shims.expression(codebook), subDim))
+
   /** vec_quant8(emb): symmetric int8 quantization (floor(x·127/maxabs))
     * — the embedding storage/compression step, integer outputs. */
   def vec_quant8(emb: Column): Column =
@@ -319,6 +327,9 @@ object Functions {
         intLit("qsample_agg", "k")(exprs(3))).toAggregateExpression()),
     "rolling_hash" -> (exprs => RollingHash(exprs.head)),
     // centroid_topk(e, cb, 2): k must be a foldable integer literal
+    "pq_codes" -> (exprs =>
+      graft.functions.PqCodes(exprs(0), exprs(1),
+        intLit("pq_codes", "subDim")(exprs(2)))),
     "centroid_topk" -> (exprs =>
       graft.functions.CentroidTopK(exprs(0), exprs(1),
         intLit("centroid_topk", "k")(exprs(2)))),

@@ -110,6 +110,17 @@ object SimilarityQueries {
     * locality family as the cell itself (exact dupes share every
     * sign), so BoundedPair sub-banding keeps LSH-grade recall inside
     * an oversize cell. */
+  /** The 16-row JL sign projection of an int8 vector as an
+    * ARRAY<BIGINT> column — one codegen'd [[graft.Functions.vec_dot_int]]
+    * per sign row instead of the transform∘aggregate∘zip_with HOF
+    * tower (Catalyst runs lambdas interpreted, one call per element
+    * per row: 16×64 per vector — measured ~7 s of q124/q125's ~10 s
+    * at sf10). Integer addition is associative, so the dot kernel's
+    * sum equals the HOF's left fold exactly, at any order. */
+  private def rpProject(q8: Column): Column =
+    array(rpSigns.map(row =>
+      graft.Functions.vec_dot_int(q8, typedLit(row))): _*)
+
   private def q8RefBits(q8: Column): Column =
     rpSigns.zipWithIndex.map { case (row, j) =>
       when(graft.Functions.vec_dot_int(typedLit(row), q8) > 0, lit(1L << j))
@@ -484,11 +495,13 @@ object SimilarityQueries {
       s"transform(slice($c, ${m * 16 + 1}, 16), x -> cast(x as double))"
     def d2(a: String, b: String) =
       s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
-    def codeExpr(m: Int) =
-      s"array_min(transform(cb, c -> struct(${d2(subv("embedding", m), s"slice(c.cv, ${m * 16 + 1}, 16)")} as d2, c.cid as cid))).cid"
+    // native PQ encode (graft.functions.PqCodes): one codegen'd call
+    // per row replaces the 4× array_min(transform(aggregate(zip_with)))
+    // HOF tower — same sequential fold, same (d2, cid) tie order,
+    // bit-identical codes (PqCodesSpec pins parity with the HOF form)
     val coded = emb.crossJoin(broadcast(cbs))
       .select(col("vec_id"), col("cb"),
-        expr(s"array(${(0 until 4).map(codeExpr).mkString(", ")})").as("codes"))
+        graft.Functions.pq_codes(col("embedding"), col("cb"), 16).as("codes"))
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     val dists = (0 until 4).map(m =>
       d2(subv("qv", m),
@@ -636,14 +649,11 @@ object SimilarityQueries {
     // is an exact integer. Output posexploded to scalar (vec_id, j,
     // p) rows for the driver's comparator.
     "q123_rproj" -> ((s, d) => {
-      val sl = typedLit(rpSigns)
       Tables.embeddings(s, d)
         .filter(col("vec_id") < 200)
         .filter(!exists(col("embedding"), _.isNull)) // see q48 note
         .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8"))
-        .select(col("vec_id"), posexplode(transform(sl, srow =>
-          aggregate(zip_with(col("q8"), srow, (x, sg) => x * sg),
-            lit(0L), (a, x) => a + x))))
+        .select(col("vec_id"), posexplode(rpProject(col("q8"))))
         .select(col("vec_id"), col("pos").cast("long").as("j"), col("col").as("p"))
         .orderBy("vec_id", "j")
     }),
@@ -658,13 +668,10 @@ object SimilarityQueries {
     // 1-row projected query broadcasts, ranking is native integer
     // vec_dot_int + TakeOrderedAndProject — join-free, shuffle-free.
     "q124_rproj_ann" -> ((s, d) => {
-      val sl = typedLit(rpSigns)
       val pv = graft.ops.Barrier(Tables.embeddings(s, d)
         .filter(!exists(col("embedding"), _.isNull))
         .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8"))
-        .select(col("vec_id"), transform(sl, srow =>
-          aggregate(zip_with(col("q8"), srow, (x, sg) => x * sg),
-            lit(0L), (a, x) => a + x)).as("p16")))
+        .select(col("vec_id"), rpProject(col("q8")).as("p16")))
       val q = pv.filter(col("vec_id") === 0).select(col("p16").as("qp"))
       pv.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
@@ -759,13 +766,10 @@ object SimilarityQueries {
     // 10-row left-semi count. At scale this runs over a query SAMPLE
     // — the audit cost is queries × corpus-scan, same as serving.
     "q125_rproj_recall" -> ((s, d) => {
-      val sl = typedLit(rpSigns)
       val base = graft.ops.Barrier(Tables.embeddings(s, d)
         .filter(!exists(col("embedding"), _.isNull))
         .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8"))
-        .withColumn("p16", transform(sl, srow =>
-          aggregate(zip_with(col("q8"), srow, (x, sg) => x * sg),
-            lit(0L), (a, x) => a + x))))
+        .withColumn("p16", rpProject(col("q8"))))
       val q = base.filter(col("vec_id") === 0)
         .select(col("q8").as("qq"), col("p16").as("qp"))
       val exact = base.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
@@ -848,13 +852,13 @@ object SimilarityQueries {
         s"transform(slice($c, ${m * 16 + 1}, 16), x -> cast(x as double))"
       def d2(a: String, b: String) =
         s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
-      def codeExpr(m: Int) =
-        s"array_min(transform(cbp, c -> struct(${d2(subv("embedding", m), s"slice(c.cv, ${m * 16 + 1}, 16)")} as d2, c.cid as cid))).cid"
       val withCb = emb.crossJoin(broadcast(cbs))
+      // native PQ encode — see the q69/pqAdc note (bit-identical to
+      // the array_min(transform(...)) HOF tower it replaces)
       val coded = withCb.select(col("vec_id"), col("cbp"),
         graft.Functions.centroid_topk(col("embedding"), col("cbi"), 1)
           .getItem(0).as("cid"),
-        expr(s"array(${(0 until 4).map(codeExpr).mkString(", ")})").as("codes"))
+        graft.Functions.pq_codes(col("embedding"), col("cbp"), 16).as("codes"))
       val probes = withCb.filter(col("vec_id") === 0)
         .select(explode(graft.Functions.centroid_topk(
           col("embedding"), col("cbi"), 2)).as("cid"))
