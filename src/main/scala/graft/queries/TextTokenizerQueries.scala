@@ -505,18 +505,23 @@ object TextTokenizerQueries {
         bg.groupBy("u", "v").agg(count(lit(1)).as("cb")))
       val uc = bc.groupBy("u").agg(sum(col("cb")).as("cu"))
       val vs = bc.agg(countDistinct(col("v")).as("vn"))
-      // hint("merge") on the vocabulary-sized sides: both uc (distinct
-      // unigrams) and surp (distinct bigrams) grow with the corpus, but
-      // they derive from a checkpointed frame whose post-agg size
-      // Catalyst underestimates — at sf10 the planner auto-broadcast
-      // the multi-GB bigram table and died building it on the driver
-      // (the scorePairs computed-array precedent). The 1-row vs/glob
-      // broadcasts stay explicit.
-      val surp = bc.join(uc.hint("merge"), Seq("u")).crossJoin(broadcast(vs))
+      // explicit broadcast of the TYPE-sized model tables (the q106
+      // precedent): uc and surp are bigram/unigram TYPE tables —
+      // measured 961 bigram types at BOTH sf1 and sf10 on this capped
+      // vocabulary, KBs framed, and vocabulary-sized (≪ corpus) on any
+      // natural corpus by Heaps' law. The earlier merge hint was aimed
+      // at a Catalyst size underestimate that had auto-broadcast the
+      // wrong side (the checkpointed 26.6M-row token STREAM at sf10 —
+      // the driver-death shape); hinting the stream join to merge
+      // instead shuffled all 26.6M (u, v) string rows onto 961 keys.
+      // Broadcasting the scoring dict makes the pass map-only: the
+      // stream never crosses an exchange, and the per-doc rollup
+      // partial-aggs on partition-local doc_ids.
+      val surp = bc.join(broadcast(uc), Seq("u")).crossJoin(broadcast(vs))
         .select(col("u"), col("v"),
           (length(bin(col("cu") + col("vn"))) - length(bin(col("cb") + 1)))
             .cast(LongType).as("surp"))
-      val perDoc = graft.ops.Barrier(bg.join(surp.hint("merge"), Seq("u", "v"))
+      val perDoc = graft.ops.Barrier(bg.join(broadcast(surp), Seq("u", "v"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"), sum(col("surp")).as("surp")))
       val glob = perDoc.agg(sum(col("surp")).as("gs"),
