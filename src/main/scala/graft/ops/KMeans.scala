@@ -73,16 +73,19 @@ object KMeans {
         s"kmeans: cluster ${st.cid} count ${st.count} exceeds the exact-integer " +
           s"bound $maxCount for dim $dim — train on a hash-sample instead")
     }
-    val xx = graft.Functions.vec_dot_int(vec, vec)
-    val ranked = state.sortBy(_.cid).map { st =>
-      val cc = st.count * st.count
-      val ss = st.sums.map(s => s * s).sum
-      val xs = graft.Functions.vec_dot_int(vec, typedLit(st.sums.toSeq))
-      val num = lit(cc) * xx - lit(2L * st.count) * xs + lit(ss)
-      struct((num.cast(DoubleType) / lit(cc.toDouble)).as("d"), lit(st.cid).as("cid"))
-    }
-    if (ranked.size == 1) ranked.head.getField("cid")
-    else least(ranked: _*).getField("cid")
+    // k = 1 keeps the historical constant-fold (a plain cid literal,
+    // insensitive to vector nullity, matching the old struct form)
+    if (state.size == 1) return lit(state.head.cid)
+    // native argmin (graft.functions.KmeansAssign): identical
+    // arithmetic to the former least(struct(num/cc as d, cid)…) tower
+    // — same wrapping-Long polynomial, one IEEE division, (d, cid)
+    // order over cid-sorted centroids — but one tight k×d loop per
+    // row instead of k struct allocations + k generated dot calls
+    // (measured 7.9 → ~1.5 s per 200k-row pass at k = 64).
+    val sorted = state.sortBy(_.cid)
+    org.apache.spark.sql.graftshim.Shims.column(graft.functions.KmeansAssign(
+      org.apache.spark.sql.graftshim.Shims.expression(vec),
+      sorted.map(_.cid), sorted.map(_.sums.toSeq), sorted.map(_.count)))
   }
 
   /** Codebook size for a corpus of `n` vectors under a target cell

@@ -114,10 +114,33 @@ class KMeansSpec extends AnyFunSuite {
     // the "*(n)" prefix is the simple-string rendering of a
     // WholeStageCodegen stage wrapping the assignment Project
     assert(plan.contains("*(") && plan.contains("Project [vec_id"), s"plan:\n$plan")
-    assert(plan.contains("vec_dot_int"),
-      s"assignment must rank via the native integer-dot kernel:\n$plan")
+    assert(plan.contains("kmeans_assign"),
+      s"assignment must rank via the native argmin kernel:\n$plan")
     assert(!plan.contains("zip_with"),
       s"no interpreted HOFs in the assignment hot path:\n$plan")
+  }
+
+  test("native kmeans_assign equals the least(struct(d, cid)) tower, bit for bit") {
+    val sf = "/root/testdata/sf0.01"
+    val qemb = Tables.embeddings(spark, sf)
+      .filter(!exists(col("embedding"), _.isNull))
+      .select(col("vec_id"), Functions.vec_quant8(col("embedding")).as("q8"))
+    val seeds = KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
+    val model = KMeans.train(qemb, "vec_id", "q8", 64, seeds, maxIter = 2)
+    // the pre-r15 Column formulation, reconstructed verbatim
+    val xx = Functions.vec_dot_int(col("q8"), col("q8"))
+    val ranked = model.sortBy(_.cid).map { st =>
+      val cc = st.count * st.count
+      val ss = st.sums.map(s => s * s).sum
+      val xs = Functions.vec_dot_int(col("q8"), typedLit(st.sums.toSeq))
+      val num = lit(cc) * xx - lit(2L * st.count) * xs + lit(ss)
+      struct((num.cast("double") / lit(cc.toDouble)).as("d"), lit(st.cid).as("cid"))
+    }
+    val both = qemb.select(col("vec_id"),
+      KMeans.assignExpr(col("q8"), model).as("native"),
+      least(ranked: _*).getField("cid").as("tower"))
+    assert(both.filter(not(col("native") <=> col("tower"))).count() === 0)
+    assert(both.count() > 0)
   }
 
   test("q130 inertia matches the driver-side distance sum over the model") {
