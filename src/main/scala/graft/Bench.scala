@@ -91,7 +91,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val errJson = errors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"stat":"min","queries":$qs,"queries_max":$qsMax,"errors":$errJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"stat":"min","cpus":$cpus,"queries":$qs,"queries_max":$qsMax,"errors":$errJson,"sf":"$sfDir"}"""
     println(json)
     // The driver captures only a truncated stdout tail (BENCH_r01-r14
     // all arrived with parsed:null) — persist the full line to a file
@@ -109,7 +109,7 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"stat":"min","n":${results.size},"queries":$slowest,"queries_note":"10 slowest of ${results.size}; full per-query line precedes this one and is persisted to $outPath","errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"stat":"min","cpus":$cpus,"n":${results.size},"queries":$slowest,"queries_note":"10 slowest of ${results.size}; full per-query line precedes this one and is persisted to $outPath","errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

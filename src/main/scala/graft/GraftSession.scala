@@ -25,8 +25,16 @@ object GraftSession {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.filterPushdown", "true")
     .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+    // Fallback chain SPARK_GRAFT_SHUFFLE -> SPARK_GRAFT_CPUS -> 32:
+    // tune() is applied AFTER the entry points' own builder configs, so
+    // a plain "32" here silently clobbered Bench/Verify's
+    // shuffle.partitions = $SPARK_GRAFT_CPUS (the r15 verdict's config-
+    // ordering bug) and pinned shuffle parallelism at 32 during the
+    // driver's core-scaling runs. Deferring to the cpus env restores
+    // the documented contract without depending on config order.
     .config("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")))
     // Scan-split sizing lever: Spark's 128m default gives a 1.3 GB
     // single-file fact table only ~11 scan partitions — a third of
     // local[32]'s cores sit idle through every sf10 table scan. The

@@ -497,7 +497,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // is the map-only encode and the distributed partial top-k
     val p = plan("q73_pq_trained")
     assert(p.contains("TakeOrderedAndProject"), s"ranking lost partial top-k:\n$p")
-    assert(p.contains("vec_dot_int"), s"encode lost the native kernel:\n$p")
+    assert(p.contains("kmeans_assign") || p.contains("pq_codes"),
+      s"encode lost the native kernel:\n$p")
     assert(!p.contains("Join"), s"q73 must not join at query time:\n$p")
     assert(!p.contains("Exchange hashpartitioning"), s"q73 must not shuffle:\n$p")
   }
