@@ -130,6 +130,25 @@ object Functions {
     Shims.column(graft.functions.PqCodes(
       Shims.expression(emb), Shims.expression(codebook), subDim))
 
+  /** pq_adc(qv, codebook, codes, subDim, nSub): asymmetric-distance
+    * lookup-and-sum for a PQ search — per subspace, squared L2 between
+    * the query slice and the cid-matched centroid's slice, summed in
+    * subspace order; same sequential-fold arithmetic and null
+    * poisoning as the HOF formulation it replaces (see
+    * [[graft.functions.PqAdc]]). */
+  def pq_adc(qv: Column, codebook: Column, codes: Column,
+             subDim: Int, nSub: Int): Column =
+    Shims.column(graft.functions.PqAdc(
+      Shims.expression(qv), Shims.expression(codebook),
+      Shims.expression(codes), subDim, nSub))
+
+  /** any_null(arr): true iff the array has a NULL element — the
+    * native form of the `exists(arr, isnull)` pre-filter (one
+    * null-bitmap sweep instead of one interpreted lambda call per
+    * element per row; see [[graft.functions.AnyNullElement]]). */
+  def any_null(arr: Column): Column =
+    Shims.column(graft.functions.AnyNullElement(Shims.expression(arr)))
+
   /** vec_quant8(emb): symmetric int8 quantization (floor(x·127/maxabs))
     * — the embedding storage/compression step, integer outputs. */
   def vec_quant8(emb: Column): Column =
@@ -333,6 +352,11 @@ object Functions {
     "centroid_topk" -> (exprs =>
       graft.functions.CentroidTopK(exprs(0), exprs(1),
         intLit("centroid_topk", "k")(exprs(2)))),
+    // pq_adc(qv, cb, codes, 16, 4): subDim/nSub integer literals
+    "pq_adc" -> (exprs =>
+      graft.functions.PqAdc(exprs(0), exprs(1), exprs(2),
+        intLit("pq_adc", "subDim")(exprs(3)),
+        intLit("pq_adc", "nSub")(exprs(4)))),
     "vec_dot" -> (exprs => graft.functions.VecDot(exprs(0), exprs(1))),
     "gram4_codes" -> (exprs => graft.functions.Gram4Codes(exprs.head)),
     "word_shingles3" -> (exprs => graft.functions.WordShingles3(exprs.head)),
@@ -347,6 +371,7 @@ object Functions {
     "bigram_scores" -> (exprs => graft.functions.BigramScores(exprs(0), exprs(1))),
     "text_stats" -> (exprs => graft.functions.TextStats(exprs.head)),
     "repetition_stats" -> (exprs => graft.functions.RepetitionStats(exprs.head)),
+    "any_null" -> (exprs => graft.functions.AnyNullElement(exprs.head)),
     "vec_quant8" -> (exprs => graft.functions.VecQuant8(exprs.head)),
     "vec_dot_int" -> (exprs => graft.functions.VecDotInt(exprs(0), exprs(1))),
     "vec_l1_int" -> (exprs => graft.functions.VecL1Int(exprs(0), exprs(1))),

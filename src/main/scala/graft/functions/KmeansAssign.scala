@@ -18,10 +18,16 @@ import org.apache.spark.sql.types._
   * exact integers — and the argmin orders by (d, cid) with
   * `java.lang.Double.compare` over centroids pre-sorted by cid (ties
   * → smaller cid), which is `least`'s struct order on this domain (no
-  * NaN: c > 0; no −0.0: a Long cast). NULL semantics: a NULL vector,
-  * NULL element, or length mismatch returns NULL — the Column form
-  * poisons its dots to NULL on the same inputs, and every caller
-  * pre-filters them (KMeansSpec pins parity on real data).
+  * NaN: c > 0; no −0.0: a Long cast). NULL semantics DIVERGE from the
+  * Column form on bad inputs: this kernel returns NULL on a NULL
+  * vector, NULL element, or length mismatch, whereas the old
+  * least(struct(d, cid)) tower returned the SMALLEST cid there (its
+  * dots poison to NULL, and nulls-first struct ordering makes least
+  * pick the lowest-cid struct) for k > 1. Parity therefore holds only
+  * under the caller convention that NULL vectors/elements are
+  * pre-filtered — true of every current caller, and KMeansSpec pins
+  * parity on that (filtered) real data. A future unfiltered caller
+  * gets NULL, the intended contract, not the old accident.
   *
   * Why native: the `least` tower allocates k (double, long) structs
   * per ROW and re-reads the vector per centroid through generated
@@ -59,6 +65,14 @@ case class KmeansAssign(child: Expression,
   @transient private lazy val ssArr: Array[Long] =
     sums.map(_.map(s => s * s).sum).toArray
 
+  // Partial-distance elimination was tried and MEASURED OUT here
+  // (r16): accumulating num as Σ_j (c·x_j − S_j)² is the same integer
+  // (ring identity) and monotone in j, so an exact early-exit against
+  // bestD is provably bit-identical — but the 2-mul inner loop plus a
+  // branch every 8 elements defeats auto-vectorization of this plain
+  // dot loop, and the interleaved sf10 A/B came back 1.3-1.6× SLOWER
+  // (q130 4.0 → 6.4 s, q111 4.1 → 5.0 s; BENCH_LOCAL_ab_r16_pde.json).
+  // Keep the branch-free k×d form.
   def compute(vecRaw: Any): Any = {
     val vec = vecRaw.asInstanceOf[ArrayData]
     if (vec.numElements() != dim) return null

@@ -27,12 +27,17 @@ import org.apache.spark.sql.types._
   * — elements widen to double, squared differences accumulate strictly
   * left-to-right (the oracle's sequential fold), and the argmin orders
   * by (d2, cid) via `java.lang.Double.compare` (Spark's total order;
-  * d2 ≥ 0 here, so the −0.0 corner cannot arise). NULL semantics:
-  * NULL inputs, NULL elements, a NULL codebook entry, or any length
-  * shortfall poisons the result to NULL (the zip_with padding would
-  * have produced a NULL d2 — on the pre-filtered embedding tables the
-  * two behaviors are indistinguishable, and PqCodesSpec pins parity
-  * against the HOF form on the real testdata).
+  * d2 ≥ 0 here, so the −0.0 corner cannot arise). NULL semantics
+  * DIVERGE from the HOF form on bad inputs: this kernel poisons the
+  * whole output array to NULL on NULL inputs, NULL elements, a NULL
+  * codebook entry, or any length shortfall, whereas the old
+  * array_min-over-structs returned a CID there (zip_with padding
+  * yields a NULL d2, and null struct fields sort FIRST, so array_min
+  * selects that struct's cid). Parity therefore holds only under the
+  * caller convention that embeddings are pre-filtered for NULLs —
+  * true of every current caller; PqCodesSpec pins parity on that
+  * (filtered) real data and pins the intended NULL contract on
+  * unfiltered input.
   *
   * Why native: Catalyst evaluates higher-order functions one lambda
   * call per element per row; the PQ encode is M·K·subDim lambda calls

@@ -491,10 +491,6 @@ object SimilarityQueries {
       .agg(sort_array(collect_list(struct(
         col("vec_id").cast(org.apache.spark.sql.types.LongType).as("cid"),
         expr("transform(embedding, x -> cast(x as double))").as("cv")))).as("cb"))
-    def subv(c: String, m: Int) =
-      s"transform(slice($c, ${m * 16 + 1}, 16), x -> cast(x as double))"
-    def d2(a: String, b: String) =
-      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
     // native PQ encode (graft.functions.PqCodes): one codegen'd call
     // per row replaces the 4× array_min(transform(aggregate(zip_with)))
     // HOF tower — same sequential fold, same (d2, cid) tie order,
@@ -503,13 +499,16 @@ object SimilarityQueries {
       .select(col("vec_id"), col("cb"),
         graft.Functions.pq_codes(col("embedding"), col("cb"), 16).as("codes"))
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    val dists = (0 until 4).map(m =>
-      d2(subv("qv", m),
-        s"slice(element_at(filter(cb, c -> c.cid = element_at(codes, ${m + 1})), 1).cv, ${m * 16 + 1}, 16)"))
+    // native ADC distance (graft.functions.PqAdc): the cid-keyed
+    // codebook lookup + per-subspace squared L2 + subspace-order sum
+    // in one codegen'd call — replaces the interpreted
+    // aggregate(array(aggregate(zip_with(...))×4)) tower with
+    // bit-identical sequential-fold arithmetic and null poisoning
+    // (PqAdcSpec pins parity with the HOF form)
     coded.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        expr(s"aggregate(array(${dists.mkString(", ")}), 0D, (acc, v) -> acc + v)")
+        graft.Functions.pq_adc(col("qv"), col("cb"), col("codes"), 16, 4)
           .as("adist"))
       .orderBy(col("adist").asc, col("vec_id"))
       .limit(10)
@@ -608,7 +607,7 @@ object SimilarityQueries {
         // vec_quant8 poisons them to NULL (posexplode then drops the
         // row) while DuckDB's list_transform keeps per-element NULLs —
         // the shared filter makes the two engines agree on any corpus
-        .filter(!exists(col("embedding"), _.isNull))
+        .filter(!graft.Functions.any_null(col("embedding")))
         .select(col("vec_id"),
           posexplode(graft.Functions.vec_quant8(col("embedding"))))
         .select(col("vec_id"),
@@ -626,7 +625,7 @@ object SimilarityQueries {
     // both the query lookup and the scan.
     "q49_qann" -> ((s, d) => {
       val qemb = graft.ops.Barrier(Tables.embeddings(s, d)
-        .filter(!exists(col("embedding"), _.isNull)) // see q48 note
+        .filter(!graft.Functions.any_null(col("embedding"))) // see q48 note
         .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8")))
       val q = qemb.filter(col("vec_id") === 0).select(col("q8").as("qq"))
       qemb.filter(col("vec_id") =!= 0)
@@ -651,7 +650,7 @@ object SimilarityQueries {
     "q123_rproj" -> ((s, d) => {
       Tables.embeddings(s, d)
         .filter(col("vec_id") < 200)
-        .filter(!exists(col("embedding"), _.isNull)) // see q48 note
+        .filter(!graft.Functions.any_null(col("embedding"))) // see q48 note
         .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8"))
         .select(col("vec_id"), posexplode(rpProject(col("q8"))))
         .select(col("vec_id"), col("pos").cast("long").as("j"), col("col").as("p"))
@@ -669,7 +668,7 @@ object SimilarityQueries {
     // vec_dot_int + TakeOrderedAndProject — join-free, shuffle-free.
     "q124_rproj_ann" -> ((s, d) => {
       val pv = graft.ops.Barrier(Tables.embeddings(s, d)
-        .filter(!exists(col("embedding"), _.isNull))
+        .filter(!graft.Functions.any_null(col("embedding")))
         .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8"))
         .select(col("vec_id"), rpProject(col("q8")).as("p16")))
       val q = pv.filter(col("vec_id") === 0).select(col("p16").as("qp"))
@@ -694,7 +693,7 @@ object SimilarityQueries {
     // k-sized partial-agg'd groupBy — the whole audit is one pass.
     "q130_inertia" -> ((s, d) => {
       val qemb = graft.ops.Barrier(Tables.embeddings(s, d)
-        .filter(!exists(col("embedding"), _.isNull)) // see q48 note
+        .filter(!graft.Functions.any_null(col("embedding"))) // see q48 note
         .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8")))
       // corpus-scaled codebook (KMeans.kForBudget): 8 cells at every
       // oracle/bench sf, growing past sf0.1 so per-cell SSE state and
@@ -731,7 +730,7 @@ object SimilarityQueries {
     "q132_pq_distortion" -> ((s, d) => {
       import graft.ops.KMeans
       val qemb = graft.ops.Barrier(Tables.embeddings(s, d)
-        .filter(!exists(col("embedding"), _.isNull)) // see q48 note
+        .filter(!graft.Functions.any_null(col("embedding"))) // see q48 note
         .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8")))
       val fullSeeds = KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
       val models = KMeans.trainSubspaces(qemb, "q8", 16,
@@ -767,7 +766,7 @@ object SimilarityQueries {
     // — the audit cost is queries × corpus-scan, same as serving.
     "q125_rproj_recall" -> ((s, d) => {
       val base = graft.ops.Barrier(Tables.embeddings(s, d)
-        .filter(!exists(col("embedding"), _.isNull))
+        .filter(!graft.Functions.any_null(col("embedding")))
         .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8"))
         .withColumn("p16", rpProject(col("q8"))))
       val q = base.filter(col("vec_id") === 0)
@@ -823,7 +822,7 @@ object SimilarityQueries {
     // coarse cut.
     "q69_pqann" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-        .filter(!exists(col("embedding"), _.isNull)) // see q48 note
+        .filter(!graft.Functions.any_null(col("embedding"))) // see q48 note
       pqAdc(emb, col("vec_id").between(1, 8))
     }),
 
@@ -839,7 +838,7 @@ object SimilarityQueries {
     // vectors are never touched at query time.
     "q70_ivfpq" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-        .filter(!exists(col("embedding"), _.isNull)) // see q48 note
+        .filter(!graft.Functions.any_null(col("embedding"))) // see q48 note
       val cbs = emb.filter(col("vec_id").between(1, 8))
         .agg(
           sort_array(collect_list(struct(
@@ -848,10 +847,6 @@ object SimilarityQueries {
           sort_array(collect_list(struct(
             col("vec_id").cast(org.apache.spark.sql.types.LongType).as("cid"),
             expr("transform(embedding, x -> cast(x as double))").as("cv")))).as("cbp"))
-      def subv(c: String, m: Int) =
-        s"transform(slice($c, ${m * 16 + 1}, 16), x -> cast(x as double))"
-      def d2(a: String, b: String) =
-        s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
       val withCb = emb.crossJoin(broadcast(cbs))
       // native PQ encode — see the q69/pqAdc note (bit-identical to
       // the array_min(transform(...)) HOF tower it replaces)
@@ -863,15 +858,13 @@ object SimilarityQueries {
         .select(explode(graft.Functions.centroid_topk(
           col("embedding"), col("cbi"), 2)).as("cid"))
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      // cid-keyed codebook lookup — see the q69 note.
-      val dists = (0 until 4).map(m =>
-        d2(subv("qv", m),
-          s"slice(element_at(filter(cbp, c -> c.cid = element_at(codes, ${m + 1})), 1).cv, ${m * 16 + 1}, 16)"))
+      // native ADC distance with the cid-keyed codebook lookup — see
+      // the q69/pqAdc note (bit-identical to the HOF tower it replaces)
       coded.join(broadcast(probes), "cid")
         .filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .select(col("vec_id"),
-          expr(s"aggregate(array(${dists.mkString(", ")}), 0D, (acc, v) -> acc + v)")
+          graft.Functions.pq_adc(col("qv"), col("cbp"), col("codes"), 16, 4)
             .as("adist"))
         .orderBy(col("adist").asc, col("vec_id"))
         .limit(10)
@@ -893,7 +886,7 @@ object SimilarityQueries {
       // training round, and the final assignment — materialize once
       // instead of re-reading parquet per pass (graft.ops.Barrier)
       val qemb = graft.ops.Barrier(Tables.embeddings(s, d)
-        .filter(!exists(col("embedding"), _.isNull)) // see q48 note
+        .filter(!graft.Functions.any_null(col("embedding"))) // see q48 note
         .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8")))
       val seeds = graft.ops.KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
       val model = graft.ops.KMeans.train(qemb, "vec_id", "q8", 64, seeds, maxIter = 2)
@@ -914,7 +907,7 @@ object SimilarityQueries {
       // training round, and the final assignment — materialize once
       // instead of re-reading parquet per pass (graft.ops.Barrier)
       val qemb = graft.ops.Barrier(Tables.embeddings(s, d)
-        .filter(!exists(col("embedding"), _.isNull)) // see q48 note
+        .filter(!graft.Functions.any_null(col("embedding"))) // see q48 note
         .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8")))
       val seeds = KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
       val model = KMeans.train(qemb, "vec_id", "q8", 64, seeds, maxIter = 2)
@@ -950,7 +943,7 @@ object SimilarityQueries {
       // training round, and the final assignment — materialize once
       // instead of re-reading parquet per pass (graft.ops.Barrier)
       val qemb = graft.ops.Barrier(Tables.embeddings(s, d)
-        .filter(!exists(col("embedding"), _.isNull)) // see q48 note
+        .filter(!graft.Functions.any_null(col("embedding"))) // see q48 note
         .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8")))
       // one seed collect + ONE scan per Lloyd round trains all 4
       // subspaces (exact integers ⇒ bit-identical to separate runs)
@@ -993,7 +986,7 @@ object SimilarityQueries {
       // training round, and the final assignment — materialize once
       // instead of re-reading parquet per pass (graft.ops.Barrier)
       val qemb = graft.ops.Barrier(Tables.embeddings(s, d)
-        .filter(!exists(col("embedding"), _.isNull)) // see q48 note
+        .filter(!graft.Functions.any_null(col("embedding"))) // see q48 note
         .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8")))
       val fullSeeds = KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
       val coarse = KMeans.train(qemb, "vec_id", "q8", 64, fullSeeds, maxIter = 2)
@@ -1051,7 +1044,7 @@ object SimilarityQueries {
     "q76_purity" -> ((s, d) => {
       import graft.ops.KMeans
       val qemb = graft.ops.Barrier(Tables.embeddings(s, d)
-        .filter(!exists(col("embedding"), _.isNull)) // see q48 note
+        .filter(!graft.Functions.any_null(col("embedding"))) // see q48 note
         .select(col("vec_id"), col("label").cast("long").as("label"),
           graft.Functions.vec_quant8(col("embedding")).as("q8"))) // Barrier: see q71
       val seeds = KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
@@ -1077,7 +1070,7 @@ object SimilarityQueries {
     "q111_drift" -> ((s, d) => {
       import graft.ops.KMeans
       val qemb = graft.ops.Barrier(Tables.embeddings(s, d)
-        .filter(!exists(col("embedding"), _.isNull)) // see q48 note
+        .filter(!graft.Functions.any_null(col("embedding"))) // see q48 note
         .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8")))
       // corpus-scaled codebook (KMeans.kForBudget, q100's dial): drift
       // buckets track cells, so the audit keeps cell-sized resolution
@@ -1119,7 +1112,7 @@ object SimilarityQueries {
       // Barrier: the quantized corpus feeds seed collection, every
       // training round, and the assignment pass (graft.ops.Barrier)
       val qemb = graft.ops.Barrier(Tables.embeddings(s, d)
-        .filter(!exists(col("embedding"), _.isNull)) // see q48 note
+        .filter(!graft.Functions.any_null(col("embedding"))) // see q48 note
         .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8")))
       val seeds = KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to 8L))
       val model = KMeans.train(qemb, "vec_id", "q8", 64, seeds, maxIter = 2)
@@ -1183,7 +1176,7 @@ object SimilarityQueries {
     "q223_quant_fidelity" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val base = Tables.embeddings(s, d)
-        .filter(!exists(col("embedding"), _.isNull)) // see q48 note
+        .filter(!graft.Functions.any_null(col("embedding"))) // see q48 note
         .select(col("vec_id"), col("embedding"),
           graft.Functions.vec_quant8(col("embedding")).as("q8"))
       val q = base.filter(col("vec_id") === 0)
@@ -1397,7 +1390,7 @@ object SimilarityQueries {
     "q100_semdedup" -> ((s, d) => {
       import graft.ops.KMeans
       val qemb = graft.ops.Barrier(Tables.embeddings(s, d)
-        .filter(!exists(col("embedding"), _.isNull)) // see q48 note
+        .filter(!graft.Functions.any_null(col("embedding"))) // see q48 note
         .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8")))
       val k = KMeans.kForBudget(qemb.count())
       val seeds = KMeans.seedsFromIds(qemb, "vec_id", "q8", (1L to k.toLong))
@@ -1450,7 +1443,7 @@ object SimilarityQueries {
       import graft.ops.KMeans
       import org.apache.spark.sql.expressions.Window
       val qemb = graft.ops.Barrier(Tables.embeddings(s, d)
-        .filter(!exists(col("embedding"), _.isNull))
+        .filter(!graft.Functions.any_null(col("embedding")))
         .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8")))
       // q100's scale dials: k grows with the corpus (8 at every
       // oracle/bench sf) and an over-budget cell sub-bands on the JL
@@ -1500,7 +1493,7 @@ object SimilarityQueries {
     // q48's convention.
     "q188_dim_audit" -> ((s, d) => {
       Tables.embeddings(s, d)
-        .filter(!exists(col("embedding"), _.isNull))
+        .filter(!graft.Functions.any_null(col("embedding")))
         .select(posexplode(col("embedding")).as(Seq("dim", "x")))
         .select(col("dim").cast(org.apache.spark.sql.types.LongType).as("dim"),
           floor(col("x").cast(org.apache.spark.sql.types.DoubleType) * 10000)
@@ -1532,7 +1525,7 @@ object SimilarityQueries {
     "q237_ivf_append" -> ((s, d) => {
       import graft.ops.KMeans
       val qemb = graft.ops.Barrier(Tables.embeddings(s, d)
-        .filter(!exists(col("embedding"), _.isNull))
+        .filter(!graft.Functions.any_null(col("embedding")))
         .select(col("vec_id"), graft.Functions.vec_quant8(col("embedding")).as("q8")))
       val old = qemb.filter(col("vec_id") % 10 =!= 0)
       val seeds = KMeans.seedsFromIds(old, "vec_id", "q8", (1L to 8L))

@@ -503,6 +503,20 @@ object TextTokenizerQueries {
         .select(col("doc_id"), col("b.u").as("u"), col("b.v").as("v")))
       val bc = graft.ops.Barrier(
         bg.groupBy("u", "v").agg(count(lit(1)).as("cb")))
+      // Broadcast-size guard (the q245 budget discipline): the explicit
+      // broadcasts below bypass the planner's size threshold, so a
+      // corpus whose bigram-type table outgrows executor memory (a
+      // raised vocab cap, a natural ~V² corpus) must refuse LOUDLY
+      // here rather than recreate the driver-death shape. The census
+      // is a near-free count over the already-checkpointed type table
+      // (961 types at sf1 AND sf10 on this vocabulary; the bound is
+      // ~256 MB of (u, v, counts) rows — far past any Heaps-law
+      // vocabulary this pipeline targets).
+      val nTypes = bc.count()
+      require(nTypes <= 4L * 1024 * 1024,
+        s"q148: $nTypes bigram types exceed the broadcast budget — " +
+          "the scoring dict no longer fits executors; gate the vocab " +
+          "or restore a shuffled scoring join behind a census gate")
       val uc = bc.groupBy("u").agg(sum(col("cb")).as("cu"))
       val vs = bc.agg(countDistinct(col("v")).as("vn"))
       // explicit broadcast of the TYPE-sized model tables (the q106
